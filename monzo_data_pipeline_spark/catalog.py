@@ -1,0 +1,58 @@
+"""Table loading / catalog registration for the testdata star schema.
+
+The reference "catalog" is three CREATE TABLE scripts executed once
+against SQLite (/root/reference/src/utils/initialise_database.py:7-14).
+Here the catalog is: parquet directories + declared StructTypes +
+(optionally) temp views so both the DataFrame API and spark.sql can
+reach every table.
+
+Scale note: `spark.read.schema(...).parquet(path)` skips schema
+inference (no footer-sampling job) and keeps the vectorized reader on
+the declared types; at 100 TB each table would be a partitioned
+directory and nothing in this module would change except the path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# events.parquet physically stores ts as timestamp[ns] (INT64). With
+# spark.sql.legacy.parquet.nanosAsLong=true (session.py) we read raw
+# nanos and truncate to µs — bit-identical to DuckDB's ns→µs read.
+_EVENTS_READ_SCHEMA = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in TESTDATA_SCHEMAS["events"].fields
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with its declared schema."""
+    if name not in TESTDATA_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All testdata tables as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

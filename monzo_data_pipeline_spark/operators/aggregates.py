@@ -1,0 +1,126 @@
+"""Aggregation operators.
+
+Covers SURVEY.md §2 rows B1 (monthly group-by agg — the reference's
+dormant gold layer, create_gold_layer.sql:1-6), C7 (approximate
+aggregates), C10 (rollup/cube), A25 (count).
+
+Scale notes: all of these are hash aggregates with map-side partial
+aggregation — Catalyst plans partial_sum/partial_count before the
+shuffle, so the shuffle moves one row per (group × partition), not
+per input row. Group-by keys here (year/month, returnflag, segment)
+are low-cardinality, so the final agg is a handful of rows regardless
+of input size; skew is impossible to avoid with 12 groups but
+irrelevant because partial aggregation has already collapsed the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, dsum
+
+
+def monthly_spend(orders: DataFrame, date_col: str = "o_orderdate", amount_col: str = "o_totalprice") -> DataFrame:
+    """B1 — the reference's dormant gold query, generalized.
+
+    Reference intent: gold_monthly_spending(month, year, total_spend,
+    avg_spend) declared at create_gold_layer.sql:1-6 but never
+    populated; we implement the missing transform as a declarative
+    groupBy-agg and let Catalyst plan the partial/final hash agg.
+    """
+    return (
+        orders.groupBy(
+            F.year(date_col).alias("year"),
+            F.month(date_col).alias("month"),
+        )
+        .agg(
+            dsum(amount_col).alias("total_spend"),
+            davg(amount_col).alias("avg_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filter + multi-agg group-by.
+
+    Exercises A9 (range predicate, pushed to the parquet scan) + B1
+    (hash agg) in one plan; disc_price/charge are computed per-row in
+    codegen before the partial agg.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            # scale 4: price(2dp)·(1-disc)(2dp) has ≤4 true decimals, so a
+            # 4dp decimal cast is exact — no half-cent rounding ties that
+            # HALF_UP (Spark) and HALF_EVEN (DuckDB) would break on.
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(18,4)").alias(
+                "sum_disc_price"
+            ),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount", "decimal(18,4)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def rollup_spend(orders: DataFrame) -> DataFrame:
+    """C10 — grouping-sets rollup: (year, month) totals with subtotals
+    and a grand total, one shuffle (Catalyst expands the grouping sets
+    map-side)."""
+    return (
+        orders.rollup(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("year").asc_nulls_first(), F.col("month").asc_nulls_first())
+    )
+
+
+def cube_spend(orders: DataFrame) -> DataFrame:
+    """C10 — cube over (orderstatus, orderpriority)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def exact_distinct_counts(orders: DataFrame) -> DataFrame:
+    """C7 twin (exact): distinct customers/statuses — oracle-checkable."""
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def approx_aggregates(orders: DataFrame) -> DataFrame:
+    """C7 — approximate aggregates for 100 TB cardinality estimation.
+
+    approx_count_distinct = HyperLogLog++ (fixed-size sketch, no
+    shuffle explosion vs exact distinct's per-key shuffle);
+    percentile_approx = a mergeable quantile sketch. Algorithm-specific
+    outputs differ from DuckDB's sketches, so this entry is rows-only
+    checked (SURVEY.md §2.C7).
+    """
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("approx_p99_price"),
+    )
+
+
+def row_count(df: DataFrame) -> DataFrame:
+    """A25 — count as a 1-row DataFrame (reference len() at extract.py:22)."""
+    return df.agg(F.count(F.lit(1)).alias("cnt"))

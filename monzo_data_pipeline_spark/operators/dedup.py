@@ -1,0 +1,74 @@
+"""Deduplication / idempotent-merge operators.
+
+Covers SURVEY.md §2 rows A11 (existence-check idempotent insert),
+A15/A16 (DISTINCT entity extraction), A17 (first-wins key dedup), C1
+(exact dedup at scale).
+
+Scale notes: the reference's idempotence is a per-row `SELECT 1 WHERE
+id = ?` probe then INSERT (load.py:39-45) — O(rows) round-trips. The
+set-based form is ONE left-anti join; with AQE the existing-keys side
+is broadcast when small, sort-merge when not. First-wins dedup uses a
+rank window *partitioned by the key*, so state per group is one row —
+no global sort, and skewed keys split under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anti_join_new_rows(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """A11 — rows of `incoming` whose key is absent from `existing`.
+
+    Set-based replacement for the reference's row-at-a-time existence
+    probe (load.py:39-45): append `anti_join_new_rows(batch, table,
+    ["id"])` and the load is idempotent.
+    """
+    return incoming.join(existing.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def distinct_entities(
+    df: DataFrame, columns: list[str], not_null: list[str] | None = None
+) -> DataFrame:
+    """A15/A16 — DISTINCT projection with NOT NULL key filter.
+
+    Reference: transform_bronze_to_silver.sql:1-8 (counterparties,
+    both keys NOT NULL) and :10-35 (merchants, id NOT NULL). Planned
+    as a hash aggregate on the projected columns — partial distinct
+    runs map-side before the shuffle.
+    """
+    out = df
+    for c in not_null or []:
+        out = out.filter(F.col(c).isNotNull())
+    return out.select(*columns).distinct()
+
+
+def first_wins_dedup(
+    df: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:
+    """A17/C1 — deterministic first-wins dedup (SCD type 0).
+
+    The reference's `INSERT OR IGNORE` keeps whichever row arrived
+    first (transform_bronze_to_silver.sql:2,11,38). `dropDuplicates`
+    keeps an *arbitrary* row per key under parallelism, so the
+    deterministic form is a row_number window ordered by the arrival
+    stamp (+ tiebreaks) — SURVEY.md §7 hard-part 2.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """C1 — exact-duplicate groups over `key_cols`: one row per
+    duplicated value with its multiplicity and the survivor id rule
+    (min doc_id = first-wins made explicit)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )

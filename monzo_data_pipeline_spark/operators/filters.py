@@ -1,0 +1,57 @@
+"""Filter / limit operators.
+
+Covers SURVEY.md §2 rows A9 (range predicate), A10 (limit), A24
+(sort-desc latest read).
+
+Scale note: every filter here is a Catalyst-pushable predicate —
+``.explain`` must show it under PushedFilters on the parquet scan. On
+a date-partitioned 100 TB table the same predicate becomes partition
+pruning (directories never listed). The reference's analog is pushing
+`since`/`before` into the REST request (api_client.py:177-187) —
+source-side filtering, same idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def date_range_filter(
+    df: DataFrame,
+    date_col: str,
+    since: str | None = None,
+    before: str | None = None,
+) -> DataFrame:
+    """A9 — keep rows with since <= date_col < before (either bound optional).
+
+    Reference: extract.py:18 computes `since = now() - 30 days` and
+    ships it to the API; the declarative equivalent is a plain
+    predicate that Catalyst pushes to the scan.
+    """
+    out = df
+    if since is not None:
+        out = out.filter(F.col(date_col) >= F.lit(since).cast("timestamp"))
+    if before is not None:
+        out = out.filter(F.col(date_col) < F.lit(before).cast("timestamp"))
+    return out
+
+
+def top_k(df: DataFrame, order_cols: list[str], k: int, ascending: bool = False) -> DataFrame:
+    """A10+A24 — deterministic LIMIT: total order (with tiebreak cols
+    supplied by the caller) then take k.
+
+    Spark plans this as TakeOrderedAndProject — a per-partition top-k
+    heap + single-driver merge of k·partitions rows, NOT a global
+    sort. That is the 100 TB-safe shape of "give me the latest/largest
+    k"; a bare .limit() without order is nondeterministic under
+    parallelism and an ORDER BY without LIMIT is a full shuffle.
+    """
+    cols = [F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols]
+    return df.orderBy(*cols).limit(k)
+
+
+def latest_snapshot(df: DataFrame, ts_col: str, tiebreak: list[str] | None = None, k: int = 1) -> DataFrame:
+    """A24 — the reference's latest-snapshot read (`ORDER BY
+    date_retrieved DESC`, query_sqlite_db.ipynb cell 4) as top-k."""
+    return top_k(df, [ts_col, *(tiebreak or [])], k=k, ascending=False)

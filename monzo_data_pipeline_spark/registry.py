@@ -1,0 +1,826 @@
+"""Query registry — the engine's public query surface.
+
+Each entry is one operator row from SURVEY.md §2 expressed as a
+(spark, sf_dir) -> DataFrame callable over the driver testdata
+tables, paired (where SQL-expressible) with a DuckDB oracle SQL twin.
+``__spark_entry__.py`` re-exports this registry to the driver.
+
+Determinism rules (every query here obeys them):
+  * no current_timestamp / rand / monotonically_increasing_id;
+  * double SUM/AVG goes through DECIMAL (functions/deterministic.py);
+  * every LIMIT has a total order with a unique tiebreak;
+  * float comparisons (top-k over embeddings) are integer-quantized
+    (floor(x·10⁶) as BIGINT) so Spark and DuckDB agree bit-for-bit;
+  * every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions import text as TX
+from .functions.deterministic import davg, dsum, oracle_davg, oracle_dsum
+from .operators import aggregates as AGG
+from .operators import dedup as DD
+from .operators import filters as FL
+from .operators import joins as JN
+from .operators import projection as PJ
+from .operators import setops as SO
+from .operators import windows as WN
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL twin; None → driver does rows-only check
+    survey_ref: str  # SURVEY.md §2 row(s) this covers
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def _register(name: str, survey_ref: str, oracle: str | None):
+    def deco(fn):
+        _SPECS.append(QuerySpec(name, fn, oracle, survey_ref))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# B1 — flagship: the reference's dormant gold_monthly_spending transform
+# (/root/reference/src/sql/create_gold_layer.sql:1-6, never populated there).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "monthly_spend",
+    "B1 (gold monthly agg)",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           CAST(month(o_orderdate) AS INT) AS month,
+           {oracle_dsum('o_totalprice')} AS total_spend,
+           {oracle_davg('o_totalprice')} AS avg_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.monthly_spend(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "pricing_summary",
+    "A9+B1 (filter + multi-agg; TPC-H Q1 shape)",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity')} AS sum_qty,
+           {oracle_dsum('l_extendedprice')} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 'DECIMAL(18,4)')} AS sum_disc_price,
+           {oracle_davg('l_quantity')} AS avg_qty,
+           {oracle_davg('l_discount', 'DECIMAL(18,4)')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# A-rows: filters, limits, scans, sorts, counts.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "date_range_filter",
+    "A9 (range predicate → parquet pushdown)",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return FL.date_range_filter(li, "l_shipdate", "1996-01-01", "1996-04-01").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+
+
+@_register(
+    "top_k_orders",
+    "A10+A24 (deterministic LIMIT via TakeOrderedAndProject)",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey DESC
+    LIMIT 200
+    """,
+)
+def q_top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return FL.top_k(o, ["o_totalprice", "o_orderkey"], k=200).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register("full_scan_region", "A23 (full scan)", "SELECT * FROM region")
+def q_full_scan_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "region")
+
+
+@_register("row_count_lineitem", "A25 (count)", "SELECT COUNT(*) AS cnt FROM lineitem")
+def q_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.row_count(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "latest_events",
+    "A24 (latest-snapshot read: ORDER BY ts DESC LIMIT k)",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+)
+def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return FL.latest_snapshot(ev, "ts", tiebreak=["event_id"], k=100).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11/A15/A16/A17 — idempotent merge & entity extraction & first-wins dedup.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "anti_join_new_keys",
+    "A11 (existence-check idempotent insert → left-anti join)",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return DD.anti_join_new_rows(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@_register(
+    "distinct_entities",
+    "A15 (DISTINCT + NOT NULL entity extraction: counterparties shape)",
+    """
+    SELECT DISTINCT c_nationkey, c_mktsegment
+    FROM customer
+    WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    """,
+)
+def q_distinct_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.distinct_entities(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        not_null=["c_nationkey", "c_mktsegment"],
+    )
+
+
+@_register(
+    "distinct_projection_wide",
+    "A16 (DISTINCT projection: merchants shape)",
+    """
+    SELECT DISTINCT p_brand, p_type, p_size
+    FROM part
+    WHERE p_brand IS NOT NULL
+    """,
+)
+def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.distinct_entities(
+        load_table(spark, sf_dir, "part"), ["p_brand", "p_type", "p_size"], not_null=["p_brand"]
+    )
+
+
+@_register(
+    "first_wins_dedup",
+    "A17 (INSERT OR IGNORE → deterministic row_number dedup)",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey,
+                                              l_suppkey, l_quantity) AS __rn
+        FROM lineitem
+    )
+    WHERE __rn = 1
+    """,
+)
+def q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    # arrival order includes full tiebreaks — first-wins must name a total
+    # order to be deterministic (SURVEY.md §7 hard-part 2).
+    li = load_table(spark, sf_dir, "lineitem")
+    return DD.first_wins_dedup(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+@_register(
+    "project_cast_stamp",
+    "A18 (column-subset projection + explicit money cast)",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS amount,
+           l_returnflag
+    FROM lineitem
+    """,
+)
+def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn("amount", F.col("l_extendedprice"))
+    return PJ.project_cast_stamp(
+        li,
+        ["l_orderkey", "l_linenumber", "amount", "l_returnflag"],
+        casts={"amount": "decimal(18,2)"},
+    )
+
+
+@_register(
+    "default_fill",
+    "A8 (NULL coalescing to declared defaults)",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment_filled,
+           COALESCE(c_acctbal, 0.0) AS acctbal_filled
+    FROM customer
+    """,
+)
+def q_default_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_filled"),
+        F.col("c_acctbal").alias("acctbal_filled"),
+    )
+    return PJ.default_fill(cust, {"segment_filled": "UNKNOWN", "acctbal_filled": 0.0})
+
+
+# ---------------------------------------------------------------------------
+# A19-A22 + A7/C5 — scalar functions, JSON, nested data.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scalar_functions",
+    "A19 abs / A20 to_json / A22 timestamp format",
+    """
+    SELECT event_id,
+           ABS(value) AS abs_value,
+           strftime(ts, '%Y-%m-%d %H:00') AS hour_str,
+           to_json([event_type, CAST(user_id AS VARCHAR)]) AS tags_json
+    FROM events
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.abs("value").alias("abs_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour_str"),
+        F.to_json(F.array(F.col("event_type"), F.col("user_id").cast("string"))).alias(
+            "tags_json"
+        ),
+    )
+
+
+@_register(
+    "json_extract",
+    "A21/A7 (JSON field access; reference api_client.py:53-55)",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           event_type
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "event_type",
+    )
+
+
+@_register(
+    "struct_flatten",
+    "A7/C5 (typed from_json → struct flatten; reference api_client.py:32-109)",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS props_k,
+           user_id
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    """,
+)
+def q_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    typed = ev.withColumn("props_struct", F.from_json("props", "k INT"))
+    flat = PJ.flatten_struct(typed, "props_struct", "props")
+    return flat.filter(F.col("props_k") > 50).select("event_id", "props_k", "user_id")
+
+
+@_register(
+    "array_ops",
+    "C5 (array columns as first-class: size/element access on embeddings)",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS first_val,
+           label
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        "label",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B2/B3 — joins.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fk_star_join",
+    "B3 (fact→dim FK joins, dims broadcast)",
+    f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {oracle_dsum('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def q_fk_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    region = load_table(spark, sf_dir, "region").withColumnRenamed(
+        "r_regionkey", "n_regionkey"
+    )
+    joined = JN.fk_join(cust, [(nation, "c_nationkey"), (region, "n_regionkey")], how="inner")
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("total_acctbal"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+_FX_RATES = [
+    ("AUTOMOBILE", 1.07),
+    ("BUILDING", 0.92),
+    ("FURNITURE", 1.25),
+    ("HOUSEHOLD", 0.85),
+    ("MACHINERY", 1.1),
+]
+_FX_VALUES = ", ".join(f"('{s}', {r})" for s, r in _FX_RATES)
+
+
+@_register(
+    "broadcast_enrich_rates",
+    "B2 (FX-rate broadcast enrichment join; reference currency notebook)",
+    f"""
+    SELECT c_custkey, c_mktsegment, rate,
+           c_acctbal * rate AS base_amount
+    FROM customer
+    LEFT JOIN (
+        SELECT c_mktsegment, CAST(rate AS DOUBLE) AS rate
+        FROM (VALUES {_FX_VALUES}) AS v(c_mktsegment, rate)
+    ) AS rates USING (c_mktsegment)
+    """,
+)
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    rates = spark.createDataFrame(_FX_RATES, "c_mktsegment string, rate double")
+    return JN.enrich_with_rates(cust, rates, "c_acctbal", "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "rate", "base_amount"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup; C8 — set ops.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "exact_dup_groups",
+    "C1 (exact duplicate-group detection on documents)",
+    """
+    SELECT lang, source, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY lang, source
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup_stats(docs, ["lang", "source"])
+
+
+@_register(
+    "exact_dedup_survivors",
+    "C1+A17 (first-wins exact dedup: one survivor per key)",
+    """
+    SELECT lang, source, doc_id AS survivor_doc_id
+    FROM (
+        SELECT lang, source, doc_id,
+               row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS __rn
+        FROM documents
+    )
+    WHERE __rn = 1
+    """,
+)
+def q_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.first_wins_dedup(docs, ["lang", "source"], ["doc_id"]).select(
+        "lang", "source", F.col("doc_id").alias("survivor_doc_id")
+    )
+
+
+@_register(
+    "set_except",
+    "C8 (multiset EXCEPT ALL: regression diff between runs)",
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return SO.table_diff(urgent, finished)
+
+
+@_register(
+    "set_intersect",
+    "C8 (distinct INTERSECT)",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return SO.table_common(open_cust, done_cust)
+
+
+@_register(
+    "union_batches",
+    "C8 (unionByName of incremental batches + dedup)",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    UNION
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+)
+def q_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b1 = FL.date_range_filter(o, "o_orderdate", before="1997-01-01").select(
+        "o_orderkey", "o_totalprice"
+    )
+    b2 = FL.date_range_filter(o, "o_orderdate", since="1996-01-01").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return SO.union_batches(b1, b2).distinct()
+
+
+# ---------------------------------------------------------------------------
+# C9 — ranking / running windows; C10 — rollup & cube; C7 — distinct/approx.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top_n_per_group",
+    "C9 (top-3 orders per year, deterministic rank window)",
+    """
+    SELECT year, o_orderkey, o_totalprice, rank_in_group
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS year, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY year(o_orderdate)
+                                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+                    AS INT) AS rank_in_group
+        FROM orders
+    )
+    WHERE rank_in_group <= 3
+    """,
+)
+def q_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    # descending on value with ascending unique tiebreak: express directly
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("year").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= 3)
+        .select("year", "o_orderkey", "o_totalprice", "rank_in_group")
+    )
+
+
+@_register(
+    "running_total",
+    "C9 (per-customer running balance, decimal-exact prefix sums)",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return WN.running_total(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"], "o_totalprice"
+    ).select("o_custkey", "o_orderkey", "running_total")
+
+
+@_register(
+    "rollup_spend",
+    "C10 (rollup with subtotals + grand total)",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           CAST(month(o_orderdate) AS INT) AS month,
+           {oracle_dsum('o_totalprice')} AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+    """,
+)
+def q_rollup_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.rollup_spend(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "cube_spend",
+    "C10 (cube over status × priority)",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {oracle_dsum('o_totalprice')} AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+    """,
+)
+def q_cube_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.cube_spend(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "exact_distinct_counts",
+    "C7 twin (exact distinct counts — oracle-checkable)",
+    """
+    SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+)
+def q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.exact_distinct_counts(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "approx_aggregates",
+    "C7 (HLL++ / quantile sketches; sketch outputs are engine-specific → rows-only)",
+    None,
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.approx_aggregates(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# C6 — windowed event-time aggregation (batch twin of the streaming path).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tumbling_window_agg",
+    "C6 (event-time tumbling window, batch twin of streaming/windows.py)",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value', 'DECIMAL(18,6)')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "decimal(18,6)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 + north-star text analysis.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "word_frequencies",
+    "C4 (tokenize→explode→count; top-100 corpus words)",
+    r"""
+    SELECT word, n
+    FROM (
+        SELECT word, COUNT(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    )
+    ORDER BY n DESC, word ASC
+    LIMIT 100
+    """,
+)
+def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.word_frequencies(docs).orderBy(F.desc("n"), F.asc("word")).limit(100)
+
+
+@_register(
+    "token_stats",
+    "C4/north-star (token counting + char stats per doc)",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           lang
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.char_length("text").alias("n_chars_computed"),
+        TX.token_count("text").alias("n_tokens"),
+        "lang",
+    )
+
+
+_STOPWORD_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+
+@_register(
+    "lang_id_heuristic",
+    "north-star (language-ID via stopword/ASCII heuristic)",
+    rf"""
+    SELECT lang_pred, COUNT(*) AS n_docs
+    FROM (
+        SELECT CASE
+                 WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          t -> t IN ({_STOPWORD_SQL})))
+                      / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)
+                      >= 0.15
+                 THEN 'en'
+                 WHEN length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+                      / greatest(length(text), 1) >= 0.9
+                 THEN 'other_latin'
+                 ELSE 'non_latin'
+               END AS lang_pred
+        FROM documents
+    )
+    GROUP BY lang_pred
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.lang_id_heuristic("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
+    "doc_fingerprints",
+    "north-star (64-bit content fingerprint; xxhash64 is Spark-specific → rows-only)",
+    None,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# C3 — similarity search (brute-force quantized-integer top-k; exact parity).
+# ---------------------------------------------------------------------------
+
+
+def _quantize(col):
+    return F.floor(col.cast("double") * F.lit(1000000.0)).cast("long")
+
+
+@_register(
+    "cosine_topk_bruteforce",
+    "C3 (brute-force top-k similarity; integer-quantized dot for parity)",
+    """
+    WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(list_sum(list_transform(list_zip(e.embedding, q.q_embedding),
+                p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * 1000000.0) AS BIGINT)
+                   * CAST(FLOOR(CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
+                AS BIGINT) AS dot_q,
+           e.label
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    prods = F.zip_with(
+        "embedding", "q_embedding", lambda x, y: _quantize(x) * _quantize(y)
+    )
+    dot_q = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(query_vec))
+        .select("vec_id", dot_q.alias("dot_q"), "label")
+        .orderBy(F.desc("dot_q"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public accessors (consumed by __spark_entry__.py).
+# ---------------------------------------------------------------------------
+
+
+def specs() -> list[QuerySpec]:
+    return list(_SPECS)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.fn for s in _SPECS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}

@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+Scale posture: these configs are chosen so the same code runs on
+local[N] for tests and on a 1000-executor cluster against ~100 TB —
+AQE handles runtime re-planning (partition coalescing, skew joins,
+broadcast demotion/promotion), and we never hand-schedule what
+Catalyst already optimizes.
+
+The reference has no session concept — it opens a sqlite3 connection
+per run (/root/reference/src/load/load.py:250). Here one SparkSession
+is shared across the whole query suite (BASELINE.md: reuse the
+session to amortize JVM startup).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "monzo-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Notes on each config (all public Spark knobs):
+      - AQE on: runtime coalescing of shuffle partitions + skew-join
+        splitting; at 100 TB this is what keeps a fixed
+        ``shuffle.partitions`` from being wrong in both directions.
+      - ``spark.sql.session.timeZone=UTC``: the reference mixes naive
+        local and Z-suffixed timestamps (load.py:47 vs
+        api_client.py:179-187); engine policy is UTC everywhere so
+        results are oracle-comparable.
+      - Arrow on: any pandas interop (toPandas, pandas UDFs in
+        ext/) moves columnar, not row-at-a-time pickles.
+      - parquet filter pushdown / column pruning are Spark defaults;
+        left explicit here as documentation of the scan contract.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores timestamp[ns]; Spark's vectorized
+        # reader refuses ns→TimestampType, so read ns as long and convert
+        # in catalog.load_table (exactly DuckDB's truncate-to-µs behavior).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
