@@ -1,0 +1,71 @@
+"""Benchmark harness — runs the full query registry at a scale factor.
+
+Prints ONE JSON line:
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "rows": {...}}
+
+Env:
+    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[N] cores (default all)
+
+Timing = logical-plan build + optimization + execution + Arrow
+retrieval (toPandas) of the result, per query, one SparkSession shared
+across the suite. One untimed warmup pass first (codegen/JIT/parquet
+footers), then the timed steady-state pass — the standard repeated-
+measurement protocol; JVM startup is a per-session constant, not a
+per-query cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from monzo_data_pipeline_spark.registry import specs  # noqa: E402
+from monzo_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+
+    # untimed warmup: codegen, JIT, parquet footer + file-listing caches
+    for spec in specs():
+        spec.fn(spark, sf_dir).toPandas()
+
+    per_query: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
+    t_suite = time.time()
+    for spec in specs():
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        pdf = df.toPandas()  # Arrow columnar retrieval — the engine's result path
+        per_query[spec.name] = round(time.time() - t0, 3)
+        row_counts[spec.name] = len(pdf)
+    total = round(time.time() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "rows": row_counts,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
