@@ -1,0 +1,245 @@
+"""Fuzzy / near-duplicate detection over the `documents` table.
+
+North-star operators (BASELINE.json): n-gram Jaccard, MinHash+LSH,
+SimHash. All are pure DataFrame compositions — shingling with
+higher-order array functions, hashing with xxhash64, banding with
+integer arithmetic — no Python UDFs, no MLlib dependency, so every
+stage is Catalyst-planned and shuffle-aware.
+
+Scale design (the 100 TB story):
+  * Exact-pairwise Jaccard is O(n²) and never runs globally; pair
+    generation is always blocked — by shared shingle (rare for long
+    shingles), by LSH band bucket, or by SimHash chunk. The shuffle
+    key is the block key, so cost is Σ|block|², not n².
+  * MinHash signatures are one groupBy over (doc × shingle) with 64
+    min-aggregates — map-side partial min collapses before shuffle.
+  * Verification joins carry only (doc_id, shingle-set size), never
+    the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 64  # signature length
+LSH_BANDS = 16  # 16 bands x 4 rows: P(candidate) = 1-(1-s^4)^16
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    tokens → slice windows via transform(sequence(...)) — all array
+    ops happen map-side; `distinct()` is the only shuffle.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    shingle_expr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(shingle_expr).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard ≥ threshold).
+
+    Blocked pair generation: docs only meet if they share a shingle —
+    with 5-word shingles, unrelated docs almost never collide, so the
+    shingle-equality join IS the blocking strategy. Intersection
+    counts stay integers; the single double division at the end is
+    exact and cross-engine deterministic.
+    """
+    sh = word_shingles(docs, n=n, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(i, shingle). One groupBy, 64 partial-min aggregates."""
+    sh = word_shingles(docs, n=shingle_n, id_col=id_col)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs from shared buckets.
+
+    band key = (band index, xxhash64 of the band's rows): docs agreeing
+    on all rows of any band collide. The self-join shuffles on the
+    band key — Σ|bucket|², never n².
+    """
+    n = N_MINHASH
+    rows = n // bands
+    # per-band bucket hash from signature slices (slice is 1-based)
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dedup: LSH candidates verified with exact
+    Jaccard (shingle-set intersection on the candidate pairs only).
+
+    This is the 100 TB dedup shape: signatures+banding prune the pair
+    space to near-linear, exact verification touches only candidates.
+    """
+    sigs = minhash_signatures(docs, shingle_n=shingle_n, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col)
+    sh = word_shingles(docs, n=shingle_n, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # candidates DRIVE the verification join: expand each candidate pair to
+    # doc_a's shingles, then match doc_b's on (doc_b, shingle). Cost is
+    # O(candidates × shingles-per-doc), never the full co-shingle pair space.
+    shared = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document from token hashes.
+
+    bit j of the fingerprint = sign of Σ_tokens (±1 on bit j of
+    xxhash64(token)). Nested higher-order aggregates — all JVM; no
+    exploded 64× row blowup.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    sim = F.expr(
+        """
+        aggregate(
+          sequence(0, 63), 0L,
+          (acc, j) -> acc + IF(
+            aggregate(__hashes, 0L,
+                      (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
+            shiftleft(1L, j), 0L))
+        """
+    )
+    return docs.withColumn("__hashes", hashes).select(
+        id_col, sim.alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 6, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup: pairs with Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit fingerprint into 4 16-bit chunks; by
+    pigeonhole, any pair within Hamming ≤ 3·4 shares ≥1 exact chunk —
+    join on (chunk index, chunk value), verify with bit_count(xor).
+    """
+    sh = simhash(docs, id_col=id_col)
+    # per-chunk extraction: shiftright then 16-bit mask
+    exploded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(F.array(*[F.lit(c) for c in range(4)])).alias("chunk_idx"),
+    ).withColumn(
+        "chunk_val",
+        F.expr("shiftright(simhash, chunk_idx * 16)").bitwiseAND(F.lit(0xFFFF)),
+    )
+    left = exploded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk_idx", "chunk_val"
+    )
+    right = exploded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sim_a").bitwiseXOR(F.expr("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over array<float> embedding columns — SURVEY.md
+§2.C3 / north star.
+
+Two tiers:
+  * brute force — exact, O(n·q): broadcast the (small) query set
+    against the full corpus; per-pair dot products are higher-order
+    array folds in codegen. Right answer, fine up to ~10⁷×10³.
+  * bucketed LSH — the 100 TB path: deterministic sign-random-
+    projection buckets prune the pair space; cost Σ|bucket|²/2.
+
+Float determinism: scores are integer-quantized (floor(x·10⁶) per
+element) before multiplication, so Spark and any oracle engine agree
+bit-for-bit. The real-valued cosine is recovered at the end by
+double division of exact integers — also deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1000000.0
+
+
+def _q(col: Column) -> Column:
+    """Quantize one float to an exact integer: floor(double(x)·10⁶)."""
+    return F.floor(col.cast("double") * F.lit(QUANT)).cast("long")
+
+
+def quantized_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ca, cb, lambda x, y: _q(x) * _q(y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def quantized_norm_sq(a: Column | str) -> Column:
+    """Exact integer squared norm of a quantized vector."""
+    return quantized_dot(a, a)
+
+
+def quantized_cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine over quantized vectors: exact ints → one double division."""
+    return quantized_dot(a, b) / F.sqrt(
+        quantized_norm_sq(a).cast("double") * quantized_norm_sq(b).cast("double")
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force k-NN join: top-k corpus neighbors per query vector.
+
+    queries is broadcast (it is the small side by construction); the
+    corpus never shuffles. Ranking is a window per query — state k
+    rows per query, deterministic via (score desc, vec_id asc).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        id_col,
+        quantized_dot(vec_col, "__qvec").alias("dot_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dot_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dot_q", "rank")
+    )
+
+
+def sign_bucket(vec_col: Column | str, n_bits: int = 8) -> Column:
+    """Deterministic LSH bucket: integer from the sign bits of the
+    first n_bits dimensions (a fixed axis-aligned random projection —
+    no RNG, so every engine/run agrees)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.lit(0),
+        lambda acc, j: acc * 2
+        + F.when(F.element_at(c, j) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def bucketed_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed near-pair search: pairs in the same sign bucket
+    with quantized cosine ≥ threshold.
+
+    The bucket join is the blocking step (2^n_bits buckets); recall
+    is the standard LSH tradeoff and is tuned by n_bits — documented
+    engine semantics, identical in the oracle.
+    """
+    with_bucket = emb.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(vec_col, n_bits).alias("bucket")
+    )
+    a = with_bucket.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", quantized_cosine("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .ext import dedup_fuzzy as DF
+from .ext import multimodal as MM
+from .ext import similarity as SIM
 from .functions import text as TX
 from .functions.deterministic import davg, dsum, oracle_davg, oracle_dsum
 from .operators import aggregates as AGG
@@ -806,6 +809,191 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", dot_q.alias("dot_q"), "label")
         .orderBy(F.desc("dot_q"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 + north-star fuzzy dedup (documents table).
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of ext.dedup_fuzzy.word_shingles (5-word shingles, distinct):
+# t[i:i+4] is 1-based inclusive slicing = 5 tokens, matching Spark's
+# slice(toks, i, 5).
+_SHINGLES_CTE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+4], ' ') AS shingle
+    FROM toks,
+         LATERAL (SELECT unnest(range(1, greatest(len(t)-3, 2))) AS i) i
+), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    "C2/north-star (n-gram Jaccard near-dup; blocked pair generation)",
+    _SHINGLES_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) / (CAST(sa.n_sh AS DOUBLE) + sb.n_sh - COUNT(*)) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+    HAVING COUNT(*) / (CAST(sa.n_sh AS DOUBLE) + sb.n_sh - COUNT(*)) >= 0.6
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DF.ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+@_register(
+    "minhash_lsh_near_dup",
+    "C2 (MinHash+LSH near-dedup: shingle→minhash→band→bucket-join→verify; "
+    "xxhash64 signatures are Spark-specific → rows-only)",
+    None,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DF.minhash_near_dup_pairs(docs, threshold=0.6)
+
+
+@_register(
+    "simhash_near_dup",
+    "north-star (SimHash 64-bit + pigeonhole-blocked Hamming pairs; rows-only)",
+    None,
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DF.simhash_near_dup_pairs(docs, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# C3 — similarity search (knn join + bucketed LSH pairs).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "knn_join",
+    "C3 (brute-force k-NN join: top-3 neighbors for 10 query vectors)",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                    p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * 1000000.0) AS BIGINT)
+                       * CAST(FLOOR(CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
+                    AS BIGINT) AS dot_q
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, dot_q, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot_q DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.knn_join(emb, queries_df, k=3)
+
+
+@_register(
+    "bucketed_near_pairs",
+    "C3 (sign-LSH bucketed near-pair search, quantized cosine)",
+    """
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(range(1, 9),
+                    j -> CASE WHEN embedding[j] >= 0
+                         THEN CAST(pow(2, 8 - j) AS BIGINT) ELSE 0 END))
+                    AS INT) AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.embedding AS va, b2.embedding AS vb
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ), scored AS (
+        SELECT vec_a, vec_b,
+               list_sum(list_transform(list_zip(va, vb),
+                    p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * 1000000.0) AS BIGINT)
+                       * CAST(FLOOR(CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
+               / sqrt(
+                 CAST(list_sum(list_transform(va,
+                      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                         * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)
+                 *
+                 CAST(list_sum(list_transform(vb,
+                      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                         * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)
+               ) AS cosine
+        FROM pairs
+    )
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.2
+    """,
+)
+def q_bucketed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.bucketed_near_pairs(emb, threshold=0.2, n_bits=8)
+
+
+# ---------------------------------------------------------------------------
+# C5/north-star — multimodal binary columns.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "media_metadata",
+    "C5/north-star (binary payload + typed metadata struct; metadata-only scan)",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.mime").alias("mime")
+    )
+
+
+@_register(
+    "media_feature_extract",
+    "north-star (Arrow-batched mapInPandas feature extraction over binary "
+    "payloads; deterministic stub decoder → rows-only)",
+    None,
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return MM.extract_features(media)
+
+
+@_register(
+    "frame_sampling",
+    "north-star (frame-sample shape: payload → per-offset rows)",
+    """
+    SELECT doc_id AS media_id,
+           CAST(i.i AS INT) AS frame_idx,
+           CAST(i.i * 64 AS INT) AS byte_offset
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, greatest((octet_length(encode(text))-1)//64 + 1, 1))) AS i) i
+    """,
+)
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return MM.sample_frames(media, every_n_bytes=64).select(
+        "media_id", "frame_idx", F.col("byte_offset").cast("int").alias("byte_offset")
     )
 
 

@@ -42,6 +42,16 @@ def get_spark(
       - parquet filter pushdown / column pruning are Spark defaults;
         left explicit here as documentation of the scan contract.
     """
+    # Executor Python workers are separate processes; make this package
+    # importable there regardless of the driver's cwd (local mode inherits
+    # PYTHONPATH from the driver's environment).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
