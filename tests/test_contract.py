@@ -1,0 +1,54 @@
+"""Driver-contract regression tests: the repo must be importable and
+runnable exactly as the driver harness does it — including from a
+different cwd (the mapInPandas-closure bug class)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_queries_oracle_alignment():
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert len(qs) >= 40
+    assert set(osql) <= set(qs)
+    # every query callable is (spark, sf_dir) -> DataFrame
+    for fn in qs.values():
+        assert callable(fn)
+
+
+def test_entry_runs_from_foreign_cwd(tmp_path):
+    """The driver may import from any cwd; executors must still resolve
+    closures (regression for the PYTHONPATH/mapInPandas bug)."""
+    script = tmp_path / "drive.py"
+    script.write_text(
+        f"""
+import sys
+sys.path.insert(0, {REPO!r})
+import __spark_entry__ as E
+from monzo_data_pipeline_spark.session import get_spark
+spark = get_spark("foreign-cwd", shuffle_partitions=4)
+assert len(E.entry(spark).collect()) > 0
+r = E.queries()["media_feature_extract"](spark, "/root/testdata/sf0.001").take(1)
+assert r and r[0].feature is not None
+print("OK")
+"""
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [sys.executable, str(script)],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout

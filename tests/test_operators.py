@@ -1,0 +1,132 @@
+"""Unit tests per operator module (SURVEY.md §5 strategy #2):
+hermetic, tiny inline fixtures mirroring the reference's shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from monzo_data_pipeline_spark.operators import (
+    aggregates as AGG,
+    dedup as DD,
+    filters as FL,
+    joins as JN,
+    projection as PJ,
+    setops as SO,
+    windows as WN,
+)
+from monzo_data_pipeline_spark.functions import text as TX
+
+
+def test_flatten_struct_null_safe(spark):
+    # reference api_client.py:59-77 hand-builds an all-None template for
+    # missing merchants; Spark struct access must be null-safe instead
+    df = spark.createDataFrame(
+        [
+            Row(id="a", merchant=Row(name="M1", city="London")),
+            Row(id="b", merchant=None),
+        ],
+        "id string, merchant struct<name string, city string>",
+    )
+    flat = PJ.flatten_struct(df, "merchant")
+    rows = {r.id: r for r in flat.collect()}
+    assert rows["a"].merchant_name == "M1"
+    assert rows["b"].merchant_name is None and rows["b"].merchant_city is None
+
+
+def test_default_fill(spark):
+    df = spark.createDataFrame([(1, None), (2, True)], "id int, is_load boolean")
+    out = {r.id: r.is_load for r in PJ.default_fill(df, {"is_load": False}).collect()}
+    assert out == {1: False, 2: True}
+
+
+def test_anti_join_idempotence(spark):
+    incoming = spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int")
+    existing = spark.createDataFrame([("a", 99)], "id string, v int")
+    new = DD.anti_join_new_rows(incoming, existing, ["id"])
+    assert [r.id for r in new.collect()] == ["b"]
+    # re-merging the merged result appends nothing (A11 idempotence)
+    merged = existing.unionByName(new)
+    again = DD.anti_join_new_rows(incoming, merged, ["id"])
+    assert again.count() == 0
+
+
+def test_first_wins_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", "2024-01-02", "late"), ("k", "2024-01-01", "early")],
+        "id string, arrived string, payload string",
+    )
+    out = DD.first_wins_dedup(df, ["id"], ["arrived"]).collect()
+    assert len(out) == 1 and out[0].payload == "early"
+
+
+def test_distinct_entities_not_null(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (None, "y")], "k int, name string"
+    )
+    out = DD.distinct_entities(df, ["k", "name"], not_null=["k"]).collect()
+    assert len(out) == 1 and out[0].k == 1
+
+
+def test_top_k_deterministic(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id int, v int")
+    out = FL.top_k(df, ["v", "id"], k=5).collect()
+    assert [r.id for r in out] == [29, 26, 23, 20, 17]
+
+
+def test_fk_join_broadcast(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "k int, v int")
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], "dk int, name string")
+    out = JN.fk_join(
+        fact, [(dim.withColumnRenamed("dk", "v"), "v")], how="left"
+    ).collect()
+    names = {r.k: r.name for r in out}
+    assert names == {1: "a", 2: "b", 3: None}
+    # the physical plan actually broadcasts the dim
+    plan = JN.fk_join(fact, [(dim.withColumnRenamed("dk", "v"), "v")])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_running_total_decimal_exact(spark):
+    df = spark.createDataFrame(
+        [("u", "2024-01-01", 0.1)] * 10, "k string, d string, v double"
+    ).withColumn("rn", F.monotonically_increasing_id())
+    out = WN.running_total(df, ["k"], ["rn"], "v").orderBy("rn").collect()
+    # decimal prefix-sum: exactly 1.0 after ten 0.1s, no float drift
+    assert out[-1].running_total == 1.0
+
+
+def test_setops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,)], "v int")
+    b = spark.createDataFrame([(2,)], "v int")
+    assert sorted(r.v for r in SO.table_diff(a, b).collect()) == [1, 2]
+    assert [r.v for r in SO.table_common(a, b).collect()] == [2]
+    assert SO.union_batches(a, b).count() == 4
+
+
+def test_monthly_spend_shape(spark, sf_dir):
+    from monzo_data_pipeline_spark.catalog import load_table
+
+    out = AGG.monthly_spend(load_table(spark, sf_dir, "orders"))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert rows[0].__fields__ == ["year", "month", "total_spend", "avg_spend", "n_orders"]
+    # months sorted, totals positive
+    assert all(r.total_spend > 0 for r in rows)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzz qqq")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TX.token_count("text").alias("n_tok"),
+            TX.stopword_ratio("text").alias("sw"),
+            TX.lang_id_heuristic("text").alias("lang"),
+        ).collect()
+    }
+    assert out[1].n_tok == 6
+    assert out[1].sw > 0.3 and out[1].lang == "en"
+    assert out[2].lang == "other_latin"

@@ -1,0 +1,80 @@
+"""Medallion pipeline e2e (SURVEY.md §5 strategy #3): synthetic
+bronze → silver → gold, and the idempotence property behind the
+reference's INSERT OR IGNORE semantics (running the same batch twice
+leaves every table identical)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from monzo_data_pipeline_spark.pipeline import ingest as ING
+from monzo_data_pipeline_spark.pipeline import medallion as MED
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    return MED.Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _batch(spark, n_windows=3):
+    fetch = ING.make_fake_fetch(n_per_window=40, dup_every=10)
+    windows = ING.cursor_windows(
+        datetime(2025, 1, 1), datetime(2025, 1, 1 + n_windows), window_hours=24
+    )
+    wire = ING.fetch_transactions_distributed(spark, fetch, windows)
+    return ING.flatten_bronze(wire, ingest_ts="2025-01-05T00:00:00")
+
+
+def test_distributed_ingest_shape(spark):
+    batch = _batch(spark)
+    rows = batch.collect()
+    assert len(rows) == 120  # 3 windows x 40
+    cols = set(batch.columns)
+    # the 32-col bronze layout incl. flattened merchant address (A7)
+    assert {"id", "merchant_city", "counterparty_account_num", "date_retrieved"} <= cols
+    # missing merchants → null-safe flatten, not a template
+    assert any(r.merchant_id is None for r in rows)
+    # late-arriving settled nulls survive
+    assert any(r.settled is None for r in rows)
+
+
+def test_pipeline_end_to_end_and_idempotence(spark, warehouse):
+    batch = _batch(spark)
+    stats1 = MED.run_pipeline(spark, warehouse, batch, run_ts="2025-01-05T00:00:00")
+    assert stats1["bronze_appended"] > 0
+    assert stats1["silver_tx"] == stats1["bronze_total"]
+    assert stats1["silver_merchants"] > 0
+    assert stats1["silver_counterparties"] > 0
+    assert stats1["gold_rows"] > 0
+
+    # same batch again → nothing changes anywhere (A11/A17 property)
+    stats2 = MED.run_pipeline(spark, warehouse, batch, run_ts="2025-02-01T00:00:00")
+    assert stats2["bronze_appended"] == 0
+    for k in ("bronze_total", "silver_tx", "silver_counterparties", "silver_merchants", "gold_rows"):
+        assert stats2[k] == stats1[k], k
+
+    # silver rows were NOT re-stamped (SCD type 0: first version wins)
+    stamps = {
+        r.inserted_at.isoformat()
+        for r in warehouse.read(MED.SILVER_TX).select("inserted_at").distinct().collect()
+    }
+    assert stamps == {"2025-01-05T00:00:00"}
+
+
+def test_incremental_batch_appends_only_new(spark, warehouse):
+    b1 = _batch(spark, n_windows=2)
+    MED.run_pipeline(spark, warehouse, b1, run_ts="2025-01-05T00:00:00")
+    n1 = warehouse.read(MED.BRONZE_TX).count()
+
+    b2 = _batch(spark, n_windows=3)  # superset: windows 1-2 overlap
+    stats = MED.run_pipeline(spark, warehouse, b2, run_ts="2025-01-06T00:00:00")
+    n2 = warehouse.read(MED.BRONZE_TX).count()
+    assert stats["bronze_appended"] == n2 - n1 > 0
+
+    # money semantics: silver amount is pounds decimal, bronze pence long
+    bronze = warehouse.read(MED.BRONZE_TX).select("id", "amount").collect()
+    silver = {r.id: r.amount for r in warehouse.read(MED.SILVER_TX).collect()}
+    for r in bronze:
+        assert silver[r.id] == round(__import__("decimal").Decimal(r.amount) / 100, 2)

@@ -1,0 +1,57 @@
+"""Streaming smoke tests (SURVEY.md §5 strategy #4): file-source
+stream through the watermarked windowed agg; batch/stream parity; late
+-data handling is exercised via watermark presence in the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from monzo_data_pipeline_spark.catalog import load_table
+from monzo_data_pipeline_spark.streaming import windows as SW
+
+
+@pytest.fixture()
+def event_files(spark, sf_dir, tmp_path):
+    """Re-materialize sf0.001 events as a 3-file drop directory
+    (timestamp already µs-normalized by the catalog)."""
+    path = str(tmp_path / "events_stream")
+    load_table(spark, sf_dir, "events").repartition(3).write.parquet(path)
+    return path
+
+
+def test_stream_matches_batch(spark, sf_dir, event_files):
+    events = load_table(spark, sf_dir, "events")
+    batch_out = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in SW.windowed_event_counts(events).collect()
+    }
+
+    stream = SW.stream_events_from_files(spark, event_files, events.schema)
+    assert stream.isStreaming
+    windowed = SW.windowed_event_counts(stream)
+    SW.run_stream_to_memory(windowed, "win_agg_test", timeout_sec=120)
+    stream_out = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_agg_test").collect()
+    }
+    assert stream_out == batch_out
+    assert len(stream_out) > 0
+
+
+def test_watermark_in_streaming_plan(spark, sf_dir, event_files):
+    events = load_table(spark, sf_dir, "events")
+    stream = SW.stream_events_from_files(spark, event_files, events.schema)
+    windowed = SW.windowed_event_counts(stream, watermark="10 minutes")
+    # watermark node present → late rows beyond 10 min are dropped by the engine
+    assert "EventTimeWatermark" in windowed._jdf.queryExecution().analyzed().toString()
+
+
+def test_session_windows_batch(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    sessions = SW.sessionized_counts(events, gap="15 minutes").collect()
+    assert len(sessions) > 0
+    # sessions are per-user, non-overlapping, end > start
+    assert all(r.session_end > r.session_start for r in sessions)
+    total = sum(r.n_events for r in sessions)
+    assert total == events.count()
