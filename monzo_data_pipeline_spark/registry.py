@@ -813,6 +813,303 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heavier relational shapes: fact-fact shuffle join, having, pivot,
+# analytics — the plans that must survive a 100× scale-up.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "revenue_per_customer",
+    "B3+B1 at scale (fact-fact shuffle join + broadcast dim + agg)",
+    f"""
+    SELECT c_custkey, c_name,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 'DECIMAL(18,4)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orders⋈lineitem shuffles on the join key (AQE may re-plan); the
+    # customer dim is broadcast — the fact side never shuffles for it.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = FL.date_range_filter(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", since="1996-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(18,4)").alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "frequent_customers_having",
+    "B1 (agg + HAVING post-filter)",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def q_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@_register(
+    "pivot_status_by_month",
+    "C10 family (pivot = grouped conditional aggregation)",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           CAST(month(o_orderdate) AS INT) AS month,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit pivot values → no extra distinct-discovery job, and the
+    # plan is a single hash agg with conditional counters
+    piv = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "year",
+        "month",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@_register(
+    "orders_above_customer_avg",
+    "C9 (analytic window: rows above their partition average)",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    WHERE o_totalprice > 1.5 * cust_avg
+    """,
+)
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    avg_exact = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", avg_exact)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_register(
+    "sliding_window_agg",
+    "C6 (sliding window: 1h window / 30m slide — each event in 2 buckets)",
+    f"""
+    WITH floored AS (
+        SELECT ts, value,
+               date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS f30
+        FROM events
+    ), assigned AS (
+        SELECT x.ws, value
+        FROM floored,
+             LATERAL (SELECT unnest([f30, f30 - INTERVAL 30 MINUTE]) AS ws) x
+    )
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value', 'DECIMAL(18,6)')} AS total_value
+    FROM assigned
+    GROUP BY ws
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "decimal(18,6)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_register(
+    "sessionization",
+    "C6 (session windows; oracle = lag/cumsum sessionization — new session "
+    "when the gap to the previous event is >= 15 min, matching Spark's "
+    "interval-overlap merge rule)",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 15 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import sessionized_counts
+
+    return sessionized_counts(
+        load_table(spark, sf_dir, "events"), gap="15 minutes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar breadth: CASE bucketing, string functions, quality/token scoring.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "case_bucketing",
+    "A8 family (CASE WHEN bucketing + agg)",
+    f"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+    )
+
+
+@_register(
+    "string_functions",
+    "A19-A22 family (string scalar breadth: upper/substr/concat/regexp)",
+    r"""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substr(p_name, 1, 10) AS name10,
+           concat(p_brand, '#', p_type) AS tag,
+           regexp_replace(p_type, '\s+', '_', 'g') AS type_slug,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("tag"),
+        F.regexp_replace("p_type", r"\s+", "_").alias("type_slug"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@_register(
+    "quality_scores",
+    "north-star (composite document quality score, fully SQL-expressible)",
+    rf"""
+    WITH feats AS (
+        SELECT doc_id,
+               least(length(text) / 500.0, 1.0) AS length_feat,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   t -> t IN ({_STOPWORD_SQL})))
+               / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)
+                   AS sw_ratio,
+               (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * length_feat + 0.4 * sw_ratio + 0.2 * (1.0 - punct_ratio), 6)
+               AS quality
+    FROM feats
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@_register(
+    "bpe_token_counts",
+    "north-star (BPE-ish tokenizer-regex token counting)",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS INT) AS n_bpe_tokens,
+           lang
+    FROM documents
+    """,
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.bpe_ish_token_count("text").alias("n_bpe_tokens"), "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
 # C2 + north-star fuzzy dedup (documents table).
 # ---------------------------------------------------------------------------
 
