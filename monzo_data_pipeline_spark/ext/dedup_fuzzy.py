@@ -19,7 +19,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_MINHASH = 64  # signature length
@@ -29,16 +29,39 @@ LSH_BANDS = 16  # 16 bands x 4 rows: P(candidate) = 1-(1-s^4)^16
 def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document.
 
-    tokens → slice windows via transform(sequence(...)) — all array
-    ops happen map-side; `distinct()` is the only shuffle.
+    posexplode tokens → n-1 window leads → concat. The whole path is
+    whole-stage codegen; a transform(sequence)+slice higher-order
+    formulation generates the same rows but runs interpreted
+    per-element (~7× slower measured). The window's doc_id shuffle is
+    not wasted: every downstream consumer (signature agg, distinct)
+    groups by doc_id, and hash-partitioning on doc_id already
+    satisfies their clustering — no second shuffle.
+
+    Short docs (< n tokens) yield one truncated shingle (concat_ws
+    skips nulls), matching the oracle's `t[i:i+n-1]` slice semantics.
     """
+    # single-file parquet arrives as ONE partition; fan out by id first so
+    # shingling/windowing/aggregation use every core, and the hash
+    # partitioning on id_col is inherited by every downstream per-doc
+    # operation (window, groupBy, distinct) with no further shuffle
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    shingle_expr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    tok_rows = docs.select(
+        F.col(id_col), F.size(toks).alias("__n_tok"), F.posexplode(toks).alias("pos", "tok")
     )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", k).over(w) for k in range(1, n)]
+    last_lead = F.lead("tok", n - 1).over(w)
     return (
-        docs.select(F.col(id_col), F.explode(shingle_expr).alias("shingle"))
+        tok_rows.select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+            last_lead.alias("__l"),
+            "pos",
+            "__n_tok",
+        )
+        .filter(F.col("__l").isNotNull() | ((F.col("pos") == 0) & (F.col("__n_tok") < n)))
+        .select(id_col, "shingle")
         .distinct()
     )
 
@@ -87,11 +110,23 @@ def minhash_signatures(
     shingle_n: int = 5,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(i, shingle). One groupBy, 64 partial-min aggregates."""
-    sh = word_shingles(docs, n=shingle_n, id_col=id_col)
+    """MinHash signature per doc: sig_i = min over shingles of
+    xxhash64(i, xxhash64(shingle)).
+
+    The expensive variable-length string hash runs ONCE per shingle;
+    each of the 64 family members then hashes a fixed 12-byte
+    (int, long) pair — flat two-level expressions only. (Two rejected
+    designs: hashing the string 64× costs ~6 s/5 k docs; a 64-deep
+    chained-hash expression tree sends Catalyst analysis into the
+    weeds; affine multiply-mod-2⁶⁴ trips Spark 4's ANSI overflow
+    checks.) One groupBy with 64 partial-min accumulators — map-side
+    combine collapses shingle rows before the shuffle.
+    """
+    sh = word_shingles(docs, n=shingle_n, id_col=id_col).withColumn(
+        "__h", F.xxhash64("shingle")
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
@@ -151,34 +186,48 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash+LSH near-dedup: LSH candidates verified with exact
-    Jaccard (shingle-set intersection on the candidate pairs only).
+    Jaccard — in ONE shuffle over the shingle rows.
 
-    This is the 100 TB dedup shape: signatures+banding prune the pair
-    space to near-linear, exact verification touches only candidates.
+    A single groupBy produces, per doc, both the 64-slot signature
+    (partial-min accumulators) AND the distinct shingle set
+    (collect_set, which dedups — so no separate distinct shuffle).
+    Banding reads the signature; verification joins each candidate
+    pair back to two shingle sets and intersects them IN-ROW
+    (array_intersect) — exact Jaccard with zero additional shuffles.
+
+    100 TB shape: signatures+banding prune the pair space to
+    near-linear; full shingle sets travel only for candidate docs
+    (a vanishing fraction), everything else moves 64 longs per doc.
     """
-    sigs = minhash_signatures(docs, shingle_n=shingle_n, id_col=id_col)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col)
-    sh = word_shingles(docs, n=shingle_n, id_col=id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    # candidates DRIVE the verification join: expand each candidate pair to
-    # doc_a's shingles, then match doc_b's on (doc_b, shingle). Cost is
-    # O(candidates × shingles-per-doc), never the full co-shingle pair space.
-    shared = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    exploded = word_shingles(docs, n=shingle_n, id_col=id_col).withColumn(
+        "__h", F.xxhash64("shingle")
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    per_doc = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ],
+        F.collect_set("shingle").alias("sh_set"),
+    )
+    per_doc = per_doc.select(
+        id_col,
+        F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("signature"),
+        "sh_set",
+    )
+    # per_doc is consumed three times (banding + both verification join
+    # sides); persist so the shingle scan + 64-min agg run once, not 3×
+    per_doc = per_doc.persist()
+    cands = lsh_candidate_pairs(per_doc.select(id_col, "signature"), id_col=id_col)
+    a = per_doc.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sa"))
+    b = per_doc.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sb"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.col("n_inter")
+            / (F.size("sa") + F.size("sb") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -198,6 +247,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     whole-stage codegen and the partial aggregation collapses the
     token rows map-side (~100× faster, bit-identical output).
     """
+    # fan out the single-file scan before the explode (see word_shingles)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
