@@ -92,6 +92,75 @@ def sign_bucket(vec_col: Column | str, n_bits: int = 8) -> Column:
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF cell assignment: each vector joins its nearest centroid
+    (max quantized dot; deterministic tiebreak on cell id).
+
+    Centroids are broadcast (K ≪ n); the argmax is a per-vector window
+    over K scored rows. At 100 TB the output is written partitioned by
+    cell, so queries probe 1/K of the data. Real IVF learns centroids
+    with k-means; any deterministic centroid set (here: a fixed subset
+    of vectors) exercises the identical plan.
+    """
+    c = centroids.select(
+        F.col(id_col).alias(cell_col), F.col(vec_col).alias("__cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        cell_col,
+        quantized_dot(vec_col, "__cvec").alias("__score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col(cell_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, cell_col)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    n_centroids: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: assign all vectors (and the
+    query) to cells, then brute-force ONLY the query's cell.
+
+    The scale path for similarity search: the expensive scan shrinks
+    from n to n/K; recall is the IVF tradeoff (no multi-probe here —
+    add neighboring cells to probe for higher recall).
+    """
+    centroids = emb.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col("cell").alias("q_cell"), F.col(vec_col).alias("__qvec")
+    )
+    cell_mates = assigned.join(
+        F.broadcast(q), (F.col("cell") == F.col("q_cell")) & (F.col(id_col) != query_id)
+    )
+    return (
+        cell_mates.select(
+            id_col,
+            "cell",
+            quantized_dot(vec_col, "__qvec").alias("dot_q"),
+        )
+        .orderBy(F.desc("dot_q"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def bucketed_near_pairs(
     emb: DataFrame,
     threshold: float = 0.2,

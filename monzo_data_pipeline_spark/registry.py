@@ -1244,6 +1244,167 @@ def q_bucketed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join breadth: as-of, semi, full-outer; window analytics; percentiles; IVF.
+# ---------------------------------------------------------------------------
+
+_QDOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * 1000000.0) AS BIGINT) "
+    "   * CAST(FLOOR(CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))"
+)
+
+
+@_register(
+    "asof_join",
+    "custom operator (as-of join: latest purchase value at or before each "
+    "click, per user; Spark composition = union + running last_value; "
+    "oracle = DuckDB native ASOF JOIN)",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT clicks.ts, clicks.user_id, clicks.event_id,
+           purchases.value AS last_purchase_value
+    FROM clicks
+    ASOF LEFT JOIN purchases
+      ON clicks.user_id = purchases.user_id AND clicks.ts >= purchases.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return JN.asof_join(
+        clicks, purchases, ts_col="ts", by=["user_id"], right_vals=["last_purchase_value"]
+    )
+
+
+@_register(
+    "semi_join",
+    "A11 family (left-semi join: EXISTS)",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(urgent, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@_register(
+    "full_outer_join",
+    "B3 family (full outer join with null-side coalescing)",
+    """
+    SELECT n_name, COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM nation
+    FULL OUTER JOIN (
+        SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1
+    ) s ON n_nationkey = s_nationkey
+    """,
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return nation.join(sup, "n_nationkey", "full_outer").select(
+        "n_name", F.coalesce(F.col("__n"), F.lit(0)).alias("n_suppliers")
+    )
+
+
+@_register(
+    "lag_lead_analytics",
+    "C9 (lag/lead/first_value window analytics)",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+@_register(
+    "exact_percentiles",
+    "C7 twin (exact interpolated percentiles per group, rounded to absorb "
+    "the engines' algebraically-equivalent-but-FP-different interpolation)",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@_register(
+    "ivf_topk",
+    "C3 scale path (IVF-bucketed ANN: centroid assign → probe one cell)",
+    f"""
+    WITH centroids AS (
+        SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {_QDOT.format(a='e.embedding', b='c.cvec')} AS score
+        FROM embeddings e CROSS JOIN centroids c
+    ), assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cell ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT cell AS q_cell, embedding AS qvec FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id, a.cell,
+           CAST({_QDOT.format(a='a.embedding', b='q.qvec')} AS BIGINT) AS dot_q
+    FROM assigned a CROSS JOIN q
+    WHERE a.cell = q.q_cell AND a.vec_id <> 0
+    ORDER BY dot_q DESC, a.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, query_id=0, n_centroids=16, k=5)
+
+
+# ---------------------------------------------------------------------------
 # C5/north-star — multimodal binary columns.
 # ---------------------------------------------------------------------------
 

@@ -47,6 +47,47 @@ def test_watermark_in_streaming_plan(spark, sf_dir, event_files):
     assert "EventTimeWatermark" in windowed._jdf.queryExecution().analyzed().toString()
 
 
+def test_stateful_running_totals(spark, sf_dir, event_files):
+    """applyInPandasWithState across micro-batches (1 file per trigger):
+    the final per-user state must equal the batch groupBy totals."""
+    from monzo_data_pipeline_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, sf_dir, "events")
+    expected = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+
+    stream = SW.stream_events_from_files(spark, event_files, events.schema)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (user, trigger); the LAST row per
+    # user is the final state
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY n_events DESC) rn
+            FROM stateful_totals
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in rows}
+    assert got == expected
+
+
 def test_session_windows_batch(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     sessions = SW.sessionized_counts(events, gap="15 minutes").collect()
