@@ -93,6 +93,79 @@ def flatten_bronze(wire: DataFrame, ingest_ts: str) -> DataFrame:
     )
 
 
+def make_fake_balance(run_idx: int = 0) -> dict:
+    """Deterministic balance snapshot (reference get_balance,
+    api_client.py:203-223; spend_today abs-normalized per A19)."""
+    return {
+        "balance": 120000 + run_idx * 1000,
+        "total_balance": 150000 + run_idx * 1000,
+        "currency": "GBP",
+        "spend_today": abs(-(1500 + run_idx * 10)),
+    }
+
+
+def make_fake_pots(n_pots: int = 3, run_idx: int = 0) -> list[dict]:
+    """Deterministic pot snapshots (reference list_pots,
+    api_client.py:138-155; same pot ids re-appended every run — the
+    snapshot-log semantic of bronze_pots)."""
+    return [
+        {
+            "id": f"pot_{i}",
+            "style": "beach_ball",
+            "balance": 5000 * (i + 1) + run_idx,
+            "currency": "GBP",
+            "type": "default",
+            "product_id": "",
+            "current_account_id": "acc_1",
+            "cover_image_url": "",
+            "isa_wrapper": False,
+            "round_up": i % 2 == 0,
+            "round_up_multiplier": None,
+            "is_tax_pot": False,
+            "created": datetime(2024, 6, 1 + i),
+            "updated": datetime(2024, 6, 1 + i),
+            "deleted": False,
+            "locked": False,
+            "available_for_bills": i == 0,
+            "has_virtual_cards": False,
+        }
+        for i in range(n_pots)
+    ]
+
+
+def balance_snapshot_df(spark: SparkSession, balance: dict, ingest_ts: str) -> DataFrame:
+    """A2+A12: single-row balance snapshot DataFrame, stamped."""
+    from ..schemas import BRONZE_BALANCE_SCHEMA
+
+    row = dict(balance)
+    row["date_retrieved"] = datetime.fromisoformat(ingest_ts)
+    return spark.createDataFrame([row], schema=BRONZE_BALANCE_SCHEMA)
+
+
+def pots_snapshot_df(spark: SparkSession, pots: list[dict], ingest_ts: str) -> DataFrame:
+    """A3+A13: pots snapshot DataFrame (every pot, every run), stamped;
+    boolean defaults applied set-wise (reference load.py:207-216)."""
+    from ..operators.projection import default_fill
+    from ..schemas import BRONZE_POTS_SCHEMA
+
+    stamped = [
+        {**p, "date_retrieved": datetime.fromisoformat(ingest_ts)} for p in pots
+    ]
+    df = spark.createDataFrame(stamped, schema=BRONZE_POTS_SCHEMA)
+    return default_fill(
+        df,
+        {
+            "isa_wrapper": False,
+            "round_up": False,
+            "is_tax_pot": False,
+            "deleted": False,
+            "locked": False,
+            "available_for_bills": False,
+            "has_virtual_cards": False,
+        },
+    )
+
+
 def make_fake_fetch(n_per_window: int = 50, dup_every: int = 10) -> FetchFn:
     """Deterministic in-memory stand-in for the Monzo API: generates
     the reference's wire shape (api_client.py:32-109), including

@@ -32,6 +32,8 @@ from ..operators.dedup import anti_join_new_rows, distinct_entities, first_wins_
 from ..schemas import BRONZE_TRANSACTIONS_SCHEMA
 
 BRONZE_TX = "bronze_transactions"
+BRONZE_BALANCE = "bronze_balance"
+BRONZE_POTS = "bronze_pots"
 SILVER_TX = "silver_transactions"
 SILVER_CP = "silver_counterparties"
 SILVER_ME = "silver_merchants"
@@ -101,6 +103,37 @@ def load_bronze(wh: Warehouse, batch: DataFrame) -> int:
     finally:
         new_rows.unpersist()
     return n
+
+
+def load_snapshots(
+    wh: Warehouse, balance: DataFrame | None, pots: DataFrame | None
+) -> None:
+    """A12/A13 — unconditional snapshot appends (no keys, no dedup:
+    bronze_balance/bronze_pots are append-only time series, reference
+    create_bronze_layer.sql:37-43,45-65)."""
+    if balance is not None:
+        wh.append(balance, BRONZE_BALANCE)
+    if pots is not None:
+        wh.append(pots, BRONZE_POTS)
+
+
+def latest_balance(wh: Warehouse) -> DataFrame:
+    """A24 — the notebook's latest-snapshot read (ORDER BY
+    date_retrieved DESC LIMIT 1)."""
+    from ..operators.filters import latest_snapshot
+
+    return latest_snapshot(wh.read(BRONZE_BALANCE), "date_retrieved")
+
+
+def latest_pots(wh: Warehouse) -> DataFrame:
+    """A24 generalized — latest snapshot per pot id (rank window)."""
+    return first_wins_dedup(
+        wh.read(BRONZE_POTS).withColumn(
+            "__neg_ts", -F.unix_micros(F.col("date_retrieved"))
+        ),
+        ["id"],
+        ["__neg_ts"],
+    ).drop("__neg_ts")
 
 
 def transform_silver(wh: Warehouse, inserted_at: str) -> None:

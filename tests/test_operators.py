@@ -114,6 +114,58 @@ def test_monthly_spend_shape(spark, sf_dir):
     assert all(r.total_spend > 0 for r in rows)
 
 
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from monzo_data_pipeline_spark.catalog import load_table
+    from monzo_data_pipeline_spark.operators.skew import salted_sum_count
+
+    o = load_table(spark, sf_dir, "orders")
+    plain = {
+        r.o_orderstatus: (r.total, r.cnt)
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    }
+    salted = {
+        r.o_orderstatus: (r.total, r.cnt)
+        for r in salted_sum_count(o, ["o_orderstatus"], "o_totalprice").collect()
+    }
+    assert salted == plain  # decimal accumulation → exact across phases
+
+
+def test_sources_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    from monzo_data_pipeline_spark.catalog import load_table
+    from monzo_data_pipeline_spark.sources import io as SIO
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    SIO.write_table(
+        o, path, partition_by=["order_year"], sort_within_by=["o_orderkey"], target_files=4
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == o.count()
+    # partition pruning: filtering on the partition column must prune
+    pruned = back.filter(F.col("order_year") == 1996)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    assert pruned.count() == o.filter(F.col("order_year") == 1996).count()
+
+    # csv + json round-trips with declared schemas
+    csv_path, json_path = str(tmp_path / "c.csv"), str(tmp_path / "j.json")
+    small = o.limit(100).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    small.write.option("header", True).csv(csv_path)
+    small.write.json(json_path)
+    sch = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    from pyspark.sql.types import _parse_datatype_string
+
+    assert SIO.read_csv(spark, csv_path, _parse_datatype_string(sch)).count() == 100
+    assert SIO.read_json_lines(spark, json_path, _parse_datatype_string(sch)).count() == 100
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat"), (2, "zzz qqq")], "doc_id long, text string"

@@ -63,6 +63,26 @@ def test_pipeline_end_to_end_and_idempotence(spark, warehouse):
     assert stamps == {"2025-01-05T00:00:00"}
 
 
+def test_balance_and_pots_snapshot_log(spark, warehouse):
+    """A12/A13 append-only snapshot semantics + A24 latest-read."""
+    for run_idx, ts in enumerate(["2025-01-05T00:00:00", "2025-01-06T00:00:00"]):
+        bal = ING.balance_snapshot_df(spark, ING.make_fake_balance(run_idx), ts)
+        pots = ING.pots_snapshot_df(spark, ING.make_fake_pots(3, run_idx), ts)
+        MED.load_snapshots(warehouse, bal, pots)
+
+    # every run appends: 2 balance rows, 6 pot rows (3 pots x 2 runs)
+    assert warehouse.read(MED.BRONZE_BALANCE).count() == 2
+    assert warehouse.read(MED.BRONZE_POTS).count() == 6
+
+    latest = MED.latest_balance(warehouse).collect()
+    assert len(latest) == 1 and latest[0].balance == 121000  # run_idx=1
+    lp = MED.latest_pots(warehouse).collect()
+    assert len(lp) == 3
+    assert all(r.date_retrieved.isoformat() == "2025-01-06T00:00:00" for r in lp)
+    # pot boolean defaults filled (round_up_multiplier stays nullable)
+    assert all(r.deleted is False for r in lp)
+
+
 def test_incremental_batch_appends_only_new(spark, warehouse):
     b1 = _batch(spark, n_windows=2)
     MED.run_pipeline(spark, warehouse, b1, run_ts="2025-01-05T00:00:00")
