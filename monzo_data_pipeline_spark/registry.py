@@ -1110,6 +1110,194 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Breadth: grouping sets (SQL entry path), datetime/conditional/arg-extrema/
+# array aggregation functions.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "grouping_sets",
+    "C10 (explicit GROUPING SETS + grouping flags, via the spark.sql path)",
+    """
+    WITH o AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus AS st
+        FROM orders
+    )
+    SELECT y, st, COUNT(*) AS n,
+           CAST(GROUPING(y) AS INT) AS g_year,
+           CAST(GROUPING(st) AS INT) AS g_status
+    FROM o
+    GROUP BY GROUPING SETS ((y), (st), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL entry path (§3.2): the engine accepts SQL text, same Catalyst
+    # plan as the DataFrame API
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        WITH o AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus AS st
+            FROM __orders_gs
+        )
+        SELECT y, st, COUNT(*) AS n,
+               CAST(GROUPING(y) AS INT) AS g_year,
+               CAST(GROUPING(st) AS INT) AS g_status
+        FROM o
+        GROUP BY GROUPING SETS ((y), (st), ())
+        """
+    )
+
+
+@_register(
+    "datetime_functions",
+    "A22 family (datediff/trunc/extract/add_months breadth)",
+    """
+    SELECT o_orderkey,
+           datediff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(extract(dow FROM o_orderdate) AS INT) AS dow_sun0,
+           o_orderdate + INTERVAL 3 MONTH AS plus3m
+    FROM orders
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # Spark dayofweek is 1=Sunday; emit DuckDB's 0=Sunday convention
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+    )
+
+
+@_register(
+    "conditional_aggregates",
+    "C7 family (count_if/bool_or/bool_and conditional aggregation)",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_totalprice > 100000) AS n_big,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           bool_and(o_totalprice > 0) AS all_positive
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+    )
+
+
+@_register(
+    "arg_extrema",
+    "C9 family (max_by/min_by with deterministic struct tiebreak)",
+    """
+    SELECT o_orderpriority,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS biggest_order,
+           min(struct_pack(p := o_totalprice, k := -o_orderkey)).k * -1
+               AS smallest_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_by on bare price is tie-nondeterministic; ordering by a
+    # (price, key) struct makes the winner total — same trick as the
+    # oracle's ROW() comparator
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias(
+            "biggest_order"
+        ),
+        (
+            F.min(F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("o_orderkey")))[
+                "o_orderkey"
+            ]
+            * -1
+        ).alias("smallest_order"),
+    )
+
+
+@_register(
+    "sorted_array_agg",
+    "C4/C9 family (collect_list → array_sort → slice: deterministic array agg)",
+    """
+    SELECT o_orderpriority,
+           list(o_orderkey ORDER BY o_orderkey)[1:5] AS first_orders,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_list order is partition-dependent; array_sort restores a
+    # total order before slicing — the deterministic array-agg idiom
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first_orders"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "string_agg",
+    "C4 family (ordered string aggregation)",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").withColumnRenamed(
+        "r_regionkey", "n_regionkey"
+    )
+    return (
+        nation.join(F.broadcast(region), "n_regionkey")
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@_register(
+    "order_max_item",
+    "B3 family (decorrelated per-group max joined back to the fact)",
+    """
+    SELECT o_orderkey, o_totalprice, m.max_item_price
+    FROM orders
+    JOIN (
+        SELECT l_orderkey AS o_orderkey, MAX(l_extendedprice) AS max_item_price
+        FROM lineitem GROUP BY 1
+    ) m USING (o_orderkey)
+    WHERE o_totalprice < 3 * m.max_item_price
+    """,
+)
+def q_order_max_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max("l_extendedprice").alias("max_item_price"))
+    )
+    return (
+        o.join(m, "o_orderkey")
+        .filter(F.col("o_totalprice") < 3 * F.col("max_item_price"))
+        .select("o_orderkey", "o_totalprice", "max_item_price")
+    )
+
+
+# ---------------------------------------------------------------------------
 # C2 + north-star fuzzy dedup (documents table).
 # ---------------------------------------------------------------------------
 

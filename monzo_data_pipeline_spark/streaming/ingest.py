@@ -1,0 +1,41 @@
+"""Streaming ingestion into the medallion warehouse — foreachBatch.
+
+The reference's EventBridge-cron → Lambda → bronze loop
+(/root/reference/README.md:3, main.py:19-85) is exactly Spark's
+incremental-batch pattern: a file/queue source streamed with
+Trigger.AvailableNow, each micro-batch merged idempotently into
+bronze via the same left-anti merge the batch path uses
+(pipeline/medallion.load_bronze). One code path for batch AND
+streaming loads — the unified-API payoff.
+
+Exactly-once posture: load_bronze's anti-join makes replayed
+micro-batches no-ops (id-level idempotence), so restart/replay
+semantics don't depend on sink transactionality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..pipeline.medallion import Warehouse, load_bronze
+
+
+def stream_wire_to_bronze(
+    wire_stream: DataFrame,
+    wh: Warehouse,
+    ingest_ts: str,
+    checkpoint_dir: str,
+):
+    """Stream wire-format transaction batches into bronze. Returns the
+    started StreamingQuery (caller awaits termination)."""
+    from ..pipeline.ingest import flatten_bronze
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        load_bronze(wh, flatten_bronze(batch_df, ingest_ts))
+
+    return (
+        wire_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -88,6 +88,39 @@ def test_stateful_running_totals(spark, sf_dir, event_files):
     assert got == expected
 
 
+def test_streaming_ingest_to_bronze_idempotent(spark, tmp_path):
+    """foreachBatch micro-batches → idempotent bronze merge; replaying
+    the same drops appends nothing (C6 meets A11)."""
+    from datetime import datetime
+
+    from monzo_data_pipeline_spark.pipeline import ingest as ING
+    from monzo_data_pipeline_spark.pipeline import medallion as MED
+    from monzo_data_pipeline_spark.streaming.ingest import stream_wire_to_bronze
+
+    fetch = ING.make_fake_fetch(n_per_window=30, dup_every=10)
+    windows = ING.cursor_windows(datetime(2025, 2, 1), datetime(2025, 2, 4), 24)
+    wire = ING.fetch_transactions_distributed(spark, fetch, windows)
+    drops = str(tmp_path / "wire_drops")
+    wire.repartition(3).write.parquet(drops)
+
+    wh = MED.Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(wire.schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    )
+    q = stream_wire_to_bronze(stream, wh, "2025-02-05T00:00:00", str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    n1 = wh.read(MED.BRONZE_TX).count()
+    assert n1 > 0
+
+    # replay with a FRESH checkpoint (worst case: all batches reprocessed)
+    stream2 = (
+        spark.readStream.schema(wire.schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    )
+    q2 = stream_wire_to_bronze(stream2, wh, "2025-03-01T00:00:00", str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert wh.read(MED.BRONZE_TX).count() == n1
+
+
 def test_session_windows_batch(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     sessions = SW.sessionized_counts(events, gap="15 minutes").collect()
