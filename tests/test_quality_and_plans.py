@@ -1,0 +1,83 @@
+"""Data-quality gates + physical-plan regression tests (the plan
+properties PLANS.md documents must not silently regress)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from monzo_data_pipeline_spark.catalog import load_table
+from monzo_data_pipeline_spark.pipeline import quality as DQ
+from monzo_data_pipeline_spark.registry import queries
+
+
+def test_quality_single_pass_and_enforce(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        DQ.not_null("o_orderkey"),
+        DQ.in_range("o_totalprice", lo=0),
+        DQ.accepted_values("o_orderstatus", ["F", "O", "P"]),
+    ]
+    assert all(v == 0 for v in DQ.check(orders, rules).values())
+    DQ.enforce(orders, rules, "orders")  # no raise
+
+    # violations are counted and enforcement raises with rule names
+    bad_rule = DQ.in_range("o_totalprice", hi=100)
+    counts = DQ.check(orders, rules + [bad_rule])
+    assert counts[bad_rule.name] > 0
+    with pytest.raises(ValueError, match="in_range"):
+        DQ.enforce(orders, [bad_rule], "orders")
+
+
+def test_unique_key_check(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    assert DQ.unique_key(li, ["l_orderkey", "l_linenumber", "l_partkey"]).count() >= 0
+    dups = DQ.unique_key(li, ["l_orderkey"])  # definitely non-unique
+    assert dups.count() > 0
+
+
+def test_pipeline_failure_propagates(spark, tmp_path):
+    """The reference swallows transform failures (transform.py:13-16);
+    this engine must NOT (SURVEY §7.4): silver transform over a missing
+    bronze table raises instead of logging-and-continuing."""
+    from monzo_data_pipeline_spark.pipeline import medallion as MED
+
+    wh = MED.Warehouse(spark, str(tmp_path / "empty_wh"))
+    with pytest.raises(Exception):
+        MED.transform_silver(wh, inserted_at="2025-01-01T00:00:00")
+
+
+@pytest.mark.parametrize(
+    "query,markers",
+    [
+        ("date_range_filter", ["PushedFilters: [IsNotNull(l_shipdate)", "GreaterThanOrEqual"]),
+        ("pricing_summary", ["PushedFilters: [IsNotNull(l_shipdate)", "LessThanOrEqual"]),
+        ("fk_star_join", ["BroadcastHashJoin"]),
+        ("broadcast_enrich_rates", ["BroadcastHashJoin"]),
+        ("top_k_orders", ["TakeOrderedAndProject"]),
+    ],
+)
+def test_plan_contract(spark, sf_dir, query, markers):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        queries()[query](spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    for marker in markers:
+        assert marker in plan, f"{query}: expected {marker!r} in plan"
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    """A 4-column projection of lineitem must read 4 columns, not 11."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        queries()["project_cast_stamp"](spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    struct_part = read_schema.split("struct<", 1)[1]
+    assert struct_part.count(":") == 4  # 4 fields in the pruned schema
