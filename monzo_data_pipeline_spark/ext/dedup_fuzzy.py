@@ -234,6 +234,61 @@ def minhash_near_dup_pairs(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    a cluster gets the cluster's MINIMUM doc id as its canonical
+    representative (the survivor under first-wins dedup).
+
+    Iterative min-label propagation to a fixpoint — the engine's
+    iterative-algorithm pattern: a driver loop over DataFrame steps,
+    converging when an aggregate (the label sum) stops changing.
+    Near-dup graphs are overwhelmingly tiny chains/cliques, so
+    convergence takes O(cluster diameter) rounds (≤ a handful); at
+    100 TB-scale graphs the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") replaces
+    the plain propagation — same loop skeleton.
+
+    Returns (doc_id, cluster_id) for every doc appearing in `pairs`.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document from token hashes.
 
