@@ -36,10 +36,26 @@ _EVENTS_READ_SCHEMA = T.StructType(
 )
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Defensively pin the runtime-settable confs correctness depends on.
+
+    The driver harness passes its OWN SparkSession into queries(); it
+    won't have this engine's session-factory configs. Timestamp
+    semantics (UTC) and the events ns-read shim are both dynamic SQL
+    confs, so pin them at the read chokepoint every query goes through.
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — a locked-down conf is non-fatal here
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its declared schema."""
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    _pin_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)

@@ -23,6 +23,46 @@ def test_queries_oracle_alignment():
         assert callable(fn)
 
 
+def test_queries_survive_raw_driver_session(tmp_path):
+    """The driver passes its OWN SparkSession (none of our session-factory
+    configs). The config-sensitive queries — events ns-timestamps,
+    decimal casts, timezone-dependent date functions, mapInPandas —
+    must still work and stay DuckDB-consistent."""
+    script = tmp_path / "raw_session.py"
+    script.write_text(
+        f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]").appName("raw")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as E
+qs = E.queries()
+sf = "/root/testdata/sf0.001"
+assert len(E.entry(spark).collect()) > 0
+for name in ["latest_events", "tumbling_window_agg", "sessionization",
+             "scalar_functions", "project_cast_stamp", "monthly_spend",
+             "datetime_functions", "media_feature_extract", "asof_join"]:
+    rows = qs[name](spark, sf).collect()
+    assert rows, name
+print("RAW_OK")
+"""
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [sys.executable, str(script)],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "RAW_OK" in out.stdout
+
+
 def test_entry_runs_from_foreign_cwd(tmp_path):
     """The driver may import from any cwd; executors must still resolve
     closures (regression for the PYTHONPATH/mapInPandas bug)."""
