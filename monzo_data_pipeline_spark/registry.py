@@ -1386,6 +1386,154 @@ def q_order_max_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "date_spine_densification",
+    "B1 family (calendar-spine left join: months with zero orders appear)",
+    f"""
+    WITH spine AS (
+        SELECT d AS month_start
+        FROM generate_series(TIMESTAMP '1994-01-01', TIMESTAMP '2002-12-01',
+                             INTERVAL 1 MONTH) t(d)
+    ), agg AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               COUNT(*) AS n_orders,
+               {oracle_dsum('o_totalprice')} AS total_spend
+        FROM orders GROUP BY 1
+    )
+    SELECT spine.month_start,
+           COALESCE(agg.n_orders, 0) AS n_orders,
+           COALESCE(agg.total_spend, 0.0) AS total_spend
+    FROM spine LEFT JOIN agg USING (month_start)
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence() generates the spine ON the cluster — no driver loop
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1994-01-01").cast("timestamp"),
+                F.lit("2002-12-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+    )
+    return spine.join(agg, "month_start", "left").select(
+        "month_start",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+
+
+@_register(
+    "unpivot_melt",
+    "C10 family (unpivot/melt: wide counters → long rows)",
+    """
+    WITH a AS (
+        SELECT o_orderstatus AS st,
+               COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+               COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+        FROM orders GROUP BY 1
+    )
+    SELECT st, prio, n FROM a UNPIVOT (n FOR prio IN (urgent, low))
+    """,
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+            F.count_if(F.col("o_orderpriority") == "5-LOW").alias("low"),
+        )
+    )
+    return wide.unpivot("st", ["urgent", "low"], "prio", "n")
+
+
+@_register(
+    "ntile_quartiles",
+    "C9 family (ntile bucketing over a total order)",
+    """
+    SELECT quartile,
+           COUNT(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM (
+        SELECT o_totalprice,
+               CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+                   AS quartile
+        FROM orders
+    )
+    GROUP BY quartile
+    """,
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # global-order window: fine for quartile assignment over a single
+    # result set; at 100 TB use approx percentile bounds instead (see
+    # SCALE_DESIGN.md cliff #1)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@_register(
+    "null_safe_equality",
+    "A8 family (null-safe equality join: NULL keys match NULL)",
+    """
+    SELECT e1.event_id AS id_a, e2.event_id AS id_b
+    FROM (SELECT event_id, CASE WHEN value > 0 THEN event_type END AS k
+          FROM events WHERE event_id < 200) e1
+    JOIN (SELECT event_id, CASE WHEN value > 0 THEN event_type END AS k
+          FROM events WHERE event_id >= 200 AND event_id < 400) e2
+      ON e1.k IS NOT DISTINCT FROM e2.k
+    """,
+)
+def q_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("value") > 0, F.col("event_type"))
+    e1 = ev.filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("id_a"), k.alias("k")
+    )
+    e2 = ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 400)).select(
+        F.col("event_id").alias("id_b"), k.alias("k")
+    )
+    return e1.join(e2, e1.k.eqNullSafe(e2.k)).select("id_a", "id_b")
+
+
+@_register(
+    "union_by_name_missing",
+    "C8 (schema-evolution union: by-name alignment, missing cols → NULL)",
+    """
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", "o_totalprice", F.lit(None).cast("string").alias("o_orderpriority")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 # ---------------------------------------------------------------------------
 # C2 + north-star fuzzy dedup (documents table).
 # ---------------------------------------------------------------------------

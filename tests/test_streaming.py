@@ -121,6 +121,56 @@ def test_streaming_ingest_to_bronze_idempotent(spark, tmp_path):
     assert wh.read(MED.BRONZE_TX).count() == n1
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Behavioral late-data check: a row older than the watermark must
+    NOT open its window. Micro-batches are sequenced explicitly with
+    processAllAvailable between file drops."""
+    from datetime import datetime
+
+    drops = str(tmp_path / "late_drops")
+    schema = "ts timestamp, user_id long, value double"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(drops)
+
+    # batch 1: on-time rows at 10:00-10:04 → watermark advances to ~10:02
+    write_batch(
+        [(datetime(2024, 1, 1, 10, m), 1, 1.0) for m in range(5)], "b1"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    )
+    windowed = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")  # append emits only watermark-finalized windows
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2: one VERY late row (09:00, far below watermark) + one row
+    # at 10:10 that pushes the watermark past the 10:00 window
+    write_batch(
+        [(datetime(2024, 1, 1, 9, 0), 1, 1.0), (datetime(2024, 1, 1, 10, 10), 1, 1.0)],
+        "b2",
+    )
+    q.processAllAvailable()
+    # batch 3: advance watermark far enough to finalize everything live
+    write_batch([(datetime(2024, 1, 1, 11, 0), 1, 1.0)], "b3")
+    q.processAllAvailable()
+    q.stop()
+
+    out = {r.ws: r.n for r in spark.sql("SELECT * FROM late_test").collect()}
+    assert out.get(datetime(2024, 1, 1, 10, 0)) == 5  # on-time window intact
+    assert datetime(2024, 1, 1, 9, 0) not in out  # late row dropped, window never opened
+
+
 def test_session_windows_batch(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     sessions = SW.sessionized_counts(events, gap="15 minutes").collect()
