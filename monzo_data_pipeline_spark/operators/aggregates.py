@@ -124,3 +124,89 @@ def approx_aggregates(orders: DataFrame) -> DataFrame:
 def row_count(df: DataFrame) -> DataFrame:
     """A25 — count as a 1-row DataFrame (reference len() at extract.py:22)."""
     return df.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def algebraic_moments(lineitem: DataFrame) -> DataFrame:
+    """Distributed second-moment statistics (stddev, correlation) built
+    from exact decimal power sums.
+
+    ``stddev``/``corr`` built-ins accumulate doubles in partition order,
+    so their low bits differ between engines (and between runs at
+    different parallelism). Instead we shuffle only the five exact
+    power sums — sum(x), sum(y), sum(x²), sum(y²), sum(x·y) — as
+    DECIMALs (associative, order-independent), then assemble the
+    statistic in double on the handful of final rows and round.
+    This is the textbook map-side-combinable form: at 100 TB the
+    shuffle still carries one 5-number row per (group × partition).
+    """
+    # Widths sized to the value domain (qty ≤ 50, price ≤ ~1e5) so that
+    # the product width w1+w2 stays ≤ 38 in both engines — DuckDB's
+    # decimal multiply errors when the declared result can't hold it.
+    x = F.col("l_quantity").cast("decimal(9,4)")
+    y = F.col("l_extendedprice").cast("decimal(14,4)")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1.0))
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1.0))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(F.sqrt(var_x), 4).alias("stddev_qty"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+    )
+
+
+def oracle_algebraic_moments() -> str:
+    """DuckDB twin of :func:`algebraic_moments` — same decimal power
+    sums, same double-side assembly, same rounding."""
+    return """
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n AS n_rows,
+           round(sqrt((sxx - sx*sx/n) / (n - 1.0)), 4) AS stddev_qty,
+           round(((sxy - sx*sy/n) / (n - 1.0))
+                 / sqrt(((sxx - sx*sx/n) / (n - 1.0))
+                      * ((syy - sy*sy/n) / (n - 1.0))), 6) AS corr_qty_price
+    FROM s
+    """
+
+
+def deterministic_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Most frequent ``value_col`` per ``group_col`` with a total-order
+    tiebreak (count DESC, value ASC) — deterministic where the MODE()
+    built-ins of both engines leave ties unspecified.
+
+    Two hash aggregations on the same key prefix: Catalyst plans the
+    second groupBy's shuffle over data already collapsed to
+    |group × value| rows, then a row_number window over the tiny
+    grouped result.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), F.col(value_col).asc())
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(group_col, F.col(value_col).alias("mode_value"), F.col("n").alias("n_occurrences"))
+    )

@@ -53,3 +53,60 @@ def running_total(
     return df.withColumn(
         out_col, F.sum(F.col(value_col).cast(MONEY_DECIMAL)).over(w).cast("double")
     )
+
+
+def rolling_range_sum(
+    df: DataFrame,
+    partition_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    lookback_seconds: int,
+    out_col: str = "rolling_sum",
+) -> DataFrame:
+    """C9 — time-based RANGE frame: per entity, sum of ``value_col``
+    over rows whose timestamp lies within ``lookback_seconds`` before
+    the current row's timestamp (inclusive both ends).
+
+    Spark's ``rangeBetween`` needs a numeric ORDER BY, so the frame is
+    ordered by epoch seconds (``unix_timestamp``). RANGE frames are
+    tie-deterministic (all peers of the current timestamp are in the
+    frame), so the output is stable no matter how rows land in
+    partitions — unlike a ROWS frame over a non-unique ordering.
+
+    Scale: one shuffle on ``partition_cols``; per-key state is a
+    sliding sum, memory bounded by the widest window per key.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col)).alias("__epoch")
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col("__epoch").asc())
+        .rangeBetween(-lookback_seconds, 0)
+    )
+    return (
+        df.withColumn("__epoch", epoch)
+        .withColumn(
+            out_col, F.sum(F.col(value_col).cast(MONEY_DECIMAL)).over(w).cast("double")
+        )
+        .drop("__epoch")
+    )
+
+
+def rank_distribution(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """C9 — percent_rank + cume_dist within each partition.
+
+    Both functions are tie-stable by definition (peers share a value),
+    so they are deterministic on non-unique orderings; rounding absorbs
+    the one division both engines do in binary double.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(order_col).asc())
+    return df.select(
+        *partition_cols,
+        order_col,
+        F.round(F.percent_rank().over(w), round_digits).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), round_digits).alias("cume_dist"),
+    )

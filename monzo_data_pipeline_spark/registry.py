@@ -1919,6 +1919,302 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Breadth batch 4: correlated-exists aggregation (TPC-H Q4 shape), volume
+# shipping (Q7 shape), time-RANGE windows, rank distributions, algebraic
+# moments, deterministic mode, sampling, regex/array/map/posexplode.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "exists_agg_priority",
+    "A11/B1 (correlated EXISTS folded to semi-join + agg; TPC-H Q4 shape)",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_exists_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = FL.date_range_filter(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1996-01-01", "1996-07-01"
+    )
+    heavy = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(heavy, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "volume_shipping_q7",
+    "B3 (TPC-H Q7 shape: 4-table join, cross-nation revenue by year)",
+    f"""
+    SELECT n1.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 'DECIMAL(18,4)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", F.col("n_name").alias("cust_nation"))
+    )
+    # dims broadcast; the only shuffles are lineitem⋈orders on orderkey
+    # and the final tiny agg.
+    cn = F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "cust_nation"
+    ))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .groupBy("cust_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                "decimal(18,4)",
+            ).alias("revenue")
+        )
+        .orderBy("cust_nation", "ship_year")
+    )
+
+
+@_register(
+    "rolling_7day_spend",
+    "C9 (time-RANGE window: per-customer trailing-7-day spend)",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_sum
+    FROM orders
+    """,
+)
+def q_rolling_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return WN.rolling_range_sum(
+        o.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        partition_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        value_col="o_totalprice",
+        lookback_seconds=7 * 86400,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rolling_sum")
+
+
+@_register(
+    "percentrank_cumedist",
+    "C9 (percent_rank + cume_dist, tie-stable)",
+    """
+    SELECT c_nationkey, c_acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC)
+    """,
+)
+def q_percentrank_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return WN.rank_distribution(c, ["c_nationkey"], "c_acctbal")
+
+
+@_register(
+    "algebraic_moments",
+    "C7 (stddev/corr from exact decimal power sums — order-independent "
+    "second moments; see operators/aggregates.py::algebraic_moments)",
+    AGG.oracle_algebraic_moments(),
+)
+def q_algebraic_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.algebraic_moments(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "deterministic_mode",
+    "C7 family (mode with total-order tiebreak: most common p_type per brand)",
+    """
+    SELECT p_brand, mode_value, n_occurrences FROM (
+        SELECT p_brand, p_type AS mode_value, COUNT(*) AS n_occurrences,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY COUNT(*) DESC, p_type ASC) AS rn
+        FROM part GROUP BY p_brand, p_type
+    ) WHERE rn = 1
+    """,
+)
+def q_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.deterministic_mode(load_table(spark, sf_dir, "part"), "p_brand", "p_type")
+
+
+@_register(
+    "systematic_sample",
+    "north-star (deterministic keyed sampling: reproducible across engines, "
+    "runs, and partitionings — unlike TABLESAMPLE/rand())",
+    f"""
+    SELECT COUNT(*) AS n_sampled,
+           {oracle_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE (l_orderkey * 31 + l_linenumber) % 97 < 5
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = li.filter(
+        (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 97 < 5
+    )
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@_register(
+    "stratified_fixed_n_sample",
+    "north-star (stratified fixed-n sample: first 50 rows per stratum in "
+    "key order — deterministic train/eval splitting)",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+           CAST(rank_in_group AS INT) AS rank_in_group
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_orderkey, l_linenumber,
+                                           l_quantity, l_extendedprice) AS rank_in_group
+        FROM lineitem
+    ) WHERE rank_in_group <= 50
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    # extend the ordering until the selected row SET is deterministic.
+    return WN.top_n_per_group(
+        li.select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        ),
+        partition_cols=["l_returnflag"],
+        order_cols=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        n=50,
+        descending=False,
+    ).select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("rank_in_group").cast("int").alias("rank_in_group"),
+    )
+
+
+@_register(
+    "regexp_extract_brand",
+    "A21 family (regexp capture-group extraction + agg)",
+    """
+    SELECT CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+           COUNT(*) AS n_parts
+    FROM part
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_regexp_extract_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"))
+        .groupBy("brand_num")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("brand_num")
+    )
+
+
+@_register(
+    "posexplode_words",
+    "C5 family (positional explode: array element + ordinal)",
+    """
+    SELECT p_partkey, CAST(i AS INT) AS pos, words[i + 1] AS word
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words
+          FROM part WHERE p_partkey < 500),
+         LATERAL (SELECT unnest(range(0, len(words))) AS i) t
+    """,
+)
+def q_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+
+
+@_register(
+    "array_functions_breadth",
+    "C5 family (array distinct/sort/join/size over tokenized text)",
+    """
+    SELECT p_partkey,
+           array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',')
+               AS sorted_words,
+           CAST(len(list_distinct(string_split(p_name, ' '))) AS INT) AS n_distinct_words
+    FROM part
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    words = F.array_distinct(F.split("p_name", " "))
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(words), ",").alias("sorted_words"),
+        F.size(words).cast("int").alias("n_distinct_words"),
+    )
+
+
+@_register(
+    "map_type_pipeline",
+    "C5 family (MapType: entries→map→filter→explode round trip; per "
+    "customer the 1997 order count survives the map round trip)",
+    """
+    SELECT o_custkey, CAST(yr AS INT) AS yr, n_orders
+    FROM (
+        SELECT o_custkey, year(o_orderdate) AS yr, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    ) WHERE yr = 1997
+    """,
+)
+def q_map_type_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_year = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    as_map = per_year.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("yr", "n_orders")))
+        ).alias("orders_by_year")
+    )
+    kept = as_map.select(
+        "o_custkey",
+        F.explode(
+            F.map_filter("orders_by_year", lambda k, _v: k == F.lit(1997))
+        ).alias("yr", "n_orders"),
+    )
+    return kept.select("o_custkey", "yr", "n_orders")
+
+
+# ---------------------------------------------------------------------------
 # Public accessors (consumed by __spark_entry__.py).
 # ---------------------------------------------------------------------------
 

@@ -182,3 +182,68 @@ def test_text_functions(spark):
     assert out[1].n_tok == 6
     assert out[1].sw > 0.3 and out[1].lang == "en"
     assert out[2].lang == "other_latin"
+
+
+def test_rolling_range_sum_matches_bruteforce(spark):
+    # 7-second lookback over hand-placed timestamps, including a tie:
+    # rows at t=10 (two rows, peers) and t=15 (16-10=5s apart, inside),
+    # t=20 (outside the 7s window from t=10 rows, inside from t=15).
+    rows = [
+        ("u1", "1970-01-01 00:00:10", 1.0),
+        ("u1", "1970-01-01 00:00:10", 2.0),  # peer of the first row
+        ("u1", "1970-01-01 00:00:15", 4.0),
+        ("u1", "1970-01-01 00:00:20", 8.0),
+        ("u2", "1970-01-01 00:00:10", 16.0),
+    ]
+    df = spark.createDataFrame(rows, "uid string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = WN.rolling_range_sum(df, ["uid"], "ts", "v", 7, out_col="rs")
+    got = {(r.uid, r.ts.second, r.v): r.rs for r in out.collect()}
+    # RANGE frame: peers at the same ts see each other regardless of row order
+    assert got[("u1", 10, 1.0)] == 3.0
+    assert got[("u1", 10, 2.0)] == 3.0
+    assert got[("u1", 15, 4.0)] == 7.0   # 10,10,15 all within [8,15]
+    assert got[("u1", 20, 8.0)] == 12.0  # window [13,20] → 15,20
+    assert got[("u2", 10, 16.0)] == 16.0
+
+
+def test_algebraic_moments_matches_builtin(spark, sf_dir):
+    from monzo_data_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ours = {r.l_returnflag: r for r in AGG.algebraic_moments(li).collect()}
+    ref = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.stddev("l_quantity").alias("sd"),
+            F.corr("l_quantity", "l_extendedprice").alias("co"),
+        )
+        .collect()
+    }
+    for flag, r in ours.items():
+        assert abs(r.stddev_qty - ref[flag].sd) < 1e-3
+        assert abs(r.corr_qty_price - ref[flag].co) < 1e-4
+
+
+def test_deterministic_mode_tiebreak(spark):
+    # 'a' and 'b' both occur twice for g1 → tiebreak picks 'a' (value ASC)
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "z")],
+        "g string, v string",
+    )
+    out = {r.g: (r.mode_value, r.n_occurrences) for r in
+           AGG.deterministic_mode(df, "g", "v").collect()}
+    assert out == {"g1": ("a", 2), "g2": ("z", 1)}
+
+
+def test_rank_distribution_tie_stable(spark):
+    # two peers share v=5 → identical pct_rank/cume_dist for both
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 5), ("g", 5), ("g", 9)], "g string, v int"
+    )
+    rows = WN.rank_distribution(df, ["g"], "v").collect()
+    fives = {(r.pct_rank, r.cume_dist) for r in rows if r.v == 5}
+    assert len(fives) == 1  # peers got the same distribution values
+    assert max(r.cume_dist for r in rows) == 1.0
