@@ -2214,6 +2214,39 @@ def q_map_type_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("o_custkey", "yr", "n_orders")
 
 
+@_register(
+    "interval_join_attribution",
+    "C6 (stream-stream interval join, batch twin: purchases attributed to "
+    "clicks by the same user within the preceding hour; "
+    "streaming/joins.py::attribute_purchases)",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id, click_id, p.user_id AS user_id,
+           purchase_ts, click_ts,
+           CAST(floor(epoch(purchase_ts)) AS BIGINT)
+             - CAST(floor(epoch(click_ts)) AS BIGINT) AS gap_seconds
+    FROM purchases p
+    JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+)
+def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.joins import attribute_purchases
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return attribute_purchases(clicks, purchases, max_gap_seconds=3600)
+
+
 # ---------------------------------------------------------------------------
 # Public accessors (consumed by __spark_entry__.py).
 # ---------------------------------------------------------------------------

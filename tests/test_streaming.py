@@ -179,3 +179,69 @@ def test_session_windows_batch(spark, sf_dir):
     assert all(r.session_end > r.session_start for r in sessions)
     total = sum(r.n_events for r in sessions)
     assert total == events.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, event_files):
+    from monzo_data_pipeline_spark.streaming import joins as SJ
+
+    events = load_table(spark, sf_dir, "events")
+    batch = SJ.attribute_purchases(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    batch_pairs = {(r.purchase_id, r.click_id, r.gap_seconds) for r in batch.collect()}
+
+    stream = SW.stream_events_from_files(spark, event_files, events.schema)
+    out = SJ.attribute_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        watermark="365 days",  # testdata spans weeks; keep every row joinable
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_pairs = {
+        (r.purchase_id, r.click_id, r.gap_seconds)
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup: the same event_id re-delivered inside the
+    watermark horizon must be emitted exactly once."""
+    from datetime import datetime
+
+    from monzo_data_pipeline_spark.streaming import joins as SJ
+
+    drops = str(tmp_path / "dedup_drops")
+    schema = "event_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(drops)
+
+    write_batch([(1, datetime(2024, 1, 1, 10, 0), 1.0), (2, datetime(2024, 1, 1, 10, 1), 2.0)])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    )
+    deduped = SJ.dedup_stream_within_watermark(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddw_test")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # redelivery of event 1 (same id, inside watermark) + a new event 3
+    write_batch([(1, datetime(2024, 1, 1, 10, 2), 1.0), (3, datetime(2024, 1, 1, 10, 3), 3.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    ids = [r.event_id for r in spark.sql("SELECT event_id FROM ddw_test").collect()]
+    assert sorted(ids) == [1, 2, 3]  # exactly once each
