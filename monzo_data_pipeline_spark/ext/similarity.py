@@ -191,3 +191,30 @@ def bucketed_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def embedding_dedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: greedy keep-min-id.
+
+    A vector is dropped iff it has a near-duplicate (same LSH bucket,
+    quantized cosine ≥ threshold) with a smaller id; survivors are
+    everything else. This is the standard one-pass LSH dedup rule for
+    training corpora — deterministic (ids give a total order), and an
+    anti-join away from the candidate pairs, so the whole plan is
+    bucket-join + anti-join: no iteration, no driver loop.
+
+    Scale: candidate pairs are bounded by bucket sizes (2^n_bits
+    blocking); the anti-join shuffles only the pair ids, not vectors.
+    """
+    pairs = bucketed_near_pairs(emb, threshold, n_bits, id_col, vec_col)
+    dropped = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return (
+        emb.join(dropped, id_col, "left_anti")
+        .select(F.col(id_col), F.col("label"))
+    )

@@ -2215,6 +2215,46 @@ def q_map_type_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_cosine_near_dup",
+    "C1/C3 (embedding-cosine near-dup dedup: greedy keep-min-id over "
+    "LSH-bucketed candidate pairs; ext/similarity.py::"
+    "embedding_dedup_survivors)",
+    """
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(range(1, 9),
+                    j -> CASE WHEN embedding[j] >= 0
+                         THEN CAST(pow(2, 8 - j) AS BIGINT) ELSE 0 END))
+                    AS INT) AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.embedding AS va, b2.embedding AS vb
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ), dropped AS (
+        SELECT DISTINCT vec_b FROM pairs
+        WHERE list_sum(list_transform(list_zip(va, vb),
+                   p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * 1000000.0) AS BIGINT)
+                      * CAST(FLOOR(CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
+              / sqrt(
+                CAST(list_sum(list_transform(va,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)
+                *
+                CAST(list_sum(list_transform(vb,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)
+              ) >= 0.2
+    )
+    SELECT vec_id, label FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_b = e.vec_id)
+    """,
+)
+def q_embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_dedup_survivors(emb, threshold=0.2, n_bits=8)
+
+
+@_register(
     "interval_join_attribution",
     "C6 (stream-stream interval join, batch twin: purchases attributed to "
     "clicks by the same user within the preceding hour; "

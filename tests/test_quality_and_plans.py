@@ -55,6 +55,11 @@ def test_pipeline_failure_propagates(spark, tmp_path):
         ("fk_star_join", ["BroadcastHashJoin"]),
         ("broadcast_enrich_rates", ["BroadcastHashJoin"]),
         ("top_k_orders", ["TakeOrderedAndProject"]),
+        # Q7 shape: both dims must broadcast — the fact shuffles only
+        # for the join on orderkey and the final agg.
+        ("volume_shipping_q7", ["BroadcastHashJoin"]),
+        # exists-fold must plan a semi join, not a full join + distinct
+        ("exists_agg_priority", ["LeftSemi"]),
     ],
 )
 def test_plan_contract(spark, sf_dir, query, markers):

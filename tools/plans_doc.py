@@ -22,6 +22,9 @@ SHOW = {
     "fk_star_join": "star joins: all dims broadcast, fact never shuffles",
     "top_k_orders": "deterministic LIMIT → TakeOrderedAndProject (no global sort)",
     "monthly_spend": "flagship agg: partial/final HashAggregate in codegen",
+    "volume_shipping_q7": "Q7 shape: dims broadcast; fact shuffles only on orderkey + final agg",
+    "rolling_7day_spend": "time-RANGE window: one shuffle on the partition key, RunningWindowFunction",
+    "exists_agg_priority": "correlated EXISTS folded to a broadcast LeftSemi join",
 }
 
 MARKERS = (
