@@ -111,3 +111,34 @@ def enrich_with_rates(
     return tx.join(F.broadcast(rates), on=currency_col, how="left").withColumn(
         "base_amount", F.col(amount_col) * F.col(rate_col)
     )
+
+
+def band_join(
+    points: DataFrame,
+    point_col: str,
+    band_width: float,
+    bands: DataFrame,
+    band_lo_col: str = "band_lo",
+) -> DataFrame:
+    """Range join (point-in-interval) on a fixed-width grid, rewritten
+    as an equi-join.
+
+    The naive plan for `p.v >= b.lo AND p.v < b.hi` is a nested-loop
+    join — O(points × bands), catastrophic at scale. When the bands
+    are aligned to a fixed width, the band a point falls into is pure
+    arithmetic (`floor(v / width)`), so the range predicate collapses
+    to an equi-join on the computed band id: hash/broadcast joinable,
+    codegen'd, and shuffle-free when the band dim broadcasts.
+    Non-aligned bands generalize via interval bucketing (assign each
+    band to every grid cell it overlaps, then equi-join + residual
+    range filter) — same principle, one extra explode on the dim side.
+
+    `bands` must carry `band_lo_col` aligned to the grid (lo = k·width).
+    """
+    keyed_points = points.withColumn(
+        "__band_id", F.floor(F.col(point_col) / F.lit(band_width)).cast("long")
+    )
+    keyed_bands = bands.withColumn(
+        "__band_id", F.floor(F.col(band_lo_col) / F.lit(band_width)).cast("long")
+    )
+    return keyed_points.join(F.broadcast(keyed_bands), "__band_id").drop("__band_id")

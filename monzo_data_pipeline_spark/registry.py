@@ -2215,6 +2215,48 @@ def q_map_type_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "range_band_join",
+    "custom operator (range join on a fixed-width grid rewritten as an "
+    "equi-join on floor(v/width) — operators/joins.py::band_join; oracle "
+    "= the naive BETWEEN range join)",
+    """
+    WITH bands AS (
+        SELECT CAST(i AS BIGINT) * 25000.0 AS band_lo,
+               (CAST(i AS BIGINT) + 1) * 25000.0 AS band_hi,
+               'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band_label
+        FROM range(0, 20) t(i)
+    )
+    SELECT band_label, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN bands
+      ON o_totalprice >= band_lo AND o_totalprice < band_hi
+    GROUP BY band_label ORDER BY band_label
+    """,
+)
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = (
+        spark.range(20)
+        .select(
+            (F.col("id") * 25000.0).alias("band_lo"),
+            ((F.col("id") + 1) * 25000.0).alias("band_hi"),
+            F.concat(F.lit("band_"), F.lpad(F.col("id").cast("string"), 2, "0")).alias(
+                "band_label"
+            ),
+        )
+    )
+    return (
+        JN.band_join(o, "o_totalprice", 25000.0, bands)
+        .groupBy("band_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("band_label")
+    )
+
+
+@_register(
     "embedding_cosine_near_dup",
     "C1/C3 (embedding-cosine near-dup dedup: greedy keep-min-id over "
     "LSH-bucketed candidate pairs; ext/similarity.py::"

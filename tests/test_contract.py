@@ -92,3 +92,24 @@ print("OK")
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_sql_api_parity(spark, sf_dir):
+    """The engine's tables are reachable through plain spark.sql too —
+    catalog.register_views + a SQL statement must agree with the
+    DataFrame-API query for a representative agg and join."""
+    from monzo_data_pipeline_spark.catalog import register_views
+    from monzo_data_pipeline_spark.registry import queries
+
+    register_views(spark, sf_dir)
+    sql_out = spark.sql(
+        """
+        SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM orders GROUP BY 1, 2
+        """
+    )
+    df_out = queries()["monthly_spend"](spark, sf_dir).select("year", "month", "total_spend")
+    sql_rows = {(r.year, r.month): r.total_spend for r in sql_out.collect()}
+    df_rows = {(r.year, r.month): r.total_spend for r in df_out.collect()}
+    assert sql_rows == df_rows and len(df_rows) > 0

@@ -57,6 +57,12 @@ QUERY_SET = [
     "knn_join",
     "top_n_per_group",
     "rollup_spend",
+    "volume_shipping_q7",
+    "rolling_7day_spend",
+    "interval_join_attribution",
+    "embedding_cosine_near_dup",
+    "algebraic_moments",
+    "exists_agg_priority",
 ]
 
 KEY_OFFSET = 100_000_000
