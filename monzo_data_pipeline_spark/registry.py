@@ -2330,6 +2330,16 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classic warehouse shapes (TPC-H Q2/Q6/Q8-Q15/Q17-Q19/Q22 analogs) live in
+# their own module; they register through the same decorator.
+# ---------------------------------------------------------------------------
+
+from . import warehouse_shapes as _WS  # noqa: E402
+
+_WS.register(_register)
+
+
+# ---------------------------------------------------------------------------
 # Public accessors (consumed by __spark_entry__.py).
 # ---------------------------------------------------------------------------
 
