@@ -113,3 +113,105 @@ def word_frequencies(documents: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def tf_rarity_top_terms(
+    documents: DataFrame, text_col: str = "text", top_per_doc: int = 3
+) -> DataFrame:
+    """C4/north-star — TF-IDF-style salient-term extraction, top-k per doc.
+
+    score = tf · (N+1)/(df+1): the smoothed *rarity ratio* replaces the
+    usual log-idf because ln() is libm-dependent (not IEEE-pinned), so
+    Spark(JVM) and other engines can disagree in the last ulp — while
+    +,·,/ are IEEE-exact-rounded and bit-identical everywhere. Same
+    ranking semantics (monotone in tf and 1/df), cross-engine exact.
+
+    Plan: one explode→(doc,word) count, one word-level df agg (broadcast
+    back — vocabulary ≪ corpus), one 1-row N broadcast, one per-doc
+    top-k window. At 100 TB the only big shuffle is the (doc,word)
+    count; df and N are tiny after partial aggregation.
+    """
+    toks = documents.select(
+        F.col("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score_q",
+            F.floor(
+                (F.col("tf") * (F.col("n_docs") + 1)).cast("double")
+                / (F.col("df") + 1).cast("double")
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_q"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_per_doc)
+        .select("doc_id", "word", "tf", "df", "score_q", "rank")
+    )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 500,
+    stride: int = 400,
+) -> DataFrame:
+    """North-star — fixed-size overlapping character chunking (the
+    standard pre-tokenization split for LLM training shards).
+
+    chunk i covers [i·stride, i·stride + chunk_size); overlap =
+    chunk_size − stride. Implemented as sequence→explode→substring:
+    pure codegen'd JVM expressions, no Python, no shuffle at all —
+    chunking is embarrassingly parallel and stays map-side.
+    """
+    c = F.col(text_col)
+    n_chunks_m1 = F.floor((F.length(c) - 1) / F.lit(stride)).cast("int")
+    return (
+        documents.filter(F.length(c) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks_m1)).alias("chunk_idx"),
+            c.alias("__t"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(
+                F.col("__t"), F.col("chunk_idx") * stride + 1, chunk_size
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def bigram_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 — corpus bigram frequencies via an array-lambda transform
+    (no self-join): token array → adjacent-pair strings → explode →
+    count. All JVM-side higher-order functions."""
+    toks = (
+        documents.filter(F.trim(F.col(text_col)) != "")
+        .select(tokens(F.lower(F.col(text_col))).alias("toks"))
+        # single-token docs: sequence(1, 0) counts DOWN in Spark — gate it
+        .filter(F.size("toks") >= 2)
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("bigram")
+    )
+    return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))

@@ -2329,6 +2329,94 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_purchases(clicks, purchases, max_gap_seconds=3600)
 
 
+@_register(
+    "tfidf_top_terms",
+    "C4/north-star (TF-IDF-style salient terms, top-3 per doc; "
+    "rarity ratio instead of log-idf for cross-engine bit-parity — "
+    "functions/text.py::tf_rarity_top_terms)",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM toks WHERE word <> '' GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT doc_id, word, tf, df,
+               CAST(floor(CAST(tf * (n_docs + 1) AS DOUBLE)
+                          / CAST(df + 1 AS DOUBLE) * 1000000.0) AS BIGINT)
+                 AS score_q
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, score_q, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score_q DESC, word) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.tf_rarity_top_terms(docs, top_per_doc=3)
+
+
+@_register(
+    "chunk_documents",
+    "north-star (fixed-size overlapping char chunking for training "
+    "shards: sequence→explode→substring, fully map-side — "
+    "functions/text.py::chunk_documents)",
+    """
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           substring(text, CAST(i AS INT) * 400 + 1, 500) AS chunk_text,
+           length(substring(text, CAST(i AS INT) * 400 + 1, 500)) AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(floor((length(text) - 1) / 400) AS BIGINT) + 1))
+                 AS i
+        FROM documents WHERE length(text) > 0
+    )
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_size=500, stride=400)
+
+
+@_register(
+    "bigram_counts",
+    "C4 (adjacent-pair bigrams via array-lambda transform, no "
+    "self-join; top-50 corpus bigrams)",
+    r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ), bigrams AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, n FROM (
+        SELECT bigram, COUNT(*) AS n FROM bigrams GROUP BY bigram
+    )
+    ORDER BY n DESC, bigram ASC
+    LIMIT 50
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.bigram_counts(docs)
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classic warehouse shapes (TPC-H Q2/Q6/Q8-Q15/Q17-Q19/Q22 analogs) live in
 # their own module; they register through the same decorator.
