@@ -1,0 +1,113 @@
+"""Behavioral / event-log analytics shapes: SCD2 interval builds,
+funnel conversion, cohort retention.
+
+The reference's append-only snapshot tables (`bronze_balance`,
+`bronze_pots` — /root/reference/src/sql/create_bronze_layer.sql:37-65,
+a new row per run stamped `date_retrieved`) are exactly a slowly-
+changing change log; its notebook reads "current state" as
+ORDER BY date_retrieved DESC (notebooks/query_sqlite_db.ipynb). These
+operators generalize that snapshot log into the three standard
+warehouse derivations:
+
+  * SCD2 intervals — each change becomes a [valid_from, valid_to)
+    validity row (the reference's first-wins INSERT OR IGNORE is SCD0;
+    latest-snapshot is SCD1; this is the full-history type 2);
+  * funnel — staged conversion with "after previous stage" ordering;
+  * cohort retention — first-activity cohort × activity-offset grid.
+
+Scale posture: every one of these is a single shuffle on user_id (the
+window / groupBy key) plus integer arithmetic — no UDFs, no iteration.
+Skewed power-users are the classic hazard for the per-user window;
+AQE skew-split handles the join/agg side, and the window's
+partition-by key is the natural salt boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Build SCD Type-2 validity intervals from a keyed change log:
+    valid_from = change ts, valid_to = next change's ts (open-ended
+    for the current row). One window shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
+    return (
+        changes.withColumn("valid_to", F.lead(ts).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed(ts, "valid_from")
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered 3-stage funnel: a user converts stage i only
+    with an event strictly after their stage-(i-1) conversion time.
+
+    Plan: one conditional agg for stage 1, then for each later stage a
+    co-partitioned join (user key) + min agg — all shuffles are on the
+    same user key, so Catalyst reuses the partitioning; no window over
+    the full event log, no UDFs.
+    """
+    s1, s2, s3 = stages
+    first1 = (
+        events.filter(F.col(etype) == s1)
+        .groupBy(user)
+        .agg(F.min(ts).alias("t1"))
+    )
+    first2 = (
+        events.filter(F.col(etype) == s2)
+        .join(first1, user)
+        .filter(F.col(ts) > F.col("t1"))
+        .groupBy(user)
+        .agg(F.min(ts).alias("t2"))
+    )
+    first3 = (
+        events.filter(F.col(etype) == s3)
+        .join(first2, user)
+        .filter(F.col(ts) > F.col("t2"))
+        .groupBy(user)
+        .agg(F.min(ts).alias("t3"))
+    )
+    return (
+        first1.agg(F.count(F.lit(1)).alias(f"n_{s1}"))
+        .join(first2.agg(F.count(F.lit(1)).alias(f"n_{s2}")))
+        .join(first3.agg(F.count(F.lit(1)).alias(f"n_{s3}")))
+    )
+
+
+def cohort_retention(
+    events: DataFrame, user: str = "user_id", ts: str = "ts"
+) -> DataFrame:
+    """Daily retention triangle: cohort = first active day per user;
+    one row per (cohort_day, offset_days) with the distinct-user count.
+
+    Two aggs on the user key + one on the (cohort, offset) pair; the
+    (user, day) distinct is exact (it IS the activity grain), not an
+    approx sketch, because retention ratios feed product decisions.
+    """
+    activity = events.select(
+        F.col(user), F.to_date(ts).alias("activity_day")
+    ).distinct()
+    cohorts = activity.groupBy(user).agg(F.min("activity_day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, user)
+        .select(
+            "cohort_day",
+            F.datediff("activity_day", "cohort_day").alias("offset_days"),
+            F.col(user),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

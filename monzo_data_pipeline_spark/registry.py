@@ -2330,6 +2330,86 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scd2_intervals",
+    "A24-generalized (snapshot log → SCD Type-2 validity intervals; "
+    "operators/behavioral.py::scd2_intervals — the reference's "
+    "append-only balance/pots snapshots as full-history dimension)",
+    """
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.behavioral import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    return scd2_intervals(ev).select(
+        "user_id", "event_id", "value", "valid_from", "valid_to", "is_current"
+    )
+
+
+@_register(
+    "funnel_conversion",
+    "north-star analytics (strictly-ordered view→click→purchase "
+    "funnel; operators/behavioral.py::funnel_counts)",
+    """
+    WITH f1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), f2 AS (
+        SELECT e.user_id, MIN(ts) AS t2
+        FROM events e JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t1
+        WHERE event_type = 'click' GROUP BY e.user_id
+    ), f3 AS (
+        SELECT e.user_id, MIN(ts) AS t3
+        FROM events e JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t2
+        WHERE event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM f1) AS n_view,
+           (SELECT COUNT(*) FROM f2) AS n_click,
+           (SELECT COUNT(*) FROM f3) AS n_purchase
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.behavioral import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev)
+
+
+@_register(
+    "cohort_retention",
+    "north-star analytics (daily retention triangle: first-active "
+    "cohort × day offset; operators/behavioral.py::cohort_retention)",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_day FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(activity_day) AS cohort_day
+        FROM activity GROUP BY user_id
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, activity_day) AS INT) AS offset_days,
+           COUNT(*) AS n_users
+    FROM activity JOIN cohorts USING (user_id)
+    GROUP BY cohort_day, offset_days
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.behavioral import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+@_register(
     "tfidf_top_terms",
     "C4/north-star (TF-IDF-style salient terms, top-3 per doc; "
     "rarity ratio instead of log-idf for cross-engine bit-parity — "
