@@ -209,7 +209,13 @@ def build_gold(wh: Warehouse) -> None:
         )
         .agg(
             F.sum(-F.col("amount")).alias("total_spend"),
-            F.avg(-F.col("amount")).cast("double").alias("avg_spend"),
+            # engine davg policy (functions/deterministic.py): exact
+            # decimal sum ÷ count in double — not F.avg's decimal
+            # scale+4 rounding — so incremental state (pipeline/
+            # incremental.py) folds to bit-identical gold
+            (F.sum(-F.col("amount")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_spend"
+            ),
         )
     )
     wh.overwrite(gold, GOLD_MONTHLY)
