@@ -60,6 +60,27 @@ def test_pipeline_failure_propagates(spark, tmp_path):
         ("volume_shipping_q7", ["BroadcastHashJoin"]),
         # exists-fold must plan a semi join, not a full join + distinct
         ("exists_agg_priority", ["LeftSemi"]),
+        # Q6: every conjunct reaches the parquet scan
+        (
+            "forecast_revenue_q6",
+            [
+                "GreaterThanOrEqual(l_shipdate",
+                "LessThan(l_shipdate",
+                "GreaterThanOrEqual(l_discount",
+                "LessThan(l_quantity",
+            ],
+        ),
+        # Q19: the common p_partkey key carries the join (broadcast);
+        # the OR-of-ANDs disjunction survives as a filter, not a
+        # cartesian product
+        ("disjunctive_revenue_q19", ["BroadcastHashJoin"]),
+        # Q11: the fraction-of-total scalar joins as a broadcast, not a
+        # driver collect
+        ("important_parts_q11", ["BroadcastNestedLoopJoin"]),
+        # Q18: the HAVING-gated IN-subquery plans as a semi join
+        ("large_volume_customers_q18", ["LeftSemi"]),
+        # Q22: NOT EXISTS plans as an anti join
+        ("waiting_customers_q22", ["LeftAnti"]),
     ],
 )
 def test_plan_contract(spark, sf_dir, query, markers):

@@ -25,6 +25,12 @@ SHOW = {
     "volume_shipping_q7": "Q7 shape: dims broadcast; fact shuffles only on orderkey + final agg",
     "rolling_7day_spend": "time-RANGE window: one shuffle on the partition key, RunningWindowFunction",
     "exists_agg_priority": "correlated EXISTS folded to a broadcast LeftSemi join",
+    "forecast_revenue_q6": "Q6 — every predicate in PushedFilters; 2-column ReadSchema",
+    "disjunctive_revenue_q19": "Q19 — equi-key join + OR-of-ANDs as post-join filter",
+    "important_parts_q11": "Q11 — fraction-of-total scalar as 1-row broadcast, no collect",
+    "min_cost_supplier_q2": "Q2 — argmin-per-key via hash agg (no window sort); dims broadcast",
+    "customer_distribution_q13": "Q13 — outer join + double agg; one shuffle per grain change",
+    "tfidf_top_terms": "TF-IDF — df and N broadcast back; one big (doc,word) shuffle",
 }
 
 MARKERS = (
