@@ -2330,6 +2330,24 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bitmap_exact_distinct",
+    "C7-exact (roaring-bitmap distinct users per event type: EXACT "
+    "and mergeable, unlike HLL; operators/sketches.py::bitmap_distinct)",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import bitmap_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return bitmap_distinct(ev, ["event_type"], "user_id").orderBy("event_type")
+
+
+@_register(
     "scd2_intervals",
     "A24-generalized (snapshot log → SCD Type-2 validity intervals; "
     "operators/behavioral.py::scd2_intervals — the reference's "

@@ -1,0 +1,111 @@
+"""Mergeable distinct-state (HLL / bitmap) and salted-join parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monzo_data_pipeline_spark.catalog import load_table
+from monzo_data_pipeline_spark.operators import sketches as SK
+from monzo_data_pipeline_spark.operators.skew import salted_join
+
+
+def test_bitmap_distinct_is_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in SK.bitmap_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_bitmap_state_merge_invariance(spark, sf_dir):
+    """state(b1) ⊕ state(b2) == state(b1 ∪ b2), and re-merging the
+    same batch is idempotent (OR is idempotent — partial SUM is not)."""
+    ev = load_table(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    keys = ["event_type"]
+
+    split = SK.bitmap_merge(
+        SK.bitmap_state(b1, keys, "user_id"),
+        SK.bitmap_state(b2, keys, "user_id"),
+        keys=keys,
+    )
+    whole = SK.bitmap_state(ev, keys, "user_id")
+    norm = lambda st: sorted(map(tuple, SK.bitmap_finalize(st, keys).collect()))
+    assert norm(split) == norm(whole)
+
+    # idempotence under duplicate delivery (at-least-once pipelines)
+    dup = SK.bitmap_merge(
+        split, SK.bitmap_state(b1, keys, "user_id"), keys=keys
+    )
+    assert norm(dup) == norm(whole)
+
+
+def test_hll_state_merge_invariance(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    keys = ["event_type"]
+
+    split = SK.hll_merge(
+        SK.hll_state(b1, keys, "user_id"),
+        SK.hll_state(b2, keys, "user_id"),
+        keys=keys,
+    )
+    whole = SK.hll_state(ev, keys, "user_id")
+    norm = lambda st: sorted(map(tuple, SK.hll_finalize(st, keys).collect()))
+    assert norm(split) == norm(whole)
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, est in SK.hll_finalize(whole, keys).collect():
+        assert abs(est - exact[etype]) <= max(3, 0.05 * exact[etype])
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    salted = (
+        salted_join(li, orders, "l_orderkey", "o_orderkey", salt_buckets=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        )
+    )
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        )
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """Every salt bucket of a hot key must receive rows — the salt
+    actually sprays (not all rows landing in one bucket)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = li.limit(2000)  # plenty of rows across orderkeys
+    salt = F.pmod(F.xxhash64(*hot.columns), F.lit(8))
+    n_buckets = hot.withColumn("__s", salt).select("__s").distinct().count()
+    assert n_buckets == 8
