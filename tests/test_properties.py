@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for the custom operator
+compositions — the ones whose correctness is an algebraic claim over
+ALL inputs, not a fixture: first-wins dedup, as-of join, salted
+aggregation. Randomized inputs are checked against brute-force Python
+reference implementations.
+
+Spark-job-per-example is slow, so max_examples stays small and each
+example uses a single createDataFrame + collect round trip.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import pytest
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ROW = st.tuples(
+    st.integers(0, 5),          # key
+    st.integers(0, 10),         # order stamp (duplicates allowed)
+    st.integers(0, 4),          # tiebreak id
+    st.integers(-100, 100),     # payload
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@given(rows=st.lists(ROW, min_size=1, max_size=40))
+@SET
+def test_first_wins_dedup_matches_bruteforce(sp, rows):
+    from monzo_data_pipeline_spark.operators.dedup import first_wins_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("stamp", T.IntegerType()),
+            T.StructField("tid", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    df = sp.createDataFrame(rows, schema)
+    got = sorted(
+        map(tuple, first_wins_dedup(df, ["k"], ["stamp", "tid", "v"]).collect())
+    )
+    # brute force: per key, min by (stamp, tid, v) — the total order
+    best: dict[int, tuple] = {}
+    for k, stamp, tid, v in rows:
+        cand = (stamp, tid, v)
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    want = sorted((k, *t) for k, t in best.items())
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-99, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@SET
+def test_asof_join_matches_bruteforce(sp, left, right):
+    from monzo_data_pipeline_spark.operators.joins import asof_join
+
+    # dedup right on (key, ts): an as-of match at equal ts must be
+    # unique to be well-defined; keep the max payload as the winner
+    rbest: dict[tuple, int] = {}
+    for k, ts, v in right:
+        key = (k, ts)
+        if key not in rbest or v > rbest[key]:
+            rbest[key] = v
+    right = [(k, ts, v) for (k, ts), v in rbest.items()]
+
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("ts", T.IntegerType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("ts", T.IntegerType()),
+            T.StructField("val", T.IntegerType()),
+        ]
+    )
+    ldf = sp.createDataFrame(left, lschema)
+    rdf = sp.createDataFrame(right, rschema) if right else sp.createDataFrame(
+        [], rschema
+    )
+    got = sorted(
+        map(
+            tuple,
+            asof_join(ldf, rdf, "ts", by=["k"], right_vals=["val"])
+            .select("k", "ts", "val")
+            .collect(),
+        ),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    want = []
+    for k, lts in left:
+        cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= lts]
+        v = max(cands)[1] if cands else None
+        want.append((k, lts, v))
+    want.sort(key=lambda t: tuple((x is None, x) for x in t))
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.sampled_from([1, 3, 16]),
+)
+@SET
+def test_salted_sum_matches_plain(sp, rows, buckets):
+    from monzo_data_pipeline_spark.operators.skew import salted_sum_count
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    df = sp.createDataFrame(rows, schema)
+    got = {
+        r["k"]: (r["total"], r["cnt"])
+        for r in salted_sum_count(df, ["k"], "v", salt_buckets=buckets).collect()
+    }
+    want: dict[int, list] = {}
+    for k, v in rows:
+        agg = want.setdefault(k, [0, 0])
+        agg[0] += v
+        agg[1] += 1
+    assert got == {k: (float(s), c) for k, (s, c) in want.items()}
