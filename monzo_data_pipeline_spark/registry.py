@@ -2330,6 +2330,68 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "variant_json_stats",
+    "C5/A21 (semi-structured scale path: VariantType via parse_json — "
+    "binary-encoded, typed access without a declared schema; the "
+    "Spark-4 successor to get_json_object string re-parsing)",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "fuzzy_name_pairs",
+    "C2-adjacent (entity resolution by edit distance: the reference's "
+    "merchant/counterparty name dedup generalized — distinct names, "
+    "self-join, levenshtein ≤ 3)",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distinct-first: the self-join is |distinct names|², not |part|² —
+    # at 100 TB the distinct set is the only thing that may not fit a
+    # broadcast, at which point blocking (first-char / length bands or
+    # the MinHash pipeline in ext/dedup_fuzzy.py) bounds the pairs
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
+
+
+@_register(
     "bitmap_exact_distinct",
     "C7-exact (roaring-bitmap distinct users per event type: EXACT "
     "and mergeable, unlike HLL; operators/sketches.py::bitmap_distinct)",
