@@ -833,22 +833,34 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # orders⋈lineitem shuffles on the join key (AQE may re-plan); the
-    # customer dim is broadcast — the fact side never shuffles for it.
+    # Eager aggregation (partial-agg pushdown through the join — a
+    # rewrite Catalyst does NOT apply): lineitem collapses to one row
+    # per orderkey BEFORE the join, so the join input shrinks from
+    # |lineitem| to |orders| — at 100 TB that is the difference between
+    # shuffling the biggest table and shuffling the fact's key set.
+    # Exact because the decimal partial sums re-aggregate associatively
+    # (same algebra as pipeline/incremental.py). Customer stays a
+    # broadcast dim.
     cust = load_table(spark, sf_dir, "customer")
     orders = FL.date_range_filter(
         load_table(spark, sf_dir, "orders"), "o_orderdate", since="1996-01-01"
     )
     li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("__rev_dec"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(18,4)").alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("__rev_dec").cast("double").alias("revenue"),
+            F.sum("__n").alias("n_items"),
         )
     )
 
