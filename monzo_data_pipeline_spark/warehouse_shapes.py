@@ -568,6 +568,156 @@ def register(_register) -> None:
         )
 
     @_register(
+        "parts_supplier_counts_q16",
+        "TPC-H Q16 shape (distinct-supplier counts per part class with a "
+        "NOT-IN exclusion list → anti-join; partsupp derived from "
+        "lineitem)",
+        """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN ps ON p_partkey = l_partkey
+        WHERE p_size IN (1, 5, 10, 15, 20, 25)
+          AND p_brand <> 'Brand#5'
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type
+        """,
+    )
+    def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(
+            F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+            & (F.col("p_brand") != "Brand#5")
+        )
+        excluded = load_table(spark, sf_dir, "supplier").filter(
+            F.col("s_acctbal") < 0
+        )
+        ps = li.select("l_partkey", "l_suppkey").distinct()
+        return (
+            ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+            .join(
+                F.broadcast(excluded),
+                ps.l_suppkey == excluded.s_suppkey,
+                "left_anti",
+            )
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+        )
+
+    @_register(
+        "excess_inventory_suppliers_q20",
+        "TPC-H Q20 shape (nested semi-join chain: suppliers whose "
+        "shipped quantity of LIKE-filtered parts exceeds a threshold "
+        "in a year)",
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+            )
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 50
+        )
+        ORDER BY s_suppkey
+        """,
+    )
+    def q_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sup = load_table(spark, sf_dir, "supplier")
+        widget_parts = load_table(spark, sf_dir, "part").filter(
+            F.col("p_name").like("%widget%")
+        )
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        heavy = (
+            li.join(
+                F.broadcast(widget_parts.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"),
+                "left_semi",
+            )
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(F.sum("l_quantity").alias("sq"))
+            .filter(F.col("sq") > 50)
+            .select("l_suppkey")
+        )
+        return (
+            sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey")
+        )
+
+    @_register(
+        "waiting_orders_suppliers_q21",
+        "TPC-H Q21 shape (EXISTS + NOT-EXISTS on the same fact, "
+        "decorrelated to per-order distinct counts: suppliers who were "
+        "the ONLY late shipper on a multi-supplier finished order)",
+        """
+        SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders    ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1
+              FROM lineitem l3 JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 100
+        """,
+    )
+    def q_waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Decorrelated: per order, count distinct suppliers and distinct
+        # LATE suppliers; then "exists another supplier" ⟺ n_supp ≥ 2
+        # and "no OTHER late supplier" ⟺ n_late = 1 (this line's own
+        # supplier is late, so it is the only one). One extra agg on
+        # the orderkey replaces two correlated rescans of the fact.
+        sup = load_table(spark, sf_dir, "supplier")
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        lo = li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+            li.l_orderkey == F.col("o_orderkey"),
+        ).withColumn(
+            "__late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+        )
+        per_order = lo.groupBy(F.col("l_orderkey").alias("__okey")).agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.countDistinct(
+                F.when(F.col("__late"), F.col("l_suppkey"))
+            ).alias("__n_late"),
+        )
+        late_f = lo.filter(F.col("__late") & (F.col("o_orderstatus") == "F"))
+        return (
+            late_f.join(per_order, late_f.l_orderkey == F.col("__okey"))
+            .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+            .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+            .limit(100)
+        )
+
+    @_register(
         "min_cost_supplier_q2",
         "TPC-H Q2 shape (argmin-per-key: cheapest EUROPE supplier per "
         "filtered part; unit cost derived from lineitem — no partsupp "
