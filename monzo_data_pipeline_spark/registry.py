@@ -1149,15 +1149,18 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
+    # eager aggregation: lineitem collapses to one row per orderkey
+    # BEFORE the joins (grouping key ⊇ join key, so the later groupBy
+    # vanishes — the join is 1:1 against the pre-aggregate); the join
+    # then moves |orders-with-late-lines| rows instead of |lineitem|
+    per_order = li.groupBy("l_orderkey").agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(18,4)"
+        ).alias("revenue")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(18,4)").alias(
-                "revenue"
-            )
-        )
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
