@@ -280,7 +280,13 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            # localCheckpoint, not persist: persist caches DATA but the
+            # logical plan still deepens every iteration — analysis/
+            # optimization time grows superlinearly and eventually
+            # dominates (driver-side, not executor-side). Checkpointing
+            # truncates the lineage so iteration i plans against a leaf,
+            # the standard posture for iterative graph algorithms.
+            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -361,3 +367,48 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end training-data dedup: exact first, then fuzzy.
+
+    1. exact pass — group identical normalized text by content hash,
+       keep the min-id copy (cheap, removes the bulk: byte-identical
+       crawls/re-uploads);
+    2. fuzzy pass — MinHash+LSH candidate pairs over the survivors,
+       connected components, keep each cluster's min-id representative.
+
+    Returns the surviving rows of ``docs`` (all columns). Exact-first
+    ordering matters at scale: byte-duplicates are the majority of
+    removals and cost one hash groupBy, so the expensive shingle/LSH
+    machinery runs on the smaller exact-deduped set. Idempotent:
+    running it on its own output removes nothing
+    (tests/test_clean_corpus.py).
+    """
+    from pyspark.sql import Window
+
+    # 1 — exact: min id per normalized-content hash
+    w = Window.partitionBy(F.xxhash64(F.lower(F.trim(F.col(text_col))))).orderBy(
+        F.col(id_col).asc()
+    )
+    exact_survivors = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # 2 — fuzzy: LSH pairs → connected components → min-id survivor
+    pairs = minhash_near_dup_pairs(
+        exact_survivors, threshold=threshold, shingle_n=shingle_n, id_col=id_col
+    )
+    clusters = near_dup_clusters(pairs)  # (doc_id, cluster_id); clustered docs only
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return exact_survivors.join(losers, id_col, "left_anti")

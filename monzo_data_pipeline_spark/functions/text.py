@@ -215,3 +215,89 @@ def bigram_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("bigram")
     )
     return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+
+
+def token_repetition_stats(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal per doc: frequency of the most
+    common token over total tokens (≈1 ⇒ degenerate repetition).
+
+    Explode → (doc, token) count → per-doc max/sum. Two hash aggs on
+    the doc key (codegen, map-side partial) — NOT an array map-fold:
+    higher-order map-building lambdas are interpreted per element and
+    O(distinct²) per doc (cf. the simhash rewrite note)."""
+    toks = (
+        documents.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return toks.groupBy(id_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("top_token_n"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
+def dup_ngram_stats(
+    documents: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicate-n-gram fraction: 1 − distinct/total n-grams
+    (repetition signal over longer spans than top_token_ratio).
+    Explode → two counts per doc; one shuffle on doc_id."""
+    c = F.col(text_col)
+    toks = tokens(F.lower(c))
+    grams = F.expr(
+        f"transform(sequence(1, size(__toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(__toks, i, {n})))"
+    )
+    per = (
+        documents.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(id_col, F.explode(grams).alias("g"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("g").alias("n_distinct"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double")
+        ).alias("dup_fraction"),
+    )
+
+
+# PII scrubbing patterns (training-data cleaning). Java-regex syntax
+# (JVM-side regexp_replace); ordered so URLS go before EMAILS (a URL
+# can contain an @) — each replacement is a single linear pass.
+PII_PATTERNS = [
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # last: the loosest pattern — would otherwise swallow IPs
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact URLs / emails / phone numbers / IPv4s with typed
+    placeholder tokens — the standard pre-training scrub pass. Chained
+    JVM regexp_replace; order matters (see PII_PATTERNS)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _name, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

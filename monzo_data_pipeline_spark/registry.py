@@ -2345,6 +2345,55 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "token_repetition_stats",
+    "C4/north-star (Gopher-style repetition quality signal: top-token "
+    "frequency ratio per doc; functions/text.py::token_repetition_stats)",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, tok, COUNT(*) AS n
+        FROM t WHERE tok <> '' GROUP BY doc_id, tok
+    )
+    SELECT doc_id, SUM(n) AS n_tokens, MAX(n) AS top_token_n,
+           CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_token_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_token_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.token_repetition_stats(docs)
+
+
+@_register(
+    "dup_ngram_stats",
+    "C4/north-star (duplicate-trigram fraction per doc — longer-span "
+    "repetition signal; functions/text.py::dup_ngram_stats)",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gr
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT gr) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT gr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS dup_fraction
+    FROM g GROUP BY doc_id
+    """,
+)
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.dup_ngram_stats(docs, n=3)
+
+
+@_register(
     "variant_json_stats",
     "C5/A21 (semi-structured scale path: VariantType via parse_json — "
     "binary-encoded, typed access without a declared schema; the "

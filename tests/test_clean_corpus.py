@@ -1,0 +1,74 @@
+"""End-to-end corpus cleaning: PII scrub unit behavior and the
+exact→fuzzy dedup composition (idempotence is the defining property)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monzo_data_pipeline_spark.catalog import load_table
+from monzo_data_pipeline_spark.ext.dedup_fuzzy import clean_corpus
+from monzo_data_pipeline_spark.functions.text import scrub_pii
+
+
+def test_scrub_pii_redacts_each_kind(spark):
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk for details"),
+        (2, "docs at https://example.com/a?b=c#frag and more text"),
+        (3, "call +44 (0)20 7946-0958 now"),
+        (4, "server at 192.168.0.1 responded"),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", scrub_pii("t").alias("s")).collect()
+    }
+    assert got[1] == "contact me at <EMAIL> for details"
+    assert got[2] == "docs at <URL> and more text"
+    assert got[3] == "call <PHONE> now"
+    assert got[4] == "server at <IP> responded"
+    assert got[5] == "no pii here at all"
+
+
+def test_scrub_pii_url_wins_over_email(spark):
+    # a URL containing an @ must become <URL>, not a mangled <EMAIL>
+    df = spark.createDataFrame([(1, "see https://u:p@host.com/path ok")], ["id", "t"])
+    assert (
+        df.select(scrub_pii("t").alias("s")).first()["s"] == "see <URL> ok"
+    )
+
+
+def test_clean_corpus_removes_exact_and_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.limit(60).cache()
+    n_base = base.count()
+
+    # plant one exact dup and one near dup (prefix perturbation) with
+    # fresh ids above the base range
+    exact_dup = base.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    near_dup = base.limit(1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = base.unionByName(exact_dup).unionByName(near_dup)
+
+    cleaned = clean_corpus(corpus, threshold=0.5).cache()
+    n_clean = cleaned.count()
+    # both planted dups die; the original (min-id) rows survive
+    assert n_clean <= n_base
+    surviving_ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert 1_000_000 not in {i - 0 for i in surviving_ids}
+    assert all(i < 1_000_000 for i in surviving_ids)
+
+    # idempotence: cleaning the cleaned corpus removes nothing
+    again = clean_corpus(cleaned, threshold=0.5)
+    assert again.count() == n_clean
