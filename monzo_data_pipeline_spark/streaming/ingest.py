@@ -39,3 +39,44 @@ def stream_wire_to_bronze(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_silver_to_gold(
+    silver_stream: DataFrame,
+    wh: Warehouse,
+    checkpoint_dir: str,
+):
+    """Maintain the incremental gold state (pipeline/incremental.py)
+    from a stream of silver rows.
+
+    Unlike the bronze merge, a state⊕delta fold is NOT naturally
+    idempotent — re-folding a delivered batch double-counts. The
+    checkpoint gives exactly-once per checkpoint lineage; to survive a
+    checkpoint LOSS (full replay) the sink keeps its own epoch ledger
+    (`gold_epochs` table) and skips epochs it has already folded — the
+    standard transactional-foreachBatch pattern, valid because a
+    deterministic file source re-forms identical micro-batches for
+    identical epoch ids.
+    """
+    from pyspark.sql import functions as F
+
+    from ..pipeline.incremental import merge_gold_state
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if wh.exists("gold_epochs"):
+            seen = {r["epoch_id"] for r in wh.read("gold_epochs").collect()}
+            if epoch_id in seen:
+                return
+        merge_gold_state(wh, batch_df)
+        ledger = spark.createDataFrame(
+            [(int(epoch_id),)], "epoch_id long"
+        ).withColumn("folded", F.lit(True))
+        wh.append(ledger, "gold_epochs")
+
+    return (
+        silver_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

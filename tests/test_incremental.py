@@ -86,3 +86,34 @@ def test_state_is_batching_invariant(spark, warehouse):
     assert _normalize(INC.gold_from_state(wh_a)) == _normalize(
         INC.gold_from_state(wh_b)
     )
+
+
+def test_streaming_gold_equals_batch_and_survives_replay(spark, warehouse, tmp_path):
+    """Silver rows streamed through foreachBatch fold to the same gold
+    as a batch recompute; a full replay (fresh checkpoint, same files)
+    folds nothing twice thanks to the epoch ledger."""
+    from monzo_data_pipeline_spark.streaming.ingest import stream_silver_to_gold
+
+    silver = _silver_batch(spark, 1, 4, "1").cache()
+    drops = str(tmp_path / "silver_drops")
+    silver.repartition(3).write.parquet(drops)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(silver.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+        )
+        q = stream_silver_to_gold(stream, warehouse, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    incr = _normalize(INC.gold_from_state(warehouse))
+
+    warehouse.overwrite(silver, MED.SILVER_TX)
+    MED.build_gold(warehouse)
+    assert incr == _normalize(warehouse.read(MED.GOLD_MONTHLY))
+
+    # full replay with a fresh checkpoint: ledger skips every epoch
+    run("ckpt2")
+    assert _normalize(INC.gold_from_state(warehouse)) == incr
