@@ -72,6 +72,9 @@ def get_spark(
         # reader refuses ns→TimestampType, so read ns as long and convert
         # in catalog.load_table (exactly DuckDB's truncate-to-µs behavior).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # custom Python data sources (sources/api_source.py) push
+        # created-range predicates into the REST cursor window
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -1,0 +1,165 @@
+"""A first-class Spark data source for the REST transactions API
+(Spark 4 Python DataSource API): ``spark.read.format("monzo_api")``.
+
+The reference fetches with a hand-rolled single-threaded page loop
+(/root/reference/src/utils/api/api_client.py:157-201) and pushes its
+one predicate — the `since`/`before` date range — into the request by
+hand (api_client.py:177-187, extract.py:18). This source makes both
+behaviors *engine-native*:
+
+  * **partitions()** exposes cursor windows as InputPartitions, so the
+    scan parallelizes across executors exactly like a file scan —
+    the planner, not user code, owns the fan-out;
+  * **pushFilters()** receives Catalyst's pushed predicates; range
+    filters on `created` narrow the cursor window BEFORE any fetch
+    (the API-source analog of parquet predicate pushdown — SURVEY.md
+    §4 row 1). Only inclusive-lower / exclusive-upper bounds are
+    consumed (they match window semantics exactly); everything else is
+    returned to Spark to evaluate post-scan.
+
+Rows come out FLAT (the 31 bronze columns minus the load stamp):
+the A7 nested-struct flatten happens inside the source, mirroring the
+reference doing it inside get_transactions (api_client.py:198).
+
+Hermetic by default: the generator is the deterministic fake client
+(pipeline/ingest.make_fake_fetch). A real deployment swaps the fetch
+for an OAuth2 httpx session constructed lazily inside read() — one
+session per task, never serialized.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+)
+
+from ..schemas import BRONZE_TRANSACTIONS_SCHEMA
+
+# bronze layout minus the loader's date_retrieved stamp
+API_FIELDS = [f for f in BRONZE_TRANSACTIONS_SCHEMA.fields if f.name != "date_retrieved"]
+
+
+def _flatten_wire(d: dict) -> tuple:
+    """A7 as a plain dict flatten (the source-side twin of
+    operators/projection.flatten_transaction_wire)."""
+    cp = d.get("counterparty") or {}
+    m = d.get("merchant") or {}
+    addr = m.get("address") or {}
+    return (
+        d.get("id"),
+        d.get("description"),
+        d.get("amount"),
+        d.get("currency"),
+        d.get("created"),
+        d.get("category"),
+        d.get("notes"),
+        d.get("is_load"),
+        d.get("settled"),
+        d.get("local_amount"),
+        d.get("local_currency"),
+        cp.get("name"),
+        cp.get("account_number"),
+        cp.get("sort_code"),
+        m.get("id"),
+        m.get("name"),
+        m.get("category"),
+        m.get("logo"),
+        m.get("emoji"),
+        m.get("online"),
+        m.get("atm"),
+        addr.get("address"),
+        addr.get("city"),
+        addr.get("postcode"),
+        addr.get("country"),
+        addr.get("latitude"),
+        addr.get("longitude"),
+        m.get("google_places_id"),
+        m.get("suggested_tags"),
+        m.get("foursquare_id"),
+        m.get("website"),
+    )
+
+
+class MonzoApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.since = options.get("since", "2025-01-01T00:00:00")
+        self.before = options.get("before", "2025-01-08T00:00:00")
+        self.window_hours = int(options.get("window_hours", "24"))
+        self.n_per_window = int(options.get("n_per_window", "50"))
+        self.dup_every = int(options.get("dup_every", "10"))
+
+    def pushFilters(self, filters):
+        """Consume created-range bounds; yield back what we can't push.
+
+        Semantics must be EXACT to consume: the cursor window is
+        [since, before), so `created >= v` tightens since and
+        `created < v` tightens before losslessly. Strict `>` / `<=`
+        (off-by-one-row at the bound) are left for Spark.
+        """
+        from datetime import timezone
+
+        def naive_utc(v: datetime) -> str:
+            # session TZ is UTC (session.py); cursor strings are naive UTC
+            if v.tzinfo is not None:
+                v = v.astimezone(timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+
+        for f in filters:
+            if (
+                isinstance(f, GreaterThanOrEqual)
+                and f.attribute == ("created",)
+                and isinstance(f.value, datetime)
+            ):
+                self.since = max(self.since, naive_utc(f.value))
+            elif (
+                isinstance(f, LessThan)
+                and f.attribute == ("created",)
+                and isinstance(f.value, datetime)
+            ):
+                self.before = min(self.before, naive_utc(f.value))
+            else:
+                yield f
+
+    def partitions(self):
+        from ..pipeline.ingest import cursor_windows
+
+        wins = cursor_windows(
+            datetime.fromisoformat(self.since),
+            datetime.fromisoformat(self.before),
+            self.window_hours,
+        )
+        return [InputPartition(w) for w in wins]
+
+    def read(self, partition):
+        # constructed task-side: nothing heavier than ints crosses the
+        # driver→executor boundary (a real HTTP client goes here too)
+        from ..pipeline.ingest import make_fake_fetch
+
+        fetch = make_fake_fetch(self.n_per_window, self.dup_every)
+        w_since, w_before = partition.value
+        for row in fetch(w_since, w_before):
+            yield _flatten_wire(row)
+
+
+class MonzoApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "monzo_api"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        return StructType(API_FIELDS)
+
+    def reader(self, schema) -> MonzoApiReader:
+        return MonzoApiReader(dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(MonzoApiDataSource)
