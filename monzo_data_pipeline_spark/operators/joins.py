@@ -142,3 +142,50 @@ def band_join(
         "__band_id", F.floor(F.col(band_lo_col) / F.lit(band_width)).cast("long")
     )
     return keyed_points.join(F.broadcast(keyed_bands), "__band_id").drop("__band_id")
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    point_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """General range join (point-in-interval, `lo <= v < hi`) for
+    ARBITRARY intervals — unaligned, unequal widths, overlapping —
+    rewritten as an equi-join on a grid cell plus a residual filter.
+
+    This is the generalization `band_join` only sketches: each
+    interval is replicated to every fixed-width grid cell it overlaps
+    (`explode(sequence(floor(lo/w), floor(hi/w)))`), each point hashes
+    to exactly one cell, and the range predicate becomes
+    `cell == cell AND lo <= v < hi`. Catalyst executes the equality as
+    a broadcast/shuffled hash join (codegen'd), and the residual range
+    check runs as a post-join filter — O(|points| + |intervals|·cells)
+    instead of the nested-loop O(|points|·|intervals|) Spark would
+    otherwise pick for a pure-inequality condition.
+
+    At 100 TB: points never replicate (one cell each); the interval
+    side's blow-up factor is `avg_width / bucket_width`, tunable.
+    Interval dims (price bands, campaign windows, IP ranges) are
+    small → broadcast, so the fact side also never shuffles. Matches
+    overlapping intervals by design (a point joins every interval
+    containing it), which a partition-based bucketing cannot express.
+    """
+    def cell(c):
+        return F.floor(c / F.lit(float(bucket_width))).cast("long")
+
+    keyed_iv = intervals.withColumn(
+        "__cell", F.explode(F.sequence(cell(F.col(lo_col)), cell(F.col(hi_col))))
+    )
+    iv_side = F.broadcast(keyed_iv) if broadcast_intervals else keyed_iv
+    keyed_p = points.withColumn("__cell", cell(F.col(point_col)))
+    return (
+        keyed_p.join(iv_side, "__cell")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("__cell")
+    )

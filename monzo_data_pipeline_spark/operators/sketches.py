@@ -93,3 +93,88 @@ def bitmap_finalize(state: DataFrame, keys: list[str]) -> DataFrame:
     return state.groupBy(*keys).agg(
         F.sum(F.bitmap_count("bm")).alias("n_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable approximate FREQUENCY state
+# ---------------------------------------------------------------------------
+# HLL answers "how many distinct"; count-min answers "how often does
+# key k occur" with state of fixed size d·w counters regardless of
+# cardinality (Cormode & Muthukrishnan 2005). Built here from plain
+# DataFrame ops so the state is an inspectable, engine-portable table
+# rather than an opaque binary: row r of the sketch hashes each key
+# with `xxhash64(key, seed_r) mod w` and sums the per-cell counts —
+# one JVM-side hash aggregate, map-side combinable. Merging sketches
+# is counter addition (union + sum), so state composes across batches,
+# partitions, and days exactly like pipeline/incremental.py's algebraic
+# state. Point estimate = MIN over the d rows of the key's cell count:
+# always >= the true count, and <= true + εN with probability 1−δ for
+# w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+
+CMS_DEPTH = 5     # d rows  → δ = e^-5 ≈ 0.7% failure probability
+CMS_WIDTH = 2048  # w cells → ε = e/2048 ≈ 0.13% of total count
+
+
+def cms_state(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build count-min state `(row, cell) -> cnt` for `key_col`.
+
+    d·w fixed-size counter table; `xxhash64` is seeded per row so the
+    d hash functions are independent. One shuffle of at most d·w
+    groups no matter how many input rows — at 100 TB the map-side
+    partial aggregate does nearly all the work.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__row")
+    return (
+        df.select(F.col(key_col).alias("__key"))
+        .select("__key", rows)
+        .groupBy(
+            "__row",
+            F.pmod(F.xxhash64(F.col("__key"), F.col("__row")), F.lit(width)).alias(
+                "__cell"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("__row", "row")
+        .withColumnRenamed("__cell", "cell")
+    )
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Merge sketches by counter addition (commutative + associative:
+    batching-invariant, any merge tree yields identical state)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    state: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Estimate the frequency of every key in `probes`: re-hash each
+    probe key into its d cells, broadcast-join the (≤ d·w row) state,
+    take the per-key MIN. Guaranteed `estimate >= true count`."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    probe_cells = (
+        probes.select(F.col(key_col))
+        .distinct()
+        .select(key_col, rows)
+        .withColumn(
+            "cell", F.pmod(F.xxhash64(F.col(key_col), F.col("row")), F.lit(width))
+        )
+    )
+    return (
+        probe_cells.join(F.broadcast(state), ["row", "cell"], "left")
+        .fillna({"cnt": 0})
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )

@@ -2641,6 +2641,55 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "interval_band_revenue",
+    "beyond-§2 (general range join: arbitrary OVERLAPPING unaligned price "
+    "bands × orders, rewritten bucketed-equi-join; "
+    "operators/joins.py::interval_bucket_join)",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES
+        ('budget',       1000.0,  60000.0),
+        ('mid',         60000.0, 180000.0),
+        ('premium',    180000.0, 500000.0),
+        ('whale',      250000.0, 499000.0),
+        ('promo_target', 47500.0, 151300.0)
+    )
+    SELECT band, COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice')} AS revenue
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY band
+    """,
+)
+def q_interval_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping + unaligned on purpose: 'whale' nests inside 'premium'
+    # and 'promo_target' straddles 'budget'/'mid' — shapes a partition-
+    # based bucketing cannot express, but the cell rewrite handles.
+    bands = spark.createDataFrame(
+        [
+            ("budget", 1000.0, 60000.0),
+            ("mid", 60000.0, 180000.0),
+            ("premium", 180000.0, 500000.0),
+            ("whale", 250000.0, 499000.0),
+            ("promo_target", 47500.0, 151300.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = JN.interval_bucket_join(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        bands,
+        "lo",
+        "hi",
+        bucket_width=20000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classic warehouse shapes (TPC-H Q2/Q6/Q8-Q15/Q17-Q19/Q22 analogs) live in
 # their own module; they register through the same decorator.

@@ -247,3 +247,33 @@ def test_rank_distribution_tie_stable(spark):
     fives = {(r.pct_rank, r.cume_dist) for r in rows if r.v == 5}
     assert len(fives) == 1  # peers got the same distribution values
     assert max(r.cume_dist for r in rows) == 1.0
+
+
+def test_interval_bucket_join_matches_naive_range_join(spark, sf_dir):
+    """The bucketed-equi rewrite must produce exactly the rows of the
+    naive non-equi join, including points in OVERLAPPING intervals
+    (matched twice) and points in no interval (dropped)."""
+    from monzo_data_pipeline_spark.catalog import load_table
+
+    intervals = spark.createDataFrame(
+        [("a", 1000.0, 60000.0), ("b", 47500.0, 151300.0), ("c", 250000.0, 499000.0)],
+        "band string, lo double, hi double",
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    got = JN.interval_bucket_join(
+        orders, "o_totalprice", intervals, "lo", "hi", bucket_width=20000.0
+    ).select("o_orderkey", "band")
+    naive = orders.join(
+        intervals,
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    ).select("o_orderkey", "band")
+
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # overlap sanity: some order keys match two bands (a∩b nonempty)
+    dup = got.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    assert dup.count() > 0
+    # plan contract: the rewrite must be a hash join, not nested-loop
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

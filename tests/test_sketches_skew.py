@@ -109,3 +109,33 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     salt = F.pmod(F.xxhash64(*hot.columns), F.lit(8))
     n_buckets = hot.withColumn("__s", salt).select("__s").distinct().count()
     assert n_buckets == 8
+
+
+def test_cms_estimate_bounds_and_merge(spark, sf_dir):
+    """Count-min: estimate >= true count for every key; merged state
+    from two batches == state built from the whole; error within the
+    ε·N bound for the default 5×2048 sketch at sf0.001 volumes."""
+    ev = load_table(spark, sf_dir, "events")
+    state = SK.cms_state(ev, "event_type")
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in SK.cms_estimate(
+            state, ev.select("event_type"), "event_type"
+        ).collect()
+    }
+    true = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(true.values())
+    eps_bound = (2.718281828 / SK.CMS_WIDTH) * n_total
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] <= t + max(eps_bound, 1), (k, est[k], t)
+
+    # batching invariance: state(b1) ⊕ state(b2) == state(whole)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = SK.cms_merge(SK.cms_state(b1, "event_type"), SK.cms_state(b2, "event_type"))
+    whole = sorted(map(tuple, state.collect()))
+    assert sorted(map(tuple, merged.collect())) == whole
