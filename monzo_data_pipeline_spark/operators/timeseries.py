@@ -1,0 +1,111 @@
+"""Time-series resample + gap fill.
+
+The reference keeps append-only snapshot logs (`bronze_balance`,
+`bronze_pots` — /root/reference/src/load/load.py:140,174) and reads
+"latest per key" in its notebook; the general time-series form every
+analytics pipeline needs on such logs is RESAMPLE: bucket irregular
+observations onto a fixed grid, densify the missing cells, and fill
+gaps (forward-fill for step semantics, linear interpolation for
+continuous signals).
+
+Plan shape (all built-in, codegen'd):
+  1. bucket    — `date_trunc` + hash agg (map-side combinable);
+  2. spine     — per-key `sequence(min, max, step)` + explode: the
+                 grid is generated cluster-side from one row per key,
+                 never enumerated on the driver;
+  3. densify   — left join buckets onto the spine (broadcastable when
+                 the grid is small; co-partitioned on the key
+                 otherwise);
+  4. fill      — ONE window shuffle per key ordered by bucket:
+                 `last(ignorenulls)` forward + `first(ignorenulls)`
+                 backward give the bracketing observations, and the
+                 interpolation is pure row-local arithmetic.
+
+At 100 TB the cost is the per-key window sort — the same shuffle an
+as-of join pays (operators/joins.py::asof_join), and it partitions
+cleanly by key; no iteration, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg
+
+
+def resample_gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    granularity: str = "hour",
+) -> DataFrame:
+    """Resample `value_col` onto a per-key `granularity` grid.
+
+    Returns one row per (keys, bucket) for EVERY bucket between each
+    key's first and last observation, with:
+      * ``v``       — deterministic mean of observations in the bucket
+                      (null for gap buckets);
+      * ``ffill_v`` — forward-filled value (step/"last known" fill);
+      * ``lerp_v``  — linear interpolation between the bracketing
+                      observed buckets (falls back to nearest endpoint
+                      at the edges).
+
+    The interpolation expression is written in one fixed operation
+    order so IEEE-754 doubles reproduce bit-for-bit across engines.
+    """
+    step = f"interval 1 {granularity}"
+    h = F.date_trunc(granularity, F.col(ts_col)).alias("h")
+
+    buckets = df.select(*keys, h, F.col(value_col)).groupBy(*keys, "h").agg(
+        davg(value_col, "decimal(18,6)").alias("v")
+    )
+    spine = (
+        buckets.groupBy(*keys)
+        .agg(F.min("h").alias("__h0"), F.max("h").alias("__h1"))
+        .select(
+            *keys,
+            F.explode(F.expr(f"sequence(__h0, __h1, {step})")).alias("h"),
+        )
+    )
+    dense = spine.join(buckets, [*keys, "h"], "left")
+
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    filled = dense.select(
+        *keys,
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("__pv"),
+        F.last(obs_h, ignorenulls=True).over(w_back).alias("__ph"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("__nv"),
+        F.first(obs_h, ignorenulls=True).over(w_fwd).alias("__nh"),
+    )
+
+    def _epoch(c: str) -> Column:
+        return F.unix_timestamp(F.col(c)).cast("double")
+
+    frac = (_epoch("h") - _epoch("__ph")) / (_epoch("__nh") - _epoch("__ph"))
+    lerp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("__pv").isNull(), F.col("__nv"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))
+        .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
+    )
+    return filled.select(
+        *keys,
+        "h",
+        "v",
+        F.col("__pv").alias("ffill_v"),
+        lerp.alias("lerp_v"),
+    )

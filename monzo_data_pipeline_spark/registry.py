@@ -34,6 +34,7 @@ from .operators import filters as FL
 from .operators import joins as JN
 from .operators import projection as PJ
 from .operators import setops as SO
+from .operators import timeseries as TS
 from .operators import windows as WN
 
 
@@ -2687,6 +2688,57 @@ def q_interval_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@_register(
+    "resample_gap_fill",
+    "beyond-§2 (time-series resample: hourly grid densification + "
+    "forward-fill + linear interpolation over the reference's "
+    "snapshot-log shape; operators/timeseries.py::resample_gap_fill)",
+    """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), bounds AS (
+        SELECT event_type, min(h) AS h0, max(h) AS h1 FROM b GROUP BY event_type
+    ), spine AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ), dense AS (
+        SELECT s.event_type, s.h, b.v
+        FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h
+    ), filled AS (
+        SELECT event_type, h, v,
+            last_value(v IGNORE NULLS) OVER w_back AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                OVER w_back AS ph,
+            first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                OVER w_fwd AS nh
+        FROM dense
+        WINDOW
+          w_back AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_fwd AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h, v, pv AS ffill_v,
+        CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) *
+                  ((CAST(epoch(h) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE))
+                 / (CAST(epoch(nh) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE)))
+        END AS lerp_v
+    FROM filled
+    """,
+)
+def q_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return TS.resample_gap_fill(
+        ev, ["event_type"], "ts", "value", granularity="hour"
     )
 
 

@@ -277,3 +277,32 @@ def test_interval_bucket_join_matches_naive_range_join(spark, sf_dir):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_resample_gap_fill_semantics(spark):
+    """Inline fixture: observations at hours 0,1,4 (gap at 2,3) and a
+    leading-edge key. Checks densification, forward fill, and exact
+    linear interpolation values."""
+    from monzo_data_pipeline_spark.operators import timeseries as TS
+
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:10:00", 10.0),
+            ("k", "2024-01-01 01:20:00", 20.0),
+            ("k", "2024-01-01 04:30:00", 50.0),
+            ("k", "2024-01-01 04:40:00", 70.0),  # same bucket → avg 60
+        ],
+        "key string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = {
+        r["h"].hour: r
+        for r in TS.resample_gap_fill(df, ["key"], "ts", "value").collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4]          # densified to 5 buckets
+    assert out[2]["v"] is None and out[3]["v"] is None
+    assert out[2]["ffill_v"] == 20.0 and out[3]["ffill_v"] == 20.0
+    # lerp between (h1, 20) and (h4, 60): h2 → 20+40/3, h3 → 20+80/3
+    assert abs(out[2]["lerp_v"] - (20.0 + 40.0 / 3.0)) < 1e-9
+    assert abs(out[3]["lerp_v"] - (20.0 + 80.0 / 3.0)) < 1e-9
+    assert out[4]["v"] == 60.0 and out[4]["lerp_v"] == 60.0
