@@ -259,6 +259,10 @@ def near_dup_clusters(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
+        # edges sits under EVERY iteration's join: without truncation the
+        # (possibly expensive) upstream pair generation — e.g. the n-gram
+        # self-join — re-executes once per round. Materialize it once.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
