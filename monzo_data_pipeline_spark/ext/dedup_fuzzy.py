@@ -346,6 +346,9 @@ def simhash_near_dup_pairs(
     pigeonhole, any pair within Hamming ≤ 3·4 shares ≥1 exact chunk —
     join on (chunk index, chunk value), verify with bit_count(xor).
     """
+    # no checkpoint here: both self-join sides share one exchange
+    # (ReuseExchange) within the single job, unlike the cross-job
+    # recompute in near_dup_clusters
     sh = simhash(docs, id_col=id_col)
     # per-chunk extraction: shiftright then 16-bit mask
     exploded = sh.select(

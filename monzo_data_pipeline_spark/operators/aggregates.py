@@ -210,3 +210,40 @@ def deterministic_mode(df: DataFrame, group_col: str, value_col: str) -> DataFra
         .filter(F.col("__rn") == 1)
         .select(group_col, F.col(value_col).alias("mode_value"), F.col("n").alias("n_occurrences"))
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_cols: list[str],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: rows with
+    |value − mean| / stddev_pop ≥ threshold.
+
+    Two-pass shape that stays one-shuffle-each at any scale: (1) a hash
+    aggregate reduces each group to exact decimal power sums (n, Σx,
+    Σx²) — map-side combinable, order-independent (see
+    `algebraic_moments`); (2) the per-group stats (tiny: one row per
+    group) broadcast-join back onto the fact, so the scoring pass never
+    shuffles the fact table. The z expression is assembled in one fixed
+    double operation order and rounded to 6 digits, making the scores —
+    and therefore the threshold filter — engine-reproducible.
+    """
+    x = F.col(value_col).cast("decimal(18,6)")
+    stats = df.groupBy(*keys).agg(
+        F.count(value_col).alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__sx") / n
+    var_pop = (F.col("__sxx") - F.col("__sx") * F.col("__sx") / n) / n
+    z = F.round((F.col(value_col) - mean) / F.sqrt(var_pop), 6)
+    return (
+        df.join(F.broadcast(stats), keys)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= F.lit(threshold))
+        .select(*id_cols, *keys, value_col, "z")
+    )

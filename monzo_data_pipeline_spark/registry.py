@@ -31,6 +31,7 @@ from .functions.deterministic import davg, dsum, oracle_davg, oracle_dsum
 from .operators import aggregates as AGG
 from .operators import dedup as DD
 from .operators import filters as FL
+from .operators import geo as GEO
 from .operators import joins as JN
 from .operators import projection as PJ
 from .operators import setops as SO
@@ -2739,6 +2740,87 @@ def q_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return TS.resample_gap_fill(
         ev, ["event_type"], "ts", "value", granularity="hour"
+    )
+
+
+@_register(
+    "zscore_outliers",
+    "beyond-§2 (per-group z-score anomaly detection: exact-decimal power "
+    "sums broadcast back onto the fact; "
+    "operators/aggregates.py::zscore_outliers)",
+    """
+    WITH s AS (
+        SELECT event_type, COUNT(value) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    ), scored AS (
+        SELECT event_id, e.event_type AS event_type, value,
+               round((value - sx / CAST(n AS DOUBLE))
+                     / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)), 6) AS z
+        FROM events e JOIN s ON e.event_type = s.event_type
+    )
+    SELECT event_id, event_type, value, z FROM scored WHERE abs(z) >= 3.0
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return AGG.zscore_outliers(
+        ev, ["event_type"], "value", ["event_id"], threshold=3.0
+    )
+
+
+@_register(
+    "grid_radius_join",
+    "beyond-§2 (spatial radius join on a fixed grid: 3×3 neighbor-cell "
+    "equi-join + exact residual distance — the join the reference's "
+    "merchant lat/long columns imply; operators/geo.py::grid_radius_join)",
+    """
+    WITH c AS (
+        SELECT c_custkey,
+               CAST((c_custkey * 48271) % 100000 AS DOUBLE) / 1000.0 AS cx,
+               CAST((c_custkey * 69621) % 100000 AS DOUBLE) / 1000.0 AS cy
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               CAST((s_suppkey * 48271) % 100000 AS DOUBLE) / 1000.0 AS sx,
+               CAST((s_suppkey * 69621) % 100000 AS DOUBLE) / 1000.0 AS sy
+        FROM supplier
+    )
+    SELECT s_suppkey, COUNT(*) AS n_within,
+           CAST(MIN(FLOOR(((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy))
+                          * 1000000.0)) AS BIGINT) AS min_d2_q
+    FROM c JOIN s
+      ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 1.0
+    GROUP BY s_suppkey
+    """,
+)
+def q_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic synthetic planar coordinates from the integer keys
+    # (testdata has no geo columns; the reference's schema does —
+    # create_bronze_layer.sql:27-28): pure integer arithmetic, so both
+    # engines derive bit-identical doubles.
+    def coords(df, key, x, y):
+        return df.select(
+            key,
+            ((F.col(key) * 48271) % 100000).cast("double").alias("__t1"),
+            ((F.col(key) * 69621) % 100000).cast("double").alias("__t2"),
+        ).select(
+            key,
+            (F.col("__t1") / 1000.0).alias(x),
+            (F.col("__t2") / 1000.0).alias(y),
+        )
+
+    cust = coords(load_table(spark, sf_dir, "customer"), "c_custkey", "cx", "cy")
+    supp = coords(load_table(spark, sf_dir, "supplier"), "s_suppkey", "sx", "sy")
+    pairs = GEO.grid_radius_join(
+        cust, "cx", "cy", supp, "sx", "sy", radius=1.0, broadcast_b=True
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.min(F.floor(F.col("d2") * 1000000.0)).cast("bigint").alias("min_d2_q"),
     )
 
 

@@ -306,3 +306,32 @@ def test_resample_gap_fill_semantics(spark):
     assert abs(out[2]["lerp_v"] - (20.0 + 40.0 / 3.0)) < 1e-9
     assert abs(out[3]["lerp_v"] - (20.0 + 80.0 / 3.0)) < 1e-9
     assert out[4]["v"] == 60.0 and out[4]["lerp_v"] == 60.0
+
+
+def test_grid_radius_join_matches_naive(spark):
+    """Grid rewrite must equal the naive all-pairs distance join,
+    including pairs straddling cell boundaries, and must not plan a
+    nested-loop join."""
+    from monzo_data_pipeline_spark.operators import geo as GEO
+
+    a = spark.createDataFrame(
+        [(i, (i * 37 % 100) / 7.0, (i * 53 % 100) / 7.0) for i in range(200)],
+        "aid long, ax double, ay double",
+    )
+    b = spark.createDataFrame(
+        [(j, (j * 41 % 100) / 7.0, (j * 29 % 100) / 7.0) for j in range(80)],
+        "bid long, bx double, by double",
+    )
+    r = 1.3
+    got = GEO.grid_radius_join(a, "ax", "ay", b, "bx", "by", radius=r)
+    naive = a.crossJoin(b).filter(
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+        <= r * r
+    )
+    assert sorted(
+        (row["aid"], row["bid"]) for row in got.select("aid", "bid").collect()
+    ) == sorted((row["aid"], row["bid"]) for row in naive.select("aid", "bid").collect())
+    assert naive.count() > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
