@@ -127,3 +127,67 @@ def read_with_schema_merge(
     return (
         spark.read.option("mergeSchema", "true").format(fmt).load(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton-curve) layout: cluster files so parquet min/max
+    statistics skip files for predicates on EITHER of two columns.
+
+    Range-partitioning on one key gives perfect skipping on that key
+    and none on any other; interleaving the bits of both (min/max-
+    normalized) keys gives ~sqrt-of-file-count skipping on each —
+    the standard multi-dimensional clustering trade (cf. Delta/Iceberg
+    OPTIMIZE ZORDER; implemented here with plain Spark expressions).
+
+    Pipeline: one cheap min/max agg → broadcast back → codegen'd bit
+    interleave → repartitionByRange on the z-value (range exchange =
+    one skew-aware sampling pass) → per-file sort for page-level stats.
+
+    Caveat: min/max normalization assumes roughly uniform keys; a
+    heavy-tailed column collapses onto few bit patterns and loses its
+    skipping power (the test demonstrates this boundary). The fix at
+    scale is rank normalization from approx-quantile boundaries
+    (equi-depth), at the cost of one extra percentile_approx pass.
+    """
+    from pyspark.sql import functions as F
+
+    scale = (1 << bits) - 1
+    bounds = df.agg(
+        F.min(col_a).alias("__a0"),
+        F.max(col_a).alias("__a1"),
+        F.min(col_b).alias("__b0"),
+        F.max(col_b).alias("__b1"),
+    )
+    with_bounds = df.join(F.broadcast(bounds))
+
+    def norm(c: str, lo: str, hi: str):
+        span = F.col(hi).cast("double") - F.col(lo).cast("double")
+        frac = (F.col(c).cast("double") - F.col(lo).cast("double")) / F.when(
+            span > 0, span
+        ).otherwise(F.lit(1.0))
+        return F.round(frac * scale).cast("long")
+
+    a_n = norm(col_a, "__a0", "__a1")
+    b_n = norm(col_b, "__b0", "__b1")
+    z = None
+    for j in range(bits):
+        term = (
+            F.shiftleft(F.shiftright(a_n, j).bitwiseAND(F.lit(1)), 2 * j)
+            + F.shiftleft(F.shiftright(b_n, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+        z = term if z is None else z + term
+    (
+        with_bounds.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "__a0", "__a1", "__b0", "__b1")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -35,3 +35,63 @@ def test_read_with_schema_merge_unions_columns(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_zorder_layout_skips_files_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered files must let min/max stats skip files for range
+    predicates on BOTH columns; single-key range layout only skips on
+    its own key. Overlap measured from actual parquet footer stats."""
+    import pyarrow.parquet as pq
+    from monzo_data_pipeline_spark.catalog import load_table
+    from monzo_data_pipeline_spark.sources.io import write_zordered
+
+    # sf0.01 for meaningful key domains (150 users, 10k rows over 16 files)
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "ranged")
+    write_zordered(ev, zpath, "user_id", "event_id", n_files=16)
+    ev.repartitionByRange(16, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.mode("overwrite").parquet(rpath)
+
+    def overlapping(path, col, lo, hi):
+        import glob, os
+        n = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fmin = min(
+                md.row_group(i).column(
+                    next(
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(
+                    next(
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                n += 1
+        return n
+
+    # 10%-of-domain range predicates on each column
+    u_lo, u_hi = 40, 55        # ~10% of the user_id domain [0, 149]
+    v_lo, v_hi = 1000, 2000    # ~10% of the uniform event_id domain
+    z_u = overlapping(zpath, "user_id", u_lo, u_hi)
+    z_v = overlapping(zpath, "event_id", v_lo, v_hi)
+    r_u = overlapping(rpath, "user_id", u_lo, u_hi)
+    r_v = overlapping(rpath, "event_id", v_lo, v_hi)
+    # range layout: perfect on its key, useless on the other
+    assert r_u <= 4 and r_v >= 14
+    # z-order: skips meaningfully on BOTH (< half the files each)
+    assert z_u <= 8 and z_v <= 8, (z_u, z_v, r_u, r_v)

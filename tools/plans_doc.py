@@ -31,6 +31,10 @@ SHOW = {
     "min_cost_supplier_q2": "Q2 — argmin-per-key via hash agg (no window sort); dims broadcast",
     "customer_distribution_q13": "Q13 — outer join + double agg; one shuffle per grain change",
     "tfidf_top_terms": "TF-IDF — df and N broadcast back; one big (doc,word) shuffle",
+    "interval_band_revenue": "general range join — interval×point as broadcast hash join on grid cell + residual filter (no nested loop)",
+    "grid_radius_join": "spatial radius join — 3×3 neighbor-cell broadcast equi-join + exact residual distance",
+    "zscore_outliers": "anomaly scoring — stats agg broadcast back; fact scanned twice, shuffled never",
+    "resample_gap_fill": "resample — cluster-side spine explode, one window shuffle per key for both fills",
 }
 
 MARKERS = (
