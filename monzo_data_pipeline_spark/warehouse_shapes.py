@@ -700,11 +700,16 @@ def register(_register) -> None:
             "__late",
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
         )
-        per_order = lo.groupBy(F.col("l_orderkey").alias("__okey")).agg(
-            F.countDistinct("l_suppkey").alias("__n_supp"),
-            F.countDistinct(
-                F.when(F.col("__late"), F.col("l_suppkey"))
-            ).alias("__n_late"),
+        # two-level agg instead of two countDistincts: a double distinct
+        # aggregate plans an Expand (3× the fact rows into the shuffle);
+        # reducing to (order, supplier) grain first shuffles each row
+        # once and the second level is a near-free rollup.
+        per_os = lo.groupBy(
+            F.col("l_orderkey").alias("__okey"), F.col("l_suppkey").alias("__skey")
+        ).agg(F.max(F.col("__late").cast("int")).alias("__any_late"))
+        per_order = per_os.groupBy("__okey").agg(
+            F.count(F.lit(1)).alias("__n_supp"),
+            F.sum("__any_late").alias("__n_late"),
         )
         late_f = lo.filter(F.col("__late") & (F.col("o_orderstatus") == "F"))
         return (
