@@ -147,3 +147,70 @@ def test_salted_sum_matches_plain(sp, rows, buckets):
         agg[0] += v
         agg[1] += 1
     assert got == {k: (float(s), c) for k, (s, c) in want.items()}
+
+
+POINT = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False, allow_infinity=False)
+IVAL = st.tuples(POINT, st.floats(min_value=0.0, max_value=30.0, allow_nan=False))
+
+
+@given(
+    points=st.lists(POINT, min_size=1, max_size=30),
+    intervals=st.lists(IVAL, min_size=1, max_size=10),
+    width=st.sampled_from([0.7, 3.0, 11.0]),
+)
+@SET
+def test_interval_bucket_join_matches_bruteforce(sp, points, intervals, width):
+    """Grid rewrite == brute-force lo <= v < hi for arbitrary signed,
+    overlapping, zero-width intervals and any bucket width."""
+    from monzo_data_pipeline_spark.operators.joins import interval_bucket_join
+
+    pts = sp.createDataFrame(
+        [(i, v) for i, v in enumerate(points)], "pid int, v double"
+    )
+    ivs = sp.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(intervals)],
+        "iid int, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_bucket_join(pts, "v", ivs, "lo", "hi", width)
+        .select("pid", "iid")
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, v in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= v < lo + w
+    )
+    assert got == want
+
+
+@given(
+    pa=st.lists(st.tuples(POINT, POINT), min_size=1, max_size=20),
+    pb=st.lists(st.tuples(POINT, POINT), min_size=1, max_size=12),
+    radius=st.sampled_from([0.9, 4.0, 15.0]),
+)
+@SET
+def test_grid_radius_join_matches_bruteforce(sp, pa, pb, radius):
+    from monzo_data_pipeline_spark.operators.geo import grid_radius_join
+
+    a = sp.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pa)], "aid int, ax double, ay double"
+    )
+    b = sp.createDataFrame(
+        [(j, x, y) for j, (x, y) in enumerate(pb)], "bid int, bx double, by double"
+    )
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in grid_radius_join(a, "ax", "ay", b, "bx", "by", radius)
+        .select("aid", "bid")
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (x1, y1) in enumerate(pa)
+        for j, (x2, y2) in enumerate(pb)
+        if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= radius * radius
+    )
+    assert got == want
