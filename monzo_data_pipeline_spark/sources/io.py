@@ -136,6 +136,7 @@ def write_zordered(
     col_b: str,
     n_files: int,
     bits: int = 16,
+    equi_depth: bool = False,
 ) -> None:
     """Z-order (Morton-curve) layout: cluster files so parquet min/max
     statistics skip files for predicates on EITHER of two columns.
@@ -150,32 +151,69 @@ def write_zordered(
     interleave → repartitionByRange on the z-value (range exchange =
     one skew-aware sampling pass) → per-file sort for page-level stats.
 
-    Caveat: min/max normalization assumes roughly uniform keys; a
-    heavy-tailed column collapses onto few bit patterns and loses its
-    skipping power (the test demonstrates this boundary). The fix at
-    scale is rank normalization from approx-quantile boundaries
-    (equi-depth), at the cost of one extra percentile_approx pass.
+    Normalization: min/max by default (zero extra passes) — fine for
+    roughly uniform keys, but a heavy-tailed column collapses onto few
+    bit patterns and loses its skipping power (the test demonstrates
+    this boundary). ``equi_depth=True`` rank-normalizes instead:
+    approx-quantile boundaries (one lightweight sampling pass, same
+    mechanism range partitioning uses) feed an ML `Bucketizer` — a
+    JVM-side binary search per row — so each bucket holds ~equal row
+    counts regardless of skew. Equi-depth caps at 8 bits/dimension
+    (256 buckets is ample for file-level stats).
     """
     from pyspark.sql import functions as F
 
-    scale = (1 << bits) - 1
-    bounds = df.agg(
-        F.min(col_a).alias("__a0"),
-        F.max(col_a).alias("__a1"),
-        F.min(col_b).alias("__b0"),
-        F.max(col_b).alias("__b1"),
-    )
-    with_bounds = df.join(F.broadcast(bounds))
+    if equi_depth:
+        from pyspark.ml.feature import Bucketizer
 
-    def norm(c: str, lo: str, hi: str):
-        span = F.col(hi).cast("double") - F.col(lo).cast("double")
-        frac = (F.col(c).cast("double") - F.col(lo).cast("double")) / F.when(
-            span > 0, span
-        ).otherwise(F.lit(1.0))
-        return F.round(frac * scale).cast("long")
+        bits = min(bits, 8)
+        n_buckets = 1 << bits
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        work = df.withColumn("__da", F.col(col_a).cast("double")).withColumn(
+            "__db", F.col(col_b).cast("double")
+        )
+        splits_a, splits_b = (
+            [float("-inf")] + sorted(set(work.stat.approxQuantile(c, qs, 0.001)))
+            + [float("inf")]
+            for c in ("__da", "__db")
+        )
+        work = Bucketizer(
+            inputCols=["__da", "__db"],
+            outputCols=["__na", "__nb"],
+            splitsArray=[splits_a, splits_b],
+        ).transform(work)
+        # low-cardinality columns dedupe to fewer buckets than 2^bits;
+        # stretch indices back over the full bit range or the z-curve
+        # tiles unevenly (high interleave bits would stay ~constant)
+        scale = (1 << bits) - 1
+        max_a = max(1, len(splits_a) - 2)
+        max_b = max(1, len(splits_b) - 2)
+        with_bounds = work.withColumn(
+            "__na", F.round(F.col("__na") * scale / max_a).cast("long")
+        ).withColumn("__nb", F.round(F.col("__nb") * scale / max_b).cast("long"))
+        a_n, b_n = F.col("__na"), F.col("__nb")
+        drop_cols = ["__da", "__db", "__na", "__nb"]
+    else:
+        scale = (1 << bits) - 1
+        bounds = df.agg(
+            F.min(col_a).alias("__a0"),
+            F.max(col_a).alias("__a1"),
+            F.min(col_b).alias("__b0"),
+            F.max(col_b).alias("__b1"),
+        )
+        with_bounds = df.join(F.broadcast(bounds))
 
-    a_n = norm(col_a, "__a0", "__a1")
-    b_n = norm(col_b, "__b0", "__b1")
+        def norm(c: str, lo: str, hi: str):
+            span = F.col(hi).cast("double") - F.col(lo).cast("double")
+            frac = (F.col(c).cast("double") - F.col(lo).cast("double")) / F.when(
+                span > 0, span
+            ).otherwise(F.lit(1.0))
+            return F.round(frac * scale).cast("long")
+
+        a_n = norm(col_a, "__a0", "__a1")
+        b_n = norm(col_b, "__b0", "__b1")
+        drop_cols = ["__a0", "__a1", "__b0", "__b1"]
+
     z = None
     for j in range(bits):
         term = (
@@ -187,7 +225,7 @@ def write_zordered(
         with_bounds.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z", "__a0", "__a1", "__b0", "__b1")
+        .drop("__z", *drop_cols)
         .write.mode("overwrite")
         .parquet(path)
     )
