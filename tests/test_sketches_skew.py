@@ -139,3 +139,21 @@ def test_cms_estimate_bounds_and_merge(spark, sf_dir):
     merged = SK.cms_merge(SK.cms_state(b1, "event_type"), SK.cms_state(b2, "event_type"))
     whole = sorted(map(tuple, state.collect()))
     assert sorted(map(tuple, merged.collect())) == whole
+
+
+def test_cms_state_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The maintenance loop a 100 TB pipeline runs: persist sketch
+    state, read it back next batch, merge the delta — must equal the
+    sketch built from all data at once."""
+    ev = load_table(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "cms_state")
+
+    SK.cms_state(b1, "event_type").write.mode("overwrite").parquet(path)
+    restored = spark.read.parquet(path)
+    merged = SK.cms_merge(restored, SK.cms_state(b2, "event_type"))
+    whole = SK.cms_state(ev, "event_type")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
