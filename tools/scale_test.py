@@ -63,6 +63,12 @@ QUERY_SET = [
     "embedding_cosine_near_dup",
     "algebraic_moments",
     "exists_agg_priority",
+    "interval_band_revenue",
+    "grid_radius_join",
+    "zscore_outliers",
+    "resample_gap_fill",
+    "near_dup_clusters",
+    "waiting_orders_suppliers_q21",
 ]
 
 KEY_OFFSET = 100_000_000
