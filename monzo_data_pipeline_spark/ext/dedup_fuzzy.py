@@ -184,6 +184,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.6,
     shingle_n: int = 5,
     id_col: str = "doc_id",
+    max_shingles_per_doc: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dedup: LSH candidates verified with exact
     Jaccard — in ONE shuffle over the shingle rows.
@@ -198,16 +199,34 @@ def minhash_near_dup_pairs(
     100 TB shape: signatures+banding prune the pair space to
     near-linear; full shingle sets travel only for candidate docs
     (a vanishing fraction), everything else moves 64 longs per doc.
+
+    ``max_shingles_per_doc`` guards the one unbounded state in the
+    plan: a pathological document (machine-generated, concatenated
+    crawl) can carry millions of distinct shingles, and its collected
+    set must fit in one aggregation buffer. When set, each doc keeps
+    only its k smallest-by-hash shingles (a bottom-k sketch —
+    deterministic, consistent across docs, so shared shingles survive
+    in both sets and |A_k∩B_k|/|A_k∪B_k| estimates true Jaccard).
+    Signatures still see every shingle (min is cap-free). Default None
+    = exact verification, used by the oracle-checked registry entry.
     """
     exploded = word_shingles(docs, n=shingle_n, id_col=id_col).withColumn(
         "__h", F.xxhash64("shingle")
     )
+    sh_for_set = F.col("shingle")
+    if max_shingles_per_doc is not None:
+        # word_shingles already hash-partitioned by id_col, so this
+        # window sorts within partitions without a new exchange
+        wk = Window.partitionBy(id_col).orderBy("__h", "shingle")
+        exploded = exploded.withColumn("__rk", F.row_number().over(wk))
+        # collect_set drops nulls → rows past the cap never enter the buffer
+        sh_for_set = F.when(F.col("__rk") <= max_shingles_per_doc, F.col("shingle"))
     per_doc = exploded.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
             for i in range(N_MINHASH)
         ],
-        F.collect_set("shingle").alias("sh_set"),
+        F.collect_set(sh_for_set).alias("sh_set"),
     )
     per_doc = per_doc.select(
         id_col,

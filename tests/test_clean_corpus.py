@@ -38,6 +38,45 @@ def test_scrub_pii_url_wins_over_email(spark):
     )
 
 
+def test_minhash_shingle_cap_bounds_state_keeps_recall(spark):
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import minhash_near_dup_pairs
+
+    # two long near-identical docs (shared 400-token body, one word
+    # swapped) and one unrelated doc
+    body = " ".join(f"tok{i}" for i in range(400))
+    rows = [
+        (1, body),
+        (2, body.replace("tok200", "changed")),
+        (3, " ".join(f"other{i}" for i in range(400))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in exact and len(exact) == 1
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            docs, threshold=0.5, max_shingles_per_doc=50
+        ).collect()
+    }
+    # bottom-k sketch keeps the pair and estimates its Jaccard
+    assert (1, 2) in capped and len(capped) == 1
+    assert abs(capped[(1, 2)] - exact[(1, 2)]) < 0.2
+
+    # a cap above every doc's shingle count degenerates to exact
+    uncapped_equiv = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            docs, threshold=0.5, max_shingles_per_doc=10_000
+        ).collect()
+    }
+    assert uncapped_equiv == exact
+
+
 def test_clean_corpus_removes_exact_and_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     base = docs.limit(60).cache()
