@@ -54,8 +54,17 @@ def write_table(
     sort_within_by: list[str] | None = None,
     target_files: int | None = None,
     fmt: str = "parquet",
+    bloom_filter_cols: list[str] | None = None,
 ) -> None:
-    """Layout-aware table write (the A5 sink, done columnar)."""
+    """Layout-aware table write (the A5 sink, done columnar).
+
+    ``bloom_filter_cols`` writes a parquet bloom filter per listed
+    column: point lookups (`id = ?`, semi-joins on ids) skip
+    row groups that min/max stats can't rule out — the win is on
+    high-cardinality unsorted columns (UUID-ish transaction ids)
+    where every row group's [min,max] spans the whole domain. Costs
+    ~1 MB/row group per column, so list only join/lookup keys.
+    """
     out = df
     if target_files:
         out = out.repartition(target_files, *(partition_by or []))
@@ -64,6 +73,8 @@ def write_table(
     writer = out.write.mode(mode).format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    for c in bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     writer.save(path)
 
 

@@ -95,6 +95,79 @@ def test_plan_contract(spark, sf_dir, query, markers):
         assert marker in plan, f"{query}: expected {marker!r} in plan"
 
 
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """At 100 TB the big win on selective fact⟕dim joins is Spark's
+    runtime bloom-filter injection (InjectRuntimeFilter): the small
+    (filtered) side builds a bloom sketch and the fact scan drops
+    non-matching rows BEFORE the shuffle. Default thresholds
+    (creation side ≤ 10 MB, application scan ≥ 10 GB) target cluster
+    scale; here we lower the scan threshold to prove the rule fires
+    on our join shape — the contract is the shape, not the size."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # keep the build side from broadcasting: bloom injection only
+        # helps shuffle joins (broadcast already prunes at the probe)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and it still computes the right thing
+        assert joined.count() == 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_parquet_bloom_filter_written_and_readable(spark, tmp_path):
+    """write_table(bloom_filter_cols=...) lands per-column bloom
+    filters in the parquet files; neither pyarrow 16 nor duckdb 1.0
+    surfaces the footer offsets, so verify behaviorally: the bloomed
+    copy of identical data carries the (fixed-size) filter bytes, and
+    point lookups on the bloomed column still read correctly."""
+    import glob
+    import os
+
+    from monzo_data_pipeline_spark.sources.io import write_table
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("tx_id"),
+        F.col("id").alias("seq"),
+    )
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    write_table(df, plain, target_files=2)
+    write_table(df, bloomed, target_files=2, bloom_filter_cols=["tx_id"])
+
+    def bytes_of(p: str) -> int:
+        return sum(os.path.getsize(f) for f in glob.glob(p + "/*.parquet"))
+
+    # parquet-mr sizes an un-hinted bloom filter at up to 1 MB/row
+    # group; identical data, so any meaningful growth IS the filter
+    assert bytes_of(bloomed) > bytes_of(plain) + 10_000
+
+    back = spark.read.parquet(bloomed)
+    probe = df.limit(1).collect()[0]["tx_id"]
+    assert back.filter(F.col("tx_id") == probe).count() >= 1
+    assert back.count() == 10_000
+
+
 def test_projection_prunes_scan(spark, sf_dir):
     """A 4-column projection of lineitem must read 4 columns, not 11."""
     import contextlib
