@@ -991,13 +991,14 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "sessionization",
     "C6 (session windows; oracle = lag/cumsum sessionization — new session "
-    "when the gap to the previous event is >= 15 min, matching Spark's "
-    "interval-overlap merge rule)",
+    "when the gap to the previous event EXCEEDS 15 min: session_window "
+    "spans [ts, ts+gap) but merges on touch, so an exact-gap successor "
+    "joins the session; verified against Spark on the boundary case)",
     """
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -335,3 +335,26 @@ def test_grid_radius_join_matches_naive(spark):
     assert naive.count() > 0
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_session_window_boundary_merges_on_exact_gap(spark):
+    """Spark session_window spans [ts, ts+gap) but MERGES a successor
+    landing exactly on the boundary; a gap must strictly exceed the
+    threshold to split. The sessionization oracle encodes `>`, and this
+    pins the engine side of that contract."""
+    import datetime as dt
+
+    from monzo_data_pipeline_spark.streaming.windows import sessionized_counts
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(seconds=900), 2),          # exact gap: merges
+        (1, t0 + dt.timedelta(seconds=900 * 2 + 1), 3),  # gap + 1s: splits
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    got = sessionized_counts(df, gap="15 minutes").orderBy("session_start").collect()
+    assert [r["n_events"] for r in got] == [2, 1]
+    # merged session covers [t0, last_ts + gap)
+    assert got[0]["session_start"] == t0
+    assert got[0]["session_end"] == t0 + dt.timedelta(seconds=1800)
