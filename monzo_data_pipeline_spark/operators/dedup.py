@@ -72,3 +72,42 @@ def exact_dedup_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+def upsert_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Last-wins upsert (the MERGE INTO ... WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT pattern over plain tables).
+
+    The complement of A11/A17: the reference's `settled` column
+    arrives null and is filled once a transaction settles
+    (create_bronze_layer.sql:10, SURVEY §1.2 late-arriving
+    attribute) — that correction is an UPDATE, which INSERT OR
+    IGNORE semantics can never apply. Composition:
+
+      1. collapse `updates` to one row per key (last wins by
+         `order_cols`, total order required for determinism);
+      2. target rows NOT in updates (left-anti)  ∪  collapsed updates.
+
+    One window + one anti-join + a union: at scale both shuffles key
+    on `keys`, and AQE broadcasts the (typically small) update batch.
+    On a real lakehouse this is `MERGE INTO` (Delta/Iceberg); the
+    composition is the engine-portable form with identical semantics.
+    """
+    if order_cols:
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        latest = updates.dropDuplicates(keys)
+    untouched = target.join(latest.select(*keys).distinct(), on=keys, how="left_anti")
+    return untouched.unionByName(latest.select(*target.columns))

@@ -191,6 +191,51 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "upsert_last_wins",
+    "A11 complement (MERGE upsert: late-arriving corrections — e.g. the "
+    "reference's null-until-settled `settled` column — update matched "
+    "keys, insert new ones, last version wins)",
+    """
+    WITH upd AS (
+        SELECT * REPLACE ('F' AS o_orderstatus), 1 AS __v
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT * REPLACE ('P' AS o_orderstatus,
+                          o_totalprice + 5.0 AS o_totalprice), 2 AS __v
+        FROM orders WHERE o_orderkey % 20 = 3
+    ), latest AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY __v DESC) AS rn
+              FROM upd)
+        WHERE rn = 1
+    )
+    SELECT * FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT * FROM latest
+    """,
+)
+def q_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = (
+        orders.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("__v", F.lit(1))
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 20 == 3)
+        .withColumn("o_orderstatus", F.lit("P"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .withColumn("__v", F.lit(2))
+    )
+    return DD.upsert_merge(
+        orders, v1.unionByName(v2), ["o_orderkey"], order_cols=["__v"]
+    )
+
+
+@_register(
     "distinct_entities",
     "A15 (DISTINCT + NOT NULL entity extraction: counterparties shape)",
     """

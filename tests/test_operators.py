@@ -358,3 +358,34 @@ def test_session_window_boundary_merges_on_exact_gap(spark):
     # merged session covers [t0, last_ts + gap)
     assert got[0]["session_start"] == t0
     assert got[0]["session_end"] == t0 + dt.timedelta(seconds=1800)
+
+
+def test_upsert_merge_update_insert_last_wins(spark):
+    target = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None)],
+        "id long, val string, settled string",
+    )
+    # two versions for id=1 (v2 must win), one late settle for id=2,
+    # one brand-new id=3
+    updates = spark.createDataFrame(
+        [
+            (1, "a-v1", None, 1),
+            (1, "a-v2", None, 2),
+            (2, "b", "2025-01-01", 1),
+            (3, "c", None, 1),
+        ],
+        "id long, val string, settled string, v long",
+    )
+    got = {
+        r["id"]: (r["val"], r["settled"])
+        for r in DD.upsert_merge(target, updates, ["id"], order_cols=["v"]).collect()
+    }
+    assert got == {
+        1: ("a-v2", None),
+        2: ("b", "2025-01-01"),
+        3: ("c", None),
+    }
+    # idempotence: re-applying the same batch changes nothing
+    merged = DD.upsert_merge(target, updates, ["id"], order_cols=["v"])
+    again = DD.upsert_merge(merged, updates, ["id"], order_cols=["v"])
+    assert sorted(again.collect()) == sorted(merged.collect())

@@ -35,6 +35,7 @@ SHOW = {
     "grid_radius_join": "spatial radius join — 3×3 neighbor-cell broadcast equi-join + exact residual distance",
     "zscore_outliers": "anomaly scoring — stats agg broadcast back; fact scanned twice, shuffled never",
     "resample_gap_fill": "resample — cluster-side spine explode, one window shuffle per key for both fills",
+    "upsert_last_wins": "MERGE upsert — last-wins collapse (window) + anti-join + union; update batch broadcast when small",
 }
 
 MARKERS = (
