@@ -101,24 +101,39 @@ def replicate(spark, factor: int) -> None:
 
 
 def time_query(fn, spark, sf_dir: str) -> float:
-    fn(spark, sf_dir).toPandas()  # warm
+    """Time the full plan into a noop sink. NOT toPandas: queries whose
+    result is proportional to input (sessionization, dedup survivors)
+    would otherwise measure the driver's single-threaded Arrow funnel —
+    at cluster scale results land in a distributed sink, and the noop
+    write executes every operator while keeping rows on the executors.
+    (Measured: sessionization ×10 was 4.5 s via toPandas, 0.4 s of
+    actual compute.)"""
+
+    def run():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    run()  # warm
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
-        fn(spark, sf_dir).toPandas()
+        run()
         best = min(best, time.time() - t0)
     return best
 
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # optional query-name args: measure a subset (prints only, no
+    # SCALING.md rewrite) — for re-measuring a row that caught one of
+    # this host's random external stalls
+    subset = sys.argv[2:] or None
     spark = get_spark("scale-test")
     print(f"replicating sf0.1 x{factor} into {SCALED_DIR} ...", flush=True)
     replicate(spark, factor)
 
     qs = queries()
     rows = []
-    for name in QUERY_SET:
+    for name in subset or QUERY_SET:
         t_base = time_query(qs[name], spark, BASE_SF)
         t_big = time_query(qs[name], spark, SCALED_DIR)
         ratio = t_big / t_base if t_base > 0 else float("nan")
@@ -147,9 +162,12 @@ def main() -> None:
         "Super-linear ratios would flag a plan that re-serializes "
         "(global sort, exploding join) — none observed.",
     ]
-    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote SCALING.md")
+    if subset:
+        print("(subset run: SCALING.md not rewritten)")
+    else:
+        with open(os.path.join(REPO, "SCALING.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print("wrote SCALING.md")
     shutil.rmtree(SCALED_DIR, ignore_errors=True)
 
 
