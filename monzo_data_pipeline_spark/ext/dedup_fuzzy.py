@@ -146,29 +146,7 @@ def lsh_candidate_pairs(
     on all rows of any band collide. The self-join shuffles on the
     band key — Σ|bucket|², never n².
     """
-    n = N_MINHASH
-    rows = n // bands
-    # per-band bucket hash from signature slices (slice is 1-based)
-    banded = signatures.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_index(signatures, bands=bands, id_col=id_col)
     left = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -251,6 +229,83 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def band_index(
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LSH band table AS A STORED INDEX: (band, bucket, doc_id).
+
+    Persisting this (parquet, partitioned/bucketed by band+bucket)
+    turns near-dup detection incremental: signatures are per-doc
+    (embarrassingly parallel) and the index is append-only mergeable
+    state — a new batch is indexed alone and unioned in, never
+    re-shingling the corpus. The companion query path is
+    `incremental_candidate_pairs`.
+    """
+    n = N_MINHASH
+    rows = n // bands
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def incremental_candidate_pairs(
+    new_docs: DataFrame,
+    stored_index: DataFrame,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs contributed by a NEW batch against an existing
+    band index, plus the new batch's own index rows to append.
+
+    Returns (pairs, new_index_rows). Pairs cover new×stored and
+    new×new — together with the pairs already known for the stored
+    corpus that is exactly the full recompute's candidate set
+    (verified in tests/test_clean_corpus.py), because a pair's bucket
+    collision doesn't depend on which batch each doc arrived in.
+
+    100 TB shape: per batch the work is O(batch shingles) signature
+    hashing + one join keyed on (band, bucket) against the stored
+    index — the corpus-sized side is never re-shingled, and with the
+    index bucketed on the join key that join is shuffle-free on the
+    stored side.
+    """
+    sigs = minhash_signatures(new_docs, shingle_n=shingle_n, id_col=id_col)
+    new_idx = band_index(sigs, id_col=id_col)
+    a = new_idx.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    # candidate universe for the new batch: stored index ∪ its own rows
+    universe = stored_index.unionByName(new_idx)
+    b = universe.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs, new_idx
 
 
 def near_dup_clusters(

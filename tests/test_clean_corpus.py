@@ -111,3 +111,40 @@ def test_clean_corpus_removes_exact_and_near_dups(spark, sf_dir):
     # idempotence: cleaning the cleaned corpus removes nothing
     again = clean_corpus(cleaned, threshold=0.5)
     assert again.count() == n_clean
+
+
+def test_incremental_band_index_equals_full_recompute(spark, sf_dir):
+    """Batch-composition law for the LSH index: indexing corpus A, then
+    incrementally adding batch B, yields exactly the candidate pairs of
+    indexing A ∪ B from scratch — bucket collision is per-pair, not
+    per-batch. This is what makes near-dedup maintainable at 100 TB:
+    new data is shingled once, the stored corpus never again."""
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import (
+        band_index,
+        incremental_candidate_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(80).cache()
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # full recompute over A ∪ B
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+
+    # stored index over A; B arrives as a batch
+    idx_a = band_index(minhash_signatures(a))
+    pairs_a = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(a)).collect()
+    }
+    inc_pairs, new_idx = incremental_candidate_pairs(b, idx_a)
+    inc = {(r["doc_a"], r["doc_b"]) for r in inc_pairs.collect()}
+
+    assert pairs_a | inc == full
+    # the appended index rows are exactly B's banding
+    assert new_idx.count() == minhash_signatures(b).count() * 16
