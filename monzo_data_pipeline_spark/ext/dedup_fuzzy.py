@@ -373,6 +373,38 @@ def near_dup_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    min_overlap: int = 3,
+    n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination detection: training documents sharing
+    ≥ `min_overlap` distinct word n-gram shingles with any benchmark/
+    eval document (the decontamination step every training corpus
+    needs before a benchmark claim).
+
+    Same blocked-join shape as `ngram_jaccard_pairs`, but asymmetric:
+    the benchmark side is tiny (eval suites are thousands of docs, the
+    corpus is billions), so its shingle table broadcasts and the train
+    side streams through map-side — no corpus-sized shuffle at all.
+    Returns (train_doc, bench_doc, n_overlap).
+    """
+    sh_t = word_shingles(train, n=n, id_col=id_col).select(
+        F.col(id_col).alias("train_doc"), "shingle"
+    )
+    sh_b = word_shingles(benchmark, n=n, id_col=id_col).select(
+        F.col(id_col).alias("bench_doc"), "shingle"
+    )
+    return (
+        sh_t.join(F.broadcast(sh_b), "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document from token hashes.
 

@@ -9,7 +9,7 @@ Column usable inside any select/groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A small English stopword set for ratio features (public knowledge).
@@ -39,6 +39,47 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     frags = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
     return F.size(frags)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 2048,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign whole documents to
+    fixed-token-budget training bins (the sample-packing step that
+    turns a cleaned corpus into uniform training shards).
+
+    A document lands in the bin its exclusive prefix-sum of tokens
+    falls in, so bins fill to `capacity` and overflow by at most one
+    document — the standard contiguous-packing compromise that keeps
+    assignment ONE window pass instead of a sequential first-fit scan.
+
+    Scale: the prefix sum is per `shard = doc_id % n_shards`, never a
+    global ORDER BY (a single-partition window is the classic 100 TB
+    cliff); shards pack independently, exactly how a multi-writer
+    shard layout works. Deterministic: (shard, doc_id) is a total
+    order. Returns one row per (shard, bin): doc/token totals + the
+    doc_id span.
+    """
+    base = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    packed = base.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / capacity).cast("long"),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
 
 
 def char_length(text: Column | str) -> Column:

@@ -771,6 +771,32 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pack_sequences",
+    "north-star (sequence packing: whole docs into fixed-token-budget "
+    "training bins; sharded prefix-sum, never a global sort)",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 32 AS shard,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, shard, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) - n_tok)
+                          / 256.0) AS BIGINT) AS bin
+        FROM toks
+    )
+    SELECT shard, bin, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY shard, bin
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pack_sequences(docs, capacity=256, n_shards=32)
+
+
 _STOPWORD_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
 
 
@@ -1634,6 +1660,31 @@ WITH toks AS (
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return DF.ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+@_register(
+    "benchmark_contamination",
+    "north-star (decontamination: train docs sharing ≥3 shingles with an "
+    "eval set; eval side broadcasts — no corpus-sized shuffle)",
+    _SHINGLES_CTE
+    + """
+    SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+           COUNT(*) AS n_overlap
+    FROM sh t
+    JOIN sh b ON t.shingle = b.shingle
+    WHERE b.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic pseudo-eval set: every 50th doc
+    return DF.contamination_check(
+        train=docs.filter(F.col("doc_id") % 50 != 0),
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        min_overlap=3,
+    )
 
 
 @_register(

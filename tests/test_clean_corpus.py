@@ -148,3 +148,36 @@ def test_incremental_band_index_equals_full_recompute(spark, sf_dir):
     assert pairs_a | inc == full
     # the appended index rows are exactly B's banding
     assert new_idx.count() == minhash_signatures(b).count() * 16
+
+
+def test_pack_sequences_bins_fill_and_overflow_by_at_most_one(spark):
+    from monzo_data_pipeline_spark.functions.text import pack_sequences
+
+    # one shard (ids all ≡ 0 mod 1): tokens 4,4,4,4 with capacity 10 →
+    # exclusive prefix sums 0,4,8,12 → bins 0,0,0,1
+    rows = [(i, " ".join(["w"] * 4)) for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["shard"], r["bin"]): (r["n_docs"], r["total_tokens"])
+        for r in pack_sequences(docs, capacity=10, n_shards=1).collect()
+    }
+    assert got == {(0, 0): (3, 12), (0, 1): (1, 4)}
+
+
+def test_contamination_check_flags_planted_overlap(spark):
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import contamination_check
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            # contains a 7-token span of the benchmark → 3 shared 5-shingles
+            (1, "x y " + " ".join(bench_text.split()[:7]) + " z"),
+            (2, "completely unrelated text with many different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    got = contamination_check(train, bench, min_overlap=3).collect()
+    assert [(r["train_doc"], r["bench_doc"], r["n_overlap"]) for r in got] == [
+        (1, 100, 3)
+    ]
