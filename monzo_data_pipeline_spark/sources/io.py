@@ -148,6 +148,7 @@ def write_zordered(
     n_files: int,
     bits: int = 16,
     equi_depth: bool = False,
+    sample_size_per_partition: int | None = None,
 ) -> None:
     """Z-order (Morton-curve) layout: cluster files so parquet min/max
     statistics skip files for predicates on EITHER of two columns.
@@ -232,11 +233,28 @@ def write_zordered(
             + F.shiftleft(F.shiftright(b_n, j).bitwiseAND(F.lit(1)), 2 * j + 1)
         )
         z = term if z is None else z + term
-    (
-        with_bounds.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z", *drop_cols)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # repartitionByRange draws boundary samples seeded by RDD id, so
+    # the exact file split varies with session history. Fine at scale
+    # (boundaries converge with data volume); for small reproducible
+    # layouts raise the sample density so boundaries are ~exact
+    # z-quantiles regardless of what ran before.
+    spark = df.sparkSession
+    conf_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    saved = spark.conf.get(conf_key, None)
+    try:
+        if sample_size_per_partition is not None:
+            spark.conf.set(conf_key, str(sample_size_per_partition))
+        (
+            with_bounds.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", *drop_cols)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if sample_size_per_partition is not None:
+            if saved is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, saved)

@@ -50,7 +50,8 @@ def test_zorder_layout_skips_files_on_both_columns(spark, sf_dir, tmp_path):
         "event_id", "user_id", "value"
     )
     zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "ranged")
-    write_zordered(ev, zpath, "user_id", "event_id", n_files=16)
+    write_zordered(ev, zpath, "user_id", "event_id", n_files=16,
+                   sample_size_per_partition=4096)
     ev.repartitionByRange(16, "user_id").sortWithinPartitions(
         "user_id"
     ).write.mode("overwrite").parquet(rpath)
@@ -111,7 +112,13 @@ def test_zorder_equi_depth_handles_skewed_column(spark, tmp_path):
         "event_id", "user_id", "value"
     )
     path = str(tmp_path / "zeq")
-    write_zordered(ev, path, "user_id", "value", n_files=16, equi_depth=True)
+    write_zordered(
+        ev, path, "user_id", "value", n_files=16, equi_depth=True,
+        # ~exact range boundaries: the default sampled split shifts with
+        # session history (RDD-id-seeded) and can tip one extra file into
+        # overlap — a measurement artifact, not a layout regression
+        sample_size_per_partition=4096,
+    )
 
     def overlapping(col, lo, hi):
         n = 0
