@@ -55,3 +55,32 @@ def latest_snapshot(df: DataFrame, ts_col: str, tiebreak: list[str] | None = Non
     """A24 — the reference's latest-snapshot read (`ORDER BY
     date_retrieved DESC`, query_sqlite_db.ipynb cell 4) as top-k."""
     return top_k(df, [ts_col, *(tiebreak or [])], k=k, ascending=False)
+
+
+def source_mixture_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    mod: int = 97,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic data mixing: downsample each source to a target
+    rate (keep rows with ``id % mod < rates[source]``, i.e. a
+    rate of rates[source]/mod) — the corpus-reweighting step of a
+    training-data pipeline (e.g. cap low-quality crawl at 10%, keep
+    curated sources whole).
+
+    Keyed modular sampling, not rand()/TABLESAMPLE: the selected SET
+    is a pure function of the row, so it is reproducible across runs,
+    partitionings, and engines (oracle-checkable), and a re-run after
+    appends keeps every previously selected row — the sample is
+    incrementally stable. Unlisted sources are dropped (explicit
+    mixture). The rates literal compiles into the plan as a CASE
+    chain — no join, fully pushdown-eligible."""
+    keep = None
+    for src, r in rates.items():
+        cond = F.col(source_col) == src
+        keep = cond & (F.col(id_col) % mod < r) if keep is None else keep | (
+            cond & (F.col(id_col) % mod < r)
+        )
+    return df.filter(keep)

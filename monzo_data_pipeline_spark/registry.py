@@ -2203,6 +2203,33 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "source_mixture_sample",
+    "north-star (data mixing: per-source target rates via keyed modular "
+    "sampling — deterministic, incrementally stable, no rand())",
+    """
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')) ) AS BIGINT)
+               AS tokens_kept
+    FROM documents
+    WHERE (source IN ('src0', 'src1') AND doc_id % 97 < 97)
+       OR (source IN ('src2', 'src3') AND doc_id % 97 < 30)
+       OR (source = 'src4' AND doc_id % 97 < 10)
+    GROUP BY source
+    """,
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = FL.source_mixture_sample(
+        docs,
+        rates={"src0": 97, "src1": 97, "src2": 30, "src3": 30, "src4": 10},
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(TX.token_count("text")).alias("tokens_kept"),
+    )
+
+
+@_register(
     "stratified_fixed_n_sample",
     "north-star (stratified fixed-n sample: first 50 rows per stratum in "
     "key order — deterministic train/eval splitting)",

@@ -36,6 +36,8 @@ SHOW = {
     "zscore_outliers": "anomaly scoring — stats agg broadcast back; fact scanned twice, shuffled never",
     "resample_gap_fill": "resample — cluster-side spine explode, one window shuffle per key for both fills",
     "upsert_last_wins": "MERGE upsert — last-wins collapse (window) + anti-join + union; update batch broadcast when small",
+    "benchmark_contamination": "decontamination — eval-set shingles broadcast; corpus side streams map-side (no corpus shuffle before the agg)",
+    "pack_sequences": "sequence packing — sharded prefix-sum window (32-way parallel), never a global sort",
 }
 
 MARKERS = (
