@@ -2203,6 +2203,48 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "snapshot_diff_cdc",
+    "C8 extension (keyed CDC between table versions: added/removed/updated — "
+    "row-level EXCEPT can't tell an update from delete+insert)",
+    """
+    WITH old_v AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ), new_v AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT * FROM (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'updated' END AS change_type
+        FROM old_v o FULL JOIN new_v n ON o.o_orderkey = n.o_orderkey
+    ) WHERE change_type IS NOT NULL
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old_v = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new_v = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return SO.snapshot_diff(
+        old_v, new_v, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+@_register(
     "source_mixture_sample",
     "north-star (data mixing: per-source target rates via keyed modular "
     "sampling — deterministic, incrementally stable, no rand())",

@@ -389,3 +389,21 @@ def test_upsert_merge_update_insert_last_wins(spark):
     merged = DD.upsert_merge(target, updates, ["id"], order_cols=["v"])
     again = DD.upsert_merge(merged, updates, ["id"], order_cols=["v"])
     assert sorted(again.collect()) == sorted(merged.collect())
+
+
+def test_snapshot_diff_classifies_all_null_rows_correctly(spark):
+    from monzo_data_pipeline_spark.operators import setops as SO2
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "x2"), (4, None)], "id long, v string"
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in SO2.snapshot_diff(old, new, keys=["id"]).collect()
+    }
+    # id=1: present both sides with NULL value → unchanged (absent);
+    # id=4 added with NULL value — nullability can't prove absence
+    assert got == {2: "updated", 3: "removed", 4: "added"}
