@@ -2910,6 +2910,30 @@ def q_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_histogram",
+    "north-star (fixed-width histogram: the distribution profile every "
+    "quality dashboard needs; single map-side-combined hash agg)",
+    """
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 25.0).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@_register(
     "zscore_outliers",
     "beyond-§2 (per-group z-score anomaly detection: exact-decimal power "
     "sums broadcast back onto the fact; "
