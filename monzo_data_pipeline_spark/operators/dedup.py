@@ -111,3 +111,38 @@ def upsert_merge(
         latest = updates.dropDuplicates(keys)
     untouched = target.join(latest.select(*keys).distinct(), on=keys, how="left_anti")
     return untouched.unionByName(latest.select(*target.columns))
+
+
+def versioned_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Version-aware upsert: per key, the row with the highest
+    `order_cols` wins ACROSS target and updates (ties → the update).
+
+    `upsert_merge` trusts the batch (updates always replace matched
+    rows) — correct when batches arrive in order. Under replay or
+    out-of-order delivery an older batch must NOT regress a newer
+    target row, which needs the version comparison against the target
+    itself. The payoff is algebraic: versioned_upsert is commutative
+    and idempotent over batches — apply(b1) then apply(b2) equals
+    apply(b2) then apply(b1) equals apply(b1 ∪ b2) — so replayed or
+    reordered CDC streams converge to the same table
+    (tests/test_streaming.py batch-order law).
+
+    One union + one window keyed on `keys`: the target shuffles per
+    apply, the analog of MERGE INTO rewriting matched files; on a
+    lakehouse table format the same semantics push into the commit."""
+    tagged = target.select(*target.columns, F.lit(0).alias("__src")).unionByName(
+        updates.select(*target.columns, F.lit(1).alias("__src"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

@@ -236,6 +236,54 @@ def q_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "versioned_upsert_merge",
+    "A11 complement (version-aware upsert: highest version wins across "
+    "target AND updates — replay/out-of-order safe, commutative over "
+    "batches; the streaming CDC-apply merge)",
+    """
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1.0 AS o_totalprice,
+               o_orderdate + INTERVAL 1 DAY AS o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice - 1.0,
+               o_orderdate - INTERVAL 1 DAY,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 9 = 0
+    ), tagged AS (
+        SELECT *, 0 AS src FROM orders
+        UNION ALL
+        SELECT *, 1 AS src FROM upd
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY o_orderdate DESC, src DESC) AS rn
+          FROM tagged)
+    WHERE rn = 1
+    """,
+)
+def q_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    newer = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+    )
+    older = (
+        orders.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - 1.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") - F.expr("INTERVAL 1 DAY"))
+    )
+    return DD.versioned_upsert(
+        orders, newer.unionByName(older), ["o_orderkey"], ["o_orderdate"]
+    )
+
+
+@_register(
     "distinct_entities",
     "A15 (DISTINCT + NOT NULL entity extraction: counterparties shape)",
     """

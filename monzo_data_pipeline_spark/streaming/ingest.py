@@ -80,3 +80,37 @@ def stream_silver_to_gold(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cdc_apply(
+    updates_stream: DataFrame,
+    target_path: str,
+    schema,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint_dir: str,
+):
+    """Stream CDC correction batches onto a parquet target — the
+    late-settling-transaction path (SURVEY §1.2) as a stream.
+
+    Each micro-batch merges via version-aware `versioned_upsert`, so
+    replayed or out-of-order batches converge to the same table (the
+    reason foreachBatch-at-least-once is safe here without sink
+    transactions). The merged result is materialized (localCheckpoint)
+    before overwriting the path it was read from; on a lakehouse table
+    this whole body is one MERGE INTO."""
+    from ..operators.dedup import versioned_upsert
+    from ..sources.io import read_parquet
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = read_parquet(spark, target_path, schema)
+        merged = versioned_upsert(target, batch_df, keys, order_cols)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        updates_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

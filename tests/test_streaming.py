@@ -245,3 +245,61 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
 
     ids = [r.event_id for r in spark.sql("SELECT event_id FROM ddw_test").collect()]
     assert sorted(ids) == [1, 2, 3]  # exactly once each
+
+
+def test_stream_cdc_apply_converges_regardless_of_batch_order(spark, tmp_path):
+    """Version-aware CDC apply: streaming correction batches onto a
+    parquet target converges to the batch-upsert of their union, and
+    an older replayed batch cannot regress a newer row."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from monzo_data_pipeline_spark.operators.dedup import versioned_upsert
+    from monzo_data_pipeline_spark.streaming.ingest import stream_cdc_apply
+
+    sch_s = "id long, val string, version long"
+    schema = _parse_datatype_string(sch_s)
+    target_path = str(tmp_path / "cdc_target")
+    spark.createDataFrame(
+        [(1, "one-v1", 1), (2, "two-v1", 1)], sch_s
+    ).write.parquet(target_path)
+
+    # two correction drops; the HIGHER version lands in the directory
+    # first, so listing order delivers it in the earlier micro-batch —
+    # the out-of-order case plain last-wins would regress
+    drops = str(tmp_path / "cdc_drops")
+    spark.createDataFrame([(1, "one-v3", 3), (3, "three-v1", 1)], sch_s).coalesce(
+        1
+    ).write.mode("append").parquet(drops)
+    spark.createDataFrame([(1, "one-v2", 2), (2, "two-v2", 2)], sch_s).coalesce(
+        1
+    ).write.mode("append").parquet(drops)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    )
+    q = stream_cdc_apply(
+        stream, target_path, schema, keys=["id"], order_cols=["version"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["id"]: (r["val"], r["version"])
+        for r in spark.read.parquet(target_path).collect()
+    }
+    # == batch versioned-upsert of the union of all corrections
+    want_df = versioned_upsert(
+        spark.createDataFrame([(1, "one-v1", 1), (2, "two-v1", 1)], sch_s),
+        spark.createDataFrame(
+            [(1, "one-v3", 3), (3, "three-v1", 1), (1, "one-v2", 2), (2, "two-v2", 2)],
+            sch_s,
+        ),
+        keys=["id"],
+        order_cols=["version"],
+    )
+    want = {r["id"]: (r["val"], r["version"]) for r in want_df.collect()}
+    assert got == want == {
+        1: ("one-v3", 3),
+        2: ("two-v2", 2),
+        3: ("three-v1", 1),
+    }
