@@ -525,3 +525,53 @@ def clean_corpus(
         F.col("doc_id").alias(id_col)
     )
     return exact_survivors.join(losers, id_col, "left_anti")
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    source_rates: dict[str, int] | None = None,
+    threshold: float = 0.6,
+    shingle_n: int = 5,
+    min_overlap: int = 3,
+    pack_capacity: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The end-to-end training-data preparation pipeline, composed from
+    the engine's tested pieces in the order that minimizes work at
+    scale:
+
+      1. PII scrub (`functions/text.scrub_pii`) — map-side, free;
+      2. source-mixture reweighting (`operators/filters.
+         source_mixture_sample`) — a pushdown-eligible filter, so it
+         runs BEFORE the expensive stages and shrinks everything after;
+      3. exact → fuzzy dedup (`clean_corpus`: hash groupBy, then
+         MinHash+LSH → connected components → min-id survivors);
+      4. benchmark decontamination (`contamination_check`) — drop
+         training docs overlapping the eval set;
+      5. sequence packing (`functions/text.pack_sequences`) — bin the
+         survivors to a token budget for shard writing.
+
+    Returns (clean_docs, packed_bins). Each stage is individually
+    oracle-checked / unit-tested; this composition is smoke-tested for
+    idempotence of the doc-set (tests/test_clean_corpus.py).
+    """
+    from ..functions.text import pack_sequences, scrub_pii
+    from ..operators.filters import source_mixture_sample
+
+    work = docs.withColumn(text_col, scrub_pii(F.col(text_col)))
+    if source_rates:
+        work = source_mixture_sample(work, source_rates, id_col=id_col)
+    work = clean_corpus(
+        work, threshold=threshold, shingle_n=shingle_n, id_col=id_col, text_col=text_col
+    )
+    if benchmark is not None:
+        contaminated = contamination_check(
+            work, benchmark, min_overlap=min_overlap, n=shingle_n, id_col=id_col
+        ).select(F.col("train_doc").alias(id_col)).distinct()
+        work = work.join(contaminated, id_col, "left_anti")
+    packed = pack_sequences(
+        work, capacity=pack_capacity, text_col=text_col, id_col=id_col
+    )
+    return work, packed

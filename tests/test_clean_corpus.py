@@ -181,3 +181,39 @@ def test_contamination_check_flags_planted_overlap(spark):
     assert [(r["train_doc"], r["bench_doc"], r["n_overlap"]) for r in got] == [
         (1, 100, 3)
     ]
+
+
+def test_prepare_training_corpus_end_to_end(spark, sf_dir):
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import prepare_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).cache()
+    # plant: an exact dup of doc A, and a training doc copying the
+    # benchmark doc's text (contamination)
+    first = docs.limit(1)
+    bench = first.select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    ).cache()
+    dup = first.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(dup)
+
+    clean, packed = prepare_training_corpus(
+        corpus,
+        benchmark=bench,
+        threshold=0.5,
+        pack_capacity=256,
+    )
+    clean = clean.cache()
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert all(i < 1_000_000 for i in ids)  # planted dup removed
+    # the benchmark-copy source doc is decontaminated away
+    first_id = first.collect()[0]["doc_id"]
+    assert first_id not in ids
+    # packing covers every surviving token exactly once
+    tok_total = clean.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).collect()[0]["t"]
+    packed_total = packed.agg(F.sum("total_tokens").alias("t")).collect()[0]["t"]
+    assert packed_total == tok_total
+    assert packed.count() >= 1
