@@ -303,3 +303,31 @@ def test_stream_cdc_apply_converges_regardless_of_batch_order(spark, tmp_path):
         2: ("two-v2", 2),
         3: ("three-v1", 1),
     }
+
+
+def test_session_windows_stream_matches_batch(spark, sf_dir, event_files):
+    """Session windows in STREAMING mode (the genuinely stateful merge
+    path — MergingSessions with per-key state) must finalize to the
+    batch result once the backlog drains. Complete output mode keeps
+    every session in state, so the tail sessions inside the watermark
+    emit too — exact parity."""
+    events = load_table(spark, sf_dir, "events")
+    batch_out = {
+        (r.session_start, r.user_id): r.n_events
+        for r in SW.sessionized_counts(events).collect()
+    }
+
+    stream = SW.stream_events_from_files(spark, event_files, events.schema)
+    # parity needs every row admitted: the file drops are unordered in
+    # event time, so a small watermark would drop most of each later
+    # micro-batch (session state filters late input even in complete
+    # mode). Late-drop behavior itself is pinned by
+    # test_watermark_drops_late_rows.
+    sess = SW.sessionized_counts(stream, watermark="90 days")
+    SW.run_stream_to_memory(sess, "sess_stream_test", timeout_sec=120)
+    stream_out = {
+        (r.session_start, r.user_id): r.n_events
+        for r in spark.sql("SELECT * FROM sess_stream_test").collect()
+    }
+    assert stream_out == batch_out
+    assert len(stream_out) > 0
