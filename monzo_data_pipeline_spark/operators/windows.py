@@ -95,18 +95,26 @@ def rank_distribution(
     df: DataFrame,
     partition_cols: list[str],
     order_col: str,
-    round_digits: int = 6,
 ) -> DataFrame:
     """C9 — percent_rank + cume_dist within each partition.
 
     Both functions are tie-stable by definition (peers share a value),
-    so they are deterministic on non-unique orderings; rounding absorbs
-    the one division both engines do in binary double.
+    so they are deterministic on non-unique orderings. The emitted
+    scores are integer-quantized (floor(x·10⁶), the engine's standard
+    for float outputs): decimal `round()` differs across engines on
+    exact .xxxxxx5 ties — HALF_UP in Spark, HALF_EVEN in DuckDB — and
+    such ties really occur (a 640-row partition makes every cume_dist
+    m/640 binary-exact with a 7th digit of 5). floor over the shared
+    IEEE double is bit-identical everywhere.
     """
     w = Window.partitionBy(*partition_cols).orderBy(F.col(order_col).asc())
     return df.select(
         *partition_cols,
         order_col,
-        F.round(F.percent_rank().over(w), round_digits).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), round_digits).alias("cume_dist"),
+        F.floor(F.percent_rank().over(w) * 1_000_000)
+        .cast("long")
+        .alias("pct_rank_micro"),
+        F.floor(F.cume_dist().over(w) * 1_000_000)
+        .cast("long")
+        .alias("cume_dist_micro"),
     )

@@ -2188,11 +2188,13 @@ def q_rolling_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "percentrank_cumedist",
-    "C9 (percent_rank + cume_dist, tie-stable)",
+    "C9 (percent_rank + cume_dist, tie-stable; floor-quantized micros — "
+    "decimal round() is HALF_UP vs HALF_EVEN across engines and 2^a·5^b "
+    "partition sizes make exact ties)",
     """
     SELECT c_nationkey, c_acctbal,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume_dist
+           CAST(FLOOR(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_micro,
+           CAST(FLOOR(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_dist_micro
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC)
     """,

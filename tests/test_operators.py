@@ -244,9 +244,9 @@ def test_rank_distribution_tie_stable(spark):
         [("g", 1), ("g", 5), ("g", 5), ("g", 9)], "g string, v int"
     )
     rows = WN.rank_distribution(df, ["g"], "v").collect()
-    fives = {(r.pct_rank, r.cume_dist) for r in rows if r.v == 5}
+    fives = {(r.pct_rank_micro, r.cume_dist_micro) for r in rows if r.v == 5}
     assert len(fives) == 1  # peers got the same distribution values
-    assert max(r.cume_dist for r in rows) == 1.0
+    assert max(r.cume_dist_micro for r in rows) == 1_000_000
 
 
 def test_interval_bucket_join_matches_naive_range_join(spark, sf_dir):
