@@ -43,7 +43,9 @@ sf = "/root/testdata/sf0.001"
 assert len(E.entry(spark).collect()) > 0
 for name in ["latest_events", "tumbling_window_agg", "sessionization",
              "scalar_functions", "project_cast_stamp", "monthly_spend",
-             "datetime_functions", "media_feature_extract", "asof_join"]:
+             "datetime_functions", "media_feature_extract", "asof_join",
+             "value_histogram", "pack_sequences", "upsert_last_wins",
+             "snapshot_diff_cdc", "source_mixture_sample"]:
     rows = qs[name](spark, sf).collect()
     assert rows, name
 print("RAW_OK")
