@@ -350,12 +350,28 @@ def near_dup_clusters(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.u, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump (path halving): also adopt the label OF one's
+        # label — labels are node ids, so a self-join resolves one more
+        # hop, turning O(diameter) convergence into O(log diameter).
+        # Chains longer than a couple of hops are where plain
+        # propagation pays a full round per hop.
+        hop = stepped.select(
+            F.col("node").alias("__jn"), F.col("label").alias("__jl")
+        )
         labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            stepped.join(hop, stepped.label == F.col("__jn"), "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("__jl"), F.col("label"))
                 ).alias("label"),
             )
             # localCheckpoint, not persist: persist caches DATA but the
