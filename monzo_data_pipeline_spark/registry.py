@@ -342,20 +342,24 @@ def q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "project_cast_stamp",
     "A18 (column-subset projection + explicit money cast)",
+    # comparison surface is DOUBLE: Spark DECIMAL -> pandas object[Decimal]
+    # but DuckDB DECIMAL -> float64, so a decimal-typed output hash-fails on
+    # dtype alone; the money cast stays (decimal round) with a final double.
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS amount,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
            l_returnflag
     FROM lineitem
     """,
 )
 def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").withColumn("amount", F.col("l_extendedprice"))
-    return PJ.project_cast_stamp(
+    out = PJ.project_cast_stamp(
         li,
         ["l_orderkey", "l_linenumber", "amount", "l_returnflag"],
         casts={"amount": "decimal(18,2)"},
     )
+    return out.withColumn("amount", F.col("amount").cast("double"))
 
 
 @_register(
@@ -835,7 +839,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / 256.0) AS BIGINT) AS bin
         FROM toks
     )
-    SELECT shard, bin, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+    SELECT shard, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM packed GROUP BY shard, bin
     """,
@@ -2575,7 +2580,7 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, tok, COUNT(*) AS n
         FROM t WHERE tok <> '' GROUP BY doc_id, tok
     )
-    SELECT doc_id, SUM(n) AS n_tokens, MAX(n) AS top_token_n,
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, MAX(n) AS top_token_n,
            CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_token_ratio
     FROM c GROUP BY doc_id
     """,
@@ -2619,7 +2624,7 @@ def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
     FROM events
