@@ -25,15 +25,36 @@ from .schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# events.parquet physically stores ts as timestamp[ns] (INT64). With
-# spark.sql.legacy.parquet.nanosAsLong=true (session.py) we read raw
-# nanos and truncate to µs — bit-identical to DuckDB's ns→µs read.
+# events.parquet has shipped with ts as either timestamp[ns] or
+# timestamp[us] across testdata generations. For the ns flavor,
+# spark.sql.legacy.parquet.nanosAsLong=true reads raw nanos and we
+# truncate to µs — bit-identical to DuckDB's ns→µs read. For the us
+# flavor a plain TimestampType read is already exact. The physical
+# type is sniffed once per path from the parquet footer (driver-side,
+# cached — no job).
 _EVENTS_READ_SCHEMA = T.StructType(
     [
         f if f.name != "ts" else T.StructField("ts", T.LongType())
         for f in TESTDATA_SCHEMAS["events"].fields
     ]
 )
+
+_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """'ns' or 'us' — physical unit of events.ts, from the footer."""
+    unit = _EVENTS_TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        first = path
+        if os.path.isdir(path):
+            parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+            first = os.path.join(path, parts[0])
+        unit = pq.read_schema(first).field("ts").type.unit
+        _EVENTS_TS_UNIT_CACHE[path] = unit
+    return unit
 
 
 def _pin_session_confs(spark: SparkSession) -> None:
@@ -57,7 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     _pin_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_unit(path) == "ns":
         raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
