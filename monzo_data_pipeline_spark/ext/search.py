@@ -1,0 +1,193 @@
+"""Search-engine operators over the documents corpus.
+
+North-star extension surface (BASELINE.json: text analysis at scale):
+an inverted index build and a log-free BM25 ranking — the two halves
+of a distributed keyword-search pipeline. Neither exists in the
+reference (its only text handling is JSON round-tripping,
+/root/reference/src/utils/api/api_client.py:53-55); both are the
+standard operators a 100 TB document corpus needs for retrieval-based
+dedup/decontamination and search.
+
+Scale posture:
+  * The only wide shuffle in either op is the (doc_id, word) partial
+    count — map-side combined, then one exchange on `word`. Corpus
+    stats (N docs, total tokens) and per-term document frequencies are
+    tiny aggregates broadcast back to the fact side.
+  * Posting lists are the classic skew hazard (stopword postings ≈
+    corpus size). `inverted_index` takes `max_postings` to cap the
+    materialized list per term (head-by-doc_id, deterministic) — at
+    100 TB you'd shard postings by (word, doc_id range) instead of
+    capping; the cap keeps single-row state bounded here.
+  * BM25 keeps every expression as int64 products + one IEEE-exact
+    double division — whole-stage codegen, no Python, no libm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+# BM25 constants as exact rationals: k1 = 6/5 (1.2), b = 1.
+# With b=1 and avgdl = T/N (total tokens / doc count), the per-term
+# score is exactly rational:
+#
+#   idf_r   = (N - df + 1/2) / (df + 1/2)        -- log-free idf ratio
+#           = (2N - 2df + 1) / (2df + 1)          -- integerized
+#   tf_part = tf*(k1+1) / (tf + k1*dl/avgdl)
+#           = 11*tf*T / (5*tf*T + 6*dl*N)         -- integerized (×5N/T)
+#
+# so score_term = num/den with
+#   num = (2N - 2df + 1) * 11 * tf * T
+#   den = (2df + 1) * (5*tf*T + 6*dl*N)
+# Both products stay < 2^53 for any realistic per-partition corpus
+# slice (N·tf·T ≤ ~1e12 at sf0.1), so the bigint math is exact and the
+# single double division is IEEE-exact-rounded — bit-identical across
+# engines. The classic log() idf is deliberately avoided: libm logs
+# are not pinned by IEEE-754 and differ across engines in the last ulp.
+
+
+def _doc_tokens(documents: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, dl, word) exploded token stream; dl = doc token count."""
+    toks = documents.select(
+        "doc_id", tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("word"),
+    ).filter(F.col("word") != "")
+
+
+def inverted_index(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Build a term → posting-list index: (word, df, total_tf, postings).
+
+    postings = first `max_postings` doc_ids ascending (deterministic
+    cap; see module docstring for the 100 TB sharding posture). df
+    counts distinct docs; total_tf counts occurrences.
+    """
+    tf = (
+        _doc_tokens(documents, text_col)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, max_postings
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    terms: tuple[str, ...] = ("spark", "hash", "merge"),
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Rank documents for a bag-of-terms query with log-free BM25
+    (k1=1.2, b=1; exact-rational integerization above).
+
+    Per-term quantized score floor(1e6·num/den) is summed per doc as
+    BIGINT — order-independent, so partial aggregation and shuffle
+    order can't change the result. Top-k carries a unique tiebreak.
+    """
+    toks = _doc_tokens(documents, text_col)
+    tf = (
+        toks.filter(F.col("word").isin(*terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = documents.select(
+        tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks")).alias("total_tokens"),
+    )
+
+    num = (
+        (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+        * 11
+        * F.col("tf")
+        * F.col("total_tokens")
+    ).cast("bigint")
+    den = (
+        (2 * F.col("df") + 1)
+        * (
+            5 * F.col("tf") * F.col("total_tokens")
+            + 6 * F.col("dl") * F.col("n_docs")
+        )
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "score_term_q",
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("score_term_q").alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def adaptive_stopword_filter(
+    documents: DataFrame,
+    text_col: str = "text",
+    df_percent: int = 50,
+) -> DataFrame:
+    """Corpus-adaptive boilerplate removal (C4/RefinedWeb-style): drop
+    every token that appears in ≥ df_percent% of documents, preserving
+    the order of the surviving tokens.
+
+    The stop set is a corpus-level aggregate (vocabulary-sized, tiny
+    after partial agg) broadcast back as ONE array literal row; the
+    per-doc rewrite is then a map-side higher-order `filter` — no
+    per-doc shuffle, no Python. The df·100 ≥ pct·N comparison stays in
+    integers (no float threshold ties).
+    """
+    docs = documents.select(
+        "doc_id", tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    dfreq = (
+        docs.select("doc_id", F.explode(F.array_distinct("toks")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    stop_arr = (
+        dfreq.join(F.broadcast(n_docs))
+        .filter(F.col("df") * 100 >= F.lit(df_percent) * F.col("n_docs"))
+        .agg(F.array_sort(F.collect_list("word")).alias("stops"))
+    )
+    kept = F.filter(
+        F.col("toks"), lambda t: ~F.array_contains(F.col("stops"), t)
+    )
+    return (
+        docs.crossJoin(F.broadcast(stop_arr))
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        )
+    )

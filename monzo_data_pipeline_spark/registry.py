@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .ext import dedup_fuzzy as DF
 from .ext import multimodal as MM
+from .ext import search as SRCH
 from .ext import similarity as SIM
 from .functions import text as TX
 from .functions.deterministic import davg, dsum, oracle_davg, oracle_dsum
@@ -3067,6 +3068,102 @@ def q_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_within"),
         F.min(F.floor(F.col("d2") * 1000000.0)).cast("bigint").alias("min_d2_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Search-engine ops over the corpus (ext/search.py): inverted index,
+# log-free BM25 ranking, corpus-adaptive stopword removal.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "inverted_index",
+    "C4/north-star (term → posting-list index build)",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM tok WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+           list_sort(list(doc_id))[1:1000] AS postings
+    FROM tf GROUP BY word HAVING COUNT(*) >= 2
+    ORDER BY word
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SRCH.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "bm25_keyword_search",
+    "C4/north-star (log-free BM25 top-k ranking; k1=1.2, b=1)",
+    r"""
+    WITH doc AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS word FROM doc
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf, MIN(dl) AS dl
+        FROM tok WHERE word IN ('spark', 'hash', 'merge')
+        GROUP BY doc_id, word
+    ), dfreq AS (
+        SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+        FROM doc
+    ), scored AS (
+        SELECT tf.doc_id,
+               FLOOR(CAST((2*n_docs - 2*df + 1) * 11 * tf * total_tokens AS DOUBLE)
+                     / CAST((2*df + 1) * (5*tf*total_tokens + 6*dl*n_docs) AS DOUBLE)
+                     * 1000000.0) AS score_term_q
+        FROM tf JOIN dfreq USING (word) CROSS JOIN stats
+    )
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(score_term_q) AS BIGINT) AS score_q
+    FROM scored GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SRCH.bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "adaptive_stopword_filter",
+    "C4/north-star (corpus-adaptive boilerplate-token removal, order-preserving)",
+    r"""
+    WITH doc AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), dfreq AS (
+        SELECT word, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(toks) AS word FROM doc)
+        WHERE word <> '' GROUP BY word
+    ), stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+    stops AS (
+        SELECT list(word ORDER BY word) AS stop_list
+        FROM dfreq, stats WHERE df * 100 >= 50 * n_docs
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(
+               list_filter(toks, t -> NOT coalesce(
+                   list_contains(stop_list, t), false)),
+               ' '), '') AS clean_text,
+           len(toks) - len(list_filter(toks, t -> NOT coalesce(
+                   list_contains(stop_list, t), false)))
+               AS n_removed
+    FROM doc CROSS JOIN stops
+    ORDER BY doc_id
+    """,
+)
+def q_adaptive_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SRCH.adaptive_stopword_filter(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

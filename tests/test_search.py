@@ -1,0 +1,75 @@
+"""Search-engine ops (ext/search.py): inverted index, log-free BM25,
+corpus-adaptive stopword removal — hermetic inline fixtures."""
+
+from __future__ import annotations
+
+from monzo_data_pipeline_spark.ext import search as SRCH
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_inverted_index_postings_and_df(spark):
+    df = _docs(
+        spark,
+        [(1, "a b a"), (2, "b c"), (3, "c b"), (4, "zonly")],
+    )
+    out = {
+        r.word: r
+        for r in SRCH.inverted_index(df, min_df=2, max_postings=10).collect()
+    }
+    # 'zonly' (df=1) is below min_df; 'a' appears in one doc only
+    assert set(out) == {"b", "c"}
+    assert out["b"].df == 3 and out["b"].postings == [1, 2, 3]
+    assert out["b"].total_tf == 3
+    assert out["c"].postings == [2, 3]
+
+
+def test_inverted_index_caps_postings_deterministically(spark):
+    df = _docs(spark, [(i, "x") for i in range(10)])
+    row = SRCH.inverted_index(df, min_df=2, max_postings=3).collect()[0]
+    assert row.df == 10 and row.postings == [0, 1, 2]
+
+
+def test_bm25_favors_matching_rare_terms(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spark hash merge"),  # all three query terms
+            (2, "spark filler filler filler filler filler"),  # one, long doc
+            (3, "spark hash"),  # two terms, short doc
+            (4, "nothing here"),
+        ],
+    )
+    rows = SRCH.bm25_scores(df, terms=("spark", "hash", "merge")).collect()
+    ids = [r.doc_id for r in rows]
+    assert 4 not in ids  # no query term → unmatched
+    assert ids[0] == 1  # most matched terms, shortest doc wins
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].n_terms_matched == 3
+    assert by_id[3].score_q > by_id[2].score_q  # more terms beat length
+
+
+def test_adaptive_stopword_filter_preserves_order(spark):
+    # 'the' is in 3/4 docs (75% ≥ 50%) → removed; others stay in order
+    df = _docs(
+        spark,
+        [
+            (1, "the quick fox"),
+            (2, "over the moon"),
+            (3, "the end"),
+            (4, "no stopwords here"),
+        ],
+    )
+    out = {r.doc_id: r for r in SRCH.adaptive_stopword_filter(df).collect()}
+    assert out[1].clean_text == "quick fox" and out[1].n_removed == 1
+    assert out[2].clean_text == "over moon"
+    assert out[4].clean_text == "no stopwords here" and out[4].n_removed == 0
+
+
+def test_adaptive_stopword_filter_all_removed_yields_empty(spark):
+    df = _docs(spark, [(1, "the"), (2, "the"), (3, "the a")])
+    out = {r.doc_id: r for r in SRCH.adaptive_stopword_filter(df).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 1
+    assert out[3].clean_text == "a"
