@@ -87,6 +87,90 @@ def funnel_counts(
     )
 
 
+def transition_counts(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    (from_type, to_type, n, prob_q) where prob_q = ⌊1e6·n/total⌋.
+
+    One window shuffle on the user key builds the (event, next-event)
+    pairs; the per-from totals are a tiny agg broadcast back. The
+    probability stays in integer arithmetic (bigint DIV) — no float
+    division, so partial-agg order and engine can't change it.
+    """
+    w = Window.partitionBy(user).orderBy(F.asc(ts), F.asc(tiebreak))
+    pairs = (
+        events.withColumn("to_type", F.lead(etype).over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col(etype).alias("from_type"), "to_type")
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .withColumn("prob_q", F.expr("CAST((n * 1000000) DIV total AS BIGINT)"))
+        .select("from_type", "to_type", "n", "prob_q")
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 15,
+    top_k: int = 20,
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top-k most common within-session event-type paths ('view>click>…').
+
+    Sessionization is the same lag/cumsum split the sessionization
+    oracle encodes (new session when the gap STRICTLY exceeds the
+    threshold). The path string is built from an array_sort'd
+    (ts, tiebreak, type) struct list — collect_list order is
+    partition-dependent, the sort makes it total — then one corpus-wide
+    count. Shuffles: user key (window), (user, sid) agg, path agg.
+    """
+    w = Window.partitionBy(user).orderBy(F.asc(ts), F.asc(tiebreak))
+    # µs-precision gap: cast-to-long would floor to seconds and split
+    # sub-second boundary cases differently from an INTERVAL compare
+    gap = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)
+    numbered = events.withColumn(
+        "sid",
+        F.sum(
+            F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = numbered.groupBy(user, "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts).alias("t"),
+                            F.col(tiebreak).alias("tb"),
+                            F.col(etype).alias("e"),
+                        )
+                    )
+                ),
+                lambda x: x["e"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top_k)
+    )
+
+
 def cohort_retention(
     events: DataFrame, user: str = "user_id", ts: str = "ts"
 ) -> DataFrame:

@@ -118,3 +118,34 @@ def rank_distribution(
         .cast("long")
         .alias("cume_dist_micro"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    group: str,
+    period: str,
+    value: str,
+) -> DataFrame:
+    """Period-over-period change per group: each row gains the previous
+    observed period's value and the quantized relative change
+    ⌊1e6·(cur−prev)/prev⌋ (week-over-week "top movers" shape).
+
+    The lag is over OBSERVED periods only (a silent gap compares
+    against the last period that had data; densify with a calendar
+    spine first if gap-as-zero semantics are wanted). One window
+    shuffle on the group key; the fixed-order double expression
+    (sub, div, mul, floor) is IEEE-exact-rounded so engines agree.
+    """
+    w = Window.partitionBy(group).orderBy(F.asc(period))
+    return (
+        df.withColumn("prev_value", F.lag(value).over(w))
+        .filter(F.col("prev_value").isNotNull() & (F.col("prev_value") != 0))
+        .withColumn(
+            "change_q",
+            F.floor(
+                (F.col(value) - F.col("prev_value"))
+                / F.col("prev_value")
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )

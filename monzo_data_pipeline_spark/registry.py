@@ -30,6 +30,7 @@ from .ext import similarity as SIM
 from .functions import text as TX
 from .functions.deterministic import davg, dsum, oracle_davg, oracle_dsum
 from .operators import aggregates as AGG
+from .operators import behavioral as BH
 from .operators import dedup as DD
 from .operators import filters as FL
 from .operators import geo as GEO
@@ -3067,6 +3068,109 @@ def q_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("s_suppkey").agg(
         F.count(F.lit(1)).alias("n_within"),
         F.min(F.floor(F.col("d2") * 1000000.0)).cast("bigint").alias("min_d2_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics (operators/behavioral.py + windows.py):
+# Markov transitions, top session paths, period-over-period movers.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "event_transition_matrix",
+    "C9/north-star (first-order Markov transitions over the event stream)",
+    """
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS to_type
+        FROM events
+    ), cnt AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    ), tot AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS total FROM cnt GROUP BY from_type
+    )
+    SELECT from_type, to_type, n, CAST((n * 1000000) // total AS BIGINT) AS prob_q
+    FROM cnt JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BH.transition_counts(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "session_paths_top",
+    "C6+C9/north-star (top within-session event-type paths; gap split as in "
+    "sessionization — new session when the µs gap STRICTLY exceeds 15 min)",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def q_session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BH.session_paths(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "wow_revenue_movers",
+    "C9/north-star (week-over-week revenue movers per order priority)",
+    f"""
+    WITH weekly AS (
+        SELECT o_orderpriority,
+               CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+               {oracle_dsum('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    ), lagged AS (
+        SELECT o_orderpriority, week, revenue,
+               lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY week)
+                   AS prev_value
+        FROM weekly
+    )
+    SELECT o_orderpriority, week, revenue, prev_value,
+           CAST(FLOOR((revenue - prev_value) / prev_value * 1000000.0) AS BIGINT)
+               AS change_q
+    FROM lagged
+    WHERE prev_value IS NOT NULL AND prev_value <> 0
+    ORDER BY abs(change_q) DESC, o_orderpriority, week
+    LIMIT 20
+    """,
+)
+def q_wow_revenue_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weekly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("week", F.col("o_orderdate")).alias("week"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    return (
+        WN.period_over_period(weekly, "o_orderpriority", "week", "revenue")
+        .orderBy(F.abs(F.col("change_q")).desc(), "o_orderpriority", "week")
+        .limit(20)
     )
 
 
