@@ -195,3 +195,33 @@ def cohort_retention(
         .groupBy("cohort_day", "offset_days")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim_intervals: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    attrs: tuple[str, ...] = ("dim_value",),
+) -> DataFrame:
+    """Temporal dimension lookup: enrich each fact with the SCD2 dim
+    attributes valid at the fact's event time (valid_from ≤ ts <
+    valid_to, open-ended current row matches everything after
+    valid_from; facts before the first interval keep NULL attrs).
+
+    The join keeps an EQUALITY on the key, so Catalyst plans a hash /
+    sort-merge join on the key with the interval containment as a
+    residual condition — never a nested loop. Intervals partition time
+    per key by construction (scd2_intervals), so at most one dim row
+    matches and no post-join dedup is needed. At 100 TB: dim broadcasts
+    when small; otherwise both sides shuffle once on the key.
+    """
+    dim = dim_intervals.select(key, "valid_from", "valid_to", *attrs)
+    cond = (
+        (facts[key] == dim[key])
+        & (dim["valid_from"] <= facts[ts])
+        & (dim["valid_to"].isNull() | (facts[ts] < dim["valid_to"]))
+    )
+    return facts.join(dim, cond, "left").select(
+        *[facts[c] for c in facts.columns], "valid_from", *attrs
+    )

@@ -1,0 +1,62 @@
+"""Right-to-be-forgotten (GDPR Art. 17) erasure across warehouse layers.
+
+The reference keeps personal finance data in three medallion layers of
+one SQLite file — a DELETE there is a one-liner. On an immutable
+parquet lake, erasure is a rewrite: anti-join every table that carries
+the subject key and atomically swap the rewritten files in. For an
+LLM-training corpus this is the same operator that removes opted-out
+or licensed-out documents before a training run.
+
+Scale posture:
+  * The erase set is broadcast (it is tiny relative to the lake) and
+    the anti-join is map-side against each table scan.
+  * Here every table is rewritten wholesale; at 100 TB you would prune
+    the rewrite to the partitions whose min/max key stats (or bloom
+    filters — sources/io.py writes them) can contain the keys, and on
+    Delta/Iceberg you'd issue a metadata DELETE instead. The operator
+    interface (keys in, per-table removal report out) is unchanged.
+  * The swap is write-temp → rename, so a crash mid-erasure leaves the
+    original table intact (never a half-deleted directory).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .medallion import Warehouse
+
+
+def erase_keys(
+    wh: Warehouse,
+    ids: DataFrame,
+    key: str,
+    tables: list[str],
+) -> dict[str, int]:
+    """Remove every row whose `key` is in `ids` from each listed table.
+
+    Tables lacking the key column are skipped (reported as -1);
+    re-running with the same ids is a no-op. Returns rows removed per
+    table.
+    """
+    erase_set = F.broadcast(ids.select(key).distinct())
+    report: dict[str, int] = {}
+    for table in tables:
+        if not wh.exists(table):
+            continue
+        df = wh.read(table)
+        if key not in df.columns:
+            report[table] = -1
+            continue
+        kept = df.join(erase_set, key, "left_anti")
+        final = wh.path(table)
+        tmp = final + ".__erase_rewrite__"
+        kept.write.mode("overwrite").parquet(tmp)
+        n_before = df.count()  # original files still on disk here
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+        report[table] = n_before - wh.read(table).count()
+    return report

@@ -3072,6 +3072,49 @@ def q_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 temporal dimension lookup (operators/behavioral.py::scd2_lookup):
+# the join every warehouse does against a type-2 dim.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scd2_temporal_lookup",
+    "A24/B3 generalization (event-time enrichment against SCD2 intervals: "
+    "signup-value validity windows looked up at purchase time)",
+    """
+    WITH dim AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               value AS dim_value
+        FROM events WHERE event_type = 'signup'
+    ), facts AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.value, d.valid_from, d.dim_value
+    FROM facts f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    ORDER BY f.event_id
+    """,
+)
+def q_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = BH.scd2_intervals(
+        ev.filter(F.col("event_type") == "signup").withColumnRenamed(
+            "value", "dim_value"
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return BH.scd2_lookup(facts, dim)
+
+
+# ---------------------------------------------------------------------------
 # Event-sequence analytics (operators/behavioral.py + windows.py):
 # Markov transitions, top session paths, period-over-period movers.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""SCD2 temporal lookup semantics + right-to-be-forgotten erasure."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from monzo_data_pipeline_spark.operators import behavioral as BH
+from monzo_data_pipeline_spark.pipeline.erasure import erase_keys
+from monzo_data_pipeline_spark.pipeline.medallion import Warehouse
+
+
+def test_scd2_lookup_interval_semantics(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 7, 100.0),
+            (2, datetime(2024, 1, 10), 7, 200.0),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, dim_value double",
+    )
+    dim = BH.scd2_intervals(changes)
+    facts = spark.createDataFrame(
+        [
+            (10, datetime(2023, 12, 31), 7),  # before first interval -> NULL
+            (11, datetime(2024, 1, 5), 7),  # first interval -> 100
+            (12, datetime(2024, 1, 10), 7),  # boundary: new value starts -> 200
+            (13, datetime(2025, 1, 1), 7),  # open-ended current row -> 200
+            (14, datetime(2024, 1, 5), 8),  # unknown key -> NULL
+        ],
+        "event_id bigint, ts timestamp, user_id bigint",
+    )
+    out = {r.event_id: r.dim_value for r in BH.scd2_lookup(facts, dim).collect()}
+    assert out == {10: None, 11: 100.0, 12: 200.0, 13: 200.0, 14: None}
+    # exactly one output row per fact (intervals partition time)
+    assert BH.scd2_lookup(facts, dim).count() == facts.count()
+
+
+def test_erase_keys_across_tables(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    tx = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "user_id bigint, payload string"
+    )
+    docs = spark.createDataFrame(
+        [(2, "doc-two"), (4, "doc-four")], "user_id bigint, text string"
+    )
+    nokey = spark.createDataFrame([(9, "x")], "other_id bigint, v string")
+    wh.overwrite(tx, "tx")
+    wh.overwrite(docs, "docs")
+    wh.overwrite(nokey, "nokey")
+
+    ids = spark.createDataFrame([(2,), (3,)], "user_id bigint")
+    report = erase_keys(wh, ids, "user_id", ["tx", "docs", "nokey", "absent"])
+
+    assert report == {"tx": 2, "docs": 1, "nokey": -1}
+    assert {r.user_id for r in wh.read("tx").collect()} == {1}
+    assert {r.user_id for r in wh.read("docs").collect()} == {4}
+    assert wh.read("nokey").count() == 1  # untouched
+
+    # idempotent: a second run removes nothing
+    again = erase_keys(wh, ids, "user_id", ["tx", "docs"])
+    assert again == {"tx": 0, "docs": 0}
+
+
+def test_erase_keys_preserves_schema_and_other_rows(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"p{i}") for i in range(10)],
+        "user_id bigint, score double, payload string",
+    )
+    wh.overwrite(df, "t")
+    erase_keys(wh, spark.createDataFrame([(0,), (5,)], "user_id bigint"), "user_id", ["t"])
+    out = wh.read("t")
+    assert out.schema == df.schema
+    assert out.count() == 8
+    assert out.filter(F.col("user_id").isin(0, 5)).count() == 0
