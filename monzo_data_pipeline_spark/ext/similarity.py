@@ -218,3 +218,131 @@ def embedding_dedup_survivors(
         emb.join(dropped, id_col, "left_anti")
         .select(F.col(id_col), F.col("label"))
     )
+
+
+def quantized_dist_sq(a: Column | str, b: Column | str) -> Column:
+    """Exact integer squared Euclidean distance of quantized vectors."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(ca, cb, lambda x, y: (_q(x) - _q(y)) * (_q(x) - _q(y)))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (min exact-integer
+    squared distance; deterministic tiebreak on cell id). Centroids are
+    broadcast; the argmin is a min-struct aggregate — no window, so the
+    only shuffle is the per-vector groupBy, and at 100 TB the cross
+    score stays map-side over the broadcast K rows."""
+    c = centroids.select(
+        F.col(cell_col), F.col(vec_col).alias("__cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        cell_col,
+        quantized_dist_sq(vec_col, "__cvec").alias("__d2"),
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("__d2"), F.col(cell_col))).alias("__best"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.col("__best")[cell_col].alias(cell_col),
+            F.col("__best")["__d2"].alias("d2_q"),
+        )
+    )
+    return best
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fixed-iteration Lloyd's k-means as pure DataFrame ops (the IVF
+    centroid trainer MLlib would otherwise provide).
+
+    * init — the k lowest-id vectors (deterministic, no RNG);
+    * assign — broadcast centroids, exact-integer quantized distances,
+      min-struct argmin (kmeans_assign);
+    * update — posexplode to (cell, pos, value), DECIMAL mean per
+      coordinate (order-independent), re-assemble sorted by pos.
+
+    Each round the K×d centroid table is collected to the driver and
+    re-broadcast as a literal — lineage stays flat (no iterative plan
+    blow-up) and K·d is driver-trivial at any corpus scale. Returns
+    (assignments DataFrame, centroids DataFrame).
+
+    At 100 TB: one shuffle per iteration (the (cell,pos) agg, ~K·d
+    groups after map-side partial agg); the scored cross join never
+    shuffles the corpus.
+    """
+    spark = emb.sparkSession
+    cent_schema = f"cell int, {vec_col} array<double>"
+    cent_rows = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(
+            emb.orderBy(F.asc(id_col)).limit(k).collect()
+        )
+    ]
+    for _ in range(iters):
+        centroids = spark.createDataFrame(cent_rows, cent_schema)
+        assigned = kmeans_assign(emb, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.avg(F.col("v").cast("decimal(28,12)"))
+                .cast("double")
+                .alias("m")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias(vec_col)
+            )
+        )
+        new_rows = [
+            (r["cell"], [float(x) for x in r[vec_col]])
+            for r in means.collect()
+        ]
+        # a cluster can go empty: keep its previous centroid
+        got = {c for c, _ in new_rows}
+        cent_rows = sorted(
+            new_rows + [(c, v) for c, v in cent_rows if c not in got]
+        )
+    centroids = spark.createDataFrame(cent_rows, cent_schema)
+    return kmeans_assign(emb, centroids, id_col, vec_col), centroids
+
+
+def kmeans_cluster_profile(
+    emb: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Per-cluster profile after a fixed k-means run: size and mean
+    quantized distance-to-centroid (the IVF cell-balance diagnostic)."""
+    assigned, _ = kmeans_fit(emb, k=k, iters=iters)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(d2_q) DIV COUNT(*) AS BIGINT)").alias("avg_d2_q"),
+        )
+        .orderBy("cell")
+    )

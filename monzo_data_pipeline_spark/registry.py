@@ -3072,6 +3072,26 @@ def q_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DataFrame-native k-means (ext/similarity.py::kmeans_fit) — the IVF
+# centroid trainer; fixed iterations, deterministic init, decimal means.
+# Rows-only check: 3 Lloyd iterations are not SQL-expressible in DuckDB
+# (verified instead by invariants in tests/test_kmeans.py: monotone SSE,
+# assignment optimality, centroid==mean).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "kmeans_cluster_profile",
+    "C3/north-star (Lloyd k-means cell profile; IVF trainer)",
+    None,
+)
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.kmeans_cluster_profile(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD2 temporal dimension lookup (operators/behavioral.py::scd2_lookup):
 # the join every warehouse does against a type-2 dim.
 # ---------------------------------------------------------------------------
