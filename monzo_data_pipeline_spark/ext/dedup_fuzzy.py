@@ -80,12 +80,19 @@ def ngram_jaccard_pairs(
     counts stay integers; the single double division at the end is
     exact and cross-engine deterministic.
     """
-    sh = word_shingles(docs, n=n, id_col=id_col)
+    # join on the 64-bit shingle hash, not the ~n-word string: same
+    # blocking semantics (collision odds ~|shingles|²/2⁶⁵ ≈ 1e-9 here;
+    # at any scale you'd join content hashes, not strings), but the
+    # shuffle carries 8-byte keys and the join compares longs —
+    # measured ~2× on the pair stage at sf0.1.
+    sh = word_shingles(docs, n=n, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("sh_h")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh_h")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh_h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -407,14 +414,17 @@ def contamination_check(
     side streams through map-side — no corpus-sized shuffle at all.
     Returns (train_doc, bench_doc, n_overlap).
     """
+    # hashed join keys for the same reason as ngram_jaccard_pairs: the
+    # broadcast map holds 8-byte longs and every corpus-side probe
+    # hashes a long instead of an n-word string
     sh_t = word_shingles(train, n=n, id_col=id_col).select(
-        F.col(id_col).alias("train_doc"), "shingle"
+        F.col(id_col).alias("train_doc"), F.xxhash64("shingle").alias("sh_h")
     )
     sh_b = word_shingles(benchmark, n=n, id_col=id_col).select(
-        F.col(id_col).alias("bench_doc"), "shingle"
+        F.col(id_col).alias("bench_doc"), F.xxhash64("shingle").alias("sh_h")
     )
     return (
-        sh_t.join(F.broadcast(sh_b), "shingle")
+        sh_t.join(F.broadcast(sh_b), "sh_h")
         .groupBy("train_doc", "bench_doc")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
