@@ -198,14 +198,18 @@ def minhash_near_dup_pairs(
     exploded = word_shingles(docs, n=shingle_n, id_col=id_col).withColumn(
         "__h", F.xxhash64("shingle")
     )
-    sh_for_set = F.col("shingle")
+    # the verification sets hold the 64-bit shingle hashes, not the
+    # n-word strings: same intersect counts absent a 2⁻⁶⁵-scale
+    # collision, ~5× smaller aggregation buffers and long-vs-long
+    # array_intersect (cf. the hashed join keys in ngram_jaccard_pairs)
+    sh_for_set = F.col("__h")
     if max_shingles_per_doc is not None:
         # word_shingles already hash-partitioned by id_col, so this
         # window sorts within partitions without a new exchange
         wk = Window.partitionBy(id_col).orderBy("__h", "shingle")
         exploded = exploded.withColumn("__rk", F.row_number().over(wk))
         # collect_set drops nulls → rows past the cap never enter the buffer
-        sh_for_set = F.when(F.col("__rk") <= max_shingles_per_doc, F.col("shingle"))
+        sh_for_set = F.when(F.col("__rk") <= max_shingles_per_doc, F.col("__h"))
     per_doc = exploded.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
