@@ -191,3 +191,91 @@ def adaptive_stopword_filter(
             (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def adjacency_edges(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Directed word-adjacency graph from the corpus: (src, dst, w)
+    where w = corpus-wide count of dst immediately following src.
+
+    Map-side array slicing (no self-join, no window) feeds one count
+    agg — this corpus-sized pass is the heavy stage of TextRank; the
+    graph it emits is vocabulary-sized.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    pairs = documents.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("src"), F.col("p.1").alias("dst"))
+    return (
+        pairs.filter((F.col("src") != "") & (F.col("dst") != ""))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword ranking: weighted PageRank (damping 17/20) over
+    the word-adjacency graph, `iters` fixed iterations, ALL-INTEGER
+    arithmetic so every engine agrees bit-for-bit:
+
+        rank ∈ micro-units (init 1e6 DIV N);
+        contrib(u→v) = (r_u · w_uv) DIV out_u;
+        r'_v = (3·1e6) DIV (20·N)  +  (17 · Σ contrib) DIV 20.
+
+    Dangling-node mass is dropped (the standard simplification).
+
+    Scale shape: the corpus-sized work is ONE bigram count
+    (adjacency_edges); the iterations run on the vocabulary-sized
+    graph — at 100 TB that graph still fits in a broadcast, so each
+    round is a broadcast join + one tiny agg, and the driver loop adds
+    no corpus rescans (edges are cached).
+    """
+    edges = adjacency_edges(documents, text_col).cache()
+    nodes = (
+        edges.select(F.col("src").alias("word"))
+        .unionByName(edges.select(F.col("dst").alias("word")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    tele = (3 * 1_000_000) // (20 * n)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ranks = nodes.withColumn("r", F.lit(1_000_000 // n).cast("bigint"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(out_w, "src")
+            .join(
+                F.broadcast(ranks.select(F.col("word").alias("src"), "r")),
+                "src",
+            )
+            .withColumn("c", F.expr("CAST((r * w) DIV ow AS BIGINT)"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(
+                contribs.select(F.col("dst").alias("word"), "s"), "word", "left"
+            )
+            .withColumn(
+                "r",
+                F.lit(tele).cast("bigint")
+                + F.expr("CAST((17 * COALESCE(s, 0)) DIV 20 AS BIGINT)"),
+            )
+            .select("word", "r")
+        )
+    return (
+        ranks.select("word", F.col("r").alias("rank_q"))
+        .orderBy(F.desc("rank_q"), F.asc("word"))
+        .limit(top_k)
+    )

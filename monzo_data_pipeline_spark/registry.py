@@ -3302,6 +3302,64 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "textrank_keywords",
+    "C4/north-star (TextRank: weighted PageRank over the word-adjacency "
+    "graph, 3 fixed iterations, all-integer micro-unit arithmetic)",
+    r"""
+    WITH doc AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), pairs AS (
+        SELECT toks[i] AS src, toks[i+1] AS dst
+        FROM doc, (SELECT unnest(range(1, 2000)) AS i)
+        WHERE i + 1 <= len(toks)
+    ), edges AS (
+        SELECT src, dst, COUNT(*) AS w FROM pairs
+        WHERE src <> '' AND dst <> '' GROUP BY src, dst
+    ), nodes AS (
+        SELECT DISTINCT word
+        FROM (SELECT src AS word FROM edges UNION SELECT dst AS word FROM edges)
+    ), stats AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+    r0 AS (SELECT word, CAST(1000000 // n AS BIGINT) AS r FROM nodes, stats),
+    c1 AS (
+        SELECT e.dst, CAST(SUM((r.r * e.w) // o.ow) AS BIGINT) AS s
+        FROM edges e JOIN outw o ON e.src = o.src JOIN r0 r ON r.word = e.src
+        GROUP BY e.dst
+    ), r1 AS (
+        SELECT nd.word,
+               CAST((3000000 // (20 * st.n))
+                    + (17 * COALESCE(c1.s, 0)) // 20 AS BIGINT) AS r
+        FROM nodes nd CROSS JOIN stats st LEFT JOIN c1 ON c1.dst = nd.word
+    ), c2 AS (
+        SELECT e.dst, CAST(SUM((r.r * e.w) // o.ow) AS BIGINT) AS s
+        FROM edges e JOIN outw o ON e.src = o.src JOIN r1 r ON r.word = e.src
+        GROUP BY e.dst
+    ), r2 AS (
+        SELECT nd.word,
+               CAST((3000000 // (20 * st.n))
+                    + (17 * COALESCE(c2.s, 0)) // 20 AS BIGINT) AS r
+        FROM nodes nd CROSS JOIN stats st LEFT JOIN c2 ON c2.dst = nd.word
+    ), c3 AS (
+        SELECT e.dst, CAST(SUM((r.r * e.w) // o.ow) AS BIGINT) AS s
+        FROM edges e JOIN outw o ON e.src = o.src JOIN r2 r ON r.word = e.src
+        GROUP BY e.dst
+    ), r3 AS (
+        SELECT nd.word,
+               CAST((3000000 // (20 * st.n))
+                    + (17 * COALESCE(c3.s, 0)) // 20 AS BIGINT) AS r
+        FROM nodes nd CROSS JOIN stats st LEFT JOIN c3 ON c3.dst = nd.word
+    )
+    SELECT word, r AS rank_q FROM r3
+    ORDER BY rank_q DESC, word ASC
+    LIMIT 20
+    """,
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SRCH.textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "adaptive_stopword_filter",
     "C4/north-star (corpus-adaptive boilerplate-token removal, order-preserving)",
     r"""

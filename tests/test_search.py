@@ -73,3 +73,29 @@ def test_adaptive_stopword_filter_all_removed_yields_empty(spark):
     out = {r.doc_id: r for r in SRCH.adaptive_stopword_filter(df).collect()}
     assert out[1].clean_text == "" and out[1].n_removed == 1
     assert out[3].clean_text == "a"
+
+
+def test_adjacency_edges_counts(spark):
+    df = _docs(spark, [(1, "a b a b"), (2, "b a")])
+    out = {(r.src, r.dst): r.w for r in SRCH.adjacency_edges(df).collect()}
+    assert out == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_textrank_hub_outranks_leaf(spark):
+    # 'hub' is pointed at from every other word; leaves only get teleport
+    df = _docs(
+        spark,
+        [(1, "x hub y hub z hub"), (2, "w hub x hub")],
+    )
+    rows = SRCH.textrank_keywords(df, iters=3, top_k=10).collect()
+    ranks = {r.word: r.rank_q for r in rows}
+    assert max(ranks, key=ranks.get) == "hub"
+    assert ranks["hub"] > ranks["x"] > 0
+
+
+def test_textrank_rank_conserved_order(spark):
+    # deterministic: two runs produce identical rows in identical order
+    df = _docs(spark, [(1, "p q r p q"), (2, "q r p")])
+    a = [tuple(r) for r in SRCH.textrank_keywords(df, iters=3).collect()]
+    b = [tuple(r) for r in SRCH.textrank_keywords(df, iters=3).collect()]
+    assert a == b and len(a) > 0
