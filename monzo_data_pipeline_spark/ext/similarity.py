@@ -228,28 +228,29 @@ def quantized_dist_sq(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def kmeans_assign(
-    emb: DataFrame,
-    centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _assign_prequantized(
+    emb_q: DataFrame,
+    centroids_q: DataFrame,
+    id_col: str,
+    vec_col: str,
     cell_col: str = "cell",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (min exact-integer
-    squared distance; deterministic tiebreak on cell id). Centroids are
-    broadcast; the argmin is a min-struct aggregate — no window, so the
-    only shuffle is the per-vector groupBy, and at 100 TB the cross
-    score stays map-side over the broadcast K rows."""
-    c = centroids.select(
-        F.col(cell_col), F.col(vec_col).alias("__cvec")
-    )
-    scored = emb.crossJoin(F.broadcast(c)).select(
+    """Nearest-centroid assignment over PRE-quantized long arrays
+    (`__qv` on the corpus side, `__qc` on the broadcast centroid side):
+    the per-pair lambda is a bare (x−y)² fold — quantization (cast +
+    floor per element) runs once per vector, not once per (vector ×
+    centroid). Min-struct argmin, deterministic tiebreak on cell id;
+    the only shuffle is the per-vector groupBy."""
+    diffs = F.zip_with("__qv", "__qc", lambda x, y: (x - y) * (x - y))
+    scored = emb_q.crossJoin(F.broadcast(centroids_q)).select(
         id_col,
         vec_col,
         cell_col,
-        quantized_dist_sq(vec_col, "__cvec").alias("__d2"),
+        F.aggregate(diffs, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "__d2"
+        ),
     )
-    best = (
+    return (
         scored.groupBy(id_col)
         .agg(
             F.min(F.struct(F.col("__d2"), F.col(cell_col))).alias("__best"),
@@ -262,7 +263,66 @@ def kmeans_assign(
             F.col("__best")["__d2"].alias("d2_q"),
         )
     )
-    return best
+
+
+def _quantize_rows(rows: list[tuple[int, list[float]]]):
+    """Driver-side twin of `_q`: floor(x·10⁶) on the same IEEE double."""
+    import math
+
+    return [(c, v, [math.floor(x * QUANT) for x in v]) for c, v in rows]
+
+
+def _assign_literal(
+    emb_q: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment with the K×d centroid table inlined
+    as a LITERAL array of (cell, qc) structs: per row, transform each
+    centroid to (d2, cell) and take array_min — struct ordering gives
+    the argmin with the low-cell tiebreak. ZERO shuffles and zero
+    joins: assignment is pure map-side expression work, which is the
+    posture that matters when the corpus is 100 TB and K·d is a few
+    thousand literals."""
+    # the K×d literal is rendered as ONE SQL string and parsed JVM-side:
+    # building it from 500+ F.lit() objects costs ~0.5 s of py4j round
+    # trips per iteration (measured), the expr parse is ~nothing
+    cent_sql = ",".join(
+        "named_struct('cell',{c},'qc',array({qs}))".format(
+            c=c, qs=",".join(f"{int(q)}L" for q in qc)
+        )
+        for c, _, qc in _quantize_rows(cent_rows)
+    )
+    scored = F.expr(
+        f"transform(array({cent_sql}), cen -> named_struct("
+        "'d2', aggregate(zip_with(__qv, cen.qc, (x, y) -> (x-y)*(x-y)),"
+        " 0L, (a, v) -> a+v), 'cell', cen.cell))"
+    )
+    return emb_q.withColumn("__best", F.array_min(scored)).select(
+        id_col,
+        vec_col,
+        F.col("__best")["cell"].alias("cell"),
+        F.col("__best")["d2"].alias("d2_q"),
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (min exact-integer
+    squared distance; deterministic tiebreak on cell id). Centroids are
+    broadcast; see `_assign_prequantized` for the argmin shape."""
+    emb_q = emb.withColumn("__qv", F.transform(F.col(vec_col), _q))
+    c = centroids.select(
+        F.col(cell_col),
+        F.transform(F.col(vec_col), _q).alias("__qc"),
+    )
+    return _assign_prequantized(emb_q, c, id_col, vec_col, cell_col)
 
 
 def kmeans_fit(
@@ -298,30 +358,24 @@ def kmeans_fit(
             emb.orderBy(F.asc(id_col)).limit(k).collect()
         )
     ]
+    d = len(cent_rows[0][1])
+    # quantize the corpus once per job (1× per vector, not once per
+    # vector×centroid — the fold lambda then runs on bare longs)
+    emb_q = emb.withColumn("__qv", F.transform(F.col(vec_col), _q))
+    # per-coordinate DECIMAL means via element_at aggregates: one
+    # shuffle of K groups × d partial-agg buffers per iteration — no
+    # posexplode row blow-up, no second shuffle to re-assemble arrays
+    mean_aggs = [
+        F.avg(F.element_at(F.col(vec_col), i + 1).cast("decimal(28,12)"))
+        .cast("double")
+        .alias(f"m{i}")
+        for i in range(d)
+    ]
     for _ in range(iters):
-        centroids = spark.createDataFrame(cent_rows, cent_schema)
-        assigned = kmeans_assign(emb, centroids, id_col, vec_col)
-        means = (
-            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(
-                F.avg(F.col("v").cast("decimal(28,12)"))
-                .cast("double")
-                .alias("m")
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                    ),
-                    lambda s: s["m"],
-                ).alias(vec_col)
-            )
-        )
+        assigned = _assign_literal(emb_q, cent_rows, id_col, vec_col)
         new_rows = [
-            (r["cell"], [float(x) for x in r[vec_col]])
-            for r in means.collect()
+            (r["cell"], [r[f"m{i}"] for i in range(d)])
+            for r in assigned.groupBy("cell").agg(*mean_aggs).collect()
         ]
         # a cluster can go empty: keep its previous centroid
         got = {c for c, _ in new_rows}
@@ -329,7 +383,7 @@ def kmeans_fit(
             new_rows + [(c, v) for c, v in cent_rows if c not in got]
         )
     centroids = spark.createDataFrame(cent_rows, cent_schema)
-    return kmeans_assign(emb, centroids, id_col, vec_col), centroids
+    return _assign_literal(emb_q, cent_rows, id_col, vec_col), centroids
 
 
 def kmeans_cluster_profile(
