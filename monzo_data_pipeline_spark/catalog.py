@@ -52,7 +52,9 @@ def _events_ts_unit(path: str) -> str:
         if os.path.isdir(path):
             parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
             first = os.path.join(path, parts[0])
-        unit = pq.read_schema(first).field("ts").type.unit
+        t = pq.read_schema(first).field("ts").type
+        # plain INT64 (no timestamp logical type) = raw nanos layout
+        unit = getattr(t, "unit", "ns")
         _EVENTS_TS_UNIT_CACHE[path] = unit
     return unit
 

@@ -75,6 +75,15 @@ QUERY_SET = [
     "source_mixture_sample",
     "snapshot_diff_cdc",
     "value_histogram",
+    "ngram_jaccard_pairs",
+    "inverted_index",
+    "bm25_keyword_search",
+    "adaptive_stopword_filter",
+    "event_transition_matrix",
+    "session_paths_top",
+    "wow_revenue_movers",
+    "scd2_temporal_lookup",
+    "kmeans_cluster_profile",
 ]
 
 KEY_OFFSET = 100_000_000
@@ -97,10 +106,8 @@ def replicate(spark, factor: int) -> None:
         out: DataFrame = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        if table == "events":
-            # the catalog reads events.ts as raw INT64 nanos (the testdata
-            # format); write the scaled copy in the same physical layout
-            out = out.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+        # events.ts round-trips as timestamp[us]; the catalog sniffs the
+        # footer and reads that layout natively
         out.repartition(8).write.mode("overwrite").parquet(
             os.path.join(SCALED_DIR, f"{table}.parquet")
         )
