@@ -247,3 +247,80 @@ def zscore_outliers(
         .filter(F.abs(F.col("z")) >= F.lit(threshold))
         .select(*id_cols, *keys, value_col, "z")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Robust per-group anomaly profile via Median Absolute Deviation:
+    n, median, MAD, and the count of rows with |x − med| > 3·MAD.
+
+    The robust twin of `zscore_outliers` (median/MAD ignore the heavy
+    tail that inflates mean/stddev). Same two-broadcast shape: each
+    percentile pass reduces to one row per group that broadcasts back,
+    so the fact table never shuffles. med/MAD are rounded to 4 digits
+    first — the engines' interpolation is algebraically equivalent but
+    FP-different (cf. exact_percentiles), and the rounded cuts make the
+    threshold compare engine-identical.
+    """
+    c = F.col(value_col)
+    med = df.groupBy(*keys).agg(
+        F.round(F.percentile(c, F.lit(0.5)), 4).alias("med_r")
+    )
+    j = df.join(F.broadcast(med), keys)
+    mad = j.groupBy(*keys).agg(
+        F.round(F.percentile(F.abs(c - F.col("med_r")), F.lit(0.5)), 4).alias(
+            "mad_r"
+        )
+    )
+    return (
+        j.join(F.broadcast(mad), keys)
+        .groupBy(*keys, "med_r", "mad_r")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.abs(c - F.col("med_r")) > 3 * F.col("mad_r")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Equi-depth histogram WITHOUT a global sort: exact interpolated
+    quantile cutpoints (one aggregate), broadcast back as a single
+    array row, bucket = count of cutpoints below the value (a map-side
+    higher-order fold). The ntile() formulation needs a total order —
+    one task at any scale; this shape is two tiny aggregates around a
+    map-side pass. Cutpoints are rounded to 4 digits to pin the
+    bucket-boundary compare across engines.
+    """
+    c = F.col(value_col)
+    pcts = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+    )
+    cuts = df.agg(
+        F.transform(F.percentile(c, pcts), lambda q: F.round(q, 4)).alias(
+            "cuts"
+        )
+    )
+    bucketed = df.crossJoin(F.broadcast(cuts)).select(
+        F.size(F.filter(F.col("cuts"), lambda q: q < c))
+        .cast("bigint")
+        .alias("bucket"),
+        c,
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(c).alias("lo"),
+            F.max(c).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -3072,6 +3072,70 @@ def q_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Robust stats: MAD outliers (the median twin of zscore_outliers) and a
+# sort-free equi-depth histogram (operators/aggregates.py).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mad_robust_outliers",
+    "C7/north-star (median-absolute-deviation anomaly profile per group)",
+    """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med_r
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type,
+               round(quantile_cont(abs(e.value - m.med_r), 0.5), 4) AS mad_r
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type, m.med_r, d.mad_r, COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE abs(e.value - m.med_r) > 3 * d.mad_r)
+               AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med_r, d.mad_r
+    ORDER BY e.event_type
+    """,
+)
+def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.mad_outliers(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value"
+    )
+
+
+@_register(
+    "equi_depth_histogram",
+    "C7/north-star (equi-depth histogram without a global sort: quantile "
+    "cutpoints broadcast, bucket = map-side fold)",
+    """
+    WITH cuts AS (
+        SELECT list_transform(
+                   quantile_cont(l_extendedprice,
+                       [0.05, 0.10, 0.15, 0.20, 0.25, 0.30, 0.35, 0.40, 0.45,
+                        0.50, 0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90,
+                        0.95]),
+                   q -> round(q, 4)) AS cuts
+        FROM lineitem
+    )
+    SELECT CAST(len(list_filter(cuts, q -> q < l_extendedprice)) AS BIGINT)
+               AS bucket,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem, cuts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.equi_depth_histogram(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", n_buckets=20
+    )
+
+
+# ---------------------------------------------------------------------------
 # DataFrame-native k-means (ext/similarity.py::kmeans_fit) — the IVF
 # centroid trainer; fixed iterations, deterministic init, decimal means.
 # Rows-only check: 3 Lloyd iterations are not SQL-expressible in DuckDB

@@ -72,6 +72,10 @@ def get_spark(
         # reader refuses ns→TimestampType, so read ns as long and convert
         # in catalog.load_table (exactly DuckDB's truncate-to-µs behavior).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as annotated INT64 micros, not legacy INT96:
+        # INT96 footers defeat the catalog's ts-unit sniffing and every
+        # modern reader (DuckDB, pyarrow) treats INT96 as deprecated
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # custom Python data sources (sources/api_source.py) push
         # created-range predicates into the REST cursor window
         .config("spark.sql.python.filterPushdown.enabled", "true")

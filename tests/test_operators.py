@@ -407,3 +407,22 @@ def test_snapshot_diff_classifies_all_null_rows_correctly(spark):
     # id=1: present both sides with NULL value → unchanged (absent);
     # id=4 added with NULL value — nullability can't prove absence
     assert got == {2: "updated", 3: "removed", 4: "added"}
+
+
+def test_mad_outliers_flags_far_point(spark):
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14]] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = AGG.mad_outliers(df, ["k"], "v").collect()[0]
+    # median of {10..14,1000}=12.5, MAD=1.5 -> only 1000 exceeds 3*MAD
+    assert out.n == 6 and out.n_outliers == 1
+    assert out.med_r == 12.5 and out.mad_r == 1.5
+
+
+def test_equi_depth_histogram_balanced(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "v double"
+    )
+    rows = AGG.equi_depth_histogram(df, "v", n_buckets=4).collect()
+    assert [r.bucket for r in rows] == [0, 1, 2, 3]
+    assert [r.n for r in rows] == [25, 25, 25, 25]
+    assert rows[0].lo == 1.0 and rows[-1].hi == 100.0

@@ -90,6 +90,9 @@ KEY_OFFSET = 100_000_000
 
 
 def replicate(spark, factor: int) -> None:
+    # events.ts must land as annotated INT64 micros (INT96 would defeat
+    # the catalog's footer sniffing); pin it even under a foreign session
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     shutil.rmtree(SCALED_DIR, ignore_errors=True)
     os.makedirs(SCALED_DIR, exist_ok=True)
     for table, keys in KEYED.items():
