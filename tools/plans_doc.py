@@ -38,6 +38,12 @@ SHOW = {
     "upsert_last_wins": "MERGE upsert — last-wins collapse (window) + anti-join + union; update batch broadcast when small",
     "benchmark_contamination": "decontamination — eval-set shingles broadcast; corpus side streams map-side (no corpus shuffle before the agg)",
     "pack_sequences": "sequence packing — sharded prefix-sum window (32-way parallel), never a global sort",
+    "bm25_keyword_search": "BM25 — df/corpus stats broadcast back onto the tf rows; one (doc,word) shuffle total",
+    "adaptive_stopword_filter": "stopword removal — stop set as ONE broadcast array row; per-doc rewrite map-side",
+    "event_transition_matrix": "Markov transitions — one window shuffle on user, totals broadcast back",
+    "scd2_temporal_lookup": "SCD2 lookup — equi-join on key with interval containment as residual (hash join, no nested loop)",
+    "equi_depth_histogram": "equi-depth histogram — cutpoints broadcast; bucket fold map-side (no ntile global sort)",
+    "mad_robust_outliers": "MAD outliers — two percentile passes broadcast back; fact never shuffles",
 }
 
 MARKERS = (
