@@ -342,3 +342,47 @@ def scrub_pii(text: Column | str) -> Column:
     for _name, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def curriculum_sample(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rates: tuple[int, ...] = (10, 25, 50, 100),
+) -> DataFrame:
+    """Quality-curriculum corpus sampling: score every document
+    (quality_score), tier the corpus by score quartiles, and keep a
+    per-tier percentage via keyed modular arithmetic (10% of the worst
+    quartile ... 100% of the best by default) — the standard
+    quality-weighted reweighting before LLM pre-training.
+
+    Deterministic end to end: the composite score is rounded (fixed
+    policy), the tier cutpoints are rounded interpolated quantiles
+    broadcast as one array row, and the keep decision is id % 100 <
+    rate — reproducible across engines, runs, and partitionings,
+    and incrementally stable (a new batch doesn't re-decide old docs,
+    cf. source_mixture_sample). One corpus scan + one tiny quantile
+    aggregate; no shuffle of the corpus itself.
+    """
+    n_tiers = len(rates)
+    scored = documents.select(
+        id_col, quality_score(text_col).alias("quality")
+    )
+    pcts = F.array(*[F.lit(i / n_tiers) for i in range(1, n_tiers)])
+    cuts = scored.agg(
+        F.transform(F.percentile("quality", pcts), lambda q: F.round(q, 6)).alias(
+            "cuts"
+        )
+    )
+    tiered = scored.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "quality",
+        F.size(F.filter(F.col("cuts"), lambda q: q < F.col("quality")))
+        .cast("bigint")
+        .alias("tier"),
+    )
+    rate_arr = F.array(*[F.lit(r) for r in rates])
+    return tiered.filter(
+        F.col(id_col) % 100
+        < F.element_at(rate_arr, (F.col("tier") + 1).cast("int"))
+    )

@@ -3366,6 +3366,45 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "curriculum_quality_sample",
+    "north-star (quality-curriculum sampling: score → quartile tiers → "
+    "per-tier keyed modular keep rates; the pre-training reweighting pass)",
+    rf"""
+    WITH feats AS (
+        SELECT doc_id,
+               least(length(text) / 500.0, 1.0) AS length_feat,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   t -> t IN ({_STOPWORD_SQL})))
+               / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)
+                   AS sw_ratio,
+               (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               round(0.4 * length_feat + 0.4 * sw_ratio
+                     + 0.2 * (1.0 - punct_ratio), 6) AS quality
+        FROM feats
+    ), cuts AS (
+        SELECT list_transform(quantile_cont(quality, [0.25, 0.50, 0.75]),
+                              x -> round(x, 6)) AS cuts
+        FROM q
+    ), tiered AS (
+        SELECT doc_id, quality,
+               CAST(len(list_filter(cuts, c -> c < quality)) AS BIGINT) AS tier
+        FROM q, cuts
+    )
+    SELECT doc_id, quality, tier
+    FROM tiered
+    WHERE doc_id % 100 < [10, 25, 50, 100][CAST(tier + 1 AS INT)]
+    ORDER BY doc_id
+    """,
+)
+def q_curriculum_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.curriculum_sample(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "textrank_keywords",
     "C4/north-star (TextRank: weighted PageRank over the word-adjacency "
     "graph, 3 fixed iterations, all-integer micro-unit arithmetic)",

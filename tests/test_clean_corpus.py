@@ -217,3 +217,27 @@ def test_prepare_training_corpus_end_to_end(spark, sf_dir):
     packed_total = packed.agg(F.sum("total_tokens").alias("t")).collect()[0]["t"]
     assert packed_total == tok_total
     assert packed.count() >= 1
+
+
+def test_curriculum_sample_keeps_more_high_quality(spark):
+    from monzo_data_pipeline_spark.functions.text import curriculum_sample
+
+    # 100 low-quality docs (punct soup) + 100 fluent docs; ids interleave
+    low = [(i, "!!! ??? ### $$$ %%%") for i in range(0, 200, 2)]
+    high = [
+        (i, "the quick brown fox and the lazy dog were on the hill " * 3)
+        for i in range(1, 200, 2)
+    ]
+    df = spark.createDataFrame(low + high, "doc_id bigint, text string")
+    kept = curriculum_sample(df).collect()
+    kept_low = sum(1 for r in kept if r.doc_id % 2 == 0)
+    kept_high = sum(1 for r in kept if r.doc_id % 2 == 1)
+    # fluent docs land in higher tiers -> higher keep rates
+    assert kept_high > kept_low
+    # every kept fluent doc out-tiers every kept punct-soup doc
+    high_tiers = {r.tier for r in kept if r.doc_id % 2 == 1}
+    low_tiers = {r.tier for r in kept if r.doc_id % 2 == 0}
+    assert min(high_tiers) > max(low_tiers)
+    # deterministic: same result twice
+    again = curriculum_sample(df).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
