@@ -133,3 +133,112 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         .substr(F.col("frame_idx") * every_n_bytes + 1, F.lit(8))
         .alias("frame_head"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads — the image-resize
+    slot of the multimodal pipeline. Real decode+resample needs an
+    imaging library (absent here); the deterministic fake keeps every
+    production-relevant part honest: mapInPandas batch signature, a
+    payload whose size reflects the target dimensions, and a meta
+    struct rewritten to the new (width, height, n_bytes).
+
+    The stand-in 'resize' subsamples the byte stream to w·h bytes with
+    a fixed stride — content-dependent, deterministic, shrink-only,
+    so tests can assert real invariants (size law, stride coverage)
+    that survive swapping in a true decoder.
+    """
+
+    def batches(it):
+        import pandas as pd  # self-contained closure (ships by value)
+
+        target = target_w * target_h
+
+        def fake_resize(payload: bytes) -> bytes:
+            n = len(payload)
+            if n == 0 or n <= target:
+                return payload
+            stride = n / target
+            return bytes(payload[int(i * stride)] for i in range(target))
+
+        for pdf in it:
+            resized = pdf["payload"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "meta": [
+                        {
+                            "mime": m["mime"] if isinstance(m, dict) else m.mime,
+                            "n_bytes": len(p),
+                            "width": target_w,
+                            "height": target_h,
+                        }
+                        for m, p in zip(pdf["meta"], resized)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA_NOTE = """audio windowing keeps the same opaque-binary
+policy: payload = PCM byte stream, meta carries sample_rate/bytes_per_sample;
+window boundaries are pure integer arithmetic on those fields."""
+
+
+def window_audio(
+    media: DataFrame,
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    window_ms: int = 25,
+    hop_ms: int = 10,
+) -> DataFrame:
+    """Framing for audio payloads: overlapping windows of `window_ms`
+    every `hop_ms` (the standard STFT/feature framing), expressed as
+    byte-range rows over the opaque payload — built-ins only, map-side,
+    one input row → many window rows. A real decoder turns each
+    (byte_offset, win_bytes) slice into samples; the Spark-side shape
+    (explode arithmetic, offset stamping, slice extraction) is the part
+    that matters at 100 TB and is fully exercised here.
+    """
+    win_bytes = sample_rate * bytes_per_sample * window_ms // 1000
+    hop_bytes = sample_rate * bytes_per_sample * hop_ms // 1000
+    n = F.octet_length("payload")
+    last = F.greatest(
+        F.floor((n - win_bytes).cast("double") / hop_bytes).cast("int"),
+        F.lit(0),
+    )
+    wins = media.filter(n >= win_bytes).select(
+        "media_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), last)).alias("win_idx"),
+    )
+    return wins.select(
+        "media_id",
+        "win_idx",
+        (F.col("win_idx") * hop_bytes).cast("long").alias("byte_offset"),
+        F.lit(win_bytes).cast("long").alias("win_bytes"),
+        F.col("payload")
+        .substr(F.col("win_idx") * hop_bytes + 1, F.lit(win_bytes))
+        .alias("window_payload"),
+    )

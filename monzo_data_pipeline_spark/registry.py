@@ -2087,6 +2087,50 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "audio_windowing",
+    "C5/north-star (audio framing: overlapping byte-range windows over the "
+    "opaque payload — STFT-style 40-byte windows every 16; payload is utf-8 "
+    "text so the oracle checks the slices as substrings)",
+    """
+    SELECT doc_id AS media_id, CAST(i.i AS INT) AS win_idx,
+           CAST(i.i * 16 AS BIGINT) AS byte_offset,
+           CAST(40 AS BIGINT) AS win_bytes,
+           substring(text, CAST(i.i * 16 + 1 AS INT), 40) AS window_text
+    FROM documents,
+         LATERAL (SELECT unnest(range(0,
+             greatest((octet_length(encode(text)) - 40) // 16, 0) + 1)) AS i) i
+    WHERE octet_length(encode(text)) >= 40
+    """,
+)
+def q_audio_windowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    wins = MM.window_audio(
+        media, sample_rate=1000, bytes_per_sample=1, window_ms=40, hop_ms=16
+    )
+    return wins.select(
+        "media_id",
+        "win_idx",
+        "byte_offset",
+        "win_bytes",
+        F.decode(F.col("window_payload"), "UTF-8").alias("window_text"),
+    )
+
+
+@_register(
+    "media_resize",
+    "C5/north-star (Arrow-batched resize slot: mapInPandas, meta rewritten "
+    "to target dims; decoder stubbed — rows-only check)",
+    None,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return MM.resize_media(media, target_w=8, target_h=8).select(
+        "media_id", F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Breadth batch 4: correlated-exists aggregation (TPC-H Q4 shape), volume
 # shipping (Q7 shape), time-RANGE windows, rank distributions, algebraic

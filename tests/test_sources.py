@@ -153,3 +153,45 @@ def test_zorder_equi_depth_handles_skewed_column(spark, tmp_path):
     ).collect()[0]
     want = ev.agg(F.count("*").alias("n"), F.sum("event_id").alias("s")).collect()[0]
     assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+def test_resize_media_size_law_and_meta(spark):
+    from monzo_data_pipeline_spark.ext import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "short")], "doc_id bigint, text string"
+    )
+    out = {
+        r.media_id: r
+        for r in MM.resize_media(
+            MM.documents_as_media(docs), target_w=8, target_h=8
+        ).collect()
+    }
+    # large payload shrinks to exactly w*h bytes; small passes through
+    assert len(out[1].payload) == 64 and out[1].meta.n_bytes == 64
+    assert len(out[2].payload) == 5
+    assert out[1].meta.width == 8 and out[1].meta.height == 8
+    # deterministic content: stride subsample of a constant is constant
+    assert out[1].payload == b"x" * 64
+
+
+def test_window_audio_offsets_and_slices(spark):
+    from monzo_data_pipeline_spark.ext import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 10), (2, "tiny")], "doc_id bigint, text string"
+    )
+    wins = MM.window_audio(
+        MM.documents_as_media(docs),
+        sample_rate=1000,
+        bytes_per_sample=1,
+        window_ms=40,
+        hop_ms=16,
+    ).collect()
+    # doc 2 (4 bytes) is below one window -> no rows
+    assert {r.media_id for r in wins} == {1}
+    by_idx = {r.win_idx: r for r in wins}
+    # 100 bytes, win 40, hop 16 -> last = (100-40)//16 = 3 -> 4 windows
+    assert sorted(by_idx) == [0, 1, 2, 3]
+    assert by_idx[1].byte_offset == 16 and by_idx[1].win_bytes == 40
+    assert bytes(by_idx[0].window_payload) == b"abcdefghij" * 4
