@@ -299,6 +299,12 @@ def equi_depth_histogram(
     one task at any scale; this shape is two tiny aggregates around a
     map-side pass. Cutpoints are rounded to 4 digits to pin the
     bucket-boundary compare across engines.
+
+    Scale note: Spark's EXACT percentile keeps a value→count map per
+    partial aggregate (2.4 s over 600k mostly-distinct doubles at
+    sf0.1, and unbounded memory at 100 TB). This operator is exact to
+    stay oracle-comparable; at scale swap the cutpoint aggregate for
+    `approx_percentile` — every other part of the plan is unchanged.
     """
     c = F.col(value_col)
     pcts = F.array(

@@ -3157,25 +3157,25 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cuts AS (
         SELECT list_transform(
-                   quantile_cont(l_extendedprice,
+                   quantile_cont(value,
                        [0.05, 0.10, 0.15, 0.20, 0.25, 0.30, 0.35, 0.40, 0.45,
                         0.50, 0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90,
                         0.95]),
                    q -> round(q, 4)) AS cuts
-        FROM lineitem
+        FROM events
     )
-    SELECT CAST(len(list_filter(cuts, q -> q < l_extendedprice)) AS BIGINT)
+    SELECT CAST(len(list_filter(cuts, q -> q < value)) AS BIGINT)
                AS bucket,
            COUNT(*) AS n,
-           MIN(l_extendedprice) AS lo,
-           MAX(l_extendedprice) AS hi
-    FROM lineitem, cuts
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events, cuts
     GROUP BY 1 ORDER BY 1
     """,
 )
 def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AGG.equi_depth_histogram(
-        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", n_buckets=20
+        load_table(spark, sf_dir, "events"), "value", n_buckets=20
     )
 
 
