@@ -10,6 +10,8 @@ example uses a single createDataFrame + collect round trip.
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -214,3 +216,99 @@ def test_grid_radius_join_matches_bruteforce(sp, pa, pb, radius):
         if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= radius * radius
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Partition-invariance + conservation properties for the sequence/search ops:
+# results must not depend on how the input is partitioned, and integer
+# conservation laws must hold on random inputs.
+# ---------------------------------------------------------------------------
+
+
+def _random_events(spark, seed, n_users=7, n_events=120):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            datetime(2024, 1, 1, 0, 0, 0)
+            + timedelta(seconds=rng.randrange(0, 3600 * 50)),
+            rng.randrange(n_users),
+            rng.choice(["a", "b", "c", "d"]),
+        )
+        for i in range(n_events)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+
+
+def test_transition_counts_conservation_and_partition_invariance(spark):
+    from monzo_data_pipeline_spark.operators.behavioral import transition_counts
+
+    ev = _random_events(spark, seed=13)
+    out1 = {(r.from_type, r.to_type): r.n for r in transition_counts(ev).collect()}
+    out7 = {
+        (r.from_type, r.to_type): r.n
+        for r in transition_counts(ev.repartition(7)).collect()
+    }
+    assert out1 == out7
+    # each user with k events contributes exactly k-1 transitions
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(out1.values()) == ev.count() - n_users
+
+
+def test_session_paths_partition_invariance(spark):
+    from monzo_data_pipeline_spark.operators.behavioral import session_paths
+
+    ev = _random_events(spark, seed=29)
+    a = [tuple(r) for r in session_paths(ev, gap_minutes=30).collect()]
+    b = [tuple(r) for r in session_paths(ev.repartition(5), gap_minutes=30).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_bm25_partition_invariance(spark):
+    from monzo_data_pipeline_spark.ext.search import bm25_scores
+
+    import random
+
+    rng = random.Random(47)
+    vocab = ["spark", "hash", "merge", "x", "y", "z", "w"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 30))))
+            for i in range(60)
+        ],
+        "doc_id bigint, text string",
+    )
+    a = [tuple(r) for r in bm25_scores(docs).collect()]
+    b = [tuple(r) for r in bm25_scores(docs.repartition(9)).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_curriculum_sample_is_subset_and_partition_invariant(spark):
+    from monzo_data_pipeline_spark.functions.text import curriculum_sample
+
+    import random
+
+    rng = random.Random(3)
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    rng.choice(["the", "fox", "!!!", "runs", "###", "hill"])
+                    for _ in range(rng.randrange(2, 60))
+                ),
+            )
+            for i in range(200)
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(r.doc_id for r in curriculum_sample(docs).collect())
+    kept_re = sorted(
+        r.doc_id for r in curriculum_sample(docs.repartition(11)).collect()
+    )
+    assert kept == kept_re
+    assert set(kept) <= set(range(200)) and 0 < len(kept) < 200
