@@ -59,23 +59,34 @@ def _doc_tokens(documents: DataFrame, text_col: str) -> DataFrame:
     ).filter(F.col("word") != "")
 
 
-def inverted_index(
-    documents: DataFrame,
-    text_col: str = "text",
-    min_df: int = 2,
-    max_postings: int = 1000,
+def doc_term_frequencies(
+    documents: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Build a term → posting-list index: (word, df, total_tf, postings).
+    """(doc_id, word, tf) — the index's APPEND-ONLY mergeable state.
 
-    postings = first `max_postings` doc_ids ascending (deterministic
-    cap; see module docstring for the 100 TB sharding posture). df
-    counts distinct docs; total_tf counts occurrences.
+    This granularity is what an incremental indexer persists: a new
+    document batch is tokenized alone and its tf rows appended (docs
+    are immutable, so rows never collide); every summary statistic
+    (df, total_tf, postings) is re-derivable from the union with one
+    groupBy — the corpus is never re-tokenized. Same state shape as
+    the LSH `band_index` path in dedup_fuzzy.
     """
-    tf = (
+    return (
         _doc_tokens(documents, text_col)
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def summarize_index(
+    tf: DataFrame,
+    min_df: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Collapse tf state to the query-side index: (word, df, total_tf,
+    postings). postings = first `max_postings` doc_ids ascending
+    (deterministic cap; see module docstring for the sharding
+    posture at 100 TB)."""
     return (
         tf.groupBy("word")
         .agg(
@@ -86,6 +97,23 @@ def inverted_index(
             ).alias("postings"),
         )
         .filter(F.col("df") >= min_df)
+    )
+
+
+def inverted_index(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Build a term → posting-list index: (word, df, total_tf, postings).
+
+    One-shot form of doc_term_frequencies → summarize_index; the
+    incremental path appends tf batches instead (batch-composition
+    parity tested in tests/test_search.py).
+    """
+    return summarize_index(
+        doc_term_frequencies(documents, text_col), min_df, max_postings
     )
 
 

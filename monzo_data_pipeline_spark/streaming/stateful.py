@@ -53,3 +53,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = "from_type string, to_type string, n long"
+TRANSITION_STATE_SCHEMA = "last_ts long, last_id long, last_type string"
+
+
+def stream_transition_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of `operators.behavioral.transition_counts`:
+    per-user last-event state carried across micro-batches, so a
+    transition spanning a batch boundary is still counted.
+
+    Each batch's rows are ordered (ts, event_id) within the user —
+    with chronologically-fed micro-batches this reproduces the batch
+    lead() semantics exactly (parity-tested); true out-of-order
+    arrival would need a watermark-bounded reorder buffer in the
+    state, the standard trade documented here rather than hidden.
+    Emits (from_type, to_type, n) per user per batch; the global
+    matrix is one downstream groupBy-sum.
+    """
+
+    def update(key, pdfs, state):
+        import pandas as pd  # self-contained closure
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        types = list(batch["event_type"])
+        if state.exists:
+            _, _, last_type = state.get
+            types = [last_type] + types
+        last_row = batch.iloc[-1]
+        state.update(
+            (
+                int(last_row["ts"].value // 1000),
+                int(last_row["event_id"]),
+                str(last_row["event_type"]),
+            )
+        )
+        pairs = pd.DataFrame(
+            {"from_type": types[:-1], "to_type": types[1:]}
+        )
+        if len(pairs) == 0:
+            return
+        counts = (
+            pairs.groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        yield counts
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

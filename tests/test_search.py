@@ -99,3 +99,22 @@ def test_textrank_rank_conserved_order(spark):
     a = [tuple(r) for r in SRCH.textrank_keywords(df, iters=3).collect()]
     b = [tuple(r) for r in SRCH.textrank_keywords(df, iters=3).collect()]
     assert a == b and len(a) > 0
+
+
+def test_incremental_index_equals_full_recompute(spark):
+    full = _docs(
+        spark,
+        [(1, "a b a"), (2, "b c"), (3, "c b a"), (4, "d b")],
+    )
+    b1, b2 = full.filter("doc_id <= 2"), full.filter("doc_id > 2")
+    # incremental: tokenize each batch alone, union the tf STATE,
+    # summarize once — never re-tokenizing earlier batches
+    state = SRCH.doc_term_frequencies(b1).unionByName(
+        SRCH.doc_term_frequencies(b2)
+    )
+    def norm(rows):
+        return {(r.word, r.df, r.total_tf, tuple(r.postings)) for r in rows}
+
+    inc = norm(SRCH.summarize_index(state, min_df=1).collect())
+    one_shot = norm(SRCH.inverted_index(full, min_df=1).collect())
+    assert inc == one_shot and len(inc) > 0

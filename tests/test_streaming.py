@@ -331,3 +331,54 @@ def test_session_windows_stream_matches_batch(spark, sf_dir, event_files):
     }
     assert stream_out == batch_out
     assert len(stream_out) > 0
+
+
+def test_stream_transition_counts_match_batch(spark, sf_dir, tmp_path):
+    """Stateful streaming transitions == batch lead() transitions when
+    micro-batches arrive chronologically (3 time-range files, 1 per
+    trigger): the per-user last-event state bridges batch boundaries."""
+    from monzo_data_pipeline_spark.operators.behavioral import transition_counts
+    from monzo_data_pipeline_spark.streaming.stateful import (
+        stream_transition_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.from_type, r.to_type): r.n for r in transition_counts(events).collect()
+    }
+
+    # chronological drops: three sequential appends of ascending time
+    # slices (the file source processes oldest-mtime first; a single
+    # 3-part write gives the parts arbitrary relative mtimes)
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    path = str(tmp_path / "chrono_events")
+    rn = F.row_number().over(W.orderBy("ts", "event_id"))
+    numbered = events.withColumn("__rn", rn)
+    n = events.count()
+    for k in range(3):
+        lo, hi = k * n // 3, (k + 1) * n // 3
+        numbered.filter((F.col("__rn") > lo) & (F.col("__rn") <= hi)).drop(
+            "__rn"
+        ).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+    stream = SW.stream_events_from_files(spark, path, events.schema)
+    q = (
+        stream_transition_counts(stream)
+        .writeStream.format("memory")
+        .queryName("transitions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.from_type, r.to_type): r.total_n
+        for r in spark.sql(
+            "SELECT from_type, to_type, SUM(n) AS total_n "
+            "FROM transitions_test GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
