@@ -400,3 +400,58 @@ def kmeans_cluster_profile(
         )
         .orderBy("cell")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid profile in exact micro-units: n vectors and
+    the mean vector as ⌊Σ⌊v·10⁶⌋ / n⌋ per coordinate — all-integer, so
+    any engine agrees bit-for-bit (the float-mean rounding question
+    never arises).
+
+    Plan: posexplode → one (label, pos) hash agg (map-side combined;
+    L·d groups) → per-label ordered re-assembly. The classifier-
+    dataset "class prototype" computation at corpus scale.
+    """
+    exploded = emb.select(
+        label_col, F.posexplode(vec_col).alias("pos", "v")
+    ).withColumn("q", _q(F.col("v")))
+    per_pos = exploded.groupBy(label_col, "pos").agg(
+        F.expr("CAST(SUM(q) DIV COUNT(*) AS BIGINT)").alias("m_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_pos.groupBy(label_col)
+        .agg(
+            F.min("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m_q"))),
+                lambda s: s["m_q"],
+            ).alias("centroid_q"),
+        )
+        .orderBy(label_col)
+    )
+
+
+def kmeans_representatives(
+    emb: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Semantic-dedup representatives: after k-means, keep per cluster
+    the vector nearest its centroid (min d2_q, tiebreak low id) — the
+    medoid-style summary that replaces a cluster of near-duplicate
+    embeddings with one exemplar. One groupBy over the assignment."""
+    assigned, _ = kmeans_fit(emb, k=k, iters=iters)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.min(F.struct(F.col("d2_q"), F.col("vec_id"))).alias("__best"))
+        .select(
+            "cell",
+            F.col("__best")["vec_id"].alias("representative_id"),
+            F.col("__best")["d2_q"].alias("d2_q"),
+        )
+        .orderBy("cell")
+    )

@@ -3189,6 +3189,29 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "label_centroids",
+    "C3/north-star (per-label class-prototype vectors in exact micro-units)",
+    """
+    WITH ex AS (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ), q AS (
+        SELECT label, pos,
+               CAST(SUM(FLOOR(CAST(v AS DOUBLE) * 1000000.0)) AS BIGINT) AS sq,
+               COUNT(*) AS n
+        FROM ex GROUP BY label, pos
+    )
+    SELECT label, CAST(MIN(n) AS BIGINT) AS n,
+           list(CAST(sq // n AS BIGINT) ORDER BY pos) AS centroid_q
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
     "kmeans_cluster_profile",
     "C3/north-star (Lloyd k-means cell profile; IVF trainer)",
     None,

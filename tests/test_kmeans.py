@@ -88,3 +88,33 @@ def test_cluster_profile_shape(emb):
     rows = prof.collect()
     assert sum(r.n for r in rows) == N
     assert all(r.avg_d2_q >= 0 for r in rows)
+
+
+def test_kmeans_representatives_are_nearest_members(emb):
+    df, _ = emb
+    reps = SIM.kmeans_representatives(df, k=K, iters=3).collect()
+    assigned, _cents = SIM.kmeans_fit(df, k=K, iters=3)
+    rows = assigned.collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append((r.d2_q, r.vec_id))
+    assert len(reps) == len(by_cell)
+    for rep in reps:
+        assert (rep.d2_q, rep.representative_id) == min(by_cell[rep.cell])
+
+
+def test_label_centroids_match_manual_means(spark):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0], 0),
+            (1, [3.0, 4.0], 0),
+            (2, [10.0, 0.5], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {r.label: r for r in SIM.label_centroids(df).collect()}
+    # label 0: q-sums = (4e6, 2e6), n=2 -> micro means (2e6, 1e6)
+    assert out[0].n == 2 and out[0].centroid_q == [2_000_000, 1_000_000]
+    assert out[1].n == 1 and out[1].centroid_q == [10_000_000, 500_000]
