@@ -20,6 +20,7 @@ Writer layout is where 100 TB performance is decided:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -44,6 +45,38 @@ def read_json_lines(spark: SparkSession, path: str, schema: T.StructType) -> Dat
     """NDJSON reader — the wire format a REST ingest would land as raw
     payloads before flattening (A7)."""
     return spark.read.schema(schema).json(path)
+
+
+def read_json_robust(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """NDJSON reader with quarantine: PERMISSIVE parse keeps malformed
+    lines in a `_corrupt_record` column instead of failing the job (at
+    100 TB there WILL be broken lines; one bad record must not kill an
+    ingest). Returns (good_rows, quarantine) — the quarantine frame
+    carries the raw line for the dead-letter path the reference's
+    swallow-and-log transform (/root/reference/src/transform/
+    transform.py:13-14) should have been.
+
+    Note Spark's contract: a corrupt-record query must select the
+    corrupt column from a CACHED or separately-projected frame — the
+    same scan cannot prune it — hence the explicit two-frame split.
+    """
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, quarantine
 
 
 def write_table(

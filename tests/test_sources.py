@@ -195,3 +195,24 @@ def test_window_audio_offsets_and_slices(spark):
     assert sorted(by_idx) == [0, 1, 2, 3]
     assert by_idx[1].byte_offset == 16 and by_idx[1].win_bytes == 40
     assert bytes(by_idx[0].window_payload) == b"abcdefghij" * 4
+
+
+def test_read_json_robust_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from monzo_data_pipeline_spark.sources.io import read_json_robust
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "NaN-ish", "v": 3}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, quarantine = read_json_robust(spark, str(p), schema)
+    assert {r.id for r in good.collect()} == {1, 2}
+    bad = [r._corrupt_record for r in quarantine.collect()]
+    assert len(bad) == 2 and "not json" in bad[0]
