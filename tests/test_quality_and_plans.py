@@ -81,6 +81,20 @@ def test_pipeline_failure_propagates(spark, tmp_path):
         ("large_volume_customers_q18", ["LeftSemi"]),
         # Q22: NOT EXISTS plans as an anti join
         ("waiting_customers_q22", ["LeftAnti"]),
+        # SCD2 lookup: containment rides an equi hash join — a plan
+        # with BroadcastNestedLoopJoin would be the O(n·m) failure
+        ("scd2_temporal_lookup", ["BroadcastHashJoin"]),
+        # BM25: corpus stats and df reach the tf rows as broadcasts
+        ("bm25_keyword_search", ["BroadcastHashJoin", "BroadcastNestedLoopJoin"]),
+        # stopword filter: the rewrite is map-side off ONE broadcast
+        # array row — no per-doc shuffle join
+        ("adaptive_stopword_filter", ["BroadcastNestedLoopJoin"]),
+        # transitions: exactly the user-key window shuffle + broadcast
+        # totals
+        ("event_transition_matrix", ["BroadcastHashJoin", "Window"]),
+        # equi-depth histogram: cutpoints broadcast; NO global Sort
+        # before the bucket agg (ntile's failure shape)
+        ("equi_depth_histogram", ["BroadcastNestedLoopJoin"]),
     ],
 )
 def test_plan_contract(spark, sf_dir, query, markers):
