@@ -455,3 +455,51 @@ def kmeans_representatives(
         )
         .orderBy("cell")
     )
+
+
+def ivf_topk_multiprobe(
+    emb: DataFrame,
+    query_id: int = 0,
+    n_centroids: int = 16,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF top-k: probe the `n_probe` cells whose
+    centroids score highest against the QUERY vector, not just the
+    query's own cell — the standard recall knob (single-probe misses
+    neighbors that straddle a cell boundary; probing P cells recovers
+    them at P× probe cost, still n_probe/K of the corpus).
+
+    Probe-cell choice is a K-row broadcast ranking; the corpus-side
+    work stays one semi-join against the probe set plus the scan of
+    those cells (partitionBy(cell) storage prunes it to n_probe/K).
+    """
+    centroids = emb.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    qvec = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(qvec))
+        .select(
+            F.col(id_col).alias("cell"),
+            quantized_dot(vec_col, "__qvec").alias("__s"),
+        )
+        .orderBy(F.desc("__s"), F.asc("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            id_col,
+            "cell",
+            quantized_dot(vec_col, "__qvec").alias("dot_q"),
+        )
+        .orderBy(F.desc("dot_q"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2036,6 +2036,46 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, query_id=0, n_centroids=16, k=5)
 
 
+@_register(
+    "ivf_topk_multiprobe",
+    "C3 scale path (multi-probe IVF: rank cells for the query, probe top-3 — "
+    "the recall knob over single-probe)",
+    f"""
+    WITH centroids AS (
+        SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {_QDOT.format(a='e.embedding', b='c.cvec')} AS score
+        FROM embeddings e CROSS JOIN centroids c
+    ), assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cell ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+        SELECT cell FROM (
+            SELECT c.cell, {_QDOT.format(a='c.cvec', b='q.qvec')} AS s
+            FROM centroids c CROSS JOIN q
+        ) ORDER BY s DESC, cell ASC LIMIT 3
+    )
+    SELECT a.vec_id, a.cell,
+           CAST({_QDOT.format(a='a.embedding', b='q.qvec')} AS BIGINT) AS dot_q
+    FROM assigned a
+    JOIN probe p ON a.cell = p.cell
+    CROSS JOIN q
+    WHERE a.vec_id <> 0
+    ORDER BY dot_q DESC, a.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk_multiprobe(emb, query_id=0, n_centroids=16, k=5, n_probe=3)
+
+
 # ---------------------------------------------------------------------------
 # C5/north-star — multimodal binary columns.
 # ---------------------------------------------------------------------------

@@ -118,3 +118,34 @@ def test_label_centroids_match_manual_means(spark):
     # label 0: q-sums = (4e6, 2e6), n=2 -> micro means (2e6, 1e6)
     assert out[0].n == 2 and out[0].centroid_q == [2_000_000, 1_000_000]
     assert out[1].n == 1 and out[1].centroid_q == [10_000_000, 500_000]
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Multi-probe must recover at least the single-probe hits and can
+    only add vectors from other probed cells; with n_probe == K it
+    equals brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(80, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(80)],
+        "vec_id bigint, embedding array<float>",
+    )
+    single = {r.vec_id for r in SIM.ivf_topk(df, query_id=0, n_centroids=8, k=5).collect()}
+    multi = {
+        r.vec_id
+        for r in SIM.ivf_topk_multiprobe(
+            df, query_id=0, n_centroids=8, k=5, n_probe=8
+        ).collect()
+    }
+    brute = {
+        r.vec_id
+        for r in SIM.knn_join(
+            df,
+            df.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding"),
+            k=5,
+        ).collect()
+    }
+    assert multi == brute  # probing every cell == exact
+    assert len(single) <= 5
