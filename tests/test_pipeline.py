@@ -98,3 +98,39 @@ def test_incremental_batch_appends_only_new(spark, warehouse):
     silver = {r.id: r.amount for r in warehouse.read(MED.SILVER_TX).collect()}
     for r in bronze:
         assert silver[r.id] == round(__import__("decimal").Decimal(r.amount) / 100, 2)
+
+
+def test_sql_path_transform_matches_dataframe_path(spark, tmp_path):
+    """SURVEY §3.2: the SQL-script front end and the DataFrame path
+    must produce byte-identical silver layers from the same bronze."""
+    from monzo_data_pipeline_spark.pipeline import sql_path as SQLP
+
+    batch = _batch(spark)
+    wh_df = MED.Warehouse(spark, str(tmp_path / "wh_df"))
+    wh_sql = MED.Warehouse(spark, str(tmp_path / "wh_sql"))
+    for wh in (wh_df, wh_sql):
+        MED.load_bronze(wh, batch)
+    MED.transform_silver(wh_df, inserted_at="2025-01-05T00:00:00")
+    SQLP.transform_silver_sql(wh_sql, inserted_at="2025-01-05T00:00:00")
+
+    for table in (MED.SILVER_TX, MED.SILVER_CP, MED.SILVER_ME):
+        a = wh_df.read(table)
+        b = wh_sql.read(table)
+        assert a.schema == b.schema, table
+        ra = sorted(map(str, a.collect()))
+        rb = sorted(map(str, b.collect()))
+        assert ra == rb, table
+
+
+def test_split_sql_script_respects_quotes_and_comments():
+    from monzo_data_pipeline_spark.pipeline.sql_path import split_sql_script
+
+    script = (
+        "SELECT 'a;b' AS s; -- trailing; comment\n"
+        "SELECT 1;\n"
+        "-- a full comment line; with semicolon\n"
+        "SELECT 2"
+    )
+    stmts = split_sql_script(script)
+    assert len(stmts) == 3
+    assert "'a;b'" in stmts[0] and "SELECT 2" in stmts[2]
