@@ -225,3 +225,29 @@ def scd2_lookup(
     return facts.join(dim, cond, "left").select(
         *[facts[c] for c in facts.columns], "valid_from", *attrs
     )
+
+
+def compress_changes(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """SCD2 change compression: drop rows whose value equals the
+    previous value for the key, keeping only genuine change points —
+    the standard pre-pass before interval building (a snapshot log
+    mostly restates unchanged state; intervals built from raw
+    snapshots are artificially fragmented).
+
+    Null-safe compare (eqNullSafe) so NULL→NULL is "unchanged" and
+    NULL→x / x→NULL are changes. One window shuffle on the key.
+    """
+    w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
+    prev = F.lag(value).over(w)
+    is_first = F.lag(ts).over(w).isNull()
+    return (
+        df.withColumn("__same", F.col(value).eqNullSafe(prev) & ~is_first)
+        .filter(~F.col("__same"))
+        .drop("__same")
+    )

@@ -3336,6 +3336,75 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scd2_compressed_intervals",
+    "A24/C-ext (SCD2 change compression: drop no-op snapshots before "
+    "interval building — raw snapshot logs fragment intervals)",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
+        FROM events WHERE event_type = 'signup'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, ts, event_id, value FROM ordered
+        WHERE prev_ts IS NULL OR (value IS DISTINCT FROM prev_v)
+    ), iv AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               value
+        FROM changes
+    )
+    SELECT user_id, valid_from, valid_to, value,
+           valid_to IS NULL AS is_current
+    FROM iv ORDER BY user_id, valid_from
+    """,
+)
+def q_scd2_compressed_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signup = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    compressed = BH.compress_changes(signup)
+    return BH.scd2_intervals(compressed).select(
+        "user_id", "valid_from", "valid_to", "value", "is_current"
+    )
+
+
+@_register(
+    "row_fingerprints",
+    "A-ext (hashdiff change-detection fingerprints: md5 over null-safe "
+    "canonicalized columns — cross-engine identical, the CDC compare key)",
+    r"""
+    SELECT c_custkey,
+           md5(concat_ws(chr(31),
+               CAST(c_custkey AS VARCHAR),
+               coalesce(c_name, chr(0)),
+               CAST(c_nationkey AS VARCHAR),
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)))
+               AS fingerprint
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def q_row_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col("c_custkey").cast("string"),
+                F.coalesce(F.col("c_name"), F.lit("\x00")),
+                F.col("c_nationkey").cast("string"),
+                F.col("c_acctbal").cast("decimal(18,2)").cast("string"),
+            )
+        ).alias("fingerprint"),
+    ).orderBy("c_custkey")
+
+
+@_register(
     "session_paths_top",
     "C6+C9/north-star (top within-session event-type paths; gap split as in "
     "sessionization — new session when the µs gap STRICTLY exceeds 15 min)",

@@ -75,3 +75,23 @@ def test_period_over_period_change(spark):
     assert set(out) == {2, 3}
     assert out[2].change_q == 500_000  # +50%
     assert out[3].change_q == -500_000  # -50%
+
+
+def test_compress_changes_keeps_only_change_points(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1), 7, 10.0),
+        (2, dt(2024, 1, 2), 7, 10.0),  # no-op snapshot -> dropped
+        (3, dt(2024, 1, 3), 7, None),  # 10 -> NULL is a change
+        (4, dt(2024, 1, 4), 7, None),  # NULL -> NULL unchanged -> dropped
+        (5, dt(2024, 1, 5), 7, 12.0),
+        (6, dt(2024, 1, 1), 8, None),  # first row kept even when NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    from monzo_data_pipeline_spark.operators.behavioral import compress_changes
+
+    kept = sorted(r.event_id for r in compress_changes(df).collect())
+    assert kept == [1, 3, 5, 6]
