@@ -194,3 +194,26 @@ def test_projection_prunes_scan(spark, sf_dir):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     struct_part = read_schema.split("struct<", 1)[1]
     assert struct_part.count(":") == 4  # 4 fields in the pruned schema
+
+def test_no_python_eval_in_oracle_checked_plans(spark, sf_dir):
+    """Global contract: every ORACLE-CHECKED query stays JVM-side —
+    no BatchEvalPython/ArrowEvalPython node anywhere. Python is allowed
+    only in the rows-only multimodal/sketch paths (mapInPandas stubs).
+    Guards against a future operator quietly introducing a row-loop
+    UDF into the hot path."""
+    import contextlib
+    import io
+
+    from monzo_data_pipeline_spark.registry import specs
+
+    offenders = []
+    for spec in specs():
+        if spec.oracle is None:
+            continue
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            spec.fn(spark, sf_dir).explain("extended")
+        plan = buf.getvalue()
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "PythonUDF" in plan:
+            offenders.append(spec.name)
+    assert offenders == []

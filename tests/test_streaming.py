@@ -382,3 +382,68 @@ def test_stream_transition_counts_match_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stateful_state_survives_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Exactly-once across process restarts: run the stateful
+    transition stream over two drops with a real checkpoint dir, STOP,
+    drop a third file, restart from the same checkpoint — the restored
+    per-user state must bridge the stop/start boundary so the union of
+    both runs' outputs equals the batch answer over all three drops."""
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from monzo_data_pipeline_spark.operators.behavioral import transition_counts
+    from monzo_data_pipeline_spark.streaming.stateful import (
+        stream_transition_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    rn = F.row_number().over(W.orderBy("ts", "event_id"))
+    numbered = events.withColumn("__rn", rn)
+    n = events.count()
+
+    def drop_slice(k, parts=3):
+        lo, hi = k * n // parts, (k + 1) * n // parts
+        numbered.filter((F.col("__rn") > lo) & (F.col("__rn") <= hi)).drop(
+            "__rn"
+        ).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # file sink (not memory): the memory sink cannot recover from a
+        # checkpoint, which is the very property under test
+        stream = SW.stream_events_from_files(spark, path, events.schema)
+        q = (
+            stream_transition_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drop_slice(0)
+    drop_slice(1)
+    run_once()
+    drop_slice(2)
+    run_once()  # fresh query object, same checkpoint
+
+    got = {
+        (r.from_type, r.to_type): r.total_n
+        for r in spark.read.parquet(out_dir)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("total_n"))
+        .collect()
+    }
+    expected = {
+        (r.from_type, r.to_type): r.n for r in transition_counts(events).collect()
+    }
+    assert got == expected
