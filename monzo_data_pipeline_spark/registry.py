@@ -2508,6 +2508,40 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "array_set_algebra",
+    "C5 family (array set algebra: union/intersect/except/overlap between "
+    "two token sets per row — the schema-free set ops arrays carry)",
+    """
+    WITH t AS (
+        SELECT p_partkey,
+               list_distinct(string_split(p_name, ' ')) AS a,
+               list_distinct(string_split(p_type, ' ')) AS b
+        FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(list_sort(list_distinct(a || b)), ',') AS union_ab,
+           coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS inter_ab,
+           coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '')
+               AS a_minus_b,
+           len(list_intersect(a, b)) > 0 AS overlaps
+    FROM t
+    ORDER BY p_partkey
+    """,
+)
+def q_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    a = F.array_distinct(F.split("p_name", " "))
+    b = F.array_distinct(F.split("p_type", " "))
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("union_ab"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("inter_ab"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("a_minus_b"),
+        F.arrays_overlap(a, b).alias("overlaps"),
+    ).orderBy("p_partkey")
+
+
+@_register(
     "map_type_pipeline",
     "C5 family (MapType: entries→map→filter→explode round trip; per "
     "customer the 1997 order count survives the map round trip)",
