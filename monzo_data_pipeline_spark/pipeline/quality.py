@@ -16,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 
@@ -71,3 +72,56 @@ def enforce(df: DataFrame, rules: list[Rule], table: str) -> None:
     bad = {k: v for k, v in results.items() if v > 0}
     if bad:
         raise ValueError(f"data-quality violations in {table}: {bad}")
+
+
+def schema_drift(
+    expected: T.StructType, actual: T.StructType
+) -> list[dict[str, str]]:
+    """Schema-drift report between a table's declared schema and an
+    incoming batch: added / removed / type-changed columns (nested
+    structs compared by their full dataType string).
+
+    The reference has no schema evolution at all (DDL executed once,
+    SURVEY §1.2); a 100 TB lake ingesting third-party feeds needs the
+    drift REPORT even when the policy is strict. Pure metadata work —
+    no job runs.
+    """
+    exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+    act = {f.name: f.dataType.simpleString() for f in actual.fields}
+    report: list[dict[str, str]] = []
+    for name in sorted(set(act) - set(exp)):
+        report.append({"column": name, "change": "added", "type": act[name]})
+    for name in sorted(set(exp) - set(act)):
+        report.append({"column": name, "change": "removed", "type": exp[name]})
+    for name in sorted(set(exp) & set(act)):
+        if exp[name] != act[name]:
+            report.append(
+                {
+                    "column": name,
+                    "change": "type_changed",
+                    "type": f"{exp[name]} -> {act[name]}",
+                }
+            )
+    return report
+
+
+def enforce_schema_policy(
+    expected: T.StructType,
+    actual: T.StructType,
+    allow_additive: bool = True,
+) -> list[dict[str, str]]:
+    """Gate a batch on its drift report: additive columns pass when
+    `allow_additive` (they land NULL for old rows under mergeSchema
+    reads — sources/io.py::read_with_schema_merge); removals and type
+    changes always raise (silent type coercion is the reference's
+    INTEGER→REAL money bug, SURVEY §7.1)."""
+    report = schema_drift(expected, actual)
+    fatal = [
+        r
+        for r in report
+        if r["change"] in ("removed", "type_changed")
+        or (r["change"] == "added" and not allow_additive)
+    ]
+    if fatal:
+        raise ValueError(f"schema drift rejected: {fatal}")
+    return report

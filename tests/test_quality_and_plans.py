@@ -217,3 +217,41 @@ def test_no_python_eval_in_oracle_checked_plans(spark, sf_dir):
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "PythonUDF" in plan:
             offenders.append(spec.name)
     assert offenders == []
+
+
+def test_schema_drift_report_and_policy():
+    from pyspark.sql import types as T
+
+    from monzo_data_pipeline_spark.pipeline.quality import (
+        enforce_schema_policy,
+        schema_drift,
+    )
+
+    expected = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    actual = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),  # the §7.1 money bug
+            T.StructField("extra", T.StringType()),  # additive
+        ]
+    )
+    report = schema_drift(expected, actual)
+    changes = {(r["column"], r["change"]) for r in report}
+    assert changes == {
+        ("extra", "added"),
+        ("note", "removed"),
+        ("amount", "type_changed"),
+    }
+    with pytest.raises(ValueError, match="type_changed"):
+        enforce_schema_policy(expected, actual)
+    # additive-only drift passes under the default policy
+    additive_only = T.StructType(list(expected.fields) + [T.StructField("x", T.IntegerType())])
+    assert enforce_schema_policy(expected, additive_only) == [
+        {"column": "x", "change": "added", "type": "int"}
+    ]
