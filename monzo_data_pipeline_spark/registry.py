@@ -3576,6 +3576,37 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "heavy_hitter_words",
+    "C4/C7 (exact heavy hitters: tokens above a support threshold — the "
+    "exact twin of the count-min frequent-item sketch; integer ratio compare)",
+    r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    ), cnt AS (
+        SELECT word, COUNT(*) AS n FROM tok WHERE word <> '' GROUP BY word
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+    SELECT word, n, CAST((n * 1000000) // total AS BIGINT) AS freq_ppm
+    FROM cnt, tot
+    WHERE n * 50 > total
+    ORDER BY n DESC, word ASC
+    """,
+)
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = TX.word_frequencies(load_table(spark, sf_dir, "documents"))
+    total = wf.agg(F.sum("n").alias("total"))
+    return (
+        wf.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 50 > F.col("total"))
+        .withColumn(
+            "freq_ppm", F.expr("CAST((n * 1000000) DIV total AS BIGINT)")
+        )
+        .select("word", "n", "freq_ppm")
+        .orderBy(F.desc("n"), F.asc("word"))
+    )
+
+
+@_register(
     "curriculum_quality_sample",
     "north-star (quality-curriculum sampling: score → quartile tiers → "
     "per-tier keyed modular keep rates; the pre-training reweighting pass)",
