@@ -149,3 +149,45 @@ def period_over_period(
             ).cast("bigint"),
         )
     )
+
+
+def salted_topk_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    n: int,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-proof top-n per group: identical output to
+    `top_n_per_group`, different physics. A single rank window sorts
+    EVERY row of a group on one task — a hot group (one key holding a
+    double-digit % of a 100 TB fact) stalls the stage. Two phases fix
+    the ceiling:
+
+      1. local top-n within (group, salt) — salt = deterministic hash
+         of the tiebreak (rand() would break task retry), so each of
+         the S sub-partitions sorts ~1/S of the hot group;
+      2. global top-n over the ≤ S·n survivors per group — trivially
+         small by construction.
+
+    Correct because the global top-n of a group is contained in the
+    union of its per-salt top-n sets. Both windows carry the same
+    (value DESC, tiebreak ASC) total order, so the result — ranks
+    included — is bit-identical to the single-window form.
+    """
+    salt = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(salt_buckets))
+    ordering = [F.col(value_col).desc(), F.col(tiebreak_col).asc()]
+    w1 = Window.partitionBy(*partition_cols, "__salt").orderBy(*ordering)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__lr", F.row_number().over(w1))
+        .filter(F.col("__lr") <= n)
+        .drop("__lr")
+    )
+    w2 = Window.partitionBy(*partition_cols).orderBy(*ordering)
+    return (
+        survivors.withColumn("rank_in_group", F.row_number().over(w2))
+        .filter(F.col("rank_in_group") <= n)
+        .drop("__salt")
+    )

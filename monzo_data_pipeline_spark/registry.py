@@ -635,6 +635,37 @@ def q_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "top_n_per_group_salted",
+    "C9 at scale (two-phase salted top-n: per-(group,salt) local top-n, "
+    "then global top-n over S·n survivors — hot groups never sort on one "
+    "task; output bit-identical to the single-window form)",
+    """
+    SELECT year, o_orderkey, o_totalprice, rank_in_group
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS year, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY year(o_orderdate)
+                                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+                    AS INT) AS rank_in_group
+        FROM orders
+    )
+    WHERE rank_in_group <= 3
+    """,
+)
+def q_top_n_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate").cast("int")
+    )
+    return WN.salted_topk_per_group(
+        o, ["year"], "o_totalprice", "o_orderkey", n=3
+    ).select(
+        "year",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rank_in_group").cast("int").alias("rank_in_group"),
+    )
+
+
+@_register(
     "top_n_per_group",
     "C9 (top-3 orders per year, deterministic rank window)",
     """

@@ -157,3 +157,29 @@ def test_cms_state_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_salted_topk_equals_plain_topk_on_hot_group(spark):
+    from monzo_data_pipeline_spark.operators.windows import salted_topk_per_group
+
+    # one hot group with 5000 rows, several small groups
+    rows = [("hot", float(i % 997), i) for i in range(5000)] + [
+        (f"g{g}", float(i), 10_000 + g * 100 + i) for g in range(5) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, id bigint")
+    # plain single-window form with the same (v DESC, id ASC) order
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("id").asc())
+    plain = {
+        (r.k, r.id, r.rank_in_group)
+        for r in df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter("rank_in_group <= 7")
+        .collect()
+    }
+    salted = {
+        (r.k, r.id, r.rank_in_group)
+        for r in salted_topk_per_group(df, ["k"], "v", "id", n=7, salt_buckets=16).collect()
+    }
+    assert salted == plain
