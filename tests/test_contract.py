@@ -45,7 +45,12 @@ for name in ["latest_events", "tumbling_window_agg", "sessionization",
              "scalar_functions", "project_cast_stamp", "monthly_spend",
              "datetime_functions", "media_feature_extract", "asof_join",
              "value_histogram", "pack_sequences", "upsert_last_wins",
-             "snapshot_diff_cdc", "source_mixture_sample"]:
+             "snapshot_diff_cdc", "source_mixture_sample",
+             "session_paths_top", "scd2_temporal_lookup",
+             "event_transition_matrix", "equi_depth_histogram",
+             "mad_robust_outliers", "audio_windowing", "textrank_keywords",
+             "kmeans_cluster_profile", "heavy_hitter_words",
+             "top_n_per_group_salted"]:
     rows = qs[name](spark, sf).collect()
     assert rows, name
 print("RAW_OK")
