@@ -44,6 +44,7 @@ SHOW = {
     "scd2_temporal_lookup": "SCD2 lookup — equi-join on key with interval containment as residual (hash join, no nested loop)",
     "equi_depth_histogram": "equi-depth histogram — cutpoints broadcast; bucket fold map-side (no ntile global sort)",
     "mad_robust_outliers": "MAD outliers — two percentile passes broadcast back; fact never shuffles",
+    "top_n_per_group_salted": "skew-proof top-n — two Window nodes: per-(group,salt) local, then global over S·n survivors",
 }
 
 MARKERS = (
