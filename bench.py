@@ -1,8 +1,13 @@
 """Benchmark harness — runs the full query registry at a scale factor.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (driver-parseable even if the capture
+truncates to a few KB):
     {"metric": "suite_seconds", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>, "rows": {...}}
+     "sf": <sf>, "sequential_seconds": N, "n_queries": N,
+     "queries": {name: sec} for the 10 slowest only}
+and writes full per-query latency + row-count detail to
+bench_detail.json next to this file (committed per round so the next
+round can diff per-query regressions).
 
 Env:
     SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
@@ -77,23 +82,39 @@ def main() -> None:
             list(pool.map(run_one, specs()))
         total = min(total, round(time.time() - t0, 3))
 
+    detail = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": per_query,
+        "rows": row_counts,
+        "protocol": (
+            "value = suite wall-clock, independent queries run "
+            "concurrently (FAIR scheduler, 8 submitters, best of 2); "
+            "queries = isolated sequential per-query latency "
+            "(min of 2 passes after warmup); sequential suite = "
+            "sum(queries)"
+        ),
+        "sequential_seconds": round(sum(per_query.values()), 3),
+    }
+    with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
                 "sf": sf,
-                "rows": row_counts,
-                "protocol": (
-                    "value = suite wall-clock, independent queries run "
-                    "concurrently (FAIR scheduler, 8 submitters, best of 2); "
-                    "queries = isolated sequential per-query latency "
-                    "(min of 2 passes after warmup); sequential suite = "
-                    "sum(queries)"
-                ),
                 "sequential_seconds": round(sum(per_query.values()), 3),
+                "n_queries": len(per_query),
+                "queries": slowest,
+                "detail": "bench_detail.json",
             }
         )
     )

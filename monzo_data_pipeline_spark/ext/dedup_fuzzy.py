@@ -605,3 +605,110 @@ def prepare_training_corpus(
         work, capacity=pack_capacity, text_col=text_col, id_col=id_col
     )
     return work, packed
+
+
+def edit_distance_pairs(
+    names: DataFrame,
+    name_col: str,
+    max_dist: int = 3,
+    q: int = 3,
+) -> DataFrame:
+    """All pairs of distinct `name_col` values within levenshtein
+    `max_dist`, WITHOUT an all-pairs join — Ed-Join-style q-gram
+    prefix filtering (Xiao et al., VLDB'08), a pure DataFrame
+    composition.
+
+    Reference analog: the merchant/counterparty name dedup implied by
+    /root/reference/src/sql/transform_bronze_to_silver.sql:10-35 —
+    generalized to a bounded-edit-distance self-join.
+
+    Why this is complete (no lost pairs):
+      * One edit operation destroys at most q of a string's q-grams,
+        so edit_dist(a,b) ≤ k ⇒ a and b share ≥ max(|Ga|,|Gb|) − k·q
+        grams (multiset), where |G| = len − q + 1.
+      * Prefix filter: sort each string's grams by one GLOBAL order
+        (ascending document frequency, ties by gram then position);
+        if the overlap bound t is met, the first |G| − t + 1 grams of
+        each side must intersect.  |G| − t + 1 ≤ k·q + 1 always, so a
+        fixed prefix of k·q + 1 grams per side is sufficient.
+      * Short strings (len < q + k·q) have t ≤ 0 — the gram bound
+        prunes nothing, and two short strings can be within k edits
+        while sharing NO gram.  They (and their possible partners,
+        len ≤ (q + k·q − 1) + k) are additionally routed to one
+        '#SHORT' block.  That block is alphabet-bounded tiny at any
+        corpus size; every ≤ max_dist pair provably meets in some
+        block.
+
+    Scale shape (100 TB): cost is Σ|block|² over rare-gram blocks —
+    the same bounded-block contract as the MinHash/LSH family above.
+    Distinct-first, equi-join only (plan contract: no
+    BroadcastNestedLoopJoin), gram document frequencies computed with
+    one vocabulary-sized aggregate, the residual levenshtein runs only
+    on surviving candidates.
+    """
+    k = max_dist
+    pref_len = k * q + 1
+    short_len = (q - 1) + k * q  # below this, the gram bound is vacuous
+
+    base = (
+        names.select(F.col(name_col).alias("__name")).distinct()
+        .withColumn("__len", F.length("__name"))
+    )
+    base = base.repartition(
+        names.sparkSession.sparkContext.defaultParallelism, "__name"
+    )
+
+    # positional q-grams (multiset — position keeps repeats distinct)
+    grams = base.filter(F.col("__len") >= q).select(
+        "__name",
+        "__len",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__len") - (q - 1)),
+                lambda i: F.substring(F.col("__name"), i, F.lit(q)),
+            )
+        ).alias("__pos", "__gram"),
+    )
+
+    # global rarity order: ascending doc-frequency, ties broken by the
+    # gram value then position — one vocabulary-sized aggregate, then a
+    # per-name window (partitioned by name: no skew) to take the prefix
+    df_freq = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__name").orderBy("__df", "__gram", "__pos")
+    prefix = (
+        grams.join(df_freq, "__gram")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= pref_len)
+        .select("__name", "__len", F.col("__gram").alias("__block"))
+    )
+
+    # short-string safety block: any pair involving len < short_len can
+    # only have a partner of len ≤ short_len - 1 + k
+    shorts = base.filter(F.col("__len") <= short_len - 1 + k).select(
+        "__name", "__len", F.lit("#SHORT").alias("__block")
+    )
+    keyed = prefix.unionByName(shorts)
+
+    a = keyed.select(
+        F.col("__name").alias("name_a"),
+        F.col("__len").alias("__len_a"),
+        "__block",
+    )
+    b = keyed.select(
+        F.col("__name").alias("name_b"),
+        F.col("__len").alias("__len_b"),
+        "__block",
+    )
+    cand = (
+        a.join(b, "__block")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("__len_a") - F.col("__len_b")) <= k)
+        )
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= k)
+    )

@@ -157,14 +157,43 @@ def bm25_scores(
             + 6 * F.col("dl") * F.col("n_docs")
         )
     ).cast("bigint")
+    # Enforce (not just document) the exactness envelope: the single
+    # double division is IEEE-exact only while |num| and |den| < 2^53.
+    # Recompute both products in DECIMAL(38,0) (can't silently wrap)
+    # and route the score through assert_true so the check cannot be
+    # pruned — a corpus that outgrows the envelope fails loudly instead
+    # of silently losing the bit-identical cross-engine property.
+    dec = "decimal(38,0)"
+    num_d = (
+        (2 * F.col("n_docs").cast(dec) - 2 * F.col("df").cast(dec) + 1)
+        * 11
+        * F.col("tf").cast(dec)
+        * F.col("total_tokens").cast(dec)
+    )
+    den_d = (2 * F.col("df").cast(dec) + 1) * (
+        5 * F.col("tf").cast(dec) * F.col("total_tokens").cast(dec)
+        + 6 * F.col("dl").cast(dec) * F.col("n_docs").cast(dec)
+    )
+    bound = F.lit(2**53).cast(dec)
+    in_envelope = F.assert_true(
+        (num_d < bound) & (den_d < bound),
+        F.lit(
+            "bm25_scores: corpus exceeds the 2^53 exact-arithmetic "
+            "envelope; the quantized score is no longer bit-identical "
+            "across engines"
+        ),
+    )
     scored = (
         tf.join(F.broadcast(dfreq), "word")
         .join(F.broadcast(stats))
         .withColumn(
             "score_term_q",
-            F.floor(
-                num.cast("double") / den.cast("double") * F.lit(1000000.0)
-            ).cast("bigint"),
+            F.when(
+                in_envelope.isNull(),  # always true; forces the check
+                F.floor(
+                    num.cast("double") / den.cast("double") * F.lit(1000000.0)
+                ).cast("bigint"),
+            ),
         )
     )
     return (
@@ -277,6 +306,11 @@ def textrank_keywords(
         .cache()
     )
     n = nodes.count()
+    if n == 0:
+        # empty or single-token corpus: no adjacency edges, no graph —
+        # return an empty (word, rank_q) frame instead of dividing by 0
+        spark = documents.sparkSession
+        return spark.createDataFrame([], "word string, rank_q bigint")
     tele = (3 * 1_000_000) // (20 * n)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ranks = nodes.withColumn("r", F.lit(1_000_000 // n).cast("bigint"))

@@ -358,6 +358,11 @@ def kmeans_fit(
             emb.orderBy(F.asc(id_col)).limit(k).collect()
         )
     ]
+    if len(cent_rows) < k:
+        raise ValueError(
+            f"kmeans_fit: need at least k={k} vectors to seed centroids, "
+            f"got {len(cent_rows)}"
+        )
     d = len(cent_rows[0][1])
     # quantize the corpus once per job (1× per vector, not once per
     # vector×centroid — the fold lambda then runs on bare longs)

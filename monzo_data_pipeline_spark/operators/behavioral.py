@@ -216,9 +216,16 @@ def scd2_lookup(
     matches and no post-join dedup is needed. At 100 TB: dim broadcasts
     when small; otherwise both sides shuffle once on the key.
     """
-    dim = dim_intervals.select(key, "valid_from", "valid_to", *attrs)
+    # rename the dim-side key before the join: when facts and dim
+    # derive from the same lineage, facts[key] == dim[key] degenerates
+    # to a trivially-true predicate and Spark falls back to dataset-id
+    # disambiguation heuristics — an explicit distinct name keeps the
+    # condition unambiguous under failAmbiguousSelfJoin and plan changes
+    dim = dim_intervals.select(
+        F.col(key).alias("__dim_key"), "valid_from", "valid_to", *attrs
+    )
     cond = (
-        (facts[key] == dim[key])
+        (facts[key] == dim["__dim_key"])
         & (dim["valid_from"] <= facts[ts])
         & (dim["valid_to"].isNull() | (facts[ts] < dim["valid_to"]))
     )

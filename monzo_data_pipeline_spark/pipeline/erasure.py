@@ -15,8 +15,12 @@ Scale posture:
     filters — sources/io.py writes them) can contain the keys, and on
     Delta/Iceberg you'd issue a metadata DELETE instead. The operator
     interface (keys in, per-table removal report out) is unchanged.
-  * The swap is write-temp → rename, so a crash mid-erasure leaves the
-    original table intact (never a half-deleted directory).
+  * The swap is write-temp → two atomic renames (current → .__old__,
+    tmp → current) → delete .__old__, so at every instant the table
+    path either is the old snapshot or the new one — a crash
+    mid-erasure never leaves a half-deleted or missing directory.
+    Recovery from a crash between the two renames is picking up the
+    .__old__ dir; recovery after the second rename is nothing.
 """
 
 from __future__ import annotations
@@ -54,9 +58,16 @@ def erase_keys(
         kept = df.join(erase_set, key, "left_anti")
         final = wh.path(table)
         tmp = final + ".__erase_rewrite__"
+        old = final + ".__old__"
         kept.write.mode("overwrite").parquet(tmp)
         n_before = df.count()  # original files still on disk here
-        shutil.rmtree(final)
+        # two renames, each atomic: the table dir always exists and is
+        # always a consistent snapshot (old or new) — rmtree only ever
+        # touches the retired copy
+        if os.path.exists(old):
+            shutil.rmtree(old)  # leftover from a prior crash
+        os.replace(final, old)
         os.replace(tmp, final)
+        shutil.rmtree(old)
         report[table] = n_before - wh.read(table).count()
     return report

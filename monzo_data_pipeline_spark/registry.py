@@ -2803,7 +2803,7 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_name_pairs",
     "C2-adjacent (entity resolution by edit distance: the reference's "
     "merchant/counterparty name dedup generalized — distinct names, "
-    "self-join, levenshtein ≤ 3)",
+    "Ed-Join q-gram prefix blocking, residual levenshtein ≤ 3)",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part)
     SELECT a.p_name AS name_a, b.p_name AS name_b,
@@ -2814,17 +2814,15 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # distinct-first: the self-join is |distinct names|², not |part|² —
-    # at 100 TB the distinct set is the only thing that may not fit a
-    # broadcast, at which point blocking (first-char / length bands or
-    # the MinHash pipeline in ext/dedup_fuzzy.py) bounds the pairs
-    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
-    a = names.select(F.col("p_name").alias("name_a"))
-    b = names.select(F.col("p_name").alias("name_b"))
+    # blocked, never all-pairs: Ed-Join q-gram prefix filtering bounds
+    # candidate generation to Σ|rare-gram block|² — the oracle SQL is
+    # blocking-agnostic, so the hash match proves completeness
+    from .ext.dedup_fuzzy import edit_distance_pairs
+
+    names = load_table(spark, sf_dir, "part").select("p_name")
     return (
-        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= 3)
+        edit_distance_pairs(names, "p_name", max_dist=3)
+        .withColumn("edit_dist", F.col("edit_dist").cast("int"))
         .orderBy("name_a", "name_b")
     )
 
@@ -3686,7 +3684,9 @@ def q_curriculum_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), pairs AS (
         SELECT toks[i] AS src, toks[i+1] AS dst
-        FROM doc, (SELECT unnest(range(1, 2000)) AS i)
+        FROM doc,
+             (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(toks)), 1)
+                                      FROM doc))) AS i)
         WHERE i + 1 <= len(toks)
     ), edges AS (
         SELECT src, dst, COUNT(*) AS w FROM pairs

@@ -149,3 +149,16 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     }
     assert multi == brute  # probing every cell == exact
     assert len(single) <= 5
+
+
+def test_kmeans_fit_too_few_vectors_raises(spark):
+    import pytest
+
+    from monzo_data_pipeline_spark.ext import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="need at least k=8"):
+        SIM.kmeans_fit(df, k=8)

@@ -109,6 +109,61 @@ def test_plan_contract(spark, sf_dir, query, markers):
         assert marker in plan, f"{query}: expected {marker!r} in plan"
 
 
+def test_fuzzy_name_pairs_is_blocked(spark, sf_dir):
+    """The edit-distance self-join must NEVER plan an all-pairs
+    comparison: Ed-Join q-gram prefix blocking makes every join an
+    equi-join on a block key, with levenshtein only as a residual
+    filter on candidates (ext/dedup_fuzzy.py::edit_distance_pairs).
+    """
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        queries()["fuzzy_name_pairs"](spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_pairs_short_string_completeness(spark):
+    """Strings too short for the q-gram bound (t ≤ 0) can be within
+    k edits while sharing no gram — the '#SHORT' block must still
+    pair them (the completeness edge the prefix filter alone misses).
+    """
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import edit_distance_pairs
+
+    names = spark.createDataFrame(
+        [("abc",), ("xyz",), ("ab",), ("a" * 30,), ("a" * 29 + "b",)],
+        ["nm"],
+    )
+    got = {
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in edit_distance_pairs(names, "nm", max_dist=3).collect()
+    }
+    # brute-force truth
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    vals = ["abc", "xyz", "ab", "a" * 30, "a" * 29 + "b"]
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if lev(a, b) <= 3
+    }
+    assert got == want
+
+
 def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     """At 100 TB the big win on selective fact⟕dim joins is Spark's
     runtime bloom-filter injection (InjectRuntimeFilter): the small

@@ -118,3 +118,14 @@ def test_incremental_index_equals_full_recompute(spark):
     inc = norm(SRCH.summarize_index(state, min_df=1).collect())
     one_shot = norm(SRCH.inverted_index(full, min_df=1).collect())
     assert inc == one_shot and len(inc) > 0
+
+
+def test_textrank_empty_corpus_returns_empty(spark):
+    # no adjacency edges (empty and single-token corpora): empty
+    # result frame, not ZeroDivisionError
+    empty = _docs(spark, [])
+    one_tok = _docs(spark, [(1, "solo")])
+    assert SRCH.textrank_keywords(empty).count() == 0
+    got = SRCH.textrank_keywords(one_tok)
+    assert got.count() == 0
+    assert got.columns == ["word", "rank_q"]
