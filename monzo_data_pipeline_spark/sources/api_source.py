@@ -87,13 +87,36 @@ def _flatten_wire(d: dict) -> tuple:
     )
 
 
+def _make_fetch_from_options(options: dict):
+    """The transport seam: `transport=http` builds the real urllib/
+    OAuth2 client (sources/http_transport.py); default stays the
+    deterministic fake so CI and the oracle gate remain hermetic."""
+    if options.get("transport") == "http":
+        from .http_transport import make_http_fetch
+
+        return make_http_fetch(
+            base_url=options["base_url"],
+            account_id=options.get("account_id", ""),
+            client_id=options.get("client_id", ""),
+            client_secret=options.get("client_secret", ""),
+            token_path=options["token_path"],
+            token_url=options.get("token_url"),
+            page_limit=int(options.get("page_limit", "200")),
+        )
+    from ..pipeline.ingest import make_fake_fetch
+
+    return make_fake_fetch(
+        int(options.get("n_per_window", "50")),
+        int(options.get("dup_every", "10")),
+    )
+
+
 class MonzoApiReader(DataSourceReader):
     def __init__(self, options: dict):
+        self.options = dict(options)
         self.since = options.get("since", "2025-01-01T00:00:00")
         self.before = options.get("before", "2025-01-08T00:00:00")
         self.window_hours = int(options.get("window_hours", "24"))
-        self.n_per_window = int(options.get("n_per_window", "50"))
-        self.dup_every = int(options.get("dup_every", "10"))
 
     def pushFilters(self, filters):
         """Consume created-range bounds; yield back what we can't push.
@@ -138,11 +161,10 @@ class MonzoApiReader(DataSourceReader):
         return [InputPartition(w) for w in wins]
 
     def read(self, partition):
-        # constructed task-side: nothing heavier than ints crosses the
-        # driver→executor boundary (a real HTTP client goes here too)
-        from ..pipeline.ingest import make_fake_fetch
-
-        fetch = make_fake_fetch(self.n_per_window, self.dup_every)
+        # constructed task-side: only option strings cross the
+        # driver→executor boundary; the HTTP session (when
+        # transport=http) is built lazily inside the fetch closure
+        fetch = _make_fetch_from_options(self.options)
         w_since, w_before = partition.value
         for row in fetch(w_since, w_before):
             yield _flatten_wire(row)
@@ -184,11 +206,10 @@ class MonzoApiStreamReader(SimpleDataSourceStreamReader):
     """
 
     def __init__(self, options: dict):
+        self.options = dict(options)
         self.since = options.get("since", "2025-01-01T00:00:00")
         self.before = options.get("before", "2025-01-08T00:00:00")
         self.window_hours = int(options.get("window_hours", "24"))
-        self.n_per_window = int(options.get("n_per_window", "50"))
-        self.dup_every = int(options.get("dup_every", "10"))
 
     def initialOffset(self) -> dict:
         return {"cursor": self.since}
@@ -207,9 +228,7 @@ class MonzoApiStreamReader(SimpleDataSourceStreamReader):
         # a LIST, not a generator: SimpleDataSourceStreamReader
         # prefetches driver-side and pickles the records to ship them
         # to executors; per-window row counts are bounded by design
-        from ..pipeline.ingest import make_fake_fetch
-
-        fetch = make_fake_fetch(self.n_per_window, self.dup_every)
+        fetch = _make_fetch_from_options(self.options)
         return [_flatten_wire(row) for row in fetch(w_since, w_before)]
 
     def read(self, start: dict):
