@@ -1,0 +1,255 @@
+"""Cross-table transactional commit for the parquet warehouse (A14).
+
+The reference loads transactions, balance, and pots inside ONE SQLite
+transaction — a single `conn.commit()` makes all three tables visible
+together (/root/reference/src/load/load.py:271,277). Plain parquet
+directories have no such boundary: medallion.Warehouse orders writes
+(dims before fact) but a crash mid-run exposes a half-updated
+warehouse.
+
+This module is the plain-parquet answer — the same design Delta Lake
+and Iceberg use, reduced to its core:
+
+  * every write lands in a FRESH data directory that no reader can
+    see (`<root>/<table>/z<version>_<random>/`);
+  * a table's visible state is a LIST of data directories recorded in
+    one manifest file (`_manifest.json`); appends add a directory,
+    overwrites replace the list;
+  * commit = write the new manifest to a temp file and `os.replace`
+    it over the pointer — one atomic rename makes EVERY table's
+    changes visible simultaneously. Readers resolve through the
+    manifest, so at any instant they see the old snapshot or the new
+    one, never a mixture;
+  * crash anywhere before the rename (including "between table
+    writes", the reference's exposure): the manifest is untouched,
+    readers keep the old consistent snapshot, and the orphaned data
+    dirs are swept by `vacuum()`;
+  * optimistic concurrency: commit re-reads the pointer and refuses
+    (ConflictError) if another writer advanced it since the
+    transaction began — the local-fs analog of Delta's CAS on the
+    log; retry by re-running the transaction on the new snapshot.
+
+Archived manifests (`_manifests/v<N>.json`) give snapshot reads /
+time travel (`read_version`); `vacuum()` keeps only what the current
+manifest references and therefore truncates history — the documented
+trade.
+
+At 100 TB this is exactly the metadata-pointer pattern of a real
+table format; production would use Delta/Iceberg (SCALE_DESIGN.md §3)
+— the point here is that the ENGINE's pipeline code (medallion.py
+stages) runs unchanged against either, because the transaction handle
+exposes the same read/append/overwrite/exists surface as Warehouse.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+MANIFEST_DIR = "_manifests"
+
+
+class ConflictError(Exception):
+    """Another writer committed since this transaction began."""
+
+
+class AtomicWarehouse:
+    """Manifest-pointer parquet store with multi-table transactions.
+
+    Single-op `append`/`overwrite` auto-wrap in a one-table
+    transaction, so the class is drop-in for medallion.Warehouse;
+    `transaction()` groups any number of writes across any number of
+    tables into one atomic visibility switch.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest plumbing -------------------------------------------------
+    def _pointer(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def manifest(self) -> dict:
+        try:
+            with open(self._pointer()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "tables": {}}
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    # -- Warehouse-compatible surface --------------------------------------
+    def exists(self, table: str) -> bool:
+        return table in self.manifest()["tables"]
+
+    def read(self, table: str) -> DataFrame:
+        dirs = self.manifest()["tables"].get(table)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} not in manifest")
+        return self.spark.read.parquet(*[self._abs(d) for d in dirs])
+
+    def append(self, df: DataFrame, table: str) -> None:
+        with self.transaction() as txn:
+            txn.append(df, table)
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        with self.transaction() as txn:
+            txn.overwrite(df, table)
+
+    # -- transactions ------------------------------------------------------
+    @contextmanager
+    def transaction(self):
+        """All writes staged inside become visible atomically on clean
+        exit; on exception nothing is committed and staged data dirs
+        are left for vacuum()."""
+        txn = _Transaction(self)
+        yield txn
+        txn._commit()
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Snapshot read against an archived manifest (time travel).
+        Valid until vacuum() truncates history."""
+        path = os.path.join(self.root, MANIFEST_DIR, f"v{version}.json")
+        with open(path) as f:
+            dirs = json.load(f)["tables"].get(table)
+        if not dirs:
+            raise FileNotFoundError(
+                f"table {table!r} not in manifest v{version}"
+            )
+        return self.spark.read.parquet(*[self._abs(d) for d in dirs])
+
+    def vacuum(self) -> list[str]:
+        """Remove every data directory the CURRENT manifest does not
+        reference (crash orphans, overwritten/erased versions) and all
+        archived manifests. Returns removed paths. Safe to run any
+        time: referenced dirs are never touched."""
+        live = {
+            rel
+            for dirs in self.manifest()["tables"].values()
+            for rel in dirs
+        }
+        removed: list[str] = []
+        for entry in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, entry)
+            if entry in (MANIFEST, MANIFEST_DIR) or not os.path.isdir(tdir):
+                continue
+            for sub in sorted(os.listdir(tdir)):
+                rel = f"{entry}/{sub}"
+                if rel not in live:
+                    shutil.rmtree(self._abs(rel))
+                    removed.append(rel)
+            if not os.listdir(tdir):
+                os.rmdir(tdir)
+        hist = os.path.join(self.root, MANIFEST_DIR)
+        if os.path.isdir(hist):
+            shutil.rmtree(hist)
+            removed.append(MANIFEST_DIR)
+        return removed
+
+
+class _Transaction:
+    """Staged view of the warehouse: read-your-own-writes within the
+    transaction, invisible to everyone else until the pointer swap."""
+
+    def __init__(self, wh: AtomicWarehouse):
+        self.wh = wh
+        base = wh.manifest()
+        self.base_version: int = base["version"]
+        # deep-ish copy: lists are replaced, never mutated in place
+        self.tables: dict[str, list[str]] = {
+            t: list(d) for t, d in base["tables"].items()
+        }
+        self.committed = False
+
+    # same surface as Warehouse → medallion stages run unchanged
+    def exists(self, table: str) -> bool:
+        return table in self.tables
+
+    def read(self, table: str) -> DataFrame:
+        dirs = self.tables.get(table)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} not in transaction view")
+        return self.wh.spark.read.parquet(*[self.wh._abs(d) for d in dirs])
+
+    def _new_dir(self, table: str) -> str:
+        rel = f"{table}/z{self.base_version + 1}_{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.dirname(self.wh._abs(rel)), exist_ok=True)
+        return rel
+
+    def append(self, df: DataFrame, table: str) -> None:
+        rel = self._new_dir(table)
+        df.write.mode("errorifexists").parquet(self.wh._abs(rel))
+        self.tables[table] = self.tables.get(table, []) + [rel]
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        rel = self._new_dir(table)
+        df.write.mode("errorifexists").parquet(self.wh._abs(rel))
+        self.tables[table] = [rel]
+
+    def _commit(self) -> None:
+        if self.committed:
+            return
+        current = self.wh.manifest()
+        if current["version"] != self.base_version:
+            raise ConflictError(
+                f"manifest advanced v{self.base_version} → "
+                f"v{current['version']} during transaction; retry on the "
+                "new snapshot"
+            )
+        new = {"version": self.base_version + 1, "tables": self.tables}
+        hist = os.path.join(self.wh.root, MANIFEST_DIR)
+        os.makedirs(hist, exist_ok=True)
+        with open(os.path.join(hist, f"v{new['version']}.json"), "w") as f:
+            json.dump(new, f)
+        tmp = self.wh._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.wh._pointer())  # THE commit point
+        self.committed = True
+
+
+def run_pipeline_atomic(
+    spark: SparkSession, wh: AtomicWarehouse, batch: DataFrame, run_ts: str
+) -> dict[str, int]:
+    """The reference's one-commit-across-all-tables run shape
+    (load.py:271,277): every medallion stage writes through ONE
+    transaction, so bronze, all silver tables, and gold flip to the
+    new snapshot together — or, on any failure, not at all.
+
+    The stages are medallion.py's, unmodified: the transaction handle
+    is interface-compatible with Warehouse.
+    """
+    from .medallion import (
+        BRONZE_TX,
+        GOLD_MONTHLY,
+        SILVER_CP,
+        SILVER_ME,
+        SILVER_TX,
+        build_gold,
+        load_bronze,
+        transform_silver,
+    )
+
+    with wh.transaction() as txn:
+        appended = load_bronze(txn, batch)
+        transform_silver(txn, inserted_at=run_ts)
+        build_gold(txn)
+    return {
+        "bronze_appended": appended,
+        "bronze_total": wh.read(BRONZE_TX).count(),
+        "silver_tx": wh.read(SILVER_TX).count(),
+        "silver_counterparties": wh.read(SILVER_CP).count(),
+        "silver_merchants": wh.read(SILVER_ME).count(),
+        "gold_rows": wh.read(GOLD_MONTHLY).count(),
+    }

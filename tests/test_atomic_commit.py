@@ -1,0 +1,155 @@
+"""Crash-injection tests for the manifest-pointer transactional
+warehouse (A14): one commit across all tables, or nothing.
+
+Reference semantics being proven: /root/reference/src/load/load.py:271
+— transactions, balance, and pots become visible via a single
+conn.commit(); a crash mid-run must never expose a half-updated
+warehouse.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from monzo_data_pipeline_spark.pipeline.atomic import (  # noqa: E402
+    AtomicWarehouse,
+    ConflictError,
+    run_pipeline_atomic,
+)
+
+
+def _df(spark, vals, col="v"):
+    return spark.createDataFrame([(int(x),) for x in vals], f"{col} bigint")
+
+
+def _vals(df, col="v"):
+    return sorted(r[col] for r in df.collect())
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return AtomicWarehouse(spark, str(tmp_path / "wh"))
+
+
+def test_multi_table_commit_is_all_or_nothing(wh, spark):
+    # seed a consistent v1 snapshot across two tables
+    with wh.transaction() as txn:
+        txn.overwrite(_df(spark, [1, 2]), "t_fact")
+        txn.overwrite(_df(spark, [10]), "t_dim")
+    assert _vals(wh.read("t_fact")) == [1, 2]
+
+    # crash AFTER the first table's files are written, BEFORE commit —
+    # the reference's "between table writes" exposure
+    class Boom(RuntimeError):
+        pass
+
+    with pytest.raises(Boom):
+        with wh.transaction() as txn:
+            txn.append(_df(spark, [3]), "t_fact")
+            assert _vals(txn.read("t_fact")) == [1, 2, 3]  # own writes
+            raise Boom()  # crash before t_dim is updated
+
+    # readers still see the OLD consistent snapshot of BOTH tables
+    assert _vals(wh.read("t_fact")) == [1, 2]
+    assert _vals(wh.read("t_dim")) == [10]
+    assert wh.manifest()["version"] == 1
+
+    # the completed retry flips both tables together
+    with wh.transaction() as txn:
+        txn.append(_df(spark, [3]), "t_fact")
+        txn.append(_df(spark, [11]), "t_dim")
+    assert _vals(wh.read("t_fact")) == [1, 2, 3]
+    assert _vals(wh.read("t_dim")) == [10, 11]
+    assert wh.manifest()["version"] == 2
+
+
+def test_vacuum_sweeps_crash_orphans_only(wh, spark):
+    wh.overwrite(_df(spark, [1]), "t")
+    try:
+        with wh.transaction() as txn:
+            txn.overwrite(_df(spark, [99]), "t")
+            raise RuntimeError("crash")
+    except RuntimeError:
+        pass
+    before = _vals(wh.read("t"))
+    removed = wh.vacuum()
+    # exactly one orphaned data dir (plus manifest history) swept
+    assert sum(r.startswith("t/") for r in removed) == 1
+    assert _vals(wh.read("t")) == before == [1]
+
+
+def test_isolation_until_commit(wh, spark):
+    wh.overwrite(_df(spark, [1]), "t")
+    with wh.transaction() as txn:
+        txn.append(_df(spark, [2]), "t")
+        # a concurrent reader during the transaction sees only v1
+        assert _vals(wh.read("t")) == [1]
+        assert _vals(txn.read("t")) == [1, 2]
+    assert _vals(wh.read("t")) == [1, 2]
+
+
+def test_conflicting_writers_detected(wh, spark):
+    wh.overwrite(_df(spark, [1]), "t")
+    with pytest.raises(ConflictError):
+        with wh.transaction() as txn:
+            txn.append(_df(spark, [2]), "t")
+            # a second writer commits while txn is open
+            wh.append(_df(spark, [3]), "t")
+    # the interloper's commit stands; the losing txn left no trace
+    assert _vals(wh.read("t")) == [1, 3]
+
+
+def test_time_travel_until_vacuum(wh, spark):
+    wh.overwrite(_df(spark, [1]), "t")  # v1
+    wh.append(_df(spark, [2]), "t")  # v2
+    wh.overwrite(_df(spark, [9]), "t")  # v3
+    assert _vals(wh.read_version("t", 1)) == [1]
+    assert _vals(wh.read_version("t", 2)) == [1, 2]
+    assert _vals(wh.read("t")) == [9]
+    wh.vacuum()
+    with pytest.raises(FileNotFoundError):
+        wh.read_version("t", 1)
+
+
+def test_full_pipeline_one_commit(wh, spark):
+    """medallion's bronze→silver→gold stages run unchanged inside one
+    transaction; a mid-pipeline failure leaves version 0 (no tables),
+    a clean run commits all six tables at version 1."""
+    from monzo_data_pipeline_spark.pipeline.ingest import (
+        cursor_windows,
+        fetch_transactions_distributed,
+        flatten_bronze,
+        make_fake_fetch,
+    )
+
+    windows = cursor_windows(
+        __import__("datetime").datetime(2025, 1, 1),
+        __import__("datetime").datetime(2025, 1, 3),
+        24,
+    )
+    wire = fetch_transactions_distributed(spark, make_fake_fetch(), windows)
+    batch = flatten_bronze(wire, "2025-01-04T00:00:00")
+
+    report = run_pipeline_atomic(spark, wh, batch, "2025-01-04T00:00:00")
+    assert report["bronze_appended"] > 0
+    assert report["silver_tx"] > 0
+    m = wh.manifest()
+    assert m["version"] == 1
+    assert set(m["tables"]) >= {
+        "bronze_transactions",
+        "silver_transactions",
+        "silver_counterparties",
+        "silver_merchants",
+        "gold_monthly_spending",
+    }
+    # idempotent re-run: same batch adds nothing, still one commit
+    report2 = run_pipeline_atomic(spark, wh, batch, "2025-01-05T00:00:00")
+    assert report2["bronze_appended"] == 0
+    assert report2["bronze_total"] == report["bronze_total"]
+    assert wh.manifest()["version"] == 2
