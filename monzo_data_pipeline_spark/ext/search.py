@@ -117,6 +117,77 @@ def inverted_index(
     )
 
 
+def shard_postings(
+    tf: DataFrame,
+    doc_range: int = 100_000,
+) -> DataFrame:
+    """Sharded posting lists: (word, shard_id, df_shard, total_tf_shard,
+    postings) with shard_id = doc_id DIV doc_range.
+
+    THIS is the 100 TB posting-list representation (SCALE_DESIGN.md's
+    "sharded at scale" note, now implemented): a stopword's postings ≈
+    the corpus and cannot live in one aggregation buffer or one row.
+    Doc-range sharding fixes both structurally:
+
+      * the shard key is computed MAP-SIDE from (word, doc_id) alone —
+        no per-word window/sort over the skewed partition, no second
+        shuffle; the one exchange is on (word, shard_id), which splits
+        every heavy term's hash bucket into ~n_docs/doc_range pieces
+        (built-in salting, bounded aggregation state per group);
+      * per-row postings are ≤ the docs in one range, so row size is
+        bounded by doc_range regardless of term frequency;
+      * shards of one term are disjoint doc ranges, so df/total_tf are
+        sums over shards and postings concatenate in shard order
+        already globally sorted — merge_shards() below is exact, and
+        query-side consumers (intersection, BM25 candidate fetch) can
+        stream shard-by-shard without ever materializing the full list.
+    """
+    return (
+        tf.withColumn(
+            "shard_id", (F.col("doc_id") / F.lit(doc_range)).cast("bigint")
+        )
+        .groupBy("word", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("df_shard"),
+            F.sum("tf").alias("total_tf_shard"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+    )
+
+
+def merge_shards(
+    sharded: DataFrame,
+    min_df: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Merge view over shard_postings: exactly summarize_index's
+    output (word, df, total_tf, postings) — shard-count invariant.
+
+    Shards are disjoint ascending doc ranges, so ordering the per-shard
+    arrays by shard_id and flattening IS the global ascending posting
+    list; no re-sort of the full list is ever needed. The flatten runs
+    only when a full-list view is actually requested (parity,
+    compatibility) — scale consumers keep the sharded form.
+    """
+    return (
+        sharded.groupBy("word")
+        .agg(
+            F.sum("df_shard").alias("df"),
+            F.sum("total_tf_shard").alias("total_tf"),
+            F.slice(
+                F.flatten(
+                    F.array_sort(
+                        F.collect_list(F.struct("shard_id", "postings"))
+                    ).getField("postings")
+                ),
+                1,
+                max_postings,
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
 def bm25_scores(
     documents: DataFrame,
     terms: tuple[str, ...] = ("spark", "hash", "merge"),

@@ -287,6 +287,53 @@ def mad_outliers(
     )
 
 
+def mad_outliers_approx(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """mad_outliers with sketch-backed medians — the 100 TB form.
+
+    Identical plan shape (two one-row-per-group aggregates broadcast
+    back, fact never shuffles); the only change is
+    `approx_percentile`, whose Greenwald-Khanna state is O(accuracy)
+    per group instead of the exact percentile's value→count map
+    (unbounded on mostly-distinct doubles). Guaranteed rank error ≤
+    n/accuracy, so med/MAD land within one neighboring value — the
+    outlier-count contract degrades gracefully and a tolerance test
+    (tests/test_aggregates_approx.py) pins it against the exact twin.
+    Deterministic for a fixed dataset+accuracy (GK is deterministic),
+    but NOT oracle-comparable: DuckDB has no GK twin — registry entry
+    is rows-only by design.
+    """
+    c = F.col(value_col)
+    med = df.groupBy(*keys).agg(
+        F.round(F.approx_percentile(c, F.lit(0.5), F.lit(accuracy)), 4).alias(
+            "med_r"
+        )
+    )
+    j = df.join(F.broadcast(med), keys)
+    mad = j.groupBy(*keys).agg(
+        F.round(
+            F.approx_percentile(
+                F.abs(c - F.col("med_r")), F.lit(0.5), F.lit(accuracy)
+            ),
+            4,
+        ).alias("mad_r")
+    )
+    return (
+        j.join(F.broadcast(mad), keys)
+        .groupBy(*keys, "med_r", "mad_r")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.abs(c - F.col("med_r")) > 3 * F.col("mad_r")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
 def equi_depth_histogram(
     df: DataFrame,
     value_col: str,
@@ -314,6 +361,50 @@ def equi_depth_histogram(
         F.transform(F.percentile(c, pcts), lambda q: F.round(q, 4)).alias(
             "cuts"
         )
+    )
+    bucketed = df.crossJoin(F.broadcast(cuts)).select(
+        F.size(F.filter(F.col("cuts"), lambda q: q < c))
+        .cast("bigint")
+        .alias("bucket"),
+        c,
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(c).alias("lo"),
+            F.max(c).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def equi_depth_histogram_approx(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 20,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """equi_depth_histogram with sketch cutpoints — the swap the exact
+    version's docstring promises at scale.
+
+    `approx_percentile` bounds aggregation state at O(accuracy) per
+    partial (vs the exact value→count map, a memory cliff on
+    mostly-distinct doubles at 100 TB) and guarantees rank error ≤
+    n/accuracy, i.e. each bucket's depth is n/n_buckets ± 2n/accuracy.
+    Everything around the cutpoint aggregate — broadcast array row,
+    map-side fold bucketing, final tiny agg — is byte-identical to the
+    exact plan. Deterministic, but no DuckDB GK twin → rows-only in
+    the registry; the tolerance contract vs the exact histogram is
+    pinned in tests/test_aggregates_approx.py.
+    """
+    c = F.col(value_col)
+    pcts = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts = df.agg(
+        F.transform(
+            F.approx_percentile(c, pcts, F.lit(accuracy)),
+            lambda q: F.round(q, 4),
+        ).alias("cuts")
     )
     bucketed = df.crossJoin(F.broadcast(cuts)).select(
         F.size(F.filter(F.col("cuts"), lambda q: q < c))

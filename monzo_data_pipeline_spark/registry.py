@@ -3282,6 +3282,34 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mad_robust_outliers_approx",
+    "C7 scale path (MAD profile via approx_percentile: O(accuracy) GK "
+    "sketch state per group instead of the exact value→count map; "
+    "deterministic but engine-specific → rows-only; tolerance vs the "
+    "exact twin pinned in tests/test_aggregates_approx.py)",
+    None,
+)
+def q_mad_robust_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.mad_outliers_approx(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value"
+    ).orderBy("event_type")
+
+
+@_register(
+    "equi_depth_histogram_approx",
+    "C7 scale path (equi-depth histogram with sketch cutpoints: rank "
+    "error ≤ n/accuracy, bounded partial-agg memory at 100 TB; "
+    "deterministic but engine-specific → rows-only; tolerance vs the "
+    "exact twin pinned in tests/test_aggregates_approx.py)",
+    None,
+)
+def q_equi_depth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.equi_depth_histogram_approx(
+        load_table(spark, sf_dir, "events"), "value", n_buckets=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-native k-means (ext/similarity.py::kmeans_fit) — the IVF
 # centroid trainer; fixed iterations, deterministic init, decimal means.
@@ -3566,6 +3594,33 @@ def q_wow_revenue_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SRCH.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "sharded_inverted_index",
+    "C4/north-star scale path (posting lists sharded by (term, "
+    "doc-range): map-side shard key splits stopword hash buckets, "
+    "bounded state per group; ext/search.py::shard_postings)",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM tok WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT word, CAST(doc_id // 100 AS BIGINT) AS shard_id,
+           COUNT(*) AS df_shard,
+           CAST(SUM(tf) AS BIGINT) AS total_tf_shard,
+           list_sort(list(doc_id)) AS postings
+    FROM tf GROUP BY word, shard_id
+    ORDER BY word, shard_id
+    """,
+)
+def q_sharded_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = SRCH.doc_term_frequencies(load_table(spark, sf_dir, "documents"))
+    return SRCH.shard_postings(tf, doc_range=100).orderBy("word", "shard_id")
 
 
 @_register(

@@ -1,0 +1,88 @@
+"""Tolerance contracts for the approx robust-stats twins.
+
+The exact operators (equi_depth_histogram, mad_outliers) are
+oracle-checked; these tests pin the approx variants to them:
+approx_percentile's guaranteed rank error is ≤ n/accuracy, so with
+accuracy=10_000 over ~6k events (sf0.001) the sketch is effectively
+exact, and at any n each bucket depth is n/n_buckets ± 2n/accuracy.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from monzo_data_pipeline_spark.catalog import load_table  # noqa: E402
+from monzo_data_pipeline_spark.operators import aggregates as AGG  # noqa: E402
+
+
+def test_equi_depth_histogram_approx_within_rank_error(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    n_buckets, accuracy = 20, 10_000
+    rows = {
+        r.bucket: r.n
+        for r in AGG.equi_depth_histogram_approx(
+            ev, "value", n_buckets=n_buckets, accuracy=accuracy
+        ).collect()
+    }
+    assert set(rows) == set(range(n_buckets))
+    tol = max(2 * n // accuracy, 2)  # ± 2·n/accuracy, floor of 2 for ties
+    target = n / n_buckets
+    for b, depth in rows.items():
+        assert abs(depth - target) <= target * 0.1 + tol, (b, depth, target)
+    assert sum(rows.values()) == n  # partition of the input
+
+
+def test_equi_depth_histogram_approx_matches_exact_at_high_accuracy(
+    spark, sf_dir
+):
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.bucket, r.n)
+        for r in AGG.equi_depth_histogram(ev, "value", n_buckets=10).collect()
+    }
+    # accuracy >> n → the GK sketch retains every value → identical cuts
+    approx = {
+        (r.bucket, r.n)
+        for r in AGG.equi_depth_histogram_approx(
+            ev, "value", n_buckets=10, accuracy=1_000_000
+        ).collect()
+    }
+    assert approx == exact
+
+
+def test_mad_outliers_approx_close_to_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in AGG.mad_outliers(ev, ["event_type"], "value").collect()
+    }
+    approx = {
+        r.event_type: r
+        for r in AGG.mad_outliers_approx(
+            ev, ["event_type"], "value", accuracy=10_000
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert ap.n == ex.n
+        # med/MAD within the rank-error neighborhood → relative slack
+        assert abs(ap.med_r - ex.med_r) <= max(0.05 * abs(ex.med_r), 1e-3)
+        assert abs(ap.mad_r - ex.mad_r) <= max(0.05 * abs(ex.mad_r), 1e-3)
+        # outlier counts may differ by the rows near the 3·MAD boundary
+        assert abs(ap.n_outliers - ex.n_outliers) <= max(
+            0.02 * ex.n, 5
+        ), (et, ap.n_outliers, ex.n_outliers)
+
+
+def test_approx_registry_entries_run(spark, sf_dir):
+    from monzo_data_pipeline_spark.registry import queries
+
+    q = queries()
+    assert q["equi_depth_histogram_approx"](spark, sf_dir).count() > 0
+    assert q["mad_robust_outliers_approx"](spark, sf_dir).count() > 0

@@ -129,3 +129,40 @@ def test_textrank_empty_corpus_returns_empty(spark):
     got = SRCH.textrank_keywords(one_tok)
     assert got.count() == 0
     assert got.columns == ["word", "rank_q"]
+
+
+def test_sharded_index_merge_is_shard_count_invariant(spark, sf_dir):
+    """merge_shards(shard_postings(tf, R)) == summarize_index(tf) for
+    any doc_range R — the sharded representation loses nothing."""
+    from monzo_data_pipeline_spark.catalog import load_table
+
+    tf = SRCH.doc_term_frequencies(load_table(spark, sf_dir, "documents"))
+
+    def norm(df):
+        return {
+            (r.word, r.df, r.total_tf, tuple(r.postings))
+            for r in df.collect()
+        }
+
+    want = norm(SRCH.summarize_index(tf, min_df=2, max_postings=1000))
+    for doc_range in (7, 100, 10_000_000):  # many shards … one shard
+        got = norm(
+            SRCH.merge_shards(
+                SRCH.shard_postings(tf, doc_range=doc_range),
+                min_df=2,
+                max_postings=1000,
+            )
+        )
+        assert got == want, f"doc_range={doc_range}"
+    assert len(want) > 0
+
+
+def test_shard_postings_rows_bounded_by_doc_range(spark, sf_dir):
+    from monzo_data_pipeline_spark.catalog import load_table
+
+    tf = SRCH.doc_term_frequencies(load_table(spark, sf_dir, "documents"))
+    sharded = SRCH.shard_postings(tf, doc_range=25)
+    import pyspark.sql.functions as F
+
+    too_big = sharded.filter(F.size("postings") > 25).count()
+    assert too_big == 0
