@@ -220,7 +220,12 @@ class _Transaction:
 
 
 def run_pipeline_atomic(
-    spark: SparkSession, wh: AtomicWarehouse, batch: DataFrame, run_ts: str
+    spark: SparkSession,
+    wh: AtomicWarehouse,
+    batch: DataFrame,
+    run_ts: str,
+    run_id: str | None = None,
+    run_log_jsonl: str | None = None,
 ) -> dict[str, int]:
     """The reference's one-commit-across-all-tables run shape
     (load.py:271,277): every medallion stage writes through ONE
@@ -241,10 +246,24 @@ def run_pipeline_atomic(
         transform_silver,
     )
 
+    logger = None
+    if run_id is not None:
+        from .runlog import RunLogger
+
+        logger = RunLogger(run_id, run_ts, jsonl_path=run_log_jsonl)
+
     with wh.transaction() as txn:
         appended = load_bronze(txn, batch)
+        if logger:
+            logger.log("bronze", "merged", appended=appended)
         transform_silver(txn, inserted_at=run_ts)
+        if logger:
+            logger.log("silver", "transformed")
         build_gold(txn)
+        if logger:
+            logger.log("gold", "built")
+            # A28: the run log commits WITH the data — one pointer swap
+            logger.flush(spark, txn)
     return {
         "bronze_appended": appended,
         "bronze_total": wh.read(BRONZE_TX).count(),
