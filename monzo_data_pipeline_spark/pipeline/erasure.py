@@ -71,3 +71,30 @@ def erase_keys(
         shutil.rmtree(old)
         report[table] = n_before - wh.read(table).count()
     return report
+
+
+def erase_keys_atomic(wh, ids: DataFrame, key: str, tables: list[str]) -> dict[str, int]:
+    """Erasure across ALL tables in ONE commit (AtomicWarehouse).
+
+    The per-table variant above leaves a window where table A is
+    already scrubbed but table B still holds the subject — fine for
+    eventual compliance, wrong for a consistent audit snapshot. Here
+    every rewritten table flips in the same manifest swap: an auditor
+    reading at any instant sees the subject everywhere or nowhere.
+    Old versions remain on disk until vacuum() — complete erasure =
+    this commit + vacuum, both idempotent.
+    """
+    erase_set = F.broadcast(ids.select(key).distinct())
+    report: dict[str, int] = {}
+    with wh.transaction() as txn:
+        for table in tables:
+            if not txn.exists(table):
+                continue
+            df = txn.read(table)
+            if key not in df.columns:
+                report[table] = -1
+                continue
+            n_before = df.count()
+            txn.overwrite(df.join(erase_set, key, "left_anti"), table)
+            report[table] = n_before - txn.read(table).count()
+    return report

@@ -274,6 +274,66 @@ class ApiClient:
         return self._request("/ping/whoami", {})
 
 
+def build_authorization_url(
+    auth_base: str,
+    client_id: str,
+    redirect_uri: str,
+    state: str,
+) -> str:
+    """The URL a user visits to grant access (reference
+    oauth_flow.py:45-52). The caller owns opening a browser and
+    capturing the redirect; `exchange_authorization_code` finishes."""
+    qs = urllib.parse.urlencode(
+        {
+            "client_id": client_id,
+            "redirect_uri": redirect_uri,
+            "response_type": "code",
+            "state": state,
+        }
+    )
+    return f"{auth_base.rstrip('/')}/?{qs}"
+
+
+def exchange_authorization_code(
+    client_id: str,
+    client_secret: str,
+    code: str,
+    redirect_uri: str,
+    token_url: str,
+    store=None,
+) -> dict:
+    """Authorization-code → token exchange (oauth_flow.py:15-29),
+    seeding `store` so OAuth2TokenManager can take over refreshes.
+    Returns the token payload (access_token, refresh_token, ...)."""
+    body = urllib.parse.urlencode(
+        {
+            "grant_type": "authorization_code",
+            "client_id": client_id,
+            "client_secret": client_secret,
+            "redirect_uri": redirect_uri,
+            "code": code,
+        }
+    ).encode()
+    req = urllib.request.Request(token_url, data=body, method="POST")
+    req.add_header("Content-Type", "application/x-www-form-urlencoded")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            tokens = json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        if e.code in (400, 401):
+            raise ApiAuthError(
+                "authorization code rejected: restart the grant flow"
+            ) from e
+        raise
+    expires_in = int(tokens.get("expires_in", 14400))
+    tokens["expires_at"] = (
+        datetime.now(timezone.utc) + timedelta(seconds=expires_in)
+    ).isoformat()
+    if store is not None:
+        store.put(tokens)
+    return tokens
+
+
 def make_http_fetch(
     base_url: str,
     account_id: str,

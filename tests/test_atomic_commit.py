@@ -153,3 +153,35 @@ def test_full_pipeline_one_commit(wh, spark):
     assert report2["bronze_appended"] == 0
     assert report2["bronze_total"] == report["bronze_total"]
     assert wh.manifest()["version"] == 2
+
+
+def test_atomic_erasure_one_commit_all_tables(wh, spark):
+    from monzo_data_pipeline_spark.pipeline.erasure import erase_keys_atomic
+
+    with wh.transaction() as txn:
+        txn.overwrite(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "user_id bigint, v string"
+            ),
+            "t1",
+        )
+        txn.overwrite(
+            spark.createDataFrame([(2, 20), (4, 40)], "user_id bigint, x bigint"),
+            "t2",
+        )
+        txn.overwrite(
+            spark.createDataFrame([(9,)], "other bigint"), "t3"
+        )
+    ids = spark.createDataFrame([(2,)], "user_id bigint")
+    report = erase_keys_atomic(wh, ids, "user_id", ["t1", "t2", "t3", "t_missing"])
+    assert report == {"t1": 1, "t2": 1, "t3": -1}
+    assert wh.manifest()["version"] == 2  # ONE commit for the whole erasure
+    assert sorted(r.user_id for r in wh.read("t1").collect()) == [1, 3]
+    assert sorted(r.user_id for r in wh.read("t2").collect()) == [4]
+    # pre-erasure snapshot recoverable only until vacuum (then gone)
+    assert wh.read_version("t1", 1).count() == 3
+    wh.vacuum()
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        wh.read_version("t1", 1)

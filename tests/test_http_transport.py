@@ -96,6 +96,23 @@ def _handler_for(state: _ApiState):
                 return self._json(404, {"error": "not_found"})
             n = int(self.headers.get("Content-Length", "0"))
             form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+            if form.get("grant_type", [""])[0] == "authorization_code":
+                if form.get("code", [""])[0] != "good_code":
+                    return self._json(400, {"code": "bad_authorization_code"})
+                with state.lock:
+                    state.token_seq += 1
+                    at = f"at_{state.token_seq}"
+                    state.access_tokens.add(at)
+                    new_rt = f"rt_{state.token_seq}"
+                    state.refresh_tokens = {new_rt}
+                return self._json(
+                    200,
+                    {
+                        "access_token": at,
+                        "refresh_token": new_rt,
+                        "expires_in": 3600,
+                    },
+                )
             rt = form.get("refresh_token", [""])[0]
             with state.lock:
                 if rt not in state.refresh_tokens:
@@ -325,3 +342,43 @@ def test_monzo_api_source_with_http_transport(api_server, tmp_path, spark):
     pdf = df.toPandas()
     assert len(pdf) == 450
     assert pdf["id"].nunique() == 450
+
+
+def test_authorization_code_flow_seeds_token_store(api_server, tmp_path):
+    """A27 end-to-end: build auth URL → exchange code → store seeded →
+    manager refreshes from there with no further user action."""
+    from monzo_data_pipeline_spark.sources.http_transport import (
+        build_authorization_url,
+        exchange_authorization_code,
+    )
+
+    base_url, state = api_server
+    url = build_authorization_url(
+        "https://auth.example", "cid", "http://localhost:8000/callback", "st8"
+    )
+    assert "client_id=cid" in url and "response_type=code" in url
+
+    store = FileTokenStore(str(tmp_path / "tokens.json"))
+    tokens = exchange_authorization_code(
+        "cid",
+        "csecret",
+        "good_code",
+        "http://localhost:8000/callback",
+        token_url=f"{base_url}/oauth2/token",
+        store=store,
+    )
+    assert tokens["access_token"] == "at_1"
+    # the manager takes over: expired access → refresh via stored grant
+    store_data = store.get()
+    store_data["expires_at"] = "2020-01-01T00:00:00+00:00"
+    store.put(store_data)
+    assert _manager(base_url, store).get_valid_token() == "at_2"
+
+    with pytest.raises(ApiAuthError, match="authorization code rejected"):
+        exchange_authorization_code(
+            "cid",
+            "csecret",
+            "BAD",
+            "http://localhost:8000/callback",
+            token_url=f"{base_url}/oauth2/token",
+        )
