@@ -508,3 +508,277 @@ def ivf_topk_multiprobe(
         .orderBy(F.desc("dot_q"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-vector tier of the ANN
+# stack. IVF (above) prunes WHICH vectors are scored; PQ shrinks WHAT
+# is scored: each d-dim float vector becomes m small codes (one per
+# subspace), and query-time distance is m table lookups instead of d
+# multiplies — the standard IVF-PQ layout for billion-scale corpora
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011).
+#
+# Scale shape:
+#   * TRAIN: all m sub-codebooks train JOINTLY — subvector rows
+#     (vec_id, sub, subvec) are one posexplode, each Lloyd round is
+#     ONE assignment pass + ONE (sub, cell) aggregate regardless of m
+#     (not m separate k-means drivers); codebooks are m·ksub·(d/m) =
+#     ksub·d literals, driver-trivial forever.
+#   * ENCODE: pure map-side expression against the codebook literal +
+#     one vec_id groupBy; codes are m bytes/vector — a 64-dim float
+#     vector compresses 32×.
+#   * QUERY (ADC): the query's m×ksub distance table is computed
+#     driver-side from ONE collected vector, shipped as a literal;
+#     per-row distance is m element_at lookups summed — no float math
+#     on the corpus at all. Exact integer quantization end to end, so
+#     results are deterministic and engine-reproducible.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[float]]]:
+    """Train the m sub-codebooks jointly; returns rows
+    (sub, cell, centroid) with centroid of length d/m.
+
+    Init is deterministic: the ksub lowest-id vectors seed every
+    subspace. Empty cells keep their previous centroid (kmeans_fit's
+    policy). Requires len(embedding) % m == 0 and ≥ ksub vectors.
+    """
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).head()
+    if first is None:
+        raise ValueError("pq_fit: empty embeddings frame")
+    d = first["d"]
+    if d % m:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    seeds = [
+        r[vec_col]
+        for r in emb.orderBy(F.asc(id_col)).limit(ksub).collect()
+    ]
+    if len(seeds) < ksub:
+        raise ValueError(
+            f"pq_fit: need at least ksub={ksub} vectors, got {len(seeds)}"
+        )
+    # cb[sub][cell] = centroid floats
+    cb = [[list(v[s * dsub : (s + 1) * dsub]) for v in seeds] for s in range(m)]
+
+    subs = emb.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * dsub + 1, dsub)
+                    for s in range(m)
+                ]
+            )
+        ).alias("sub", "__sv"),
+    ).withColumn("__qv", F.transform(F.col("__sv"), _q))
+    subs = subs.persist()
+    try:
+        mean_aggs = [
+            F.avg(F.element_at(F.col("__sv"), i + 1).cast("decimal(28,12)"))
+            .cast("double")
+            .alias(f"m{i}")
+            for i in range(dsub)
+        ]
+        for _ in range(iters):
+            assigned = _pq_assign_literal(subs, cb)
+            new_rows = assigned.groupBy("sub", "cell").agg(*mean_aggs).collect()
+            got = {(r["sub"], r["cell"]) for r in new_rows}
+            for r in new_rows:
+                cb[r["sub"]][r["cell"]] = [r[f"m{i}"] for i in range(dsub)]
+            # cells absent from `got` keep their previous centroid
+    finally:
+        subs.unpersist()
+    return [
+        (s, c, cb[s][c]) for s in range(m) for c in range(ksub)
+    ]
+
+
+def _pq_cb_literal(cb: list[list[list[float]]]) -> str:
+    """The m×ksub×dsub codebook as ONE parsed SQL literal (see
+    _assign_literal for why: py4j lit() round trips dominate)."""
+    import math
+
+    def cell_sql(qc):
+        return "array({})".format(
+            ",".join(f"{int(math.floor(x * QUANT))}L" for x in qc)
+        )
+
+    return "array({})".format(
+        ",".join(
+            "array({})".format(",".join(cell_sql(c) for c in sub_cb))
+            for sub_cb in cb
+        )
+    )
+
+
+def _pq_assign_literal(subs: DataFrame, cb) -> DataFrame:
+    """(id, sub, cell): nearest sub-centroid per subvector row —
+    zero joins, zero shuffles; the codebook rides in as a literal and
+    element_at picks this row's subspace."""
+    cb_sql = _pq_cb_literal(cb)
+    # NB: SQL bracket indexing on arrays is 0-based in Spark; sub is
+    # already 0-based so cb_sql[sub] picks this row's sub-codebook
+    best = F.expr(
+        f"array_min(transform({cb_sql}[sub], "
+        "(cen, i) -> named_struct("
+        "'d2', aggregate(zip_with(__qv, cen, (x, y) -> (x-y)*(x-y)),"
+        " 0L, (a, v) -> a+v), "
+        "'cell', i)))"
+    )
+    return subs.withColumn("__best", best).select(
+        subs.columns[0],
+        "sub",
+        "__sv",
+        F.col("__best")["cell"].alias("cell"),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector compressed to m sub-cell
+    ids. Assignment is map-side against the codebook literal; the one
+    shuffle is the per-vector groupBy that re-assembles codes in
+    subspace order (collect_list of (sub, cell) structs → array_sort →
+    project), the same ordered-re-assembly idiom as label_centroids."""
+    m = max(s for s, _, _ in codebooks) + 1
+    ksub = max(c for _, c, _ in codebooks) + 1
+    dsub = len(codebooks[0][2])
+    cb = [[None] * ksub for _ in range(m)]
+    for s, c, v in codebooks:
+        cb[s][c] = list(v)
+    subs = emb.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * dsub + 1, dsub)
+                    for s in range(m)
+                ]
+            )
+        ).alias("sub", "__sv"),
+    ).withColumn("__qv", F.transform(F.col("__sv"), _q))
+    assigned = _pq_assign_literal(subs, cb)
+    return (
+        assigned.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("cell")))
+            ).alias("__sc")
+        )
+        .select(
+            id_col,
+            F.expr("transform(__sc, x -> x.cell)").alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    query_id: int = 0,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays full-precision, the
+    corpus is scored from its codes via an m×ksub lookup table.
+
+    The table is built driver-side from ONE collected query vector
+    (O(m·ksub·dsub) work, corpus-independent) and shipped as an
+    integer literal; per-corpus-row cost is m element_at lookups and
+    a sum — no per-row float math, no join, and the top-k is a
+    TakeOrdered over (adc_d2_q, id). Returns (id, adc_d2_q).
+    """
+    import math
+
+    m = max(s for s, _, _ in codebooks) + 1
+    ksub = max(c for _, c, _ in codebooks) + 1
+    dsub = len(codebooks[0][2])
+    qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"pq_adc_topk: query_id {query_id} not found")
+    qv = [math.floor(x * QUANT) for x in qrow[vec_col]]
+    tbl = [
+        [
+            sum(
+                (qv[s * dsub + i] - math.floor(x * QUANT)) ** 2
+                for i, x in enumerate(cvec)
+            )
+            for cvec in [next(v for ss, cc, v in codebooks if ss == s and cc == c) for c in range(ksub)]
+        ]
+        for s in range(m)
+    ]
+    tbl_sql = "array({})".format(
+        ",".join(
+            "array({})".format(",".join(f"{d}L" for d in row)) for row in tbl
+        )
+    )
+    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    adc = F.expr(  # 0-based bracket indexing on both levels
+        "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
+        f"(c, s) -> {tbl_sql}[s][c]), 0L, (a, v) -> a + v)"
+    )
+    return (
+        codes.filter(F.col(id_col) != query_id)
+        .select(id_col, adc.alias("adc_d2_q"))
+        .orderBy(F.asc("adc_d2_q"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_adc_rerank_topk(
+    emb: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    query_id: int = 0,
+    k: int = 5,
+    oversample: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ with exact re-ranking — the production IVF-PQ query shape:
+    ADC shortlists k·oversample candidates from codes alone (cheap,
+    compressed-domain), then ONLY the shortlist is re-scored with the
+    exact quantized distance against full-precision vectors.
+
+    The shortlist is a k·oversample-row broadcast; the exact re-rank
+    therefore touches `oversample·k` vectors instead of n — at 100 TB
+    the full-precision vectors live in cold storage keyed by id and
+    only the shortlist is fetched. Recall ≈ the probability the true
+    neighbors survive the compressed-domain cut (tunable via
+    oversample; measured in tests/test_pq.py).
+    """
+    short = pq_adc_topk(
+        emb,
+        codebooks,
+        query_id=query_id,
+        k=k * oversample,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(id_col)
+    qvec = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    return (
+        emb.join(F.broadcast(short), id_col)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            id_col,
+            quantized_dist_sq(vec_col, "__qvec").alias("d2_q"),
+        )
+        .orderBy(F.asc("d2_q"), F.asc(id_col))
+        .limit(k)
+    )

@@ -3353,6 +3353,21 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pq_rerank_topk",
+    "C3/north-star scale path (product quantization: jointly-trained "
+    "sub-codebooks, 32x-compressed codes, ADC table-lookup shortlist, "
+    "exact re-rank of k*oversample survivors — the IVF-PQ query shape; "
+    "deterministic but the codebook is engine-specific → rows-only; "
+    "recall + exactness anchors in tests/test_pq.py)",
+    None,
+)
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = SIM.pq_fit(emb, m=8, ksub=8, iters=2)
+    return SIM.pq_adc_rerank_topk(emb, cbs, query_id=0, k=10, oversample=5)
+
+
 # ---------------------------------------------------------------------------
 # SCD2 temporal dimension lookup (operators/behavioral.py::scd2_lookup):
 # the join every warehouse does against a type-2 dim.

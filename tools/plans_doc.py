@@ -45,6 +45,9 @@ SHOW = {
     "equi_depth_histogram": "equi-depth histogram — cutpoints broadcast; bucket fold map-side (no ntile global sort)",
     "mad_robust_outliers": "MAD outliers — two percentile passes broadcast back; fact never shuffles",
     "top_n_per_group_salted": "skew-proof top-n — two Window nodes: per-(group,salt) local, then global over S·n survivors",
+    "fuzzy_name_pairs": "Ed-Join edit-distance pairs — q-gram prefix blocks as equi-joins (no BroadcastNestedLoopJoin/CartesianProduct anywhere); levenshtein only as residual on candidates",
+    "sharded_inverted_index": "sharded postings — map-side (word, doc-range) shard key, ONE exchange on the composite key; no per-word window over skewed partitions",
+    "equi_depth_histogram_approx": "approx histogram — same broadcast-cutpoints/map-side-fold plan as the exact twin; ObjectHashAggregate holds the O(accuracy) GK sketch",
 }
 
 MARKERS = (
