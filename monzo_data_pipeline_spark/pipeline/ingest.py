@@ -11,10 +11,12 @@ Spark-first redesign — the 100 TB ingestion posture (SURVEY.md §7
 hard-part 7): the unit of parallelism is a CURSOR RANGE, not a page
 loop. The driver enumerates (since, before) windows; executors fetch
 pages for their window via mapInPandas (Arrow batches out). A fake
-in-memory client stands in for HTTPS (tests stay hermetic — the
+in-memory client is the default (tests stay hermetic — the
 reference's live-API test is the anti-pattern, SURVEY.md §5); the
-real client would be an OAuth2-refresh httpx session per executor,
-constructed lazily inside the partition function.
+REAL client exists in sources/http_transport.py (stdlib urllib +
+OAuth2 refresh, one lazily-built session per executor) and plugs into
+the same FetchFn slot — see make_http_fetch and
+tests/test_http_transport.py::test_distributed_ingest_over_real_transport.
 """
 
 from __future__ import annotations

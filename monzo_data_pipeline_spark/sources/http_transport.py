@@ -273,6 +273,11 @@ class ApiClient:
     def whoami(self) -> dict:
         return self._request("/ping/whoami", {})
 
+    def list_accounts(self) -> list[dict]:
+        """A4 accounts/identity probe (api_client.py:124-136) —
+        returned, not printed."""
+        return self._request("/accounts", {}).get("accounts", [])
+
 
 def build_authorization_url(
     auth_base: str,

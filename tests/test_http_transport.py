@@ -174,6 +174,11 @@ def _handler_for(state: _ApiState):
                 return self._json(200, {"pots": [{"id": "pot_0"}]})
             if parsed.path == "/ping/whoami":
                 return self._json(200, {"authenticated": True})
+            if parsed.path == "/accounts":
+                return self._json(
+                    200,
+                    {"accounts": [{"id": "acc_1", "type": "uk_retail"}]},
+                )
             return self._json(404, {"error": "not_found"})
 
     return Handler
@@ -382,3 +387,13 @@ def test_authorization_code_flow_seeds_token_store(api_server, tmp_path):
             "http://localhost:8000/callback",
             token_url=f"{base_url}/oauth2/token",
         )
+
+
+def test_whoami_and_accounts_probe(api_server, tmp_path):
+    base_url, state = api_server
+    store = _seed_store(tmp_path, access="at_p", expires_in_s=3600)
+    with state.lock:
+        state.access_tokens.add("at_p")
+    client = ApiClient(base_url, "acc_1", _manager(base_url, store))
+    assert client.whoami() == {"authenticated": True}
+    assert client.list_accounts() == [{"id": "acc_1", "type": "uk_retail"}]

@@ -84,6 +84,12 @@ QUERY_SET = [
     "wow_revenue_movers",
     "scd2_temporal_lookup",
     "kmeans_cluster_profile",
+    # round-2 additions
+    "fuzzy_name_pairs",
+    "sharded_inverted_index",
+    "equi_depth_histogram_approx",
+    "mad_robust_outliers_approx",
+    "pq_rerank_topk",
 ]
 
 KEY_OFFSET = 100_000_000
