@@ -141,6 +141,17 @@ class OAuth2TokenManager:
         self.store.put(new_tokens)
         return new_tokens
 
+    def _fresh_access(self, tokens: dict | None) -> str | None:
+        if not tokens or not tokens.get("access_token"):
+            return None
+        if not tokens.get("expires_at"):
+            return None
+        expires_at = datetime.fromisoformat(tokens["expires_at"])
+        margin = timedelta(seconds=self.expiry_margin_s)
+        if datetime.now(timezone.utc) + margin < expires_at:
+            return tokens["access_token"]
+        return None
+
     def get_valid_token(self, force: bool = False) -> str:
         tokens = self.store.get()
         if not tokens or not tokens.get("refresh_token"):
@@ -148,12 +159,41 @@ class OAuth2TokenManager:
                 "no stored tokens: initial authorization required "
                 "(run the authorization-code flow once)"
             )
-        if not force and tokens.get("access_token") and tokens.get("expires_at"):
-            expires_at = datetime.fromisoformat(tokens["expires_at"])
-            margin = timedelta(seconds=self.expiry_margin_s)
-            if datetime.now(timezone.utc) + margin < expires_at:
-                return tokens["access_token"]
-        return self._refresh(tokens["refresh_token"])["access_token"]
+        if not force:
+            access = self._fresh_access(tokens)
+            if access is not None:
+                return access
+        # Refresh under an exclusive file lock, and RE-READ the store
+        # once inside it: with token ROTATION, two executors refreshing
+        # concurrently would each burn the other's refresh token (the
+        # second refresh presents an already-rotated grant and gets
+        # 'evicted'). The lock serializes; the re-read makes every
+        # waiter after the first a no-op. Lock file lives next to the
+        # store when it is file-backed; store types without a path
+        # (e.g. a remote secret manager with its own CAS) skip the
+        # local lock.
+        lock_path = getattr(self.store, "path", None)
+        if lock_path is None:
+            return self._refresh(tokens["refresh_token"])["access_token"]
+        import fcntl
+
+        seen = tokens.get("access_token")
+        with open(lock_path + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                current = self.store.get() or tokens
+                access = self._fresh_access(current)
+                # someone else refreshed while we waited: under force
+                # (our token just 401'd) only a DIFFERENT token counts
+                if access is not None and (
+                    not force or current.get("access_token") != seen
+                ):
+                    return access
+                return self._refresh(current["refresh_token"])[
+                    "access_token"
+                ]
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def _get_json(

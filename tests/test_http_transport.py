@@ -397,3 +397,31 @@ def test_whoami_and_accounts_probe(api_server, tmp_path):
     client = ApiClient(base_url, "acc_1", _manager(base_url, store))
     assert client.whoami() == {"authenticated": True}
     assert client.list_accounts() == [{"id": "acc_1", "type": "uk_retail"}]
+
+
+def test_concurrent_refresh_single_rotation(api_server, tmp_path):
+    """Two workers hit an expired token simultaneously: the file lock
+    + in-lock re-read must produce exactly ONE refresh (a second
+    concurrent refresh would present the already-rotated grant and be
+    evicted — the token-rotation race)."""
+    import threading as th
+
+    base_url, state = api_server
+    _seed_store(tmp_path, access="stale", expires_in_s=0)  # expired
+    results, errors = [], []
+
+    def worker():
+        try:
+            store = FileTokenStore(str(tmp_path / "tokens.json"))
+            results.append(_manager(base_url, store).get_valid_token())
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [th.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert set(results) == {"at_1"}  # everyone got the ONE new token
+    assert state.token_seq == 1  # exactly one refresh hit the server
