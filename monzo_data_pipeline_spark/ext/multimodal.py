@@ -242,3 +242,127 @@ def window_audio(
         .substr(F.col("win_idx") * hop_bytes + 1, F.lit(win_bytes))
         .alias("window_payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A REAL decoder: WAV/PCM needs only the stdlib (RIFF chunk walk +
+# struct unpack), so the audio half of C5 is not stubbed. decode_wav
+# is the library function; wav_features is the Arrow-batched Spark
+# surface. Unlike the stub closures above (self-contained, shipped by
+# value), this one references the module function — a real decoder is
+# a library dependency by nature, and session.py already puts the
+# package on executor PYTHONPATH.
+# ---------------------------------------------------------------------------
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("rms_q", T.LongType()),
+    ]
+)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE payload: header walk + PCM sample decode.
+
+    Supports uncompressed PCM (format 1), 8-bit unsigned and 16-bit
+    signed little-endian, any channel count. Returns meta plus the
+    first channel's samples (ints). Raises ValueError on anything that
+    is not a well-formed PCM WAV — callers choose quarantine or fail.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
+    if bits == 16:
+        raw = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+        samples = raw[::n_channels]
+    elif bits == 8:
+        samples = tuple(b - 128 for b in data[::n_channels])
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    n_frames = len(data) // block_align if block_align else 0
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "samples": list(samples[:n_frames]),
+    }
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Real audio feature extraction over WAV payloads (mapInPandas):
+    per clip — duration, peak amplitude, integer-quantized RMS
+    (floor(sqrt(mean(s²))·10³): one IEEE sqrt on an exact integer
+    mean, deterministic). Malformed payloads quarantine as
+    valid=false rows instead of failing the batch (the NDJSON
+    dead-letter policy applied to media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from monzo_data_pipeline_spark.ext.multimodal import decode_wav
+
+        def row(media_id: int, payload: bytes) -> dict:
+            try:
+                d = decode_wav(payload)
+            except Exception:  # ValueError / struct.error → quarantine
+                return {
+                    "media_id": media_id,
+                    "valid": False,
+                    "sample_rate": None,
+                    "n_channels": None,
+                    "bits_per_sample": None,
+                    "n_frames": None,
+                    "duration_ms": None,
+                    "peak_abs": None,
+                    "rms_q": None,
+                }
+            s = d["samples"]
+            n = len(s)
+            sumsq = sum(x * x for x in s)
+            return {
+                "media_id": media_id,
+                "valid": True,
+                "sample_rate": d["sample_rate"],
+                "n_channels": d["n_channels"],
+                "bits_per_sample": d["bits_per_sample"],
+                "n_frames": d["n_frames"],
+                "duration_ms": d["n_frames"] * 1000 // d["sample_rate"],
+                "peak_abs": max((abs(x) for x in s), default=0),
+                "rms_q": math.floor(math.sqrt(sumsq / n) * 1000) if n else 0,
+            }
+
+        for pdf in it:
+            yield pd.DataFrame(
+                [
+                    row(m, p)
+                    for m, p in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    return media.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
