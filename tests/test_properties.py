@@ -312,3 +312,41 @@ def test_curriculum_sample_is_subset_and_partition_invariant(spark):
     )
     assert kept == kept_re
     assert set(kept) <= set(range(200)) and 0 < len(kept) < 200
+
+
+NAME = st.text(alphabet="abc", min_size=0, max_size=18)
+
+
+@given(names=st.lists(NAME, min_size=1, max_size=12, unique=True))
+@SET
+def test_edit_distance_pairs_complete_vs_bruteforce(sp, names):
+    """Ed-Join blocking must be COMPLETE for every input shape — the
+    prefix-filter theorem plus the short-string block, checked against
+    brute-force levenshtein over a tiny alphabet (worst case for gram
+    collisions AND for short-string edge cases)."""
+    import itertools
+
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import edit_distance_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    df = sp.createDataFrame([(n,) for n in names], "nm string")
+    got = {
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in edit_distance_pairs(df, "nm", max_dist=3).collect()
+    }
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if lev(a, b) <= 3
+    }
+    assert got == want
