@@ -68,11 +68,14 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB — real image decode requires PIL/opencv (not in this
-    container). The mapInPandas plumbing around it is real."""
-    raise NotImplementedError(
-        "image decode requires an imaging library; payloads are opaque binary here"
-    )
+    """REAL for uncompressed formats: netpbm (P5/P6) and 24-bit BMP
+    decode via ext/images.py (numpy only — no imaging library needed,
+    the same way decode_wav needs only struct). Compressed formats
+    (PNG/JPEG) still raise NotImplementedError: entropy coding
+    genuinely requires a codec library this container lacks."""
+    from monzo_data_pipeline_spark.ext.images import decode_image as _decode
+
+    return _decode(payload)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:

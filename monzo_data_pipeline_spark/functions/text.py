@@ -386,3 +386,196 @@ def curriculum_sample(
         F.col(id_col) % 100
         < F.element_at(rate_arr, (F.col("tier") + 1).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 — oracle-exact fingerprinting and collocation/diversity
+# signals. All integer arithmetic (mod 2^31−1 polynomial hashes,
+# integer DIV), so unlike xxhash64-based doc_fingerprint these are
+# hash-checkable against a DuckDB twin, not rows-only.
+# ---------------------------------------------------------------------------
+
+POLY_MOD = 2_147_483_647  # 2^31 − 1: acc·131 + 126 < 2^39, no int64 overflow
+POLY_BASE = 131
+
+
+def _printable(text: Column | str) -> Column:
+    """Printable-ASCII projection with a single-space fallback for
+    empty results — keeps downstream per-char folds total and keeps
+    the DuckDB twin byte-for-byte identical (ASCII ⇒ chars == bytes)."""
+    c = F.col(text) if isinstance(text, str) else text
+    clean = F.regexp_replace(F.coalesce(c, F.lit("")), r"[^\x20-\x7e]", "")
+    return F.when(F.length(clean) == 0, F.lit(" ")).otherwise(clean)
+
+
+def polynomial_fingerprint(text: Column | str) -> Column:
+    """Engine-agnostic rolling content fingerprint (north star):
+    fold (acc·131 + codepoint) mod (2³¹−1) over the printable-ASCII
+    projection. Pure codegen'd higher-order functions — the
+    cross-engine twin of doc_fingerprint (whose xxhash64 is
+    Spark-specific and therefore rows-only in the gate)."""
+    clean = _printable(text)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(clean)),
+        lambda i: F.ascii(F.substring(clean, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * POLY_BASE + x) % POLY_MOD,
+    )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every k-gram of tokens (k=3), slide a
+    window of w=4 grams, keep each window's minimum hash; the distinct
+    minima are the fingerprint set. Guarantees: any shared run of
+    ≥ k+w−1 tokens between two docs shares ≥1 fingerprint.
+
+    Everything is per-row array lambdas (token hash → k-gram hash →
+    windowed min → distinct): zero shuffle, embarrassingly parallel,
+    exactly what a 100 TB fingerprint pass needs. Output is one row
+    per doc with (count, min, sum) of the fingerprint set — compact
+    and hash-checkable; the full set explodes trivially when a
+    downstream index wants it.
+
+    Docs with < k tokens have no k-gram and are excluded (same filter
+    in the oracle)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    d = documents.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    th = F.transform(
+        F.col("toks"),
+        lambda t: F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), F.length(t)),
+                F.lit(0).cast("long"),
+                lambda acc, i: (acc * POLY_BASE + F.ascii(F.substring(t, i, F.lit(1))))
+                % POLY_MOD,
+            )
+        ),
+    )
+    d = d.select(id_col, th.alias("th"), F.size("toks").alias("m"))
+    # k-gram hashes: g[j] over tokens j..j+2 (1-based), j = 1..m-2
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("m") - 2),
+        lambda j: (
+            (
+                (F.element_at("th", j) * POLY_BASE + F.element_at("th", j + F.lit(1)))
+                % POLY_MOD
+            )
+            * POLY_BASE
+            + F.element_at("th", j + F.lit(2))
+        )
+        % POLY_MOD,
+    )
+    d = d.select(id_col, grams.alias("g"))
+    # windows of w=4 grams (slice clamps at the end, matching DuckDB's
+    # inclusive-slice clamping): window i covers g[i..i+3]
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("g") - 3, F.lit(1))),
+        lambda i: F.array_min(F.slice("g", i, F.lit(4))),
+    )
+    fps = F.array_distinct(mins)
+    return d.select(
+        id_col,
+        F.size(fps).cast("long").alias("n_fps"),
+        F.array_min(fps).alias("fp_min"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+    )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Collocation mining: rank adjacent word pairs by an integer lift
+    score — observed bigram count over the independence expectation,
+    lift_q = (c_ab · N_bigrams · 1000) DIV (c_a · c_b). The log-free
+    PMI surrogate (monotone in PMI), same reasoning as
+    tf_rarity_top_terms: ·,DIV are exact where ln() is libm-dependent.
+
+    Envelope: c_ab·N·1000 must stay < 2⁶³ — holds through ~10¹²
+    bigrams with hot pairs ≤ 10⁶ (far beyond 100 TB of text after the
+    min_count cut); the unigram side is vocabulary-sized and
+    broadcast.
+
+    Plan: one (a,b) count shuffle + one vocab count shuffle; the
+    vocab joins broadcast back. Top-k is a single TakeOrdered."""
+    toks = tokens(F.lower(F.col(text_col)))
+    d = documents.filter(F.trim(F.col(text_col)) != "").select(toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter((F.col("a") != "") & (F.col("b") != ""))
+    c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    n_big = c_ab.agg(F.sum("n_ab").alias("n_bigrams"))
+    uni = (
+        d.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    scored = (
+        c_ab.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("w", "a").withColumnRenamed("c_w", "c_a")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("w", "b").withColumnRenamed("c_w", "c_b")), "b")
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr("(n_ab * n_bigrams * 1000) DIV (c_a * c_b)").alias("lift_q"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_q"), "a", "b").limit(top_n)
+
+
+def token_diversity(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc lexical diversity via the Gini–Simpson index,
+    integer-quantized: simpson_q = (N² − Σnᵢ²)·10⁶ DIV N² where nᵢ are
+    token counts. The log-free twin of token entropy (same ordering on
+    the repetition axis) — a standard corpus-quality signal; boilerplate
+    and keyword-stuffed docs score near 0, diverse prose near 10⁶.
+
+    N ≤ tokens-per-doc so N²·10⁶ ≪ 2⁶³ for any realistic document.
+    One (doc, word) count shuffle then a per-doc agg — the same
+    two-level shape as tf_rarity_top_terms."""
+    toks = tokens(F.lower(F.col(text_col)))
+    counts = (
+        documents.select(F.col(id_col), F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("n_i").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("n_i") * F.col("n_i")).alias("ssq"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            F.expr(
+                "((n_tokens * n_tokens - ssq) * 1000000)"
+                " DIV (n_tokens * n_tokens)"
+            ).alias("simpson_q"),
+        )
+    )

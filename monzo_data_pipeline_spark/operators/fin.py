@@ -1,0 +1,152 @@
+"""Banking-analytics operators — the query family a user of the
+reference (a personal-finance ETL: /root/reference/src/sql/
+transform_bronze_to_silver.sql aggregates card transactions) runs on
+top of the warehouse: recurring-payment detection, round-up savings,
+time-weighted balances, duplicate-charge flags, first-digit (Benford)
+profiling.
+
+All pure DataFrame built-ins (no Python in the hot path) and
+all-integer arithmetic where results feed the oracle gate, so every
+query here is hash-exact against its DuckDB twin.
+
+At 100 TB: every operator is a single keyed shuffle (groupBy/window on
+the natural key — customer or user), so it scales like the flagship
+aggregations; the only broadcast is a 1-row grand-total scalar
+(benford). No collects, no cross joins beyond the 1-row scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cents(price) -> "F.Column":
+    """Exact integer cents from a double price: floor(p·100 + 0.5) —
+    one IEEE multiply-add, bit-identical across engines (unlike
+    round(), whose half-way rule differs between Spark and DuckDB)."""
+    col = F.col(price) if isinstance(price, str) else price
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def subscription_streaks(orders: DataFrame, min_streak: int = 3) -> DataFrame:
+    """Recurring-payment (subscription-like) detection via
+    gaps-and-islands: months with ≥1 order per customer, grouped into
+    runs of consecutive months by the classic `month_index −
+    dense_rank` trick; keep runs of ≥ min_streak months.
+
+    Scale: the dense_rank window partitions by customer over the tiny
+    distinct (customer, month) set — one shuffle on the natural key,
+    no global sort.
+    """
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int")
+    months = orders.select("o_custkey", mi.alias("mi")).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    islands = months.withColumn("grp", F.col("mi") - F.dense_rank().over(w))
+    return (
+        islands.groupBy("o_custkey", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("streak_months"),
+            F.min("mi").alias("first_month"),
+            F.max("mi").alias("last_month"),
+        )
+        .filter(F.col("streak_months") >= min_streak)
+        .select("o_custkey", "streak_months", "first_month", "last_month")
+    )
+
+
+def roundup_pots(orders: DataFrame, unit_cents: int = 1000, top_n: int = 20) -> DataFrame:
+    """Round-up savings (the reference product's round-up-to-a-pot
+    feature): for each order, the top-up to the next `unit_cents`
+    (default £10); total per customer, top N savers.
+
+    All-integer: cents → (unit − cents mod unit) mod unit → SUM."""
+    cents = _cents("o_totalprice")
+    roundup = (F.lit(unit_cents) - cents % unit_cents) % unit_cents
+    return (
+        orders.select("o_custkey", roundup.alias("roundup"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("roundup").alias("total_roundup_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_roundup_cents"), "o_custkey")
+        .limit(top_n)
+    )
+
+
+def time_weighted_balance(events: DataFrame) -> DataFrame:
+    """Time-weighted average of `value` per user: each observation is
+    weighted by the whole seconds until the user's next event (last
+    event carries no weight — standard step-function TWA, the way an
+    interest-bearing balance accrues).
+
+    Integer-exact: value quantized to milli-units, durations in whole
+    seconds, one integer division at the end. Σ(value_q·dur_s) stays
+    ≪ 2⁶³ for month-scale windows (dur ≤ 2.6e6 s, value_q ≤ ~1e6).
+    """
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur_s = (F.lead(us).over(w) - us) / F.lit(1_000_000)
+    step = events.select(
+        "user_id",
+        F.floor(F.col("value") * 1000).alias("value_q"),
+        F.floor(dur_s).cast("long").alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        step.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value_q") * F.col("dur_s")).alias("wsum"),
+            F.sum("dur_s").alias("tsum"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .filter(F.col("tsum") > 0)
+        .select(
+            "user_id",
+            # values are non-negative (quantized from a ≥0 balance), so
+            # Spark's DIV (truncate) == DuckDB's // (floor): exact twins
+            F.expr("wsum DIV tsum").alias("twa_value_q"),
+            "n_intervals",
+        )
+    )
+
+
+def double_charge_flags(
+    events: DataFrame, event_type: str = "purchase", max_gap_s: int = 300
+) -> DataFrame:
+    """Accidental duplicate-charge detection: consecutive `purchase`
+    events for the same user within `max_gap_s` seconds — flag the
+    later event with its gap. (The reference's dedup_key guards the
+    ingest side; this is the analytical screen over the fact table.)
+
+    One window shuffle keyed by user; the type filter pushes to the
+    scan."""
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.filter(F.col("event_type") == event_type)
+        .select("user_id", "event_id", "ts", us.alias("us"))
+        .withColumn("gap_s", (F.col("us") - F.lag("us").over(w)) / F.lit(1_000_000))
+    )
+    return (
+        gaps.filter(F.floor("gap_s").cast("long") <= max_gap_s)
+        .select("user_id", "event_id", F.floor("gap_s").cast("long").alias("gap_s"))
+    )
+
+
+def benford_digits(orders: DataFrame) -> DataFrame:
+    """First-significant-digit distribution of order amounts (cents) —
+    the Benford's-law screen used in financial anomaly detection.
+    Counts plus ppm share (integer micro-fraction of total).
+
+    The grand total is a 1-row broadcast scalar (no collect)."""
+    digit = F.substring(_cents("o_totalprice").cast("string"), 1, 1).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("digit", "n", F.expr("(n * 1000000) DIV total").alias("share_ppm"))
+        .orderBy("digit")
+    )

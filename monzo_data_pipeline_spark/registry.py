@@ -3845,6 +3845,14 @@ from . import warehouse_shapes as _WS  # noqa: E402
 
 _WS.register(_register)
 
+# Round-2 banking-analytics + corpus-curation + real-image shapes —
+# registered AFTER every round-1 entry so the driver's checked prefix
+# of the registry stays stable across rounds.
+
+from . import fin_curation_shapes as _FC  # noqa: E402
+
+_FC.register(_register)
+
 
 # ---------------------------------------------------------------------------
 # Public accessors (consumed by __spark_entry__.py).

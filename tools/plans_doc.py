@@ -48,6 +48,11 @@ SHOW = {
     "fuzzy_name_pairs": "Ed-Join edit-distance pairs — q-gram prefix blocks as equi-joins (no BroadcastNestedLoopJoin/CartesianProduct anywhere); levenshtein only as residual on candidates",
     "sharded_inverted_index": "sharded postings — map-side (word, doc-range) shard key, ONE exchange on the composite key; no per-word window over skewed partitions",
     "equi_depth_histogram_approx": "approx histogram — same broadcast-cutpoints/map-side-fold plan as the exact twin; ObjectHashAggregate holds the O(accuracy) GK sketch",
+    "subscription_streaks": "gaps-and-islands — two keyed exchanges over the tiny distinct (cust, month) set; fact scanned once, 2-column ReadSchema",
+    "time_weighted_balance": "time-weighted average — ONE shuffle on user_id feeds both the lead window and the final agg",
+    "winnowing_fingerprints": "winnowing — zero exchanges: token→gram→window-min entirely per-row HOFs in codegen",
+    "pmi_collocations": "collocations — unigram counts broadcast back onto bigram counts; 1-row N broadcast, no fact reshuffle",
+    "image_decode_stats": "real image decode — ArrowEvalPython(mapInPandas) is the ONLY Python stage, fed by a map-side payload synthesis; no shuffle",
 }
 
 MARKERS = (
