@@ -1,0 +1,167 @@
+"""DataFrame-native BPE merge training — the vocabulary-induction
+step of an LLM data pipeline (Sennrich et al., ACL'16), north-star
+scope beside the BPE-ish token counting in functions/text.py.
+
+Algorithm: train on the (word, frequency) table; each word is a
+symbol sequence (initially characters). Per merge step: count
+adjacent symbol pairs weighted by word frequency, take the most
+frequent pair (deterministic tiebreak: count DESC, left ASC, right
+ASC), rewrite every word with the pair fused, repeat.
+
+Representation: a word's symbol sequence is one delimited string
+``|s1||s2||...|`` — fusing pair (a,b) is then a single JVM
+``replace(s, '|a||b|', '|ab|')``, whose left-to-right non-overlapping
+scan IS the BPE merge rule (``aaa`` + (a,a) → ``aa,a``), and the full
+delimiters make cross-symbol false matches impossible. Words
+containing the delimiter are excluded up front.
+
+Scale: each step is one pair-count aggregation over the VOCABULARY
+(distinct words, ≪ corpus — frequencies absorb the volume) plus a
+map-side rewrite; the only collect is the 1-row argmax per step (the
+kmeans-centroid pattern), and `localCheckpoint` keeps the iterative
+lineage flat. At 100 TB the corpus is touched exactly once (the word
+count); every iteration after that runs on vocab-sized data.
+
+The merge table is oracle-checked: the DuckDB twin unrolls the same
+N steps as chained CTEs with scalar-subquery argmaxes (the
+textrank_keywords technique), so Spark and DuckDB must agree on every
+(step, pair, count) — integer counts, no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import tokens
+
+MERGES_SCHEMA = T.StructType(
+    [
+        T.StructField("step", T.IntegerType()),
+        T.StructField("left", T.StringType()),
+        T.StructField("right", T.StringType()),
+        T.StructField("merged", T.StringType()),
+        T.StructField("pair_count", T.LongType()),
+    ]
+)
+
+
+def word_frequencies_for_bpe(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) training table: lowercased whitespace tokens, empty
+    and delimiter-containing words excluded."""
+    w = F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    return (
+        documents.select(w)
+        .filter((F.col("w") != "") & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _pair_counts(corpus: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the delimited corpus: zip the
+    symbol array against itself shifted by one (slice+arrays_zip —
+    no index lambda), weighted by word frequency."""
+    syms = F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|")
+    withs = corpus.select(syms.alias("syms"), "n").filter(F.size("syms") >= 2)
+    pair = F.explode(
+        F.zip_with(
+            F.slice("syms", 1, F.size("syms") - 1),
+            F.slice("syms", 2, F.size("syms") - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+    ).alias("p")
+    pairs = withs.select(pair, "n").select("p.a", "p.b", "n")
+    return pairs.groupBy("a", "b").agg(F.sum("n").alias("cnt"))
+
+
+def bpe_merges(
+    documents: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Train `n_merges` BPE merges; returns the merge table
+    (step, left, right, merged, pair_count) — inherently O(n_merges)
+    rows, assembled on the driver like kmeans centroids. Stops early
+    if the corpus runs out of pairs."""
+    spark = documents.sparkSession
+    corpus = (
+        word_frequencies_for_bpe(documents, text_col)
+        .select(
+            F.concat(
+                F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
+            ).alias("s"),
+            "n",
+        )
+        .localCheckpoint()
+    )
+    rows: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(corpus)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        rows.append((step, a, b, a + b, cnt))
+        corpus = corpus.select(
+            F.replace(
+                F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("s"),
+            "n",
+        ).localCheckpoint()
+    return spark.createDataFrame(rows, MERGES_SCHEMA)
+
+
+def bpe_merges_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB twin: the same N merge steps unrolled as chained CTEs.
+    c{i} = corpus after i merges; p{i}/b{i} = pair counts/argmax of
+    step i (scalar subqueries feed the next rewrite).
+
+    Every chained CTE is AS MATERIALIZED: each c{i} is referenced
+    several times (the next pair count + three argmax scalar
+    subqueries), so default CTE inlining re-evaluates the chain
+    exponentially (~4^N expansions of c0 — an effective hang at N=6);
+    materialization pins each step to one evaluation."""
+    parts = [
+        r"""
+    WITH w AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM documents)
+        WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w
+    ), c0 AS MATERIALIZED (
+        SELECT '|' || array_to_string(
+                 list_transform(range(1, length(w) + 1), i -> w[i]), '||')
+               || '|' AS s, n
+        FROM w
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = i - 1
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+        SELECT a, b, SUM(n) AS cnt FROM (
+            SELECT unnest(syms[1:len(syms)-1]) AS a,
+                   unnest(syms[2:len(syms)]) AS b, n
+            FROM (SELECT string_split(trim(s, '|'), '||') AS syms, n FROM c{prev})
+            WHERE len(syms) >= 2)
+        GROUP BY a, b
+    ), b{i} AS MATERIALIZED (
+        SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ), c{i} AS MATERIALIZED (
+        SELECT replace(s,
+                 '|' || (SELECT a FROM b{i}) || '||' || (SELECT b FROM b{i}) || '|',
+                 '|' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || '|') AS s, n
+        FROM c{prev}
+    )"""
+        )
+    selects = [
+        f"SELECT {i} AS step, a AS \"left\", b AS \"right\","
+        f" a || b AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step")
+    return "".join(parts)

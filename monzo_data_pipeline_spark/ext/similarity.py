@@ -782,3 +782,35 @@ def pq_adc_rerank_topk(
         .orderBy(F.asc("d2_q"), F.asc(id_col))
         .limit(k)
     )
+
+
+def random_projection(
+    embeddings: DataFrame, out_dim: int = 16, in_dim: int = 64
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style random projection to `out_dim`
+    dims with a deterministic ±1 sign matrix s(i,j) = +1 iff
+    (i·31 + j·17) is even — the database-friendly JL variant
+    (Achlioptas'01: ±1 entries preserve distances like Gaussians).
+
+    All-integer: elements quantized via the shared floor(x·10⁶) rule,
+    projection = signed integer sums — so the result is hash-exact
+    against the DuckDB twin (no float accumulation order anywhere).
+    Map-side only: no shuffle, no UDF; the projected vectors feed the
+    same quantized-distance operators as raw embeddings (coarse
+    filter → exact re-rank, the PQ/ADC pattern at 1/4 the width).
+    """
+    eq = F.transform(F.col("embedding"), _q)
+
+    def proj_at(j):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(in_dim)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(((i * 31 + j * 17) % 2) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            * F.element_at(eq, i),
+        )
+
+    projected = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), proj_at)
+    return embeddings.select("vec_id", projected.alias("proj_q"), "label")

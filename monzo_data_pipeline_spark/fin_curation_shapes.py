@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .ext import bpe as BPE
 from .ext import images as IMG
+from .ext import similarity as SIM2
 from .functions import text as TX
 from .operators import fin as FIN
 
@@ -337,3 +339,36 @@ def register(_register) -> None:
         docs = load_table(spark, sf_dir, "documents")
         imgs = IMG.documents_as_images(docs)
         return IMG.image_stats(IMG.resize_images(imgs, target_w=4, target_h=4))
+
+    # -- vocabulary induction + projection ---------------------------------
+
+    @_register(
+        "bpe_merge_table",
+        "C4/north-star (DataFrame-native BPE merge training, 6 steps; "
+        "oracle = the same steps unrolled as chained CTEs with "
+        "scalar-subquery argmaxes — the textrank technique)",
+        BPE.bpe_merges_oracle_sql(6),
+    )
+    def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return BPE.bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+    @_register(
+        "random_projection_embed",
+        "C3/north-star (deterministic ±1 Johnson–Lindenstrauss projection "
+        "64→16 dims, all-integer — the coarse-filter tier of ANN)",
+        """
+        SELECT vec_id,
+               list_transform(range(0, 16), j ->
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 65), i ->
+                       (CASE WHEN (i*31 + j*17) % 2 = 0 THEN 1 ELSE -1 END)
+                       * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                              AS BIGINT))),
+                   (a, b) -> a + b)) AS proj_q,
+               label
+        FROM embeddings ORDER BY vec_id
+        """,
+    )
+    def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return SIM2.random_projection(load_table(spark, sf_dir, "embeddings"))
