@@ -372,3 +372,93 @@ def register(_register) -> None:
     )
     def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         return SIM2.random_projection(load_table(spark, sf_dir, "embeddings"))
+
+    # -- trends, profiling, reconciliation ---------------------------------
+
+    @_register(
+        "spend_trend_slopes",
+        "B1/north-star (per-customer OLS spending trend: exact integer "
+        "slope num/den from moment sums — no division, no float)",
+        """
+        WITH m AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT)
+                     - 24000 AS x,
+                   SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS y
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_months,
+               COUNT(*)*SUM(x*y) - SUM(x)*SUM(y) AS slope_num,
+               COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS slope_den
+        FROM m GROUP BY o_custkey HAVING COUNT(*) >= 2
+        ORDER BY o_custkey
+        """,
+    )
+    def q_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return FIN.spend_trend(load_table(spark, sf_dir, "orders"))
+
+    @_register(
+        "table_profile",
+        "A6/north-star (column-level profile — the ANALYZE TABLE stats "
+        "pass: one scan, one wide agg, cluster-side unpivot; exact "
+        "distincts keep it oracle-checkable)",
+        """
+        WITH w AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_d,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
+                   CAST(MIN(o_orderstatus) AS VARCHAR) AS s_min,
+                   CAST(MAX(o_orderstatus) AS VARCHAR) AS s_max,
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS p_d,
+                   CAST(MIN(o_orderpriority) AS VARCHAR) AS p_min,
+                   CAST(MAX(o_orderpriority) AS VARCHAR) AS p_max
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS "column", n AS n_rows, k_nulls AS n_nulls,
+               k_d AS n_distinct, k_min AS min_str, k_max AS max_str FROM w
+        UNION ALL
+        SELECT 'o_orderstatus', n, s_nulls, s_d, s_min, s_max FROM w
+        UNION ALL
+        SELECT 'o_orderpriority', n, p_nulls, p_d, p_min, p_max FROM w
+        ORDER BY "column"
+        """,
+    )
+    def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .pipeline.quality import profile_table
+
+        return profile_table(
+            load_table(spark, sf_dir, "orders"),
+            ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        )
+
+    @_register(
+        "reconciliation_checksums",
+        "A5/north-star (cross-warehouse drift detection: order-independent "
+        "per-bucket polynomial checksums over integer columns — compare "
+        "bucket tables between replicas without moving data)",
+        """
+        WITH h AS (
+            SELECT l_orderkey % 32 AS bucket,
+                   ((((0*131 + l_orderkey % 2147483647) % 2147483647) * 131
+                     + l_partkey % 2147483647) % 2147483647 * 131
+                     + l_suppkey % 2147483647) % 2147483647 AS h
+            FROM lineitem
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(h) AS checksum
+        FROM h GROUP BY bucket ORDER BY bucket
+        """,
+    )
+    def q_reconciliation_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .pipeline.quality import reconciliation_checksums
+
+        return reconciliation_checksums(
+            load_table(spark, sf_dir, "lineitem"),
+            ["l_orderkey", "l_partkey", "l_suppkey"],
+            bucket_key="l_orderkey",
+        )

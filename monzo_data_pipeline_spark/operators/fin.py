@@ -150,3 +150,48 @@ def benford_digits(orders: DataFrame) -> DataFrame:
         .select("digit", "n", F.expr("(n * 1000000) DIV total").alias("share_ppm"))
         .orderBy("digit")
     )
+
+
+def spend_trend(orders: DataFrame) -> DataFrame:
+    """Per-customer OLS spending trend over monthly totals: the
+    closed-form slope numerator/denominator from the moment sums,
+    num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² (x = month index,
+    y = monthly spend cents). Emitted as the exact integer (num, den)
+    pair rather than a quotient: slope sign/compare needs no division
+    (den > 0), and Spark's DIV truncates toward zero while DuckDB's
+    // floors — dividing would silently diverge on negative slopes.
+
+    x is re-based (mi − 24000, ≈ year 2000) purely to shrink
+    intermediate magnitudes; the slope moments are shift-invariant so
+    the result is unchanged. Two keyed shuffles total (month agg,
+    then customer agg), both partial-aggregated.
+    """
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long") - 24000
+    monthly = (
+        orders.select(
+            "o_custkey", mi.alias("x"), _cents("o_totalprice").alias("cents")
+        )
+        .groupBy("o_custkey", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    return (
+        monthly.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n_months") >= 2)
+        .select(
+            "o_custkey",
+            "n_months",
+            (F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "slope_num"
+            ),
+            (F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+                "slope_den"
+            ),
+        )
+    )

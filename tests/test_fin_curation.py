@@ -198,3 +198,75 @@ class TestTokenDiversity:
 
     def test_empty_doc_dropped(self, spark):
         assert TX.token_diversity(_docs(spark, ["   "])).count() == 0
+
+
+class TestSpendTrend:
+    def test_known_slope_moments(self, spark):
+        # cust 1: months m, m+1 with spends 1000c, 3000c → slope 2000c/mo
+        rows = [
+            (1, 1, 10.00, D(2024, 1, 5)),
+            (2, 1, 30.00, D(2024, 2, 5)),
+            (3, 2, 10.00, D(2024, 1, 5)),  # single month → filtered
+        ]
+        out = FIN.spend_trend(_orders(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        # n=2: num = 2·Σxy − Σx·Σy = slope·den with den = 2·Σx²−(Σx)² = 1
+        assert r["o_custkey"] == 1 and r["n_months"] == 2
+        assert r["slope_den"] == 1 and r["slope_num"] == 2000
+
+    def test_negative_slope_sign(self, spark):
+        rows = [(1, 1, 30.00, D(2024, 1, 5)), (2, 1, 10.00, D(2024, 2, 5))]
+        r = FIN.spend_trend(_orders(spark, rows)).collect()[0]
+        assert r["slope_num"] < 0 and r["slope_den"] > 0
+
+
+class TestProfileAndReconciliation:
+    def test_profile_counts(self, spark):
+        from monzo_data_pipeline_spark.pipeline.quality import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b")], "k long, s string"
+        )
+        out = {r["column"]: r for r in profile_table(df).collect()}
+        assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0
+        assert out["k"]["n_distinct"] == 2
+        assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+        assert out["k"]["min_str"] == "1" and out["k"]["max_str"] == "2"
+
+    def test_checksums_detect_single_row_drift(self, spark):
+        from monzo_data_pipeline_spark.pipeline.quality import (
+            reconciliation_checksums,
+        )
+
+        a = spark.createDataFrame(
+            [(i, i * 7, i * 11) for i in range(200)], "k long, p long, s long"
+        )
+        drifted = spark.createDataFrame(
+            [(i, i * 7, i * 11 + (1 if i == 137 else 0)) for i in range(200)],
+            "k long, p long, s long",
+        )
+        ck = lambda df: {
+            r["bucket"]: (r["n_rows"], r["checksum"])
+            for r in reconciliation_checksums(df, ["k", "p", "s"], "k").collect()
+        }
+        ca, cb = ck(a), ck(drifted)
+        diff = [b for b in ca if ca[b] != cb.get(b)]
+        assert diff == [137 % 32]
+
+    def test_checksums_order_independent(self, spark):
+        from monzo_data_pipeline_spark.pipeline.quality import (
+            reconciliation_checksums,
+        )
+
+        a = spark.createDataFrame(
+            [(i, i * 3, i) for i in range(100)], "k long, p long, s long"
+        ).repartition(7)
+        b = spark.createDataFrame(
+            [(i, i * 3, i) for i in reversed(range(100))], "k long, p long, s long"
+        ).repartition(3)
+        ck = lambda df: sorted(
+            (r["bucket"], r["n_rows"], r["checksum"])
+            for r in reconciliation_checksums(df, ["k", "p", "s"], "k").collect()
+        )
+        assert ck(a) == ck(b)

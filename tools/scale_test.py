@@ -90,6 +90,19 @@ QUERY_SET = [
     "equi_depth_histogram_approx",
     "mad_robust_outliers_approx",
     "pq_rerank_topk",
+    # round-2 batch: banking analytics, curation signals, real image
+    # decode, vocabulary induction, JL projection
+    "subscription_streaks",
+    "roundup_pots",
+    "time_weighted_balance",
+    "benford_digits",
+    "polynomial_fingerprints",
+    "winnowing_fingerprints",
+    "pmi_collocations",
+    "token_diversity_scores",
+    "image_decode_stats",
+    "bpe_merge_table",
+    "random_projection_embed",
 ]
 
 KEY_OFFSET = 100_000_000
