@@ -126,3 +126,17 @@ class TestRandomProjection:
         d_near = np.linalg.norm(out[0] - out[1])
         d_far = np.linalg.norm(out[0] - out[2])
         assert d_near < d_far / 3
+
+    def test_arrow_and_sql_impls_agree(self, spark):
+        rng = np.random.default_rng(23)
+        vecs = rng.standard_normal((7, 64)).astype(np.float32)
+        emb = self._emb(spark, vecs)
+        arrow = {
+            r["vec_id"]: list(r["proj_q"])
+            for r in random_projection(emb, impl="arrow").collect()
+        }
+        sql = {
+            r["vec_id"]: list(r["proj_q"])
+            for r in random_projection(emb, impl="sql").collect()
+        }
+        assert arrow == sql

@@ -251,11 +251,13 @@ def test_projection_prunes_scan(spark, sf_dir):
     assert struct_part.count(":") == 4  # 4 fields in the pruned schema
 
 def test_no_python_eval_in_oracle_checked_plans(spark, sf_dir):
-    """Global contract: every ORACLE-CHECKED query stays JVM-side —
-    no BatchEvalPython/ArrowEvalPython node anywhere. Python is allowed
-    only in the rows-only multimodal/sketch paths (mapInPandas stubs).
-    Guards against a future operator quietly introducing a row-loop
-    UDF into the hot path."""
+    """Global contract: no ORACLE-CHECKED query contains a ROW-LOOP
+    Python node (BatchEvalPython/ArrowEvalPython/PythonUDF). The
+    sanctioned Python surface is Arrow-batched mapInPandas (a distinct
+    MapInPandas node) — the real media decoders and the numpy-matmul
+    random projection, all vectorized per batch. Guards against a
+    future operator quietly introducing a per-row UDF into a hot
+    path."""
     import contextlib
     import io
 
