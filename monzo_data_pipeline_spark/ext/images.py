@@ -5,9 +5,11 @@ multimodal.py::decode_image`) because the container has no imaging
 library. This module removes the stub for the formats that need none:
 **binary netpbm (P5/P6)** and **uncompressed 24-bit BMP** are fully
 specified byte layouts decodable with numpy alone, the same way the
-WAV/PCM decoder (`multimodal.py::decode_wav`) needs only `struct`.
-Compressed formats (PNG/JPEG) still raise `NotImplementedError` —
-entropy coding genuinely requires a codec library.
+WAV/PCM decoder (`multimodal.py::decode_wav`) needs only `struct`;
+**PNG** (8-bit, non-interlaced: gray/RGB/RGBA/palette, all five
+scanline filters) decodes with stdlib `zlib` + numpy. Only JPEG still
+raises `NotImplementedError` — its entropy coding has no stdlib
+counterpart.
 
 Reference parity: the reference treats media as opaque blobs end to
 end (it is a banking ETL, /root/reference/src/extract/extract.py);
@@ -128,18 +130,21 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatching image decode: netpbm (P5/P6) and uncompressed BMP
-    are decoded for real; compressed formats raise NotImplementedError
-    (entropy coding needs a codec library this container lacks)."""
+    """Dispatching image decode: netpbm (P5/P6), uncompressed 24-bit
+    BMP, and 8-bit non-interlaced PNG (DEFLATE via stdlib zlib) are
+    decoded for real; only JPEG raises NotImplementedError — its
+    entropy coding has no stdlib counterpart."""
     head = payload[:8]
     if head[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     if head[:2] == b"BM":
         return decode_bmp(payload)
-    if head[:8] == b"\x89PNG\r\n\x1a\n" or head[:3] == b"\xff\xd8\xff":
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if head[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "PNG/JPEG decode requires a codec library (zlib inflate / JPEG "
-            "entropy decode); only uncompressed netpbm/BMP are supported here"
+            "JPEG decode requires a codec library (Huffman/arithmetic "
+            "entropy decode has no stdlib counterpart)"
         )
     raise ValueError("unrecognized image payload")
 
@@ -245,19 +250,26 @@ RESIZED_IMAGE_SCHEMA = T.StructType(
 )
 
 
-def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, codec: str = "ppm"
+) -> DataFrame:
     """REAL resize stage: decode → nearest-neighbor resample →
-    re-encode as P6. Grayscale inputs are expanded to 3 channels so
-    the output is uniformly RGB. Invalid payloads are dropped (the
-    stats stage is where quarantine reporting lives)."""
+    re-encode as P6 PPM or PNG (`codec`). Grayscale inputs are
+    expanded to 3 channels so the output is uniformly RGB. Invalid
+    payloads are dropped (the stats stage is where quarantine
+    reporting lives)."""
+    if codec not in ("ppm", "png"):
+        raise ValueError(f"unsupported codec {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from monzo_data_pipeline_spark.ext.images import (
             decode_image,
+            encode_png,
             encode_ppm,
             resize_nearest,
         )
 
+        enc = encode_png if codec == "png" else encode_ppm
         for pdf in it:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -271,7 +283,7 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 out.append(
                     {
                         "media_id": media_id,
-                        "payload": encode_ppm(small),
+                        "payload": enc(small),
                         "width": target_w,
                         "height": target_h,
                     }
@@ -282,3 +294,130 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=RESIZED_IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG — REAL codec via stdlib zlib (DEFLATE) + numpy unfiltering. The
+# PNG container needs no imaging library: signature + chunked layout
+# (CRC32 in zlib), IDAT = zlib stream of filtered scanlines, and the
+# five scanline filters are byte arithmetic (PNG spec §6). Only JPEG
+# remains stubbed (its entropy coding has no stdlib counterpart).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) RGBA uint8
+    as a PNG (bit depth 8, filter 0 scanlines, one IDAT)."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {c}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit, non-interlaced PNG (gray / RGB / RGBA /
+    palette) to (h, w, channels) uint8. Full filter support (None,
+    Sub, Up, Average, Paeth). Raises ValueError on anything else —
+    16-bit and Adam7 are rare in data-pipeline payloads and callers
+    quarantine, not crash."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace}): "
+            "8-bit non-interlaced only"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — fully vectorized
+            line = bytearray(
+                (np.frombuffer(bytes(line), dtype=np.uint8) + prior).astype(np.uint8).tobytes()
+            )
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in-row
+            for j in range(stride):
+                left = line[j - bpp] if j >= bpp else 0
+                up = int(prior[j])
+                ul = int(prior[j - bpp]) if j >= bpp else 0
+                if f == 1:
+                    line[j] = (line[j] + left) & 0xFF
+                elif f == 3:
+                    line[j] = (line[j] + ((left + up) >> 1)) & 0xFF
+                else:
+                    line[j] = (line[j] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    px = out.reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        px = plte[px[:, :, 0]]
+    return px

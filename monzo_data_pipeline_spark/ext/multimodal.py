@@ -68,11 +68,11 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """REAL for uncompressed formats: netpbm (P5/P6) and 24-bit BMP
-    decode via ext/images.py (numpy only — no imaging library needed,
-    the same way decode_wav needs only struct). Compressed formats
-    (PNG/JPEG) still raise NotImplementedError: entropy coding
-    genuinely requires a codec library this container lacks."""
+    """REAL decode via ext/images.py: netpbm (P5/P6), uncompressed
+    24-bit BMP (numpy only), and 8-bit non-interlaced PNG (stdlib
+    zlib DEFLATE + numpy unfiltering). Only JPEG still raises
+    NotImplementedError — its entropy coding has no stdlib
+    counterpart."""
     from monzo_data_pipeline_spark.ext.images import decode_image as _decode
 
     return _decode(payload)

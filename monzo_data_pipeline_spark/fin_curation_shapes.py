@@ -462,3 +462,33 @@ def register(_register) -> None:
             ["l_orderkey", "l_partkey", "l_suppkey"],
             bucket_key="l_orderkey",
         )
+
+    @_register(
+        "image_png_roundtrip",
+        "C5/north-star (REAL PNG codec under the gate: resize re-encodes "
+        "as PNG — stdlib-zlib DEFLATE — and image_stats decodes it back; "
+        "pixel sums must equal the PPM-path oracle exactly)",
+        f"""
+        WITH d AS (
+            SELECT doc_id AS media_id, {_CLEAN_SQL} AS clean
+            FROM documents
+        ), s AS (
+            SELECT media_id, length(clean) AS L,
+                   list_transform(range(1, length(clean) + 1),
+                                  i -> CAST(ascii(clean[i]) AS BIGINT)) AS codes
+            FROM d
+        )
+        SELECT media_id, TRUE AS valid, 4 AS width, 4 AS height,
+               3 AS channels, CAST(16 AS BIGINT) AS n_pixels,
+               CAST(list_sum(list_transform(range(0, 48),
+                 j -> codes[((((j // 12) * 4 * 16 + ((j // 3) % 4) * 4) * 3
+                              + (j % 3)) % L) + 1])) AS BIGINT) AS pix_sum
+        FROM s ORDER BY media_id
+        """,
+    )
+    def q_image_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        imgs = IMG.documents_as_images(docs)
+        return IMG.image_stats(
+            IMG.resize_images(imgs, target_w=4, target_h=4, codec="png")
+        )
