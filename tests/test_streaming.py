@@ -447,3 +447,52 @@ def test_stateful_state_survives_restart_from_checkpoint(spark, sf_dir, tmp_path
         (r.from_type, r.to_type): r.n for r in transition_counts(events).collect()
     }
     assert got == expected
+
+
+def test_stream_double_charge_flags_match_batch(spark, sf_dir, tmp_path):
+    """Streaming duplicate-charge screen == the batch window twin when
+    micro-batches arrive chronologically — including a double-tap whose
+    two charges land in DIFFERENT triggers (the per-user last-purchase
+    state bridges the boundary; a stateless per-batch lag would miss it)."""
+    from monzo_data_pipeline_spark.operators.fin import double_charge_flags
+    from monzo_data_pipeline_spark.streaming.stateful import (
+        stream_double_charge_flags,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.user_id, r.event_id, r.gap_s)
+        for r in double_charge_flags(events, max_gap_s=3600).collect()
+    }
+    assert expected, "fixture should contain at least one close purchase pair"
+
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    purchases = events.filter(F.col("event_type") == "purchase")
+    path = str(tmp_path / "chrono_purchases")
+    rn = F.row_number().over(W.orderBy("ts", "event_id"))
+    numbered = purchases.withColumn("__rn", rn)
+    n = purchases.count()
+    for k in range(3):
+        lo, hi = k * n // 3, (k + 1) * n // 3
+        numbered.filter((F.col("__rn") > lo) & (F.col("__rn") <= hi)).drop(
+            "__rn"
+        ).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+    stream = SW.stream_events_from_files(spark, path, events.schema)
+    q = (
+        stream_double_charge_flags(stream, max_gap_s=3600)
+        .writeStream.format("memory")
+        .queryName("double_charge_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.event_id, r.gap_s)
+        for r in spark.sql("SELECT * FROM double_charge_test").collect()
+    }
+    assert got == expected
