@@ -165,3 +165,73 @@ def bpe_merges_oracle_sql(n_merges: int = 6) -> str:
     ]
     parts.append("\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step")
     return "".join(parts)
+
+
+def bpe_segment_corpus(
+    documents: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Apply-side of BPE: train `n_merges` merges, then return the
+    segmented vocabulary — (word frequency, symbol array) after all
+    merges. The tokenizer-inference half that completes bpe_merges'
+    train half; downstream `explode` turns it into a (symbol, count)
+    vocabulary table."""
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(documents, text_col, n_merges).collect()
+    ]
+    corpus = word_frequencies_for_bpe(documents, text_col).select(
+        F.concat(F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")).alias(
+            "s"
+        ),
+        "n",
+    )
+    # chain the replaces in merge order — same left-to-right semantics
+    # as training; a plain expression chain (no loop-collect), so the
+    # whole application is one map-side projection
+    s = F.col("s")
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    segmented = corpus.select(s.alias("s"), "n")
+    syms = F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|")
+    return segmented.select(syms.alias("syms"), "n")
+
+
+def bpe_segmentation_stats(
+    documents: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """One-row corpus compression summary after BPE segmentation:
+    distinct words, total word occurrences, total emitted symbols
+    (the pre/post-merge token budget an LLM pipeline plans around),
+    and distinct symbols (vocabulary size)."""
+    seg = bpe_segment_corpus(documents, text_col, n_merges)
+    stats = seg.agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_words"),
+        F.sum("n").alias("total_words"),
+        F.sum(F.size("syms") * F.col("n")).alias("total_symbols"),
+    )
+    vocab = (
+        seg.select(F.explode("syms").alias("sym"))
+        .agg(F.countDistinct("sym").alias("vocab_size"))
+    )
+    return stats.crossJoin(F.broadcast(vocab))
+
+
+def bpe_stats_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB twin of bpe_segmentation_stats: the same merge chain
+    (shared CTE builder) ending in corpus-level symbol statistics
+    instead of the merge table."""
+    chain = bpe_merges_oracle_sql(n_merges)
+    # keep everything up to the final merge-table SELECT, swap the tail
+    cut = chain.index("\n    SELECT 1 AS step")
+    return (
+        chain[:cut]
+        + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS distinct_words,
+           SUM(n) AS total_words,
+           SUM(len(string_split(trim(s, '|'), '||')) * n) AS total_symbols,
+           (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+            FROM (SELECT unnest(string_split(trim(s, '|'), '||')) AS sym
+                  FROM c{n_merges})) AS vocab_size
+    FROM c{n_merges}
+    """
+    )

@@ -492,3 +492,44 @@ def register(_register) -> None:
         return IMG.image_stats(
             IMG.resize_images(imgs, target_w=4, target_h=4, codec="png")
         )
+
+    @_register(
+        "bpe_segmentation_stats",
+        "C4/north-star (BPE apply side: corpus compression summary after "
+        "the trained merges — token budget + vocabulary size; oracle "
+        "shares the training CTE chain and reads the final corpus)",
+        BPE.bpe_stats_oracle_sql(6),
+    )
+    def q_bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return BPE.bpe_segmentation_stats(
+            load_table(spark, sf_dir, "documents"), n_merges=6
+        )
+
+    @_register(
+        "pseudonymized_activity",
+        "A15/north-star (GDPR Art. 4(5) pseudonymization: salted "
+        "engine-agnostic tokens replace user ids — joins still work, "
+        "exports never correlate across salts; map-side only)",
+        r"""
+        WITH t AS (
+            SELECT 'anon_' || CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(s) + 1),
+                                      i -> CAST(ascii(s[i]) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 2147483647) AS VARCHAR) AS token
+            FROM (SELECT 'export-2026|' || CAST(user_id AS VARCHAR) AS s
+                  FROM events)
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM t GROUP BY token ORDER BY token
+        """,
+    )
+    def q_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .pipeline.erasure import pseudonymize_columns
+
+        ev = load_table(spark, sf_dir, "events").select("user_id")
+        anon = pseudonymize_columns(ev, ["user_id"], salt="export-2026")
+        return (
+            anon.groupBy(F.col("user_id").alias("token"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )

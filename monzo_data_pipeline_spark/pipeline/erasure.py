@@ -98,3 +98,35 @@ def erase_keys_atomic(wh, ids: DataFrame, key: str, tables: list[str]) -> dict[s
             txn.overwrite(df.join(erase_set, key, "left_anti"), table)
             report[table] = n_before - txn.read(table).count()
     return report
+
+
+def pseudonymize_columns(df: DataFrame, cols: list[str], salt: str) -> DataFrame:
+    """GDPR pseudonymization (Art. 4(5)): replace identifier columns
+    with salted deterministic tokens — consistent across tables (joins
+    still work), irreversible without the salt, NULLs preserved.
+
+    Token = 'anon_' + polynomial fold of salt|value (the engine-
+    agnostic (acc·131+code) mod 2³¹−1 hash, so pseudonymized outputs
+    are oracle-checkable cross-engine — unlike xxhash64/sha tokens).
+    The salt rotates per purpose/recipient: different exports never
+    correlate. Pure map-side column expressions, no shuffle.
+
+    Companion to erase_keys: erasure removes the subject; this keeps
+    analytic utility while removing identifiability.
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    for c in cols:
+        s = F.concat(F.lit(salt + "|"), F.col(c).cast("string"))
+        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+        fold = F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 131 + x) % 2147483647,
+        )
+        token = F.when(
+            F.col(c).isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("anon_"), fold.cast("string")))
+        out = out.withColumn(c, token)
+    return out

@@ -291,3 +291,46 @@ def write_zordered(
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, saved)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    target_shard_mb: int = 64,
+    compression: str | None = None,
+) -> int:
+    """Export as size-targeted JSONL shards — the standard LLM
+    training-data interchange (one JSON object per line, shards sized
+    for sequential streaming readers). Returns the shard count.
+
+    Two passes, both cluster-side: (1) serialize rows to JSON strings
+    and measure total bytes with one agg; (2) round-robin repartition
+    to ceil(total/target) shards and write as text. At 100 TB the
+    measure pass is the same scan a writer needs anyway, and
+    round-robin gives uniform shard sizes regardless of key skew
+    (range-partitioning by a key would reintroduce it).
+    """
+    from pyspark.sql import functions as F
+
+    lines = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    )
+    total = lines.agg(
+        F.sum(F.length("value") + 1).alias("b")
+    ).collect()[0]["b"]
+    if total is None:
+        total = 0
+    n_shards = max(1, -(-int(total) // (target_shard_mb * 1024 * 1024)))
+    writer = lines.repartition(n_shards).write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+    return n_shards
+
+
+def read_jsonl_shards(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Read JSONL shards back with a pinned schema (no inference scan
+    — at 100 TB schema inference is a full extra pass)."""
+    return spark.read.schema(schema).json(path)

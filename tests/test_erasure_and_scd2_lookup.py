@@ -74,3 +74,22 @@ def test_erase_keys_preserves_schema_and_other_rows(spark, tmp_path):
     assert out.schema == df.schema
     assert out.count() == 8
     assert out.filter(F.col("user_id").isin(0, 5)).count() == 0
+
+
+def test_pseudonymize_consistent_salted_and_null_safe(spark):
+    from monzo_data_pipeline_spark.pipeline.erasure import pseudonymize_columns
+
+    a = spark.createDataFrame([(1, 10), (2, 20), (None, 30)], "uid int, v int")
+    b = spark.createDataFrame([(1, "x"), (3, "y")], "uid int, w string")
+    pa = pseudonymize_columns(a, ["uid"], salt="s1")
+    pb = pseudonymize_columns(b, ["uid"], salt="s1")
+    ta = {r["v"]: r["uid"] for r in pa.collect()}
+    tb = {r["w"]: r["uid"] for r in pb.collect()}
+    # same salt → same token for uid=1 across tables (joins still work)
+    assert ta[10] == tb["x"] and ta[10].startswith("anon_")
+    # NULL stays NULL, distinct ids get distinct tokens
+    assert ta[30] is None and ta[10] != ta[20]
+    # different salt → uncorrelated export
+    pc = pseudonymize_columns(a, ["uid"], salt="s2")
+    tc = {r["v"]: r["uid"] for r in pc.collect()}
+    assert tc[10] != ta[10]

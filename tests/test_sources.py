@@ -216,3 +216,44 @@ def test_read_json_robust_quarantines_bad_lines(spark, tmp_path):
     assert {r.id for r in good.collect()} == {1, 2}
     bad = [r._corrupt_record for r in quarantine.collect()]
     assert len(bad) == 2 and "not json" in bad[0]
+
+
+def test_jsonl_shards_roundtrip_and_count(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from monzo_data_pipeline_spark.sources.io import (
+        read_jsonl_shards,
+        write_jsonl_shards,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "id", "concat('row-', id) AS name", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    path = str(tmp_path / "jsonl")
+    # ~150 KB of JSON with a 1 MB target → exactly 1 shard
+    n = write_jsonl_shards(df, path, target_shard_mb=1)
+    assert n == 1
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    back = read_jsonl_shards(spark, path, schema)
+    assert back.count() == 5000
+    assert {r["name"] for r in back.collect()} == {f"row-{i}" for i in range(5000)}
+
+
+def test_jsonl_shards_scale_with_target(spark, tmp_path):
+    import glob
+
+    from monzo_data_pipeline_spark.sources.io import write_jsonl_shards
+
+    df = spark.range(20000).selectExpr("id", "repeat('x', 100) AS pad")
+    path = str(tmp_path / "jsonl_many")
+    # ~2.6 MB of JSON with a 1 MB target → 3 shards
+    n = write_jsonl_shards(df, path, target_shard_mb=1)
+    assert n >= 2
+    files = glob.glob(path + "/part-*")
+    assert len(files) == n
