@@ -533,3 +533,50 @@ def register(_register) -> None:
             anon.groupBy(F.col("user_id").alias("token"))
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
+
+    @_register(
+        "frequently_bought_together",
+        "B3/north-star (market-basket pair mining: per-order baskets → "
+        "map-side pair explode → ONE count; no fact-fact self-join)",
+        """
+        WITH b AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ), p AS (
+            SELECT parts[i] AS part_a, parts[j] AS part_b
+            FROM b,
+                 LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) i,
+                 LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) j
+            WHERE i < j AND len(parts) >= 2
+        )
+        SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM p GROUP BY part_a, part_b
+        HAVING COUNT(*) >= 3
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+        """,
+    )
+    def q_frequently_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return FIN.frequently_bought_together(load_table(spark, sf_dir, "lineitem"))
+
+    @_register(
+        "ewma_user_values",
+        "B1/north-star (per-user EWMA with alpha=1/2: every step an exact "
+        "integer halving — zero float accumulation, chronological fold "
+        "over the bounded per-user event array)",
+        """
+        WITH o AS (
+            SELECT user_id,
+                   list(CAST(floor(value * 1000) AS BIGINT)
+                        ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT), vals),
+                 (a, v) -> (a + v) // 2) AS ewma_q,
+               CAST(len(vals) AS BIGINT) AS n_events
+        FROM o ORDER BY user_id
+        """,
+    )
+    def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return FIN.ewma_user_values(load_table(spark, sf_dir, "events"))

@@ -195,3 +195,81 @@ def spend_trend(orders: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def frequently_bought_together(
+    lineitem: DataFrame, min_support: int = 3, top_n: int = 20
+) -> DataFrame:
+    """Market-basket pair mining: part pairs co-occurring in the same
+    order, with support cut and top-N by count — the co-occurrence
+    primitive under recommenders ("customers also bought").
+
+    Shape: collect the (bounded ≤ 7-item) basket per order, emit its
+    C(k,2) pairs map-side via nested array lambdas, then ONE pair
+    count. No self-join — a fact⋈fact join on orderkey would shuffle
+    the table twice and explode on hot orders; baskets are bounded by
+    schema (order line limit), so per-row work is O(k²) with tiny k.
+    """
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.filter(F.size("parts") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("parts") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("parts"), i + 1, F.size("parts") - i),
+                        lambda b: F.struct(
+                            F.element_at("parts", i).alias("part_a"),
+                            b.alias("part_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(top_n)
+    )
+
+
+def ewma_user_values(events: DataFrame) -> DataFrame:
+    """Per-user exponentially weighted moving value with α = 1/2 —
+    the power-of-two half-life makes every step an exact integer
+    halving (acc_new = (acc + value_q) DIV 2), so the smoothed value
+    is bit-identical across engines with zero float accumulation.
+
+    One groupBy shuffle; the chronological fold runs map-side over the
+    user's sorted event array (bounded by events-per-user). The
+    truncating DIV matches on non-negative balances (values ≥ 0 here,
+    as in time_weighted_balance).
+    """
+    ordered = events.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.floor(F.col("value") * 1000).cast("long").alias("value_q"),
+                )
+            )
+        ).alias("evs")
+    )
+    # (acc + v) DIV 2 as an arithmetic shift — exact integer halving,
+    # floor == truncate on the non-negative domain
+    fold = F.aggregate(
+        F.col("evs"),
+        F.lit(0).cast("long"),
+        lambda acc, e: F.shiftright(acc + e["value_q"], 1),
+    )
+    return ordered.select(
+        "user_id",
+        fold.alias("ewma_q"),
+        F.size("evs").cast("long").alias("n_events"),
+    )

@@ -270,3 +270,50 @@ class TestProfileAndReconciliation:
             for r in reconciliation_checksums(df, ["k", "p", "s"], "k").collect()
         )
         assert ck(a) == ck(b)
+
+
+class TestBasketPairs:
+    def test_pairs_counted_and_ordered(self, spark):
+        li = spark.createDataFrame(
+            [
+                (1, 10), (1, 20), (1, 30),     # basket {10,20,30}
+                (2, 10), (2, 20),              # basket {10,20}
+                (3, 10), (3, 20),              # basket {10,20}
+                (4, 10), (4, 10),              # dup line, single-item set
+                (5, 99),                       # singleton
+            ],
+            "l_orderkey long, l_partkey long",
+        )
+        out = FIN.frequently_bought_together(li, min_support=2).collect()
+        assert [(r["part_a"], r["part_b"], r["n_orders"]) for r in out] == [
+            (10, 20, 3)
+        ]
+
+    def test_pair_enumeration_is_complete(self, spark):
+        li = spark.createDataFrame(
+            [(1, p) for p in (4, 1, 3, 2)], "l_orderkey long, l_partkey long"
+        )
+        out = FIN.frequently_bought_together(li, min_support=1).collect()
+        got = {(r["part_a"], r["part_b"]) for r in out}
+        assert got == {(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b}
+
+
+class TestEwma:
+    def test_hand_computed_halving_fold(self, spark):
+        rows = [
+            (1, 1, "view", 8.0, D(2024, 1, 1, 0, 0, 0)),
+            (2, 1, "view", 4.0, D(2024, 1, 1, 0, 1, 0)),
+            (3, 1, "view", 2.0, D(2024, 1, 1, 0, 2, 0)),
+        ]
+        out = FIN.ewma_user_values(_events(spark, rows)).collect()
+        # fold: ((0+8000)//2 = 4000 → (4000+4000)//2 = 4000 → (4000+2000)//2 = 3000
+        assert out[0]["ewma_q"] == 3000 and out[0]["n_events"] == 3
+
+    def test_order_is_chronological_not_insertion(self, spark):
+        rows = [
+            (2, 1, "view", 4.0, D(2024, 1, 1, 0, 1, 0)),  # later event first
+            (1, 1, "view", 8.0, D(2024, 1, 1, 0, 0, 0)),
+        ]
+        out = FIN.ewma_user_values(_events(spark, rows)).collect()
+        # chronological: (0+8000)//2=4000 → (4000+4000)//2=4000
+        assert out[0]["ewma_q"] == 4000

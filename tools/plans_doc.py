@@ -52,7 +52,12 @@ SHOW = {
     "time_weighted_balance": "time-weighted average — ONE shuffle on user_id feeds both the lead window and the final agg",
     "winnowing_fingerprints": "winnowing — zero exchanges: token→gram→window-min entirely per-row HOFs in codegen",
     "pmi_collocations": "collocations — unigram counts broadcast back onto bigram counts; 1-row N broadcast, no fact reshuffle",
-    "image_decode_stats": "real image decode — ArrowEvalPython(mapInPandas) is the ONLY Python stage, fed by a map-side payload synthesis; no shuffle",
+    "image_decode_stats": "real image decode — MapInPandas is the ONLY Python stage, fed by a map-side payload synthesis; no shuffle",
+    "random_projection_embed": "JL projection — one MapInPandas (Arrow int64 matmul) straight off the scan; no shuffle, no collect",
+    "spend_trend_slopes": "OLS trend — two partial-agg'd keyed exchanges (month grain → customer grain), moments only, no window sort",
+    "table_profile": "profiling — ONE scan feeding a single wide agg; unpivot is a cluster-side explode of the 1-row result",
+    "reconciliation_checksums": "reconciliation — map-side row hash, one exchange on the bucket key, partial-agg'd sums",
+    "pseudonymized_activity": "pseudonymization — token fold entirely map-side; the only exchange is the downstream count",
 }
 
 MARKERS = (
