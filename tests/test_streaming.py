@@ -496,3 +496,40 @@ def test_stream_double_charge_flags_match_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM double_charge_test").collect()
     }
     assert got == expected
+
+
+def test_streaming_image_decode_matches_batch(spark, sf_dir, tmp_path):
+    """C5 × C6: the REAL image decoder runs unchanged inside a
+    Structured Streaming pipeline — mapInPandas stages are
+    trigger-agnostic, so decode stats from a file-source stream equal
+    the batch run over the same payloads."""
+    from monzo_data_pipeline_spark.ext import images as IMG
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    media = IMG.documents_as_images(docs)
+    expected = {
+        (r["media_id"], r["pix_sum"])
+        for r in IMG.image_stats(media).collect()
+    }
+
+    path = str(tmp_path / "media_drops")
+    media.coalesce(2).write.parquet(path)
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        IMG.image_stats(stream)
+        .writeStream.format("memory")
+        .queryName("image_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["media_id"], r["pix_sum"])
+        for r in spark.sql("SELECT media_id, pix_sum FROM image_stream_test").collect()
+    }
+    assert got == expected

@@ -58,6 +58,8 @@ SHOW = {
     "table_profile": "profiling — ONE scan feeding a single wide agg; unpivot is a cluster-side explode of the 1-row result",
     "reconciliation_checksums": "reconciliation — map-side row hash, one exchange on the bucket key, partial-agg'd sums",
     "pseudonymized_activity": "pseudonymization — token fold entirely map-side; the only exchange is the downstream count",
+    "frequently_bought_together": "basket pairs — one exchange on orderkey, pair explode map-side after the collect; no fact-fact self-join",
+    "ewma_user_values": "integer EWMA — one exchange on user_id; the chronological fold is a per-row array lambda",
 }
 
 MARKERS = (
