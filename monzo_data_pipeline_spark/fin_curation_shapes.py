@@ -580,3 +580,37 @@ def register(_register) -> None:
     )
     def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         return FIN.ewma_user_values(load_table(spark, sf_dir, "events"))
+
+    @_register(
+        "video_frame_stats",
+        "C5/north-star (REAL video decode: YUV4MPEG2/C444 stream walk + "
+        "per-frame stats — one row in, one row per frame out; oracle = "
+        "prefix-sum differences of the cycling raster rule)",
+        f"""
+        WITH d AS (
+            SELECT doc_id AS media_id, {_CLEAN_SQL} AS clean
+            FROM documents
+        ), s AS (
+            SELECT media_id, length(clean) AS L,
+                   list_transform(range(1, length(clean) + 1),
+                                  i -> CAST(ascii(clean[i]) AS BIGINT)) AS codes,
+                   list_sum(list_transform(range(1, length(clean) + 1),
+                                  i -> CAST(ascii(clean[i]) AS BIGINT))) AS tot
+            FROM d
+        )
+        SELECT media_id, CAST(f AS INT) AS frame_idx,
+               8 AS width, 8 AS height,
+               CAST(((192*(f+1)) // L) * tot
+                    + CASE WHEN (192*(f+1)) % L = 0 THEN 0
+                           ELSE list_sum(codes[1:((192*(f+1)) % L)]) END
+                    - ((192*f) // L) * tot
+                    - CASE WHEN (192*f) % L = 0 THEN 0
+                           ELSE list_sum(codes[1:((192*f) % L)]) END
+                    AS BIGINT) AS pix_sum
+        FROM s, LATERAL (SELECT unnest(range(0, 4)) AS f) f
+        ORDER BY media_id, frame_idx
+        """,
+    )
+    def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return IMG.video_frame_stats(IMG.documents_as_videos(docs))

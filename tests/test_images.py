@@ -261,3 +261,52 @@ class TestPng:
         out = IMG.resize_images(df, 4, 4, codec="png").collect()
         decoded = IMG.decode_png(bytes(out[0]["payload"]))
         assert np.array_equal(decoded, IMG.resize_nearest(arr, 4, 4))
+
+
+class TestY4m:
+    def _frames(self, n=3, h=4, w=5, seed=2):
+        return np.random.default_rng(seed).integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+    def test_roundtrip(self):
+        frames = self._frames()
+        assert np.array_equal(IMG.decode_y4m(IMG.encode_y4m(frames)), frames)
+
+    def test_frame_parameters_tolerated(self):
+        """The spec allows per-frame parameters after FRAME — the
+        decoder must skip to the newline, not assume bare markers."""
+        frames = self._frames(n=2, h=2, w=2)
+        payload = IMG.encode_y4m(frames).replace(b"FRAME\n", b"FRAME Ip\n")
+        assert np.array_equal(IMG.decode_y4m(payload), frames)
+
+    def test_planar_layout(self):
+        # one 1x1 pixel with distinct Y/U/V: planes must not interleave
+        f = np.array([[[[10, 20, 30]]]], dtype=np.uint8)
+        payload = IMG.encode_y4m(f)
+        assert payload.endswith(b"\x0a\x14\x1e")  # Y=10, U=20, V=30 planar
+
+    def test_subsampled_chroma_rejected(self):
+        payload = IMG.encode_y4m(self._frames()).replace(b"C444", b"C420")
+        with pytest.raises(ValueError, match="C444"):
+            IMG.decode_y4m(payload)
+
+    def test_truncated_frame_raises(self):
+        with pytest.raises(ValueError, match="truncated"):
+            IMG.decode_y4m(IMG.encode_y4m(self._frames())[:-4])
+
+    def test_video_frame_stats_sampling(self, spark):
+        frames = self._frames(n=6, h=2, w=2, seed=8)
+        df = spark.createDataFrame(
+            [(1, bytearray(IMG.encode_y4m(frames)))], "media_id long, payload binary"
+        )
+        out = IMG.video_frame_stats(df, every_nth=2).collect()
+        assert [r["frame_idx"] for r in out] == [0, 2, 4]
+        for r in out:
+            assert r["pix_sum"] == int(frames[r["frame_idx"]].sum())
+
+    def test_documents_as_videos_decode(self, spark, sf_dir):
+        from monzo_data_pipeline_spark.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(5)
+        for r in IMG.documents_as_videos(docs).collect():
+            frames = IMG.decode_y4m(bytes(r["payload"]))
+            assert frames.shape == (4, 8, 8, 3)
