@@ -185,3 +185,30 @@ def test_atomic_erasure_one_commit_all_tables(wh, spark):
 
     with _pt.raises(FileNotFoundError):
         wh.read_version("t1", 1)
+
+
+def test_schema_evolution_across_commits_with_time_travel(spark, tmp_path):
+    """Additive schema evolution through the manifest: a later commit
+    overwrites a table with an extra column; current readers see the
+    new schema, time travel still reads the PRE-evolution snapshot
+    with the old schema — the manifest pins each version to its own
+    data dir, so evolution never rewrites history."""
+    from monzo_data_pipeline_spark.pipeline.atomic import AtomicWarehouse
+
+    wh = AtomicWarehouse(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    with wh.transaction() as tx:
+        tx.overwrite(v1, "dim")
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    )
+    with wh.transaction() as tx:
+        tx.overwrite(v2, "dim")
+
+    now = wh.read("dim")
+    assert set(now.columns) == {"id", "name", "score"}
+    assert now.count() == 3
+    old = wh.read_version("dim", 1)
+    assert set(old.columns) == {"id", "name"}
+    assert old.count() == 2
