@@ -614,3 +614,55 @@ def register(_register) -> None:
     def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return IMG.video_frame_stats(IMG.documents_as_videos(docs))
+
+    @_register(
+        "bigram_rarity_scores",
+        "C4/north-star (LM-lite perplexity surrogate: mean inverse corpus "
+        "bigram frequency per doc, all-integer — the n-gram-LM filter "
+        "axis without libm logs)",
+        r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+        ), p AS (
+            SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+            FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i
+            WHERE toks[i] <> '' AND toks[i+1] <> ''
+        ), c AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM p GROUP BY a, b
+        )
+        SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               SUM(1000000 // c.c_ab) // COUNT(*) AS rarity_q
+        FROM p JOIN c ON c.a = p.a AND c.b = p.b
+        GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+    )
+    def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return TX.bigram_rarity_scores(load_table(spark, sf_dir, "documents"))
+
+    @_register(
+        "oov_rates",
+        "C4/north-star (tokenizer-coverage filter: ppm of tokens outside "
+        "the deterministic top-K corpus vocabulary)",
+        r"""
+        WITH w AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                  FROM documents)
+            WHERE w <> ''
+        ), v AS (
+            SELECT w FROM (
+                SELECT w, COUNT(*) AS c FROM w GROUP BY w
+                ORDER BY c DESC, w ASC LIMIT 10)
+        )
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+                 // COUNT(*) AS oov_ppm
+        FROM w LEFT JOIN v ON v.w = w.w
+        GROUP BY w.doc_id ORDER BY w.doc_id
+        """,
+    )
+    def q_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return TX.oov_rate(load_table(spark, sf_dir, "documents"), vocab_size=10)

@@ -579,3 +579,77 @@ def token_diversity(
             ).alias("simpson_q"),
         )
     )
+
+
+def bigram_rarity_scores(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LM-lite fluency/novelty scoring: mean inverse corpus frequency
+    of the doc's adjacent bigrams, rarity_q = (Σ 10⁶ DIV c_ab) DIV n —
+    the integer surrogate for n-gram-LM perplexity filtering (docs of
+    common constructions score low, line noise scores high). Same
+    log-free reasoning as tf_rarity_top_terms/pmi_collocations.
+
+    Plan: one (a,b) corpus count (vocabulary-sized after partial agg,
+    broadcast back onto the doc bigrams), one per-doc mean. Docs with
+    < 2 tokens have no bigram and are excluded (same in the oracle)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    d = documents.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = d.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.a", "p.b").filter((F.col("a") != "") & (F.col("b") != ""))
+    corpus = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    scored = pairs.join(F.broadcast(corpus), ["a", "b"]).select(
+        id_col, F.expr("1000000 DIV c_ab").alias("inv_q")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("SUM(inv_q) DIV COUNT(1)").alias("rarity_q"),
+        )
+    )
+
+
+def oov_rate(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Tokenizer-coverage signal: per-doc share of tokens OUTSIDE the
+    corpus top-`vocab_size` vocabulary, in ppm. High OOV rate marks
+    docs a fixed-vocab tokenizer will shred into bytes — a standard
+    pre-training filter axis.
+
+    The vocabulary is the top-K by (count DESC, word ASC) — a total
+    order, so the cut is deterministic. One corpus count (broadcast
+    back), one per-doc mean; the fact table never reshuffles."""
+    toks = tokens(F.lower(F.col(text_col)))
+    words = documents.select(F.col(id_col), F.explode(toks).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    flagged = words.join(F.broadcast(vocab), "w", "left").select(
+        id_col, F.coalesce("in_vocab", F.lit(0)).alias("in_vocab")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.expr(
+            "SUM(CAST(1 - in_vocab AS BIGINT)) * 1000000 DIV COUNT(1)"
+        ).alias("oov_ppm"),
+    )

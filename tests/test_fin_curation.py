@@ -317,3 +317,22 @@ class TestEwma:
         out = FIN.ewma_user_values(_events(spark, rows)).collect()
         # chronological: (0+8000)//2=4000 → (4000+4000)//2=4000
         assert out[0]["ewma_q"] == 4000
+
+
+class TestRarityAndOov:
+    def test_rarity_orders_rare_above_common(self, spark):
+        common = "the cat sat on the mat " * 5
+        docs = _docs(spark, [common, common, common, "zyx qwv jjk pqr"])
+        out = {r["doc_id"]: r["rarity_q"] for r in TX.bigram_rarity_scores(docs).collect()}
+        # the unique-bigram doc scores the maximum (each c_ab = 1 → 1e6)
+        assert out[3] == 1000000
+        assert out[0] < out[3]
+
+    def test_oov_rate_bounds_and_vocab_cut(self, spark):
+        docs = _docs(spark, ["aa aa aa bb", "cc dd"])
+        out = {
+            r["doc_id"]: r["oov_ppm"]
+            for r in TX.oov_rate(docs, vocab_size=1).collect()
+        }
+        # vocab = {aa} (most frequent): doc0 = 1/4 OOV, doc1 fully OOV
+        assert out[0] == 250000 and out[1] == 1000000
