@@ -60,6 +60,9 @@ SHOW = {
     "pseudonymized_activity": "pseudonymization — token fold entirely map-side; the only exchange is the downstream count",
     "frequently_bought_together": "basket pairs — one exchange on orderkey, pair explode map-side after the collect; no fact-fact self-join",
     "ewma_user_values": "integer EWMA — one exchange on user_id; the chronological fold is a per-row array lambda",
+    "video_frame_stats": "real video decode — payload synthesis map-side, MapInPandas frame walk; one row in → one row per frame, no shuffle",
+    "oov_rates": "OOV filter — top-K vocab via TakeOrdered, broadcast back; fact side never reshuffles",
+    "bigram_rarity_scores": "LM-lite rarity — corpus bigram counts broadcast back onto doc bigrams; one (doc) agg",
 }
 
 MARKERS = (
