@@ -76,14 +76,13 @@ def _pair_counts(corpus: DataFrame) -> DataFrame:
     return pairs.groupBy("a", "b").agg(F.sum("n").alias("cnt"))
 
 
-def bpe_merges(
-    documents: DataFrame, text_col: str = "text", n_merges: int = 6
-) -> DataFrame:
-    """Train `n_merges` BPE merges; returns the merge table
-    (step, left, right, merged, pair_count) — inherently O(n_merges)
-    rows, assembled on the driver like kmeans centroids. Stops early
-    if the corpus runs out of pairs."""
-    spark = documents.sparkSession
+def _train(
+    documents: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """Shared training loop: returns (merge rows, the FINAL segmented
+    corpus — already localCheckpoint'ed after the last merge), so the
+    apply-side consumers reuse the materialized result instead of
+    re-deriving the corpus (the corpus-touched-exactly-once claim)."""
     corpus = (
         word_frequencies_for_bpe(documents, text_col)
         .select(
@@ -112,7 +111,18 @@ def bpe_merges(
             ).alias("s"),
             "n",
         ).localCheckpoint()
-    return spark.createDataFrame(rows, MERGES_SCHEMA)
+    return rows, corpus
+
+
+def bpe_merges(
+    documents: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Train `n_merges` BPE merges; returns the merge table
+    (step, left, right, merged, pair_count) — inherently O(n_merges)
+    rows, assembled on the driver like kmeans centroids. Stops early
+    if the corpus runs out of pairs."""
+    rows, _ = _train(documents, text_col, n_merges)
+    return documents.sparkSession.createDataFrame(rows, MERGES_SCHEMA)
 
 
 def bpe_merges_oracle_sql(n_merges: int = 6) -> str:
@@ -175,25 +185,13 @@ def bpe_segment_corpus(
     merges. The tokenizer-inference half that completes bpe_merges'
     train half; downstream `explode` turns it into a (symbol, count)
     vocabulary table."""
-    merges = [
-        (r["left"], r["right"])
-        for r in bpe_merges(documents, text_col, n_merges).collect()
-    ]
-    corpus = word_frequencies_for_bpe(documents, text_col).select(
-        F.concat(F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")).alias(
-            "s"
-        ),
-        "n",
-    )
-    # chain the replaces in merge order — same left-to-right semantics
-    # as training; a plain expression chain (no loop-collect), so the
-    # whole application is one map-side projection
-    s = F.col("s")
-    for a, b in merges:
-        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
-    segmented = corpus.select(s.alias("s"), "n")
+    # the training loop's final corpus IS the segmented corpus (each
+    # step applied its merge and localCheckpoint'ed), so reuse it —
+    # re-deriving word frequencies + re-applying the merge chain would
+    # triple the corpus-scale work
+    _, corpus = _train(documents, text_col, n_merges)
     syms = F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|")
-    return segmented.select(syms.alias("syms"), "n")
+    return corpus.select(syms.alias("syms"), "n")
 
 
 def bpe_segmentation_stats(
@@ -203,7 +201,7 @@ def bpe_segmentation_stats(
     distinct words, total word occurrences, total emitted symbols
     (the pre/post-merge token budget an LLM pipeline plans around),
     and distinct symbols (vocabulary size)."""
-    seg = bpe_segment_corpus(documents, text_col, n_merges)
+    seg = bpe_segment_corpus(documents, text_col, n_merges).localCheckpoint()
     stats = seg.agg(
         F.count(F.lit(1)).cast("long").alias("distinct_words"),
         F.sum("n").alias("total_words"),

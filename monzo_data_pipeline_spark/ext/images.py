@@ -134,6 +134,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     BMP, and 8-bit non-interlaced PNG (DEFLATE via stdlib zlib) are
     decoded for real; only JPEG raises NotImplementedError — its
     entropy coding has no stdlib counterpart."""
+    if not payload:
+        raise ValueError("null or empty image payload")
     head = payload[:8]
     if head[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
@@ -211,7 +213,11 @@ def image_stats(media: DataFrame) -> DataFrame:
         def row(media_id: int, payload: bytes) -> dict:
             try:
                 arr = decode_image(payload)
-            except (ValueError, NotImplementedError):
+            except Exception:
+                # quarantine EVERY decode failure: zlib.error (corrupt
+                # DEFLATE), struct.error (truncated headers), TypeError
+                # (NULL payload) all escape a ValueError-only clause and
+                # would fail the whole Spark stage
                 return {
                     "media_id": media_id,
                     "valid": False,
@@ -275,10 +281,12 @@ def resize_images(
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     arr = decode_image(payload)
-                except (ValueError, NotImplementedError):
+                except Exception:  # quarantine every decode failure
                     continue
                 if arr.shape[2] == 1:
                     arr = np.repeat(arr, 3, axis=2)
+                elif arr.shape[2] == 4:
+                    arr = arr[:, :, :3]  # valid RGBA PNG → drop alpha
                 small = resize_nearest(arr, target_w, target_h)
                 out.append(
                     {
@@ -540,7 +548,7 @@ def video_frame_stats(media: DataFrame, every_nth: int = 1) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     frames = decode_y4m(payload)
-                except ValueError:
+                except Exception:  # quarantine every decode failure
                     continue
                 n, h, w = frames.shape[:3]
                 for f in range(0, n, every_nth):

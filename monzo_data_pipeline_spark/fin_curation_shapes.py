@@ -450,7 +450,7 @@ def register(_register) -> None:
             FROM lineitem
         )
         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               SUM(h) AS checksum
+               CAST(SUM(h) % 2147483647 AS BIGINT) AS checksum
         FROM h GROUP BY bucket ORDER BY bucket
         """,
     )
@@ -516,7 +516,12 @@ def register(_register) -> None:
                      list_prepend(CAST(0 AS BIGINT),
                        list_transform(range(1, length(s) + 1),
                                       i -> CAST(ascii(s[i]) AS BIGINT))),
-                     (a, b) -> (a * 131 + b) % 2147483647) AS VARCHAR) AS token
+                     (a, b) -> (a * 131 + b) % 2147483647) AS VARCHAR)
+                   || '_' || CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(s) + 1),
+                                      i -> CAST(ascii(s[i]) AS BIGINT))),
+                     (a, b) -> (a * 137 + b) % 2147483647) AS VARCHAR) AS token
             FROM (SELECT 'export-2026|' || CAST(user_id AS VARCHAR) AS s
                   FROM events)
         )

@@ -237,6 +237,20 @@ def chunk_documents(
     )
 
 
+def adjacent_pairs(toks: Column | str) -> Column:
+    """Adjacent (a, b) token pairs as array<struct<a,b>> — THE shared
+    bigram extractor (bigram_counts / pmi_collocations /
+    bigram_rarity_scores all build on it). Callers must gate
+    size(toks) >= 2 first: Spark's sequence(1, 0) counts DOWN, so an
+    ungated single-token array would yield a bogus pair."""
+    c = F.col(toks) if isinstance(toks, str) else toks
+    return F.zip_with(
+        F.slice(c, 1, F.size(c) - 1),
+        F.slice(c, 2, F.size(c) - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+
+
 def bigram_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """C4 — corpus bigram frequencies via an array-lambda transform
     (no self-join): token array → adjacent-pair strings → explode →
@@ -249,9 +263,8 @@ def bigram_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
     bigrams = toks.select(
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> concat(toks[i-1], ' ', toks[i]))"
+            F.transform(
+                adjacent_pairs("toks"), lambda p: F.concat_ws(" ", p["a"], p["b"])
             )
         ).alias("bigram")
     )
@@ -512,14 +525,9 @@ def pmi_collocations(
     d = documents.filter(F.trim(F.col(text_col)) != "").select(toks.alias("toks")).filter(
         F.size("toks") >= 2
     )
-    pairs = d.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> struct(toks[i-1] AS a, toks[i] AS b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").filter((F.col("a") != "") & (F.col("b") != ""))
+    pairs = d.select(F.explode(adjacent_pairs("toks")).alias("p")).select(
+        "p.a", "p.b"
+    ).filter((F.col("a") != "") & (F.col("b") != ""))
     c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
     n_big = c_ab.agg(F.sum("n_ab").alias("n_bigrams"))
     uni = (
@@ -598,13 +606,7 @@ def bigram_rarity_scores(
         F.size("toks") >= 2
     )
     pairs = d.select(
-        id_col,
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> struct(toks[i-1] AS a, toks[i] AS b))"
-            )
-        ).alias("p"),
+        id_col, F.explode(adjacent_pairs("toks")).alias("p")
     ).select(id_col, "p.a", "p.b").filter((F.col("a") != "") & (F.col("b") != ""))
     corpus = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     scored = pairs.join(F.broadcast(corpus), ["a", "b"]).select(

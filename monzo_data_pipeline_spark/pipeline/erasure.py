@@ -105,9 +105,12 @@ def pseudonymize_columns(df: DataFrame, cols: list[str], salt: str) -> DataFrame
     with salted deterministic tokens — consistent across tables (joins
     still work), irreversible without the salt, NULLs preserved.
 
-    Token = 'anon_' + polynomial fold of salt|value (the engine-
-    agnostic (acc·131+code) mod 2³¹−1 hash, so pseudonymized outputs
-    are oracle-checkable cross-engine — unlike xxhash64/sha tokens).
+    Token = 'anon_<h131>_<h137>': TWO independent polynomial folds of
+    salt|value (bases 131 and 137, each mod 2³¹−1) — engine-agnostic,
+    so pseudonymized outputs are oracle-checkable cross-engine unlike
+    xxhash64/sha tokens, and the combined ~62-bit space keeps the
+    birthday collision risk negligible at banking scale (~10⁻⁷ for
+    10⁶ subjects; a single 2³¹ fold would already collide at ~5·10⁴).
     The salt rotates per purpose/recipient: different exports never
     correlate. Pure map-side column expressions, no shuffle.
 
@@ -116,17 +119,26 @@ def pseudonymize_columns(df: DataFrame, cols: list[str], salt: str) -> DataFrame
     """
     from pyspark.sql import functions as F
 
+    def fold(s, base: int):
+        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * base + x) % 2147483647,
+        )
+
     out = df
     for c in cols:
         s = F.concat(F.lit(salt + "|"), F.col(c).cast("string"))
-        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
-        fold = F.aggregate(
-            codes,
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * 131 + x) % 2147483647,
-        )
         token = F.when(
             F.col(c).isNull(), F.lit(None).cast("string")
-        ).otherwise(F.concat(F.lit("anon_"), fold.cast("string")))
+        ).otherwise(
+            F.concat(
+                F.lit("anon_"),
+                fold(s, 131).cast("string"),
+                F.lit("_"),
+                fold(s, 137).cast("string"),
+            )
+        )
         out = out.withColumn(c, token)
     return out

@@ -193,6 +193,13 @@ def reconciliation_checksums(
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("h").alias("checksum"),
+            # accumulate in DECIMAL(38,0): a plain long SUM overflows at
+            # ~3e10 rows/bucket of 2^31-scale hashes (exactly the 100 TB
+            # design point) while a comparison warehouse summing in
+            # 128-bit stays exact — every bucket would report spurious
+            # drift. Fold back mod 2^31-1 for a compact int64 checksum.
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(2147483647))
+            .cast("long")
+            .alias("checksum"),
         )
     )

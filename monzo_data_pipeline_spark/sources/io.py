@@ -315,8 +315,10 @@ def write_jsonl_shards(
     lines = df.select(
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
     )
+    # octet_length, not length: character counts undersize CJK/emoji
+    # corpora 3-4x on disk (UTF-8), blowing the shard-size contract
     total = lines.agg(
-        F.sum(F.length("value") + 1).alias("b")
+        F.sum(F.octet_length("value") + 1).alias("b")
     ).collect()[0]["b"]
     if total is None:
         total = 0

@@ -310,3 +310,50 @@ class TestY4m:
         for r in IMG.documents_as_videos(docs).collect():
             frames = IMG.decode_y4m(bytes(r["payload"]))
             assert frames.shape == (4, 8, 8, 3)
+
+
+class TestQuarantineRegressions:
+    """Crash paths found in review: exception types beyond ValueError
+    must quarantine, not fail the Spark stage."""
+
+    def test_corrupt_idat_quarantines(self, spark):
+        import zlib
+
+        good = IMG.encode_png(_rgb(3, 3, seed=5))
+        # corrupt the DEFLATE stream inside IDAT (raises zlib.error)
+        bad = bytearray(good)
+        idat = good.index(b"IDAT")
+        bad[idat + 8] ^= 0xFF
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytes(bad))], "media_id long, payload binary"
+        )
+        rows = {r["media_id"]: r["valid"] for r in IMG.image_stats(df).collect()}
+        assert rows[1] is True and rows[2] is False
+
+    def test_null_payload_quarantines(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(IMG.encode_ppm(_rgb(2, 2)))), (2, None)],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r["valid"] for r in IMG.image_stats(df).collect()}
+        assert rows[1] is True and rows[2] is False
+
+    def test_rgba_png_resizes_via_alpha_drop(self, spark):
+        rgba = np.random.default_rng(6).integers(0, 256, (8, 8, 4), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(IMG.encode_png(rgba)))], "media_id long, payload binary"
+        )
+        out = IMG.resize_images(df, 4, 4).collect()
+        assert len(out) == 1
+        decoded = IMG.decode_netpbm(bytes(out[0]["payload"]))
+        assert np.array_equal(decoded, IMG.resize_nearest(rgba[:, :, :3], 4, 4))
+
+    def test_truncated_y4m_quarantines_in_frame_stats(self, spark):
+        frames = np.random.default_rng(1).integers(0, 256, (2, 2, 2, 3), dtype=np.uint8)
+        good = IMG.encode_y4m(frames)
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(good[:-3]))],
+            "media_id long, payload binary",
+        )
+        out = IMG.video_frame_stats(df).collect()
+        assert {r["media_id"] for r in out} == {1}

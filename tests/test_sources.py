@@ -288,3 +288,15 @@ def test_date_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
         for r in events.filter(F.col("day") == "2024-01-15").collect()
     }
     assert {r["event_id"] for r in one_day.collect()} == expected
+
+
+def test_jsonl_shards_size_by_bytes_not_chars(spark, tmp_path):
+    """CJK text is 3 bytes/char in UTF-8: shard sizing must use
+    octet_length or targets are overshot ~3x on non-ASCII corpora."""
+    from monzo_data_pipeline_spark.sources.io import write_jsonl_shards
+
+    df = spark.range(4000).selectExpr("id", "repeat('中文字', 100) AS pad")
+    # ~3.7 MB of UTF-8 bytes (but only ~1.3 M chars): a 1 MB target must
+    # yield ≥ 4 shards under byte sizing, ~2 under char sizing
+    n = write_jsonl_shards(df, str(tmp_path / "cjk"), target_shard_mb=1)
+    assert n >= 4
