@@ -202,3 +202,35 @@ def test_resize_index_law_any_dims(h, w, th, tw, seed):
     for y in range(th):
         for x in range(tw):
             assert np.array_equal(out[y, x], arr[(y * h) // th, (x * w) // tw])
+
+
+# -- BPE: random corpora vs textbook reference -------------------------------
+
+BPE_WORD = st.text(alphabet="abc", min_size=1, max_size=4)
+
+
+@given(
+    docs=st.lists(
+        st.lists(BPE_WORD, min_size=1, max_size=8), min_size=1, max_size=4
+    ),
+    n_merges=st.integers(1, 4),
+)
+@SET
+def test_bpe_merges_match_textbook_on_random_corpora(sp, docs, n_merges):
+    from monzo_data_pipeline_spark.ext import bpe as BPE
+    from tests.test_bpe_projection import _py_bpe
+
+    texts = [" ".join(ws) for ws in docs]
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            words[w] = words.get(w, 0) + 1
+    want = _py_bpe(words, n_merges)
+    df = sp.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in BPE.bpe_merges(df, n_merges=n_merges).orderBy("step").collect()
+    ]
+    assert got == want
