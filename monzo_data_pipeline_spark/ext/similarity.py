@@ -812,6 +812,8 @@ def random_projection(
     impl="sql": the pure-JVM higher-order-function form (zero Python
     anywhere — for environments that must forbid Python workers).
     """
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     if impl == "arrow":
         import pandas as pd  # noqa: F401 (signature parity with callers)
 

@@ -103,9 +103,11 @@ def time_weighted_balance(events: DataFrame) -> DataFrame:
         .filter(F.col("tsum") > 0)
         .select(
             "user_id",
-            # values are non-negative (quantized from a ≥0 balance), so
-            # Spark's DIV (truncate) == DuckDB's // (floor): exact twins
-            F.expr("wsum DIV tsum").alias("twa_value_q"),
+            # floor division regardless of sign (DuckDB's // floors;
+            # Spark's DIV truncates — subtracting pmod makes the
+            # numerator exactly divisible, so DIV == floor even when
+            # an overdrawn balance makes wsum negative)
+            F.expr("(wsum - pmod(wsum, tsum)) DIV tsum").alias("twa_value_q"),
             "n_intervals",
         )
     )

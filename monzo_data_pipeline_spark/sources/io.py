@@ -315,18 +315,26 @@ def write_jsonl_shards(
     lines = df.select(
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
     )
-    # octet_length, not length: character counts undersize CJK/emoji
-    # corpora 3-4x on disk (UTF-8), blowing the shard-size contract
-    total = lines.agg(
-        F.sum(F.octet_length("value") + 1).alias("b")
-    ).collect()[0]["b"]
-    if total is None:
-        total = 0
-    n_shards = max(1, -(-int(total) // (target_shard_mb * 1024 * 1024)))
-    writer = lines.repartition(n_shards).write.mode("overwrite")
-    if compression:
-        writer = writer.option("compression", compression)
-    writer.text(path)
+    # persist so the measure pass and the write see ONE materialization
+    # — an expensive or nondeterministic upstream would otherwise
+    # recompute, and the measured total could disagree with the bytes
+    # actually written
+    lines = lines.persist()
+    try:
+        # octet_length, not length: character counts undersize CJK/emoji
+        # corpora 3-4x on disk (UTF-8), blowing the shard-size contract
+        total = lines.agg(
+            F.sum(F.octet_length("value") + 1).alias("b")
+        ).collect()[0]["b"]
+        if total is None:
+            total = 0
+        n_shards = max(1, -(-int(total) // (target_shard_mb * 1024 * 1024)))
+        writer = lines.repartition(n_shards).write.mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.text(path)
+    finally:
+        lines.unpersist()
     return n_shards
 
 

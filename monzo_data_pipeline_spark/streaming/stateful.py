@@ -153,7 +153,11 @@ def stream_double_charge_flags(purchases: DataFrame, max_gap_s: int = 300) -> Da
             if prior is None:
                 continue
             gap = (int(us[i]) - prior) // 1_000_000
-            if gap <= max_gap_s:
+            # 0 <= gap: an event older than the stored state (a
+            # chronological-feed contract violation) degrades to a
+            # missed flag, never a spurious negative-gap alert the
+            # batch twin would not produce
+            if 0 <= gap <= max_gap_s:
                 flagged_ids.append(int(ids[i]))
                 flagged_gaps.append(gap)
         state.update((int(us[-1]), int(ids[-1])))
