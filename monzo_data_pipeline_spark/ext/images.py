@@ -1,8 +1,6 @@
 """Real image codecs for the multimodal column family — SURVEY.md §2.C5.
 
-Round 1 shipped the image half of C5 as an honest stub (`ext/
-multimodal.py::decode_image`) because the container has no imaging
-library. This module removes the stub for the formats that need none:
+The container has no imaging library, but these formats need none:
 **binary netpbm (P5/P6)** and **uncompressed 24-bit BMP** are fully
 specified byte layouts decodable with numpy alone, the same way the
 WAV/PCM decoder (`multimodal.py::decode_wav`) needs only `struct`;

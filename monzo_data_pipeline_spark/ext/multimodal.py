@@ -1,11 +1,12 @@
 """Multimodal columns — SURVEY.md §2.C5 / north star.
 
 Policy: image/audio/video payloads are opaque `binary` columns with a
-typed metadata struct beside them. All Spark-side plumbing (schema,
-partition-friendly layout, Arrow-batched UDF signatures, batch
-shapes) is real and tested; the actual media decoding is STUBBED
-(this container ships no image/audio libraries) behind
-``NotImplementedError`` or a clearly-marked deterministic fake.
+typed metadata struct beside them. All media stages decode for REAL
+via the stdlib/numpy codecs in `ext/images.py` (netpbm, BMP, 8-bit
+PNG, y4m video) and `decode_wav` below (RIFF/PCM audio); only
+entropy-coded formats (JPEG/H.26x) are out of scope and quarantine.
+Undecodable payloads become dead-letter rows (valid=false), never
+stage failures.
 
 At 100 TB: payloads dominate row size, so multimodal transforms run
 through mapInPandas (Arrow batches, zero-copy to pandas), metadata-
@@ -44,6 +45,7 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
@@ -78,41 +80,76 @@ def decode_image(payload: bytes) -> object:
     return _decode(payload)
 
 
+def images_as_media(
+    imgs: DataFrame,
+    mime: str = "image/x-portable-pixmap",
+    width: int | None = None,
+    height: int | None = None,
+) -> DataFrame:
+    """Wrap a (media_id, payload) image table into the MEDIA_SCHEMA
+    shape: typed meta struct beside the opaque binary column."""
+    return imgs.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
 def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """REAL Arrow-batched feature extraction over image payloads —
+    routed through the `ext/images.py` codecs (netpbm/BMP/PNG).
 
-    mapInPandas: each task receives pandas batches (payload column as
-    Python bytes), computes per-row features, yields typed batches.
-    This is the pattern a real decoder plugs into — the stub keeps the
-    exact signature, schema, and batch shape.
-
-    The closure is deliberately self-contained (no references to
-    module globals): cloudpickle then ships it by value, so executor
-    Python workers never need this package importable — the shape that
-    survives cluster deployment without shipping wheels.
+    Per decodable image the feature vector is
+    ``[width, height, channels, pix_sum, ch0_sum, ch1_sum, ch2_sum]``
+    — all exact integer statistics (≤ 2⁵³, so float64-exact and
+    oracle-checkable); absent channels contribute 0. Undecodable
+    payloads quarantine as valid=false rows with a null feature (the
+    NDJSON dead-letter policy applied to media) instead of failing
+    the batch.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_feature(payload: bytes) -> list[float]:
-            # deterministic stand-in for a media feature extractor:
-            # cheap byte statistics; a real decoder+model replaces this
-            n = len(payload)
-            if n == 0:
-                return [0.0, 0.0, 0.0, 0.0]
-            return [
-                float(n),
-                float(payload[0]),
-                float(payload[-1]),
-                float(sum(payload[:64]) % 997),
+        import numpy as np
+
+        from monzo_data_pipeline_spark.ext.images import decode_image
+
+        def row(media_id: int, payload: bytes) -> dict:
+            n = len(payload) if payload is not None else 0
+            try:
+                arr = decode_image(payload)
+            except Exception:  # quarantine every decode failure
+                return {
+                    "media_id": media_id,
+                    "valid": False,
+                    "n_bytes": n,
+                    "feature": None,
+                }
+            h, w, c = arr.shape
+            ch = [
+                float(arr[:, :, k].sum(dtype=np.int64)) if k < c else 0.0
+                for k in range(3)
             ]
+            return {
+                "media_id": media_id,
+                "valid": True,
+                "n_bytes": n,
+                "feature": [
+                    float(w),
+                    float(h),
+                    float(c),
+                    float(arr.sum(dtype=np.int64)),
+                    *ch,
+                ],
+            }
 
         for pdf in it:
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": pdf["payload"].map(len),
-                    "feature": pdf["payload"].map(fake_feature),
-                }
+                [row(m, p) for m, p in zip(pdf["media_id"], pdf["payload"])]
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
@@ -141,6 +178,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
         T.StructField("payload", T.BinaryType()),
         T.StructField(
             "meta",
@@ -157,48 +195,79 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
-    """Arrow-batched 'resize' over binary payloads — the image-resize
-    slot of the multimodal pipeline. Real decode+resample needs an
-    imaging library (absent here); the deterministic fake keeps every
-    production-relevant part honest: mapInPandas batch signature, a
-    payload whose size reflects the target dimensions, and a meta
-    struct rewritten to the new (width, height, n_bytes).
+def resize_media(
+    media: DataFrame, target_w: int = 64, target_h: int = 64, codec: str = "ppm"
+) -> DataFrame:
+    """REAL image resize over binary payloads — the image-resize slot
+    of the multimodal pipeline, routed through the `ext/images.py`
+    codecs: decode (netpbm/BMP/PNG) → nearest-neighbor resample →
+    re-encode as P6 PPM or PNG, with the meta struct rewritten to the
+    new (mime, n_bytes, width, height).
 
-    The stand-in 'resize' subsamples the byte stream to w·h bytes with
-    a fixed stride — content-dependent, deterministic, shrink-only,
-    so tests can assert real invariants (size law, stride coverage)
-    that survive swapping in a true decoder.
+    Undecodable payloads quarantine as valid=false rows carrying the
+    ORIGINAL payload and meta (the dead-letter lane keeps the evidence)
+    rather than failing the batch. Grayscale expands to RGB and RGBA
+    drops alpha so output is uniformly 3-channel.
     """
+    if codec not in ("ppm", "png"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    out_mime = "image/png" if codec == "png" else "image/x-portable-pixmap"
 
     def batches(it):
-        import pandas as pd  # self-contained closure (ships by value)
+        import numpy as np
+        import pandas as pd
 
-        target = target_w * target_h
+        from monzo_data_pipeline_spark.ext.images import (
+            decode_image,
+            encode_png,
+            encode_ppm,
+            resize_nearest,
+        )
 
-        def fake_resize(payload: bytes) -> bytes:
-            n = len(payload)
-            if n == 0 or n <= target:
-                return payload
-            stride = n / target
-            return bytes(payload[int(i * stride)] for i in range(target))
-
+        enc = encode_png if codec == "png" else encode_ppm
         for pdf in it:
-            resized = pdf["payload"].map(fake_resize)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": resized,
-                    "meta": [
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                mime = meta["mime"] if isinstance(meta, dict) else meta.mime
+                try:
+                    arr = decode_image(payload)
+                except Exception:  # quarantine every decode failure
+                    rows.append(
                         {
-                            "mime": m["mime"] if isinstance(m, dict) else m.mime,
-                            "n_bytes": len(p),
+                            "media_id": media_id,
+                            "valid": False,
+                            "payload": payload,
+                            "meta": {
+                                "mime": mime,
+                                "n_bytes": len(payload) if payload is not None else 0,
+                                "width": None,
+                                "height": None,
+                            },
+                        }
+                    )
+                    continue
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                elif arr.shape[2] == 4:
+                    arr = arr[:, :, :3]
+                small = enc(resize_nearest(arr, target_w, target_h))
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "valid": True,
+                        "payload": small,
+                        "meta": {
+                            "mime": out_mime,
+                            "n_bytes": len(small),
                             "width": target_w,
                             "height": target_h,
-                        }
-                        for m, p in zip(pdf["meta"], resized)
-                    ],
-                }
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "valid", "payload", "meta"]
             )
 
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
@@ -249,12 +318,12 @@ def window_audio(
 
 # ---------------------------------------------------------------------------
 # A REAL decoder: WAV/PCM needs only the stdlib (RIFF chunk walk +
-# struct unpack), so the audio half of C5 is not stubbed. decode_wav
-# is the library function; wav_features is the Arrow-batched Spark
-# surface. Unlike the stub closures above (self-contained, shipped by
-# value), this one references the module function — a real decoder is
-# a library dependency by nature, and session.py already puts the
-# package on executor PYTHONPATH.
+# struct unpack), so the audio modality decodes for real too.
+# decode_wav is the library function; wav_features is the Arrow-
+# batched Spark surface. Like the image stages above, it references
+# module functions — a real decoder is a library dependency by
+# nature, and session.py already puts the package on executor
+# PYTHONPATH.
 # ---------------------------------------------------------------------------
 
 WAV_FEATURE_SCHEMA = T.StructType(

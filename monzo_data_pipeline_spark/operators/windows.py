@@ -151,6 +151,133 @@ def period_over_period(
     )
 
 
+def exact_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "nt",
+    range_buckets: int = 256,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY value, tiebreak)`` WITHOUT a
+    global-order window — the one construct this engine forbids (it
+    serializes the whole table onto one task; see the module note).
+
+    Same physics as the PQ/k-means trainers: heavy passes stay
+    cluster-side, only O(k) scalars cross the driver.
+
+      1. one agg → (N, min, max); driver derives the n−1 boundary row
+         ranks from ntile's size law (first N%n buckets get one extra);
+      2. distinct-value counts (map-side-combined groupBy), range-
+         bucketed by value into `range_buckets` deterministic buckets;
+         per-bucket totals (≤ range_buckets rows) give each bucket's
+         global rank offset, so the cumulative-count window is
+         PARTITIONED by bucket — never global;
+      3. the value containing each boundary rank + its residual tie
+         index pop out of one explode/filter pass (n−1 rows);
+      4. tied rows of just those ≤ n−1 values resolve the boundary
+         tiebreak with a window partitioned by value (n−1 rows back);
+      5. assignment is pure map-side: bucket = 1 + Σₖ [row > cutₖ]
+         over the n−1 broadcast-literal cut pairs.
+
+    Requires non-null (value, tiebreak) with a unique tiebreak — the
+    ntile contract this engine's callers already obey. At 100 TB the
+    cost is two scans + one distinct-value shuffle; no stage sees
+    unbounded per-task state.
+    """
+    v, t = F.col(value_col), F.col(tiebreak_col)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    ).collect()[0]
+    n_rows = stats["n"]
+    if n_rows == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+
+    base, extra = divmod(n_rows, n_buckets)
+    ranks, cum = [], 0
+    for k in range(1, n_buckets):
+        cum += base + (1 if k <= extra else 0)
+        ranks.append((k, max(cum - 1, 0)))  # 0-based rank of bucket k's last row
+
+    # deterministic range bucket over the value domain (skew in the
+    # distinct-value table only shifts work between tiny aggs)
+    if stats["hi"] == stats["lo"]:
+        bucket = F.lit(0)
+    else:
+        span = float(stats["hi"]) - float(stats["lo"])
+        bucket = F.least(
+            F.lit(range_buckets - 1),
+            F.floor(
+                (F.col("__v") - F.lit(stats["lo"])) / F.lit(span) * range_buckets
+            ).cast("int"),
+        )
+    pc = (
+        df.groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__b", bucket)
+    )
+    btot = {r["__b"]: r["t"] for r in
+            pc.groupBy("__b").agg(F.sum("__cnt").alias("t")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(btot):
+        offsets[b] = acc
+        acc += btot[b]
+    # which buckets hold boundary ranks → pushdown filter for pass 3
+    needed = set()
+    for _, r in ranks:
+        for b in sorted(btot):
+            if offsets[b] <= r < offsets[b] + btot[b]:
+                needed.add(b)
+                break
+    off_expr = F.lit(0)
+    for b in needed:
+        off_expr = F.when(F.col("__b") == b, F.lit(offsets[b])).otherwise(off_expr)
+    cumw = Window.partitionBy("__b").orderBy("__v")
+    bnds = F.array(
+        *[F.struct(F.lit(k).alias("k"), F.lit(r).cast("long").alias("r"))
+          for k, r in ranks]
+    )
+    hits = (
+        pc.filter(F.col("__b").isin(list(needed)))
+        .withColumn("__gcum", off_expr + F.sum("__cnt").over(cumw) - F.col("__cnt"))
+        .select("__v", "__cnt", "__gcum", F.explode(bnds).alias("bk"))
+        .filter(
+            (F.col("bk.r") >= F.col("__gcum"))
+            & (F.col("bk.r") < F.col("__gcum") + F.col("__cnt"))
+        )
+        .select(
+            F.col("bk.k").alias("k"),
+            F.col("__v").alias("v"),
+            (F.col("bk.r") - F.col("__gcum")).alias("j"),
+        )
+        .collect()
+    )
+    # resolve boundary tiebreaks among just the ≤ n−1 boundary values
+    tw = Window.partitionBy(value_col).orderBy(tiebreak_col)
+    want = {(h["v"], h["j"] + 1) for h in hits}
+    cond = None
+    for bv, rn in want:
+        c = (v == F.lit(bv)) & (F.col("__rn") == F.lit(rn))
+        cond = c if cond is None else (cond | c)
+    tied = (
+        df.filter(v.isin([bv for bv, _ in want]))
+        .select(value_col, tiebreak_col)
+        .withColumn("__rn", F.row_number().over(tw))
+        .filter(cond)
+        .collect()
+    )
+    tie_at = {(r[value_col], r["__rn"]): r[tiebreak_col] for r in tied}
+    cuts = [(h["k"], h["v"], tie_at[(h["v"], h["j"] + 1)]) for h in hits]
+    # map-side assignment against the broadcast-literal cut pairs
+    expr = F.lit(1)
+    for _, cv, ct in cuts:
+        after = (v > F.lit(cv)) | ((v == F.lit(cv)) & (t > F.lit(ct)))
+        expr = expr + after.cast("int")
+    return df.withColumn(out_col, expr.cast("int"))
+
+
 def salted_topk_per_group(
     df: DataFrame,
     partition_cols: list[str],

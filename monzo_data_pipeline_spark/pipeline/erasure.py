@@ -10,11 +10,16 @@ or licensed-out documents before a training run.
 Scale posture:
   * The erase set is broadcast (it is tiny relative to the lake) and
     the anti-join is map-side against each table scan.
-  * Here every table is rewritten wholesale; at 100 TB you would prune
-    the rewrite to the partitions whose min/max key stats (or bloom
-    filters — sources/io.py writes them) can contain the keys, and on
-    Delta/Iceberg you'd issue a metadata DELETE instead. The operator
-    interface (keys in, per-table removal report out) is unchanged.
+  * `erase_keys_pruned` rewrites ONLY the parquet files whose
+    row-group min/max key stats can contain an erase key — files that
+    provably exclude every key are carried over byte-identical
+    (hardlinked, never re-encoded). With the sorted/range layout
+    `sources/io.py` writes, an erasure run touches O(keys) files, not
+    the lake. On Delta/Iceberg you'd issue a metadata DELETE instead;
+    the operator interface (keys in, per-table report out) is
+    unchanged. Footer reads are a driver metadata loop here; at lake
+    scale those stats live in the commit manifest (atomic.py) and the
+    same pruning reads the manifest instead.
   * The swap is write-temp → two atomic renames (current → .__old__,
     tmp → current) → delete .__old__, so at every instant the table
     path either is the old snapshot or the new one — a crash
@@ -70,6 +75,109 @@ def erase_keys(
         os.replace(tmp, final)
         shutil.rmtree(old)
         report[table] = n_before - wh.read(table).count()
+    return report
+
+
+def _files_that_may_contain(path: str, key: str, keys: list) -> tuple[list[str], list[str]]:
+    """Split a parquet table dir into (candidate, clean) part files by
+    row-group min/max footer stats on `key`: a file is clean only if
+    EVERY row group's [min, max] provably excludes EVERY erase key.
+    Missing stats → candidate (never assume exclusion)."""
+    import bisect
+
+    import pyarrow.parquet as pq
+
+    skeys = sorted(keys)
+    candidates, clean = [], []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        fpath = os.path.join(path, name)
+        md = pq.ParquetFile(fpath).metadata
+        may = False
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            col = next(
+                (
+                    row_group.column(j)
+                    for j in range(row_group.num_columns)
+                    if row_group.column(j).path_in_schema == key
+                ),
+                None,
+            )
+            st = col.statistics if col is not None else None
+            if st is None or not st.has_min_max:
+                may = True
+                break
+            # any erase key inside [min, max]? (keys sorted → bisect)
+            i = bisect.bisect_left(skeys, st.min)
+            if i < len(skeys) and skeys[i] <= st.max:
+                may = True
+                break
+        (candidates if may else clean).append(fpath)
+    return candidates, clean
+
+
+def erase_keys_pruned(
+    wh: Warehouse,
+    ids: DataFrame,
+    key: str,
+    tables: list[str],
+) -> dict[str, dict]:
+    """Stat-pruned erasure: identical result to `erase_keys`, but only
+    the part files whose row-group min/max stats can contain an erase
+    key are decoded and rewritten — every other file is hardlinked
+    into the new snapshot byte-identical. The atomic two-rename swap
+    is unchanged, so a crash never leaves a half-scrubbed table.
+
+    Returns per table ``{"rows_removed": n, "files_total": t,
+    "files_rewritten": r}`` (``rows_removed`` = -1 for tables lacking
+    the key column). The erase-key set crosses the driver once — it is
+    tiny by the same contract that lets the anti-join broadcast it.
+    """
+    spark = ids.sparkSession
+    key_vals = [r[0] for r in ids.select(key).distinct().collect()]
+    erase_set = F.broadcast(
+        spark.createDataFrame([(k,) for k in key_vals], ids.select(key).schema)
+    )
+    report: dict[str, dict] = {}
+    for table in tables:
+        if not wh.exists(table):
+            continue
+        df = wh.read(table)
+        if key not in df.columns:
+            report[table] = {"rows_removed": -1, "files_total": 0, "files_rewritten": 0}
+            continue
+        final = wh.path(table)
+        candidates, clean = _files_that_may_contain(final, key, key_vals)
+        if not candidates or not key_vals:
+            report[table] = {
+                "rows_removed": 0,
+                "files_total": len(candidates) + len(clean),
+                "files_rewritten": 0,
+            }
+            continue
+        tmp = final + ".__erase_rewrite__"
+        old = final + ".__old__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        hit = spark.read.parquet(*candidates)
+        kept = hit.join(erase_set, key, "left_anti")
+        kept.write.mode("overwrite").parquet(tmp)
+        n_removed = hit.count() - spark.read.parquet(tmp).count()
+        # carry clean files over byte-identical (hardlink, no re-encode)
+        for fpath in clean:
+            os.link(fpath, os.path.join(tmp, os.path.basename(fpath)))
+        if os.path.exists(old):
+            shutil.rmtree(old)  # leftover from a prior crash
+        os.replace(final, old)
+        os.replace(tmp, final)
+        shutil.rmtree(old)
+        report[table] = {
+            "rows_removed": n_removed,
+            "files_total": len(candidates) + len(clean),
+            "files_rewritten": len(candidates),
+        }
     return report
 
 

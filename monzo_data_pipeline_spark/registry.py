@@ -1647,21 +1647,16 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    # global-order window: fine for quartile assignment over a single
-    # result set; at 100 TB use approx percentile bounds instead (see
-    # SCALE_DESIGN.md cliff #1)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    # exact ntile with NO global-order window (SCALE_DESIGN cliff #1,
+    # closed in r3): boundary cut pairs are computed cluster-side and
+    # broadcast as literals; assignment is map-side. Bit-identical to
+    # ntile(4) OVER (ORDER BY o_totalprice, o_orderkey).
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    nt = WN.exact_ntile(o, 4, "o_totalprice", "o_orderkey", out_col="quartile")
+    return nt.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )
 
 
@@ -2129,14 +2124,51 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_CLEAN_SQL = r"""
+        CASE WHEN length(regexp_replace(COALESCE(text, ''),
+                                        '[^\x20-\x7e]', '', 'g')) = 0
+             THEN ' '
+             ELSE regexp_replace(COALESCE(text, ''), '[^\x20-\x7e]', '', 'g')
+        END"""
+
+_MEDIA_CODES_CTE = f"""
+    WITH d AS (
+        SELECT doc_id AS media_id, {_MEDIA_CLEAN_SQL} AS clean
+        FROM documents
+    ), s AS (
+        SELECT media_id, length(clean) AS L,
+               list_transform(range(1, length(clean) + 1),
+                              i -> CAST(ascii(clean[i]) AS BIGINT)) AS codes
+        FROM d
+    )"""
+
+
 @_register(
     "media_feature_extract",
-    "north-star (Arrow-batched mapInPandas feature extraction over binary "
-    "payloads; deterministic stub decoder → rows-only)",
-    None,
+    "C5/north-star (REAL feature extraction: ext/images.py decode under "
+    "Arrow-batched mapInPandas — integer-exact [w, h, c, pix_sum, "
+    "per-channel sums] vector; oracle recomputes every statistic from the "
+    "deterministic raster-cycling rule)",
+    f"""{_MEDIA_CODES_CTE}
+    SELECT media_id, TRUE AS valid, CAST(781 AS BIGINT) AS n_bytes,
+           [CAST(16 AS DOUBLE), CAST(16 AS DOUBLE), CAST(3 AS DOUBLE),
+            CAST((768 // L) * list_sum(codes)
+                 + CASE WHEN 768 % L = 0 THEN 0
+                        ELSE list_sum(codes[1:(768 % L)]) END AS DOUBLE),
+            CAST(list_sum(list_transform(range(0, 256),
+                 p -> codes[((p*3 + 0) % L) + 1])) AS DOUBLE),
+            CAST(list_sum(list_transform(range(0, 256),
+                 p -> codes[((p*3 + 1) % L) + 1])) AS DOUBLE),
+            CAST(list_sum(list_transform(range(0, 256),
+                 p -> codes[((p*3 + 2) % L) + 1])) AS DOUBLE)] AS feature
+    FROM s ORDER BY media_id
+    """,
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    from .ext import images as IMG
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.images_as_media(IMG.documents_as_images(docs), width=16, height=16)
     return MM.extract_features(media)
 
 
@@ -2190,15 +2222,40 @@ def q_audio_windowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "media_resize",
-    "C5/north-star (Arrow-batched resize slot: mapInPandas, meta rewritten "
-    "to target dims; decoder stubbed — rows-only check)",
-    None,
+    "C5/north-star (REAL resize slot: decode → nearest-neighbor resample → "
+    "P6 re-encode with the meta struct rewritten; the oracle recomputes the "
+    "resized raster sum by the (2y, 2x) source-sampling index rule and the "
+    "JVM side checksums the actual re-encoded payload bytes)",
+    f"""{_MEDIA_CODES_CTE}
+    SELECT media_id, TRUE AS valid, CAST(203 AS BIGINT) AS n_bytes,
+           8 AS width, 8 AS height,
+           CAST(list_sum(list_transform(range(0, 192),
+             j -> codes[(((((j // 24) * 2) * 16 + ((j // 3) % 8) * 2) * 3
+                          + (j % 3)) % L) + 1])) AS BIGINT) AS pix_sum
+    FROM s ORDER BY media_id
+    """,
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
-    return MM.resize_media(media, target_w=8, target_h=8).select(
-        "media_id", F.col("meta.n_bytes").alias("n_bytes"),
-        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    from .ext import images as IMG
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.images_as_media(IMG.documents_as_images(docs), width=16, height=16)
+    resized = MM.resize_media(media, target_w=8, target_h=8)
+    # content check stays JVM-side: the P6 payload is printable ASCII
+    # (nearest-neighbor sampling of an ASCII raster), so the pixel sum
+    # is one decode+split per row feeding the HOF — the split() input
+    # is evaluated once per row, only the ascii() lambda runs per char
+    pix = (
+        "aggregate(transform(split(decode(substring(payload, 12, 192), 'UTF-8'), "
+        "''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    return resized.select(
+        "media_id",
+        "valid",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.expr(pix).alias("pix_sum"),
     )
 
 
@@ -3859,13 +3916,80 @@ _FC.register(_register)
 # ---------------------------------------------------------------------------
 
 
+# The driver's correctness gate hash-checks the FIRST 50 registry
+# entries only (the full 178 run under tools/oracle_check.py). This
+# curated prefix puts at least one query from EVERY operator family
+# inside that window — flagship agg, filters/limits, fin analytics,
+# GDPR, merge/dedup, projection, reconciliation, scalars, nested,
+# star/broadcast/TPC-H joins, as-of, PQ, set ops, salted windows, the
+# de-fanged exact ntile, rollup/pivot, exact sketch twins, streaming
+# batch twins, the text family, packing, ANN (brute/IVF/LSH/JL),
+# near-dup (jaccard/cluster/contamination/entity), BPE, real image /
+# video / media codecs, profiling. Names are stable; only order moved.
+_DRIVER_PREFIX = [
+    "monthly_spend",
+    "pricing_summary",
+    "date_range_filter",
+    "top_k_orders",
+    "spend_trend_slopes",
+    "pseudonymized_activity",
+    "anti_join_new_keys",
+    "project_cast_stamp",
+    "reconciliation_checksums",
+    "scalar_functions",
+    "struct_flatten",
+    "array_ops",
+    "first_wins_dedup",
+    "exact_dup_groups",
+    "fk_star_join",
+    "broadcast_enrich_rates",
+    "shipping_priority_q3",
+    "asof_join",
+    "pq_rerank_topk",
+    "set_except",
+    "top_n_per_group_salted",
+    "running_total",
+    "ntile_quartiles",
+    "rollup_spend",
+    "pivot_status_by_month",
+    "exact_distinct_counts",
+    "exact_percentiles",
+    "tumbling_window_agg",
+    "sessionization",
+    "interval_join_attribution",
+    "word_frequencies",
+    "token_stats",
+    "lang_id_heuristic",
+    "quality_scores",
+    "pack_sequences",
+    "cosine_topk_bruteforce",
+    "ivf_topk",
+    "bucketed_near_pairs",
+    "random_projection_embed",
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "benchmark_contamination",
+    "fuzzy_name_pairs",
+    "bpe_merge_table",
+    "image_decode_stats",
+    "image_resize_real",
+    "video_frame_stats",
+    "media_resize",
+    "media_feature_extract",
+    "table_profile",
+]
+
+
 def specs() -> list[QuerySpec]:
-    return list(_SPECS)
+    by_name = {s.name: s for s in _SPECS}
+    head = [by_name[n] for n in _DRIVER_PREFIX if n in by_name]
+    in_head = set(_DRIVER_PREFIX)
+    return head + [s for s in _SPECS if s.name not in in_head]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {s.name: s.fn for s in _SPECS}
+    return {s.name: s.fn for s in specs()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}
+    return {s.name: s.oracle for s in specs() if s.oracle is not None}

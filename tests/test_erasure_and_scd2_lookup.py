@@ -93,3 +93,77 @@ def test_pseudonymize_consistent_salted_and_null_safe(spark):
     pc = pseudonymize_columns(a, ["uid"], salt="s2")
     tc = {r["v"]: r["uid"] for r in pc.collect()}
     assert tc[10] != ta[10]
+
+
+def test_erase_keys_pruned_keeps_clean_files_byte_identical(spark, tmp_path):
+    """Stat pruning: files whose min/max provably exclude every erase
+    key are hardlinked, not re-encoded — byte-identical after the run;
+    only the hit files rewrite; result matches wholesale erase_keys."""
+    import hashlib
+    import os
+
+    from monzo_data_pipeline_spark.pipeline.erasure import erase_keys_pruned
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(1000)], "user_id bigint, payload string"
+    )
+    # range layout → disjoint per-file key ranges → prunable stats
+    laid_out = df.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
+    laid_out.write.mode("overwrite").parquet(wh.path("tx"))
+
+    def file_hashes():
+        return {
+            n: hashlib.md5(open(os.path.join(wh.path("tx"), n), "rb").read()).hexdigest()
+            for n in os.listdir(wh.path("tx"))
+            if n.endswith(".parquet")
+        }
+
+    before = file_hashes()
+    ids = spark.createDataFrame([(3,), (7,)], "user_id bigint")  # one range
+    report = erase_keys_pruned(wh, ids, "user_id", ["tx"])
+
+    assert report["tx"]["rows_removed"] == 2
+    assert report["tx"]["files_total"] == len(before)
+    # both keys land in the lowest range partition → exactly 1 rewrite
+    assert report["tx"]["files_rewritten"] == 1
+    after = file_hashes()
+    # every clean file survives with identical bytes under its own name
+    carried = set(before) & set(after)
+    assert len(carried) == len(before) - 1
+    assert all(before[n] == after[n] for n in carried)
+    # data result identical to the wholesale path
+    remaining = {r.user_id for r in wh.read("tx").collect()}
+    assert remaining == set(range(1000)) - {3, 7}
+
+    # idempotent re-run: min/max can't prove INTERIOR absence, so the
+    # one straddling file rewrites again (removing nothing) — but the
+    # clean files still never rewrite
+    again = erase_keys_pruned(wh, ids, "user_id", ["tx"])
+    assert again["tx"]["files_rewritten"] <= 1 and again["tx"]["rows_removed"] == 0
+    final = file_hashes()
+    assert all(after[n] == final[n] for n in set(after) & set(final) & carried)
+
+    # keys outside every file's range prune to zero work
+    off_range = spark.createDataFrame([(10_000,)], "user_id bigint")
+    noop = erase_keys_pruned(wh, off_range, "user_id", ["tx"])
+    assert noop["tx"]["files_rewritten"] == 0 and noop["tx"]["rows_removed"] == 0
+    assert file_hashes() == final
+
+
+def test_erase_keys_pruned_matches_wholesale_and_handles_missing_key(spark, tmp_path):
+    from monzo_data_pipeline_spark.pipeline.erasure import erase_keys_pruned
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.overwrite(
+        spark.createDataFrame(
+            [(i % 5, float(i)) for i in range(50)], "user_id bigint, v double"
+        ),
+        "t",
+    )
+    wh.overwrite(spark.createDataFrame([(9, "x")], "other_id bigint, v string"), "nokey")
+    ids = spark.createDataFrame([(1,), (4,)], "user_id bigint")
+    report = erase_keys_pruned(wh, ids, "user_id", ["t", "nokey", "absent"])
+    assert report["t"]["rows_removed"] == 20
+    assert report["nokey"]["rows_removed"] == -1
+    assert {r.user_id for r in wh.read("t").collect()} == {0, 2, 3}

@@ -276,6 +276,37 @@ def test_no_python_eval_in_oracle_checked_plans(spark, sf_dir):
     assert offenders == []
 
 
+def _unpartitioned_windows(df) -> bool:
+    """Walk the optimized logical plan: any Window node whose
+    partitionSpec is empty serializes the whole input onto one task."""
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            return True
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return False
+
+
+def test_no_unpartitioned_window_in_any_registry_plan(spark, sf_dir):
+    """Global contract: NO registry query — oracle-checked or not —
+    plans a global-order window (WindowExec with no partition spec).
+    ntile_quartiles was the one offender (r2 verdict); it now computes
+    broadcast cut pairs instead. A global window moves the entire
+    table through ONE task — the canonical 100 TB scale-killer."""
+    from monzo_data_pipeline_spark.registry import specs
+
+    offenders = []
+    for spec in specs():
+        if _unpartitioned_windows(spec.fn(spark, sf_dir)):
+            offenders.append(spec.name)
+    assert offenders == []
+
+
 def test_schema_drift_report_and_policy():
     from pyspark.sql import types as T
 

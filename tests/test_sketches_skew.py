@@ -183,3 +183,45 @@ def test_salted_topk_equals_plain_topk_on_hot_group(spark):
         for r in salted_topk_per_group(df, ["k"], "v", "id", n=7, salt_buckets=16).collect()
     }
     assert salted == plain
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """exact_ntile (broadcast cut pairs, no global window) must be
+    bit-identical to ntile() OVER a global order — including heavy
+    ties, N not divisible by n, and N < n."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from monzo_data_pipeline_spark.operators.windows import exact_ntile
+
+    cases = [
+        # (values, n_buckets): heavy ties around every boundary
+        ([5.0] * 37 + [1.0] * 13 + [9.0] * 50, 4),
+        # uneven N % n with distinct values
+        ([float(i % 53) for i in range(101)], 7),
+        # fewer rows than buckets
+        ([2.0, 1.0, 3.0], 5),
+        # single distinct value (degenerate range bucketing)
+        ([4.2] * 25, 4),
+    ]
+    for vals, nb in cases:
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(vals)], "v double, id bigint"
+        )
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        plain = {
+            (r.id, r.nt)
+            for r in df.withColumn("nt", F.ntile(nb).over(w)).collect()
+        }
+        got = {
+            (r.id, r.nt)
+            for r in exact_ntile(df, nb, "v", "id", range_buckets=8).collect()
+        }
+        assert got == plain, f"mismatch for case n={nb}"
+
+
+def test_exact_ntile_empty_input(spark):
+    from monzo_data_pipeline_spark.operators.windows import exact_ntile
+
+    df = spark.createDataFrame([], "v double, id bigint")
+    assert exact_ntile(df, 4, "v", "id").count() == 0

@@ -155,24 +155,66 @@ def test_zorder_equi_depth_handles_skewed_column(spark, tmp_path):
     assert (got["n"], got["s"]) == (want["n"], want["s"])
 
 
-def test_resize_media_size_law_and_meta(spark):
+def test_resize_media_real_codec_and_quarantine(spark):
+    import numpy as np
+
+    from monzo_data_pipeline_spark.ext import images as IMG
     from monzo_data_pipeline_spark.ext import multimodal as MM
 
-    docs = spark.createDataFrame(
-        [(1, "x" * 500), (2, "short")], "doc_id bigint, text string"
+    arr = np.arange(16 * 16 * 3, dtype=np.int64).reshape(16, 16, 3) % 251
+    good = IMG.encode_ppm(arr.astype(np.uint8))
+    media = MM.images_as_media(
+        spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"not an image"))],
+            "media_id bigint, payload binary",
+        ),
+        width=16,
+        height=16,
     )
-    out = {
-        r.media_id: r
-        for r in MM.resize_media(
-            MM.documents_as_media(docs), target_w=8, target_h=8
-        ).collect()
-    }
-    # large payload shrinks to exactly w*h bytes; small passes through
-    assert len(out[1].payload) == 64 and out[1].meta.n_bytes == 64
-    assert len(out[2].payload) == 5
+    out = {r.media_id: r for r in MM.resize_media(media, 8, 8).collect()}
+    # decodable payload: REAL decode → nearest resize → P6 re-encode
+    assert out[1].valid
     assert out[1].meta.width == 8 and out[1].meta.height == 8
-    # deterministic content: stride subsample of a constant is constant
-    assert out[1].payload == b"x" * 64
+    assert out[1].meta.mime == "image/x-portable-pixmap"
+    assert out[1].meta.n_bytes == len(out[1].payload) == 11 + 192
+    expect = IMG.resize_nearest(arr.astype(np.uint8), 8, 8)
+    assert np.array_equal(IMG.decode_image(bytes(out[1].payload)), expect)
+    # undecodable payload: dead-letter row keeps the original evidence
+    assert not out[2].valid
+    assert bytes(out[2].payload) == b"not an image"
+    assert out[2].meta.width is None and out[2].meta.n_bytes == 12
+    # codec validation mirrors resize_images
+    try:
+        MM.resize_media(media, 8, 8, codec="gif")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_extract_features_real_decode(spark):
+    import numpy as np
+
+    from monzo_data_pipeline_spark.ext import images as IMG
+    from monzo_data_pipeline_spark.ext import multimodal as MM
+
+    arr = (np.arange(4 * 4 * 3, dtype=np.int64) % 256).reshape(4, 4, 3)
+    good = IMG.encode_ppm(arr.astype(np.uint8))
+    media = MM.images_as_media(
+        spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"\xff\xd8\xff junk"))],
+            "media_id bigint, payload binary",
+        )
+    )
+    out = {r.media_id: r for r in MM.extract_features(media).collect()}
+    f = out[1].feature
+    assert out[1].valid and out[1].n_bytes == len(good)
+    assert f[:3] == [4.0, 4.0, 3.0]
+    assert f[3] == float(arr.sum())
+    assert f[4:] == [float(arr[:, :, k].sum()) for k in range(3)]
+    # per-channel sums recompose the total
+    assert f[4] + f[5] + f[6] == f[3]
+    # JPEG (entropy-coded, honestly unsupported) quarantines
+    assert not out[2].valid and out[2].feature is None
 
 
 def test_window_audio_offsets_and_slices(spark):
