@@ -1,13 +1,14 @@
 """Real image codecs for the multimodal column family — SURVEY.md §2.C5.
 
-The container has no imaging library, but these formats need none:
-**binary netpbm (P5/P6)** and **uncompressed 24-bit BMP** are fully
-specified byte layouts decodable with numpy alone, the same way the
-WAV/PCM decoder (`multimodal.py::decode_wav`) needs only `struct`;
-**PNG** (8-bit, non-interlaced: gray/RGB/RGBA/palette, all five
-scanline filters) decodes with stdlib `zlib` + numpy. Only JPEG still
-raises `NotImplementedError` — its entropy coding has no stdlib
-counterpart.
+The container has no imaging library, but none is needed: **binary
+netpbm (P5/P6)** and **uncompressed 24-bit BMP** are fully specified
+byte layouts decodable with numpy alone, the same way the WAV/PCM
+decoder (`multimodal.py::decode_wav`) needs only `struct`; **PNG**
+(8-bit, non-interlaced: gray/RGB/RGBA/palette, all five scanline
+filters) decodes with stdlib `zlib` + numpy; **baseline-sequential
+JPEG** decodes via `ext/jpeg.py` (numpy Huffman + dequant + IDCT,
+r3). Progressive/arithmetic JPEG and subsampled chroma raise
+ValueError and quarantine.
 
 Reference parity: the reference treats media as opaque blobs end to
 end (it is a banking ETL, /root/reference/src/extract/extract.py);
@@ -128,10 +129,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatching image decode: netpbm (P5/P6), uncompressed 24-bit
-    BMP, and 8-bit non-interlaced PNG (DEFLATE via stdlib zlib) are
-    decoded for real; only JPEG raises NotImplementedError — its
-    entropy coding has no stdlib counterpart."""
+    """Dispatching image decode — every format decodes for REAL:
+    netpbm (P5/P6), uncompressed 24-bit BMP, 8-bit non-interlaced PNG
+    (DEFLATE via stdlib zlib), and baseline-sequential JPEG
+    (`ext/jpeg.py`: Huffman + dequant + IDCT in numpy). Progressive /
+    arithmetic / subsampled JPEG raises ValueError from the codec —
+    callers quarantine."""
     if not payload:
         raise ValueError("null or empty image payload")
     head = payload[:8]
@@ -142,10 +145,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if head[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
     if head[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires a codec library (Huffman/arithmetic "
-            "entropy decode has no stdlib counterpart)"
-        )
+        from monzo_data_pipeline_spark.ext.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("unrecognized image payload")
 
 
@@ -435,8 +437,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 # ASCII stream header + "FRAME"-delimited raw planar frames, so like
 # netpbm it needs only numpy. C444 = full-resolution Y/U/V planes.
 # With this, all three modalities of C5 decode for real (WAV audio,
-# netpbm/BMP/PNG images, y4m video); only entropy-coded formats
-# (JPEG/H.26x) remain honestly out of scope.
+# netpbm/BMP/PNG/baseline-JPEG images, y4m video); only H.26x-class
+# compressed video remains honestly out of scope.
 # ---------------------------------------------------------------------------
 
 

@@ -3,8 +3,9 @@
 Policy: image/audio/video payloads are opaque `binary` columns with a
 typed metadata struct beside them. All media stages decode for REAL
 via the stdlib/numpy codecs in `ext/images.py` (netpbm, BMP, 8-bit
-PNG, y4m video) and `decode_wav` below (RIFF/PCM audio); only
-entropy-coded formats (JPEG/H.26x) are out of scope and quarantine.
+PNG, baseline JPEG via `ext/jpeg.py`, y4m video) and `decode_wav`
+below (RIFF/PCM audio); only compressed video (H.26x) is out of
+scope and quarantines.
 Undecodable payloads become dead-letter rows (valid=false), never
 stage failures.
 
@@ -71,10 +72,9 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> object:
     """REAL decode via ext/images.py: netpbm (P5/P6), uncompressed
-    24-bit BMP (numpy only), and 8-bit non-interlaced PNG (stdlib
-    zlib DEFLATE + numpy unfiltering). Only JPEG still raises
-    NotImplementedError — its entropy coding has no stdlib
-    counterpart."""
+    24-bit BMP (numpy only), 8-bit non-interlaced PNG (stdlib zlib
+    DEFLATE + numpy unfiltering), and baseline-sequential JPEG
+    (ext/jpeg.py: numpy Huffman + dequant + IDCT)."""
     from monzo_data_pipeline_spark.ext.images import decode_image as _decode
 
     return _decode(payload)

@@ -2259,6 +2259,29 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "jpeg_decode_stats",
+    "C5/north-star (REAL baseline JPEG codec — numpy Huffman + dequant + "
+    "IDCT, ext/jpeg.py — under the gate: constant-8×8-block grayscale "
+    "JPEGs roundtrip bit-exact with the all-ones quant table, so the "
+    "oracle recomputes every pixel sum from the character-cycling rule)",
+    f"""{_MEDIA_CODES_CTE}
+    SELECT media_id, TRUE AS valid, 16 AS width, 16 AS height,
+           1 AS channels, CAST(256 AS BIGINT) AS n_pixels,
+           CAST(64 * (codes[(0 % L) + 1] + codes[(1 % L) + 1]
+                      + codes[(2 % L) + 1] + codes[(3 % L) + 1])
+                AS BIGINT) AS pix_sum
+    FROM s ORDER BY media_id
+    """,
+)
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext import images as IMG
+    from .ext.jpeg import documents_as_jpegs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return IMG.image_stats(documents_as_jpegs(docs))
+
+
 # ---------------------------------------------------------------------------
 # Breadth batch 4: correlated-exists aggregation (TPC-H Q4 shape), volume
 # shipping (Q7 shape), time-RANGE windows, rank distributions, algebraic

@@ -76,10 +76,15 @@ class TestCodecs:
         with pytest.raises(ValueError, match="truncated"):
             IMG.decode_bmp(_bmp24(arr)[:-5])
 
-    def test_jpeg_stub_and_malformed_png(self):
-        # JPEG: the one remaining honest stub (no stdlib entropy decoder)
-        with pytest.raises(NotImplementedError):
+    def test_jpeg_dispatch_and_malformed_png(self):
+        # JPEG decodes for real now (ext/jpeg.py); a JPEG-magic payload
+        # with garbage segments is malformed, not unimplemented
+        with pytest.raises(ValueError):
             IMG.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+        from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg
+
+        const = np.full((8, 8), 42, dtype=np.uint8)
+        assert IMG.decode_image(encode_jpeg(const))[:, :, 0].tolist() == const.tolist()
         # PNG now decodes for real — a PNG-magic payload with no valid
         # chunks is malformed, not unimplemented
         with pytest.raises(ValueError):
@@ -247,11 +252,15 @@ class TestPng:
         with pytest.raises(ValueError, match="8-bit"):
             IMG.decode_png(payload)
 
-    def test_dispatch_decodes_png_and_still_rejects_jpeg(self):
+    def test_dispatch_decodes_png_and_jpeg(self):
         arr = np.random.default_rng(1).integers(0, 256, (3, 3, 3), dtype=np.uint8)
         assert np.array_equal(IMG.decode_image(IMG.encode_png(arr)), arr)
-        with pytest.raises(NotImplementedError, match="JPEG"):
-            IMG.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+        # JPEG dispatches to the real baseline codec now
+        from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg
+
+        out = IMG.decode_image(encode_jpeg(arr))
+        assert out.shape == (3, 3, 3)
+        assert np.abs(out.astype(int) - arr.astype(int)).max() <= 4
 
     def test_resize_images_png_codec(self, spark):
         arr = np.random.default_rng(4).integers(0, 256, (16, 16, 3), dtype=np.uint8)

@@ -1,0 +1,107 @@
+"""Baseline JPEG codec (ext/jpeg.py): roundtrip laws, restart
+intervals, unsupported-feature rejection, Spark-side quarantine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from monzo_data_pipeline_spark.ext.jpeg import decode_jpeg, encode_jpeg
+
+
+def test_constant_blocks_roundtrip_exact():
+    # DC-only blocks with the all-ones quant table are bit-exact —
+    # the property the jpeg_decode_stats oracle relies on
+    arr = np.zeros((16, 16), dtype=np.uint8)
+    arr[:8, :8], arr[:8, 8:], arr[8:, :8], arr[8:, 8:] = 65, 97, 32, 126
+    out = decode_jpeg(encode_jpeg(arr))
+    assert out.shape == (16, 16, 1)
+    assert np.array_equal(out[:, :, 0], arr)
+
+
+def test_gray_roundtrip_near_lossless_and_odd_dims():
+    rng = np.random.RandomState(11)
+    for shape in [(24, 17), (8, 8), (9, 25), (33, 7)]:
+        a = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(a))
+        assert out.shape == (*shape, 1)
+        # all-ones quant: only coefficient rounding error survives
+        assert np.abs(out[:, :, 0].astype(int) - a.astype(int)).max() <= 2
+
+
+def test_color_roundtrip_within_ycbcr_rounding():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(a))
+    assert out.shape == a.shape
+    assert np.abs(out.astype(int) - a.astype(int)).max() <= 4
+
+
+def test_restart_intervals_roundtrip():
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, (32, 32), dtype=np.uint8)  # 16 MCUs
+    p = encode_jpeg(a, restart_interval=3)
+    assert b"\xff\xdd" in p  # DRI present
+    assert p.count(b"\xff\xd0") + p.count(b"\xff\xd1") >= 1  # RSTn markers
+    out = decode_jpeg(p)
+    assert np.abs(out[:, :, 0].astype(int) - a.astype(int)).max() <= 2
+
+
+def test_quant_table_coarse_still_decodes():
+    a = (np.arange(256, dtype=np.uint8).reshape(16, 16) // 2) + 64
+    q = np.full((8, 8), 16, dtype=np.int64)
+    out = decode_jpeg(encode_jpeg(a, quant=q))
+    # lossy but sane: mean within a few levels of the source
+    assert abs(float(out.mean()) - float(a.mean())) < 8.0
+
+
+def test_malformed_payloads_raise_value_error():
+    good = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8))
+    cases = [
+        b"",  # empty
+        b"\xff\xd8\xff",  # header only
+        good[:30],  # truncated segment
+        good[:-4],  # truncated scan/EOI
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF
+    ]
+    for bad in cases:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_subsampled_and_16bit_rejected():
+    good = encode_jpeg(np.full((8, 8, 3), 77, dtype=np.uint8))
+    # flip the Y sampling factor byte (0x11 → 0x22) inside SOF0
+    i = good.index(b"\xff\xc0")
+    sof = bytearray(good)
+    # SOF body: len(2) prec(1) h(2) w(2) nc(1) then [id, samp, tq]*
+    sof[i + 2 + 2 + 5 + 1 + 1] = 0x22
+    with pytest.raises(ValueError, match="subsampl"):
+        decode_jpeg(bytes(sof))
+
+
+def test_dispatch_and_spark_quarantine(spark):
+    from monzo_data_pipeline_spark.ext import images as IMG
+
+    good = encode_jpeg(np.full((8, 8), 200, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\xff\xd8\xff\xe0 junk"))],
+        "media_id bigint, payload binary",
+    )
+    out = {r.media_id: r for r in IMG.image_stats(media).collect()}
+    assert out[1].valid and out[1].pix_sum == 200 * 64 and out[1].channels == 1
+    assert not out[2].valid  # malformed JPEG quarantines, not crashes
+
+
+def test_documents_as_jpegs_matches_rule(spark):
+    from monzo_data_pipeline_spark.ext import images as IMG
+    from monzo_data_pipeline_spark.ext.jpeg import documents_as_jpegs
+
+    docs = spark.createDataFrame(
+        [(1, "AbCd rest ignored"), (2, "x"), (3, "éé")],
+        "doc_id bigint, text string",
+    )
+    stats = {r.media_id: r for r in IMG.image_stats(documents_as_jpegs(docs)).collect()}
+    assert stats[1].pix_sum == 64 * (ord("A") + ord("b") + ord("C") + ord("d"))
+    assert stats[2].pix_sum == 64 * 4 * ord("x")  # cycled single char
+    assert stats[3].pix_sum == 64 * 4 * ord(" ")  # non-ASCII → space rule
