@@ -208,6 +208,48 @@ def erase_keys_atomic(wh, ids: DataFrame, key: str, tables: list[str]) -> dict[s
     return report
 
 
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Re-identification risk audit (the k-anonymity criterion,
+    Sweeney 2002): every equivalence class of the quasi-identifier
+    columns with fewer than `k` members — the rows an adversary can
+    single out by joining on public attributes. The export gate that
+    runs BEFORE `pseudonymize_columns` ships data: pseudonymization
+    hides direct identifiers, this catches indirect ones.
+
+    One map-side-combined groupBy on the quasi columns; the output is
+    bounded by the number of RISKY classes, not rows. 100 TB: the agg
+    shuffles |distinct quasi| rows, nothing else."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .filter(F.col("class_size") < k)
+    )
+
+
+def l_diversity_audit(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l_min: int = 2
+) -> DataFrame:
+    """Attribute-disclosure audit (l-diversity, Machanavajjhala 2007):
+    quasi-identifier classes whose SENSITIVE column takes fewer than
+    `l_min` distinct values — even a k-anonymous class leaks when
+    everyone in it shares the sensitive value. Same single-agg physics
+    as `k_anonymity_audit` (exact distinct per class: one shuffle on
+    (quasi, sensitive) then one on quasi)."""
+    per_value = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        per_value.groupBy(*quasi_cols)
+        .agg(
+            F.sum("n").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("n_sensitive_values"),
+        )
+        .filter(F.col("n_sensitive_values") < l_min)
+    )
+
+
 def pseudonymize_columns(df: DataFrame, cols: list[str], salt: str) -> DataFrame:
     """GDPR pseudonymization (Art. 4(5)): replace identifier columns
     with salted deterministic tokens — consistent across tables (joins

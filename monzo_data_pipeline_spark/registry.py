@@ -3917,6 +3917,49 @@ def q_adaptive_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Privacy audits (GDPR family, round 3): the export gates that run
+# BEFORE pseudonymized data ships.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "k_anonymity_audit",
+    "north-star/GDPR (k-anonymity re-identification audit: quasi-identifier "
+    "equivalence classes smaller than k — one map-side-combined agg)",
+    """
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS class_size
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) < 12
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.erasure import k_anonymity_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    return k_anonymity_audit(ev, ["user_id", "event_type"], k=12)
+
+
+@_register(
+    "l_diversity_audit",
+    "north-star/GDPR (l-diversity attribute-disclosure audit: quasi classes "
+    "whose sensitive column is constant — k-anonymous yet leaking)",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive_values
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderstatus) < 2
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.erasure import l_diversity_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return l_diversity_audit(o, ["o_custkey"], "o_orderstatus", l_min=2)
+
+
+# ---------------------------------------------------------------------------
 # Classic warehouse shapes (TPC-H Q2/Q6/Q8-Q15/Q17-Q19/Q22 analogs) live in
 # their own module; they register through the same decorator.
 # ---------------------------------------------------------------------------

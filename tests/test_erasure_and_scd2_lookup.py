@@ -167,3 +167,35 @@ def test_erase_keys_pruned_matches_wholesale_and_handles_missing_key(spark, tmp_
     assert report["t"]["rows_removed"] == 20
     assert report["nokey"]["rows_removed"] == -1
     assert {r.user_id for r in wh.read("t").collect()} == {0, 2, 3}
+
+
+def test_k_anonymity_and_l_diversity_audits(spark):
+    from monzo_data_pipeline_spark.pipeline.erasure import (
+        k_anonymity_audit,
+        l_diversity_audit,
+    )
+
+    df = spark.createDataFrame(
+        # quasi = (zip, age); sensitive = diagnosis
+        [
+            ("10001", 30, "flu"),
+            ("10001", 30, "flu"),
+            ("10001", 30, "cold"),   # class of 3, 2 sensitive values
+            ("10002", 40, "flu"),    # class of 1 -> k-risky
+            ("10003", 50, "covid"),
+            ("10003", 50, "covid"),  # class of 2, but constant sensitive
+        ],
+        "zip string, age int, diagnosis string",
+    )
+    krisk = {
+        (r.zip, r.age): r.class_size
+        for r in k_anonymity_audit(df, ["zip", "age"], k=3).collect()
+    }
+    assert krisk == {("10002", 40): 1, ("10003", 50): 2}
+
+    lrisk = {
+        (r.zip, r.age): (r.class_size, r.n_sensitive_values)
+        for r in l_diversity_audit(df, ["zip", "age"], "diagnosis", l_min=2).collect()
+    }
+    # 10001 is diverse (flu+cold); the other two classes are constant
+    assert lrisk == {("10002", 40): (1, 1), ("10003", 50): (2, 1)}

@@ -103,6 +103,29 @@ QUERY_SET = [
     "image_decode_stats",
     "bpe_merge_table",
     "random_projection_embed",
+    # round-3 batch: every remaining top-20-expensive query (bench
+    # ranking) + the r2/r3 operator families previously unswept —
+    # video, profiling, reconciliation, GDPR, media slots, JPEG, the
+    # de-fanged exact ntile, fin analytics
+    "frequently_bought_together",
+    "table_profile",
+    "textrank_keywords",
+    "parts_supplier_counts_q16",
+    "bigram_rarity_scores",
+    "stratified_fixed_n_sample",
+    "dup_ngram_stats",
+    "bpe_segmentation_stats",
+    "min_cost_supplier_q2",
+    "tfidf_top_terms",
+    "shipping_priority_q3",
+    "video_frame_stats",
+    "reconciliation_checksums",
+    "pseudonymized_activity",
+    "ntile_quartiles",
+    "media_resize",
+    "media_feature_extract",
+    "jpeg_decode_stats",
+    "ewma_user_values",
 ]
 
 KEY_OFFSET = 100_000_000
