@@ -54,9 +54,73 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_manifest.json"
 MANIFEST_DIR = "_manifests"
 
+_STATS_TYPES = (int, float, str)  # JSON-exact, totally ordered per type
+
 
 class ConflictError(Exception):
     """Another writer committed since this transaction began."""
+
+
+def _dir_stats(abs_dir: str) -> dict[str, list]:
+    """Per-directory column min/max, aggregated over every part file's
+    row-group footer stats — computed ONCE at write time (footers are
+    hot in page cache) and recorded in the manifest, the Delta/Iceberg
+    pattern that lets query- and erasure-time pruning skip directories
+    without touching data OR footers. Columns whose stats are missing
+    anywhere, or whose min/max are not JSON-exact scalars (timestamps,
+    decimals, binaries), are omitted — absence means "cannot prune",
+    never "absent"."""
+    import pyarrow.parquet as pq
+
+    acc: dict[str, object] = {}
+    poison = object()
+    for name in sorted(os.listdir(abs_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(abs_dir, name)).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for j in range(row_group.num_columns):
+                col = row_group.column(j)
+                cname = col.path_in_schema
+                if acc.get(cname) is poison:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    acc[cname] = poison
+                    continue
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:  # e.g. pyarrow can't extract the type
+                    acc[cname] = poison
+                    continue
+                mn = mn.item() if hasattr(mn, "item") else mn
+                mx = mx.item() if hasattr(mx, "item") else mx
+                if (
+                    type(mn) is not type(mx)
+                    or not isinstance(mn, _STATS_TYPES)
+                    or isinstance(mn, bool)
+                ):
+                    acc[cname] = poison
+                    continue
+                cur = acc.get(cname)
+                if cur is None:
+                    acc[cname] = [mn, mx]
+                else:
+                    acc[cname] = [min(cur[0], mn), max(cur[1], mx)]
+    return {c: v for c, v in acc.items() if v is not poison and v is not None}
+
+
+def _may_contain(stats: dict | None, col: str, values: list) -> bool:
+    """True unless the recorded [min, max] for `col` provably excludes
+    every value. Missing stats → True (never assume exclusion)."""
+    if not stats or col not in stats:
+        return True
+    lo, hi = stats[col]
+    try:
+        return any(lo <= v <= hi for v in values)
+    except TypeError:  # value type incomparable with recorded stats
+        return True
 
 
 class AtomicWarehouse:
@@ -104,6 +168,35 @@ class AtomicWarehouse:
     def overwrite(self, df: DataFrame, table: str) -> None:
         with self.transaction() as txn:
             txn.overwrite(df, table)
+
+    # -- manifest-stat pruning --------------------------------------------
+    def pruned_dirs(self, table: str, col: str, values: list) -> tuple[list, list]:
+        """Split a table's data directories into (candidates, clean) by
+        the manifest's recorded min/max for `col` — zero data or footer
+        IO. A dir is clean only if its stats provably exclude every
+        value."""
+        man = self.manifest()
+        dirs = man["tables"].get(table)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} not in manifest")
+        stats = man.get("stats", {})
+        cand, clean = [], []
+        for rel in dirs:
+            (cand if _may_contain(stats.get(rel), col, values) else clean).append(rel)
+        return cand, clean
+
+    def read_pruned(self, table: str, col: str, values: list) -> DataFrame:
+        """Read only the data dirs that can contain any of `values` in
+        `col` (point-lookup / erasure shape). Result is exact for any
+        downstream filter on those values — excluded dirs provably hold
+        none of them. Falls back to the full dir list when stats are
+        absent. Returns an empty frame of the table's schema when every
+        dir is pruned."""
+        cand, _ = self.pruned_dirs(table, col, values)
+        if not cand:
+            full = self.read(table)
+            return full.limit(0)
+        return self.spark.read.parquet(*[self._abs(d) for d in cand])
 
     # -- transactions ------------------------------------------------------
     @contextmanager
@@ -168,6 +261,9 @@ class _Transaction:
         self.tables: dict[str, list[str]] = {
             t: list(d) for t, d in base["tables"].items()
         }
+        self.stats: dict[str, dict] = {
+            rel: dict(s) for rel, s in base.get("stats", {}).items()
+        }
         self.committed = False
 
     # same surface as Warehouse → medallion stages run unchanged
@@ -188,12 +284,32 @@ class _Transaction:
     def append(self, df: DataFrame, table: str) -> None:
         rel = self._new_dir(table)
         df.write.mode("errorifexists").parquet(self.wh._abs(rel))
+        self.stats[rel] = _dir_stats(self.wh._abs(rel))
         self.tables[table] = self.tables.get(table, []) + [rel]
 
     def overwrite(self, df: DataFrame, table: str) -> None:
         rel = self._new_dir(table)
         df.write.mode("errorifexists").parquet(self.wh._abs(rel))
+        self.stats[rel] = _dir_stats(self.wh._abs(rel))
         self.tables[table] = [rel]
+
+    def replace_dirs(
+        self, table: str, drop: list[str], df: DataFrame | None
+    ) -> str | None:
+        """Surgical rewrite: remove `drop` dirs from the table's list
+        and (if df is not None) add one fresh dir holding `df` —
+        untouched dirs stay listed as-is, byte-identical. The erasure
+        primitive: candidates collapse into one rewritten dir, clean
+        dirs never move."""
+        keep = [d for d in self.tables.get(table, []) if d not in set(drop)]
+        rel = None
+        if df is not None:
+            rel = self._new_dir(table)
+            df.write.mode("errorifexists").parquet(self.wh._abs(rel))
+            self.stats[rel] = _dir_stats(self.wh._abs(rel))
+            keep = keep + [rel]
+        self.tables[table] = keep
+        return rel
 
     def _commit(self) -> None:
         if self.committed:
@@ -205,7 +321,13 @@ class _Transaction:
                 f"v{current['version']} during transaction; retry on the "
                 "new snapshot"
             )
-        new = {"version": self.base_version + 1, "tables": self.tables}
+        live = {rel for dirs in self.tables.values() for rel in dirs}
+        new = {
+            "version": self.base_version + 1,
+            "tables": self.tables,
+            # stats only for live dirs — dropped versions' stats go too
+            "stats": {rel: s for rel, s in self.stats.items() if rel in live},
+        }
         hist = os.path.join(self.wh.root, MANIFEST_DIR)
         os.makedirs(hist, exist_ok=True)
         with open(os.path.join(hist, f"v{new['version']}.json"), "w") as f:

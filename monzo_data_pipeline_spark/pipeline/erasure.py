@@ -250,6 +250,65 @@ def l_diversity_audit(
     )
 
 
+def erase_keys_atomic_pruned(
+    wh, ids: DataFrame, key: str, tables: list[str]
+) -> dict[str, dict]:
+    """Erasure on an AtomicWarehouse with MANIFEST-stat pruning: the
+    per-directory min/max recorded at write time (atomic.py) decides
+    which data dirs can contain a subject key — zero data or footer
+    reads for the decision, the Delta/Iceberg file-skipping pattern.
+    Candidate dirs collapse into one rewritten dir; clean dirs stay in
+    the manifest untouched (byte-identical on disk); ALL tables flip
+    in one commit. Old dirs remain until vacuum() — complete erasure =
+    this commit + vacuum, both idempotent.
+
+    Returns per table ``{"rows_removed": n, "dirs_total": t,
+    "dirs_rewritten": r}`` (-1 rows_removed for tables lacking the
+    key column)."""
+    from .atomic import _may_contain
+
+    spark = ids.sparkSession
+    key_vals = [r[0] for r in ids.select(key).distinct().collect()]
+    erase_set = F.broadcast(
+        spark.createDataFrame([(k,) for k in key_vals], ids.select(key).schema)
+    )
+    report: dict[str, dict] = {}
+    with wh.transaction() as txn:
+        for table in tables:
+            if not txn.exists(table):
+                continue
+            df = txn.read(table)
+            if key not in df.columns:
+                report[table] = {
+                    "rows_removed": -1, "dirs_total": 0, "dirs_rewritten": 0,
+                }
+                continue
+            dirs = txn.tables[table]
+            cand = [
+                rel for rel in dirs
+                if _may_contain(txn.stats.get(rel), key, key_vals)
+            ]
+            if not cand or not key_vals:
+                report[table] = {
+                    "rows_removed": 0,
+                    "dirs_total": len(dirs),
+                    "dirs_rewritten": 0,
+                }
+                continue
+            hit = spark.read.parquet(*[wh._abs(d) for d in cand])
+            n_before = hit.count()
+            new_rel = txn.replace_dirs(
+                table, drop=cand, df=hit.join(erase_set, key, "left_anti")
+            )
+            n_after = spark.read.parquet(wh._abs(new_rel)).count()
+            report[table] = {
+                "rows_removed": n_before - n_after,
+                "dirs_total": len(dirs),
+                "dirs_rewritten": len(cand),
+            }
+    return report
+
+
 def pseudonymize_columns(df: DataFrame, cols: list[str], salt: str) -> DataFrame:
     """GDPR pseudonymization (Art. 4(5)): replace identifier columns
     with salted deterministic tokens — consistent across tables (joins

@@ -212,3 +212,91 @@ def test_schema_evolution_across_commits_with_time_travel(spark, tmp_path):
     old = wh.read_version("dim", 1)
     assert set(old.columns) == {"id", "name"}
     assert old.count() == 2
+
+
+def test_manifest_records_dir_stats_and_read_pruned(spark, tmp_path):
+    """Write-time footer scan lands per-dir min/max in the manifest;
+    read_pruned skips dirs that provably exclude the lookup keys with
+    zero data/footer IO at read time."""
+    from monzo_data_pipeline_spark.pipeline.atomic import AtomicWarehouse
+
+    wh = AtomicWarehouse(spark, str(tmp_path))
+    for lo in (0, 1000, 2000):  # three append batches, disjoint ranges
+        wh.append(
+            spark.createDataFrame(
+                [(lo + i, f"p{lo + i}") for i in range(100)],
+                "user_id bigint, payload string",
+            ),
+            "tx",
+        )
+    man = wh.manifest()
+    dirs = man["tables"]["tx"]
+    assert len(dirs) == 3
+    spans = sorted(tuple(man["stats"][d]["user_id"]) for d in dirs)
+    assert spans == [(0, 99), (1000, 1099), (2000, 2099)]
+
+    cand, clean = wh.pruned_dirs("tx", "user_id", [1005, 1050])
+    assert len(cand) == 1 and len(clean) == 2
+    got = wh.read_pruned("tx", "user_id", [1005, 1050])
+    assert got.count() == 100  # only the middle batch read
+    assert {r.user_id for r in got.filter("user_id in (1005, 1050)").collect()} == {
+        1005,
+        1050,
+    }
+    # off-range keys prune everything -> empty frame, schema intact
+    none = wh.read_pruned("tx", "user_id", [99999])
+    assert none.count() == 0 and none.columns == ["user_id", "payload"]
+
+
+def test_erase_keys_atomic_pruned_one_commit_clean_dirs_untouched(spark, tmp_path):
+    import hashlib
+    import os
+
+    from monzo_data_pipeline_spark.pipeline.atomic import AtomicWarehouse
+    from monzo_data_pipeline_spark.pipeline.erasure import erase_keys_atomic_pruned
+
+    wh = AtomicWarehouse(spark, str(tmp_path))
+    for lo in (0, 1000, 2000):
+        wh.append(
+            spark.createDataFrame(
+                [(lo + i, f"p{lo + i}") for i in range(100)],
+                "user_id bigint, payload string",
+            ),
+            "tx",
+        )
+    wh.overwrite(
+        spark.createDataFrame([(5, 1.0), (1500, 2.0)], "user_id bigint, v double"),
+        "scores",
+    )
+    v_before = wh.manifest()["version"]
+    clean_dirs = wh.pruned_dirs("tx", "user_id", [5])[1]
+
+    def dir_bytes(rel):
+        base = os.path.join(str(tmp_path), rel)
+        return {
+            n: hashlib.md5(open(os.path.join(base, n), "rb").read()).hexdigest()
+            for n in sorted(os.listdir(base))
+            if n.endswith(".parquet")
+        }
+
+    before = {d: dir_bytes(d) for d in clean_dirs}
+    ids = spark.createDataFrame([(5,)], "user_id bigint")
+    report = erase_keys_atomic_pruned(wh, ids, "user_id", ["tx", "scores"])
+
+    assert report["tx"] == {"rows_removed": 1, "dirs_total": 3, "dirs_rewritten": 1}
+    assert report["scores"]["rows_removed"] == 1
+    # ONE commit for both tables
+    assert wh.manifest()["version"] == v_before + 1
+    # clean dirs still listed, bytes untouched
+    now = wh.manifest()["tables"]["tx"]
+    assert set(clean_dirs) <= set(now) and len(now) == 3
+    assert {d: dir_bytes(d) for d in clean_dirs} == before
+    assert wh.read("tx").filter("user_id = 5").count() == 0
+    assert wh.read("tx").count() == 299
+    assert {r.user_id for r in wh.read("scores").collect()} == {1500}
+    # stats follow the rewrite: new dir has stats, dropped dir's are gone
+    stats = wh.manifest()["stats"]
+    assert set(stats) == set(now) | set(wh.manifest()["tables"]["scores"])
+    # vacuum sweeps the retired candidate dir
+    removed = wh.vacuum()
+    assert any(rel.startswith("tx/") for rel in removed)
