@@ -28,6 +28,7 @@ same deterministic payload-synthesis rule with integer arithmetic).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,6 +36,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Captured as a closure cell by every mapInPandas stage below: a RAW
+# driver session (the harness's own, no executor PYTHONPATH, foreign
+# cwd) still lets workers import this package — they insert the repo
+# root the driver imported it from. Local mode and shared-mount
+# clusters resolve the same path; wheel-shipped clusters never hit
+# the fallback because the package is already importable.
+_PKG_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 # ---------------------------------------------------------------------------
 # Codecs (pure numpy / stdlib).
@@ -207,7 +218,13 @@ def image_stats(media: DataFrame) -> DataFrame:
     payloads quarantine as valid=false rows (the NDJSON dead-letter
     policy applied to media) instead of failing the batch."""
 
+    pkg_root = _PKG_ROOT  # closure cell: ships to workers by value
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_root not in sys.path:  # raw-session workers
+            sys.path.insert(0, pkg_root)
         from monzo_data_pipeline_spark.ext.images import decode_image
 
         def row(media_id: int, payload: bytes) -> dict:
@@ -267,7 +284,13 @@ def resize_images(
     if codec not in ("ppm", "png"):
         raise ValueError(f"unsupported codec {codec!r}")
 
+    pkg_root = _PKG_ROOT  # closure cell: ships to workers by value
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_root not in sys.path:  # raw-session workers
+            sys.path.insert(0, pkg_root)
         from monzo_data_pipeline_spark.ext.images import (
             decode_image,
             encode_png,
@@ -540,7 +563,13 @@ def video_frame_stats(media: DataFrame, every_nth: int = 1) -> DataFrame:
     (quarantine reporting belongs to the stats stage of the image
     family)."""
 
+    pkg_root = _PKG_ROOT  # closure cell: ships to workers by value
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_root not in sys.path:  # raw-session workers
+            sys.path.insert(0, pkg_root)
         from monzo_data_pipeline_spark.ext.images import decode_y4m
 
         for pdf in it:

@@ -30,9 +30,15 @@ scope like the rest of `ext/images.py`.
 from __future__ import annotations
 
 import math
+import os
 import struct
 
 import numpy as np
+
+# repo root for raw-session executor imports (see ext/images.py note)
+_PKG_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 # ---------------------------------------------------------------------------
 # Tables.
@@ -502,7 +508,13 @@ def documents_as_jpegs(docs):
         ]
     )
 
+    pkg_root = _PKG_ROOT  # closure cell: ships to workers by value
+
     def batches(it):
+        import sys
+
+        if pkg_root not in sys.path:  # raw-session workers
+            sys.path.insert(0, pkg_root)
         from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg
 
         def synth(text):

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from monzo_data_pipeline_spark.ext.images import _PKG_ROOT
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -113,9 +115,15 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     the batch.
     """
 
+    pkg_root = _PKG_ROOT  # closure cell: ships to workers by value
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        import sys
+
+        if pkg_root not in sys.path:  # raw-session workers
+            sys.path.insert(0, pkg_root)
         from monzo_data_pipeline_spark.ext.images import decode_image
 
         def row(media_id: int, payload: bytes) -> dict:
@@ -213,10 +221,16 @@ def resize_media(
         raise ValueError(f"unsupported codec {codec!r}")
     out_mime = "image/png" if codec == "png" else "image/x-portable-pixmap"
 
+    pkg_root = _PKG_ROOT  # closure cell: ships to workers by value
+
     def batches(it):
         import numpy as np
         import pandas as pd
 
+        import sys
+
+        if pkg_root not in sys.path:  # raw-session workers
+            sys.path.insert(0, pkg_root)
         from monzo_data_pipeline_spark.ext.images import (
             decode_image,
             encode_png,
@@ -394,9 +408,15 @@ def wav_features(media: DataFrame) -> DataFrame:
     valid=false rows instead of failing the batch (the NDJSON
     dead-letter policy applied to media)."""
 
+    pkg_root = _PKG_ROOT  # closure cell: ships to workers by value
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
+        import sys
+
+        if pkg_root not in sys.path:  # raw-session workers
+            sys.path.insert(0, pkg_root)
         from monzo_data_pipeline_spark.ext.multimodal import decode_wav
 
         def row(media_id: int, payload: bytes) -> dict:

@@ -341,6 +341,56 @@ class _Transaction:
         self.committed = True
 
 
+def compact_table(
+    wh: AtomicWarehouse,
+    table: str,
+    target_file_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the OPTIMIZE analog for the manifest
+    warehouse. Many append batches leave a table as many directories
+    of many small files; listing and per-file open costs then dominate
+    scans at lake scale. This rewrites the WHOLE table as one
+    directory of ~`target_file_mb` files (optionally sorted so
+    min/max stats become selective — the poor man's Z-order; io.py
+    has the real one), committed atomically: readers see the old
+    layout or the new, never a mixture, and the data is byte-for-byte
+    the same rows.
+
+    Sizing uses the current on-disk bytes (compressed parquet → the
+    new files land near target). Returns
+    ``{"dirs_before", "files_before", "files_after", "bytes"}``.
+    Old dirs remain until vacuum()."""
+    man = wh.manifest()
+    dirs = man["tables"].get(table)
+    if not dirs:
+        raise FileNotFoundError(f"table {table!r} not in manifest")
+    n_bytes = n_files = 0
+    for rel in dirs:
+        base = wh._abs(rel)
+        for name in os.listdir(base):
+            if name.endswith(".parquet"):
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(base, name))
+    n_out = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
+    df = wh.read(table)
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
+    with wh.transaction() as txn:
+        new_rel = txn.replace_dirs(table, drop=list(dirs), df=df)
+    files_after = sum(
+        1 for n in os.listdir(wh._abs(new_rel)) if n.endswith(".parquet")
+    )
+    return {
+        "dirs_before": len(dirs),
+        "files_before": n_files,
+        "files_after": files_after,
+        "bytes": n_bytes,
+    }
+
+
 def run_pipeline_atomic(
     spark: SparkSession,
     wh: AtomicWarehouse,

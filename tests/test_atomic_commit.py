@@ -300,3 +300,49 @@ def test_erase_keys_atomic_pruned_one_commit_clean_dirs_untouched(spark, tmp_pat
     # vacuum sweeps the retired candidate dir
     removed = wh.vacuum()
     assert any(rel.startswith("tx/") for rel in removed)
+
+
+def test_compact_table_one_dir_same_rows_sorted_stats(spark, tmp_path):
+    """OPTIMIZE analog: many append dirs collapse into one atomically;
+    rows identical; sort_by makes the compacted dir's manifest stats
+    range-selective again."""
+    from pyspark.sql import functions as F
+
+    from monzo_data_pipeline_spark.pipeline.atomic import (
+        AtomicWarehouse,
+        compact_table,
+    )
+
+    wh = AtomicWarehouse(spark, str(tmp_path))
+    # interleaved key ranges across 4 small append batches
+    for r in range(4):
+        wh.append(
+            spark.createDataFrame(
+                [(i * 4 + r, f"p{i * 4 + r}") for i in range(250)],
+                "user_id bigint, payload string",
+            ),
+            "tx",
+        )
+    before = wh.read("tx").agg(
+        F.count("*").alias("n"), F.sum("user_id").alias("s")
+    ).collect()[0]
+    assert len(wh.manifest()["tables"]["tx"]) == 4
+    # interleaved appends: every dir spans ~the whole domain, so an
+    # interior key prunes nothing
+    cand, clean = wh.pruned_dirs("tx", "user_id", [500])
+    assert len(clean) == 0
+
+    report = compact_table(wh, "tx", target_file_mb=128, sort_by=["user_id"])
+    assert report["dirs_before"] == 4 and report["files_after"] >= 1
+
+    now = wh.manifest()["tables"]["tx"]
+    assert len(now) == 1
+    after = wh.read("tx").agg(
+        F.count("*").alias("n"), F.sum("user_id").alias("s")
+    ).collect()[0]
+    assert (before["n"], before["s"]) == (after["n"], after["s"]) == (1000, 499500)
+    # stats recorded for the compacted dir and span the full domain
+    assert wh.manifest()["stats"][now[0]]["user_id"] == [0, 999]
+    # old dirs are vacuumable orphans
+    assert len([r for r in wh.vacuum() if r.startswith("tx/")]) == 4
+    assert wh.read("tx").count() == 1000

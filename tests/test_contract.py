@@ -44,6 +44,8 @@ assert len(E.entry(spark).collect()) > 0
 for name in ["latest_events", "tumbling_window_agg", "sessionization",
              "scalar_functions", "project_cast_stamp", "monthly_spend",
              "datetime_functions", "media_feature_extract", "asof_join",
+             "media_resize", "image_decode_stats", "jpeg_decode_stats",
+             "video_frame_stats",
              "value_histogram", "pack_sequences", "upsert_last_wins",
              "snapshot_diff_cdc", "source_mixture_sample",
              "session_paths_top", "scd2_temporal_lookup",

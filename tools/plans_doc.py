@@ -63,6 +63,13 @@ SHOW = {
     "video_frame_stats": "real video decode — payload synthesis map-side, MapInPandas frame walk; one row in → one row per frame, no shuffle",
     "oov_rates": "OOV filter — top-K vocab via TakeOrdered, broadcast back; fact side never reshuffles",
     "bigram_rarity_scores": "LM-lite rarity — corpus bigram counts broadcast back onto doc bigrams; one (doc) agg",
+    # round 3
+    "ntile_quartiles": "exact ntile WITHOUT a global window — broadcast-literal cut pairs, map-side bucket assignment, 4-row final agg (r3: the repo's last unpartitioned Window removed)",
+    "media_resize": "real resize slot — MapInPandas decode→resample→re-encode; JVM-side payload checksum; no shuffle",
+    "media_feature_extract": "real feature extraction — single MapInPandas off the synthesized payload scan; integer-exact stats vector",
+    "jpeg_decode_stats": "baseline JPEG under the gate — synth MapInPandas + decode MapInPandas, zero exchanges",
+    "k_anonymity_audit": "k-anonymity — one map-side-combined HashAggregate pair on the quasi key; output bounded by risky classes",
+    "l_diversity_audit": "l-diversity — two grain changes ((quasi,sensitive) → quasi), both partial-agg'd",
 }
 
 MARKERS = (
