@@ -182,94 +182,102 @@ def exact_ntile(
 
     Requires non-null (value, tiebreak) with a unique tiebreak — the
     ntile contract this engine's callers already obey. At 100 TB the
-    cost is two scans + one distinct-value shuffle; no stage sees
-    unbounded per-task state.
+    cost is two scans + ONE distinct-value shuffle (the distinct table
+    is persisted — MEMORY_AND_DISK — so the stats, bucket-total, and
+    boundary passes reuse one materialization instead of re-scanning
+    the fact three times); no stage sees unbounded per-task state.
     """
     v, t = F.col(value_col), F.col(tiebreak_col)
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(value_col).alias("lo"),
-        F.max(value_col).alias("hi"),
-    ).collect()[0]
-    n_rows = stats["n"]
-    if n_rows == 0:
-        return df.withColumn(out_col, F.lit(None).cast("int"))
-
-    base, extra = divmod(n_rows, n_buckets)
-    ranks, cum = [], 0
-    for k in range(1, n_buckets):
-        cum += base + (1 if k <= extra else 0)
-        ranks.append((k, max(cum - 1, 0)))  # 0-based rank of bucket k's last row
-
-    # deterministic range bucket over the value domain (skew in the
-    # distinct-value table only shifts work between tiny aggs)
-    if stats["hi"] == stats["lo"]:
-        bucket = F.lit(0)
-    else:
-        span = float(stats["hi"]) - float(stats["lo"])
-        bucket = F.least(
-            F.lit(range_buckets - 1),
-            F.floor(
-                (F.col("__v") - F.lit(stats["lo"])) / F.lit(span) * range_buckets
-            ).cast("int"),
-        )
-    pc = (
+    pc0 = (
         df.groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn("__b", bucket)
+        .persist()
     )
-    btot = {r["__b"]: r["t"] for r in
-            pc.groupBy("__b").agg(F.sum("__cnt").alias("t")).collect()}
-    offsets, acc = {}, 0
-    for b in sorted(btot):
-        offsets[b] = acc
-        acc += btot[b]
-    # which buckets hold boundary ranks → pushdown filter for pass 3
-    needed = set()
-    for _, r in ranks:
+    try:
+        stats = pc0.agg(
+            F.sum("__cnt").alias("n"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        ).collect()[0]
+        n_rows = stats["n"] or 0
+        if n_rows == 0:
+            return df.withColumn(out_col, F.lit(None).cast("int"))
+
+        base, extra = divmod(n_rows, n_buckets)
+        ranks, cum = [], 0
+        for k in range(1, n_buckets):
+            cum += base + (1 if k <= extra else 0)
+            ranks.append((k, max(cum - 1, 0)))  # 0-based rank of bucket k's last row
+
+        # deterministic range bucket over the value domain (skew in the
+        # distinct-value table only shifts work between tiny aggs)
+        if stats["hi"] == stats["lo"]:
+            bucket = F.lit(0)
+        else:
+            span = float(stats["hi"]) - float(stats["lo"])
+            bucket = F.least(
+                F.lit(range_buckets - 1),
+                F.floor(
+                    (F.col("__v") - F.lit(stats["lo"])) / F.lit(span) * range_buckets
+                ).cast("int"),
+            )
+        pc = pc0.withColumn("__b", bucket)
+        btot = {r["__b"]: r["t"] for r in
+                pc.groupBy("__b").agg(F.sum("__cnt").alias("t")).collect()}
+        offsets, acc = {}, 0
         for b in sorted(btot):
-            if offsets[b] <= r < offsets[b] + btot[b]:
-                needed.add(b)
-                break
-    off_expr = F.lit(0)
-    for b in needed:
-        off_expr = F.when(F.col("__b") == b, F.lit(offsets[b])).otherwise(off_expr)
-    cumw = Window.partitionBy("__b").orderBy("__v")
-    bnds = F.array(
-        *[F.struct(F.lit(k).alias("k"), F.lit(r).cast("long").alias("r"))
-          for k, r in ranks]
-    )
-    hits = (
-        pc.filter(F.col("__b").isin(list(needed)))
-        .withColumn("__gcum", off_expr + F.sum("__cnt").over(cumw) - F.col("__cnt"))
-        .select("__v", "__cnt", "__gcum", F.explode(bnds).alias("bk"))
-        .filter(
-            (F.col("bk.r") >= F.col("__gcum"))
-            & (F.col("bk.r") < F.col("__gcum") + F.col("__cnt"))
+            offsets[b] = acc
+            acc += btot[b]
+        # which buckets hold boundary ranks → pushdown filter for pass 3
+        needed = set()
+        for _, r in ranks:
+            for b in sorted(btot):
+                if offsets[b] <= r < offsets[b] + btot[b]:
+                    needed.add(b)
+                    break
+        off_expr = F.lit(0)
+        for b in needed:
+            off_expr = F.when(F.col("__b") == b, F.lit(offsets[b])).otherwise(off_expr)
+        cumw = Window.partitionBy("__b").orderBy("__v")
+        bnds = F.array(
+            *[F.struct(F.lit(k).alias("k"), F.lit(r).cast("long").alias("r"))
+              for k, r in ranks]
         )
-        .select(
-            F.col("bk.k").alias("k"),
-            F.col("__v").alias("v"),
-            (F.col("bk.r") - F.col("__gcum")).alias("j"),
+        hits = (
+            pc.filter(F.col("__b").isin(list(needed)))
+            .withColumn(
+                "__gcum", off_expr + F.sum("__cnt").over(cumw) - F.col("__cnt")
+            )
+            .select("__v", "__cnt", "__gcum", F.explode(bnds).alias("bk"))
+            .filter(
+                (F.col("bk.r") >= F.col("__gcum"))
+                & (F.col("bk.r") < F.col("__gcum") + F.col("__cnt"))
+            )
+            .select(
+                F.col("bk.k").alias("k"),
+                F.col("__v").alias("v"),
+                (F.col("bk.r") - F.col("__gcum")).alias("j"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    # resolve boundary tiebreaks among just the ≤ n−1 boundary values
-    tw = Window.partitionBy(value_col).orderBy(tiebreak_col)
-    want = {(h["v"], h["j"] + 1) for h in hits}
-    cond = None
-    for bv, rn in want:
-        c = (v == F.lit(bv)) & (F.col("__rn") == F.lit(rn))
-        cond = c if cond is None else (cond | c)
-    tied = (
-        df.filter(v.isin([bv for bv, _ in want]))
-        .select(value_col, tiebreak_col)
-        .withColumn("__rn", F.row_number().over(tw))
-        .filter(cond)
-        .collect()
-    )
-    tie_at = {(r[value_col], r["__rn"]): r[tiebreak_col] for r in tied}
-    cuts = [(h["k"], h["v"], tie_at[(h["v"], h["j"] + 1)]) for h in hits]
+        # resolve boundary tiebreaks among just the ≤ n−1 boundary values
+        tw = Window.partitionBy(value_col).orderBy(tiebreak_col)
+        want = {(h["v"], h["j"] + 1) for h in hits}
+        cond = None
+        for bv, rn in want:
+            c = (v == F.lit(bv)) & (F.col("__rn") == F.lit(rn))
+            cond = c if cond is None else (cond | c)
+        tied = (
+            df.filter(v.isin([bv for bv, _ in want]))
+            .select(value_col, tiebreak_col)
+            .withColumn("__rn", F.row_number().over(tw))
+            .filter(cond)
+            .collect()
+        )
+        tie_at = {(r[value_col], r["__rn"]): r[tiebreak_col] for r in tied}
+        cuts = [(h["k"], h["v"], tie_at[(h["v"], h["j"] + 1)]) for h in hits]
+    finally:
+        pc0.unpersist()
     # map-side assignment against the broadcast-literal cut pairs
     expr = F.lit(1)
     for _, cv, ct in cuts:
