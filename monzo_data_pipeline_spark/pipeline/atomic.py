@@ -341,6 +341,57 @@ class _Transaction:
         self.committed = True
 
 
+def table_changes(
+    wh: AtomicWarehouse,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed between two committed snapshots — the Delta
+    CDF analog over the manifest's time travel. Rows present only in
+    the newer snapshot come back as `_change_type='insert'`, rows only
+    in the older as `'delete'`; an update is its delete+insert pair
+    (bag semantics via exceptAll, so duplicate multiplicity changes
+    surface too). `to_version=None` diffs against the CURRENT pointer.
+
+    Fast path: data dirs shared by both manifests cancel EXACTLY, so
+    only the dirs that differ are read — appends between versions cost
+    one scan of the appended dirs, nothing else. Valid until vacuum()
+    truncates the archived manifests."""
+    from pyspark.sql import functions as F
+
+    def dirs_at(version: int | None) -> list[str]:
+        if version is None:
+            man = wh.manifest()
+        else:
+            with open(os.path.join(wh.root, MANIFEST_DIR, f"v{version}.json")) as f:
+                man = json.load(f)
+        return man["tables"].get(table, [])
+
+    old_dirs = dirs_at(from_version)
+    new_dirs = dirs_at(to_version)
+    shared = set(old_dirs) & set(new_dirs)
+    old_only = [d for d in old_dirs if d not in shared]
+    new_only = [d for d in new_dirs if d not in shared]
+
+    def read_dirs(dirs: list[str]) -> DataFrame | None:
+        if not dirs:
+            return None
+        return wh.spark.read.parquet(*[wh._abs(d) for d in dirs])
+
+    old_df, new_df = read_dirs(old_only), read_dirs(new_only)
+    if old_df is None and new_df is None:
+        base = wh.read(table) if new_dirs else read_dirs(old_dirs)
+        return base.limit(0).withColumn("_change_type", F.lit(""))
+    if old_df is None:
+        return new_df.withColumn("_change_type", F.lit("insert"))
+    if new_df is None:
+        return old_df.withColumn("_change_type", F.lit("delete"))
+    inserts = new_df.exceptAll(old_df).withColumn("_change_type", F.lit("insert"))
+    deletes = old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def compact_table(
     wh: AtomicWarehouse,
     table: str,

@@ -165,9 +165,14 @@ def erase_keys_pruned(
         kept = hit.join(erase_set, key, "left_anti")
         kept.write.mode("overwrite").parquet(tmp)
         n_removed = hit.count() - spark.read.parquet(tmp).count()
-        # carry clean files over byte-identical (hardlink, no re-encode)
+        # carry clean files over byte-identical (hardlink; copy when the
+        # temp dir lands on another filesystem — EXDEV)
         for fpath in clean:
-            os.link(fpath, os.path.join(tmp, os.path.basename(fpath)))
+            dst = os.path.join(tmp, os.path.basename(fpath))
+            try:
+                os.link(fpath, dst)
+            except OSError:
+                shutil.copy2(fpath, dst)
         if os.path.exists(old):
             shutil.rmtree(old)  # leftover from a prior crash
         os.replace(final, old)

@@ -346,3 +346,42 @@ def test_compact_table_one_dir_same_rows_sorted_stats(spark, tmp_path):
     # old dirs are vacuumable orphans
     assert len([r for r in wh.vacuum() if r.startswith("tx/")]) == 4
     assert wh.read("tx").count() == 1000
+
+
+def test_table_changes_cdf_between_versions(spark, tmp_path):
+    """CDF over manifest time travel: appends show as inserts reading
+    ONLY the appended dirs; erasure shows as deletes; shared dirs
+    cancel without being scanned."""
+    from monzo_data_pipeline_spark.pipeline.atomic import (
+        AtomicWarehouse,
+        table_changes,
+    )
+    from monzo_data_pipeline_spark.pipeline.erasure import erase_keys_atomic_pruned
+
+    wh = AtomicWarehouse(spark, str(tmp_path))
+    wh.overwrite(
+        spark.createDataFrame([(i, f"a{i}") for i in range(5)], "k bigint, v string"),
+        "t",
+    )  # v1
+    wh.append(
+        spark.createDataFrame([(10 + i, f"b{i}") for i in range(3)], "k bigint, v string"),
+        "t",
+    )  # v2
+    # v1 -> v2: pure append, inserts only
+    ch = table_changes(wh, "t", 1, 2).collect()
+    assert {(r.k, r._change_type) for r in ch} == {(10, "insert"), (11, "insert"), (12, "insert")}
+
+    # v2 -> current after an erasure: one delete
+    erase_keys_atomic_pruned(
+        wh, spark.createDataFrame([(2,)], "k bigint"), "k", ["t"]
+    )  # v3
+    ch2 = table_changes(wh, "t", 2).collect()
+    types = {(r.k, r._change_type) for r in ch2}
+    # the rewritten dir replaces the v1 dir: row k=2 gone, others re-written
+    # cancel via exceptAll (same rows both sides)
+    assert (2, "delete") in types
+    assert not any(t == "insert" for _, t in types)
+
+    # identical versions -> empty frame with the _change_type column
+    same = table_changes(wh, "t", 2, 2)
+    assert same.count() == 0 and "_change_type" in same.columns

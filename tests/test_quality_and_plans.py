@@ -343,3 +343,4 @@ def test_schema_drift_report_and_policy():
     assert enforce_schema_policy(expected, additive_only) == [
         {"column": "x", "change": "added", "type": "int"}
     ]
+
