@@ -104,7 +104,7 @@ def images_as_media(
 
 def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     """REAL Arrow-batched feature extraction over image payloads —
-    routed through the `ext/images.py` codecs (netpbm/BMP/PNG).
+    routed through the `ext/images.py` codecs (netpbm/BMP/PNG/JPEG).
 
     Per decodable image the feature vector is
     ``[width, height, channels, pix_sum, ch0_sum, ch1_sum, ch2_sum]``

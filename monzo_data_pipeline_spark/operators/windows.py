@@ -182,10 +182,11 @@ def exact_ntile(
 
     Requires non-null (value, tiebreak) with a unique tiebreak — the
     ntile contract this engine's callers already obey. At 100 TB the
-    cost is two scans + ONE distinct-value shuffle (the distinct table
-    is persisted — MEMORY_AND_DISK — so the stats, bucket-total, and
-    boundary passes reuse one materialization instead of re-scanning
-    the fact three times); no stage sees unbounded per-task state.
+    cost is three fact scans (distinct-count build, boundary-tie
+    resolve, final assignment) + ONE distinct-value shuffle — the
+    distinct table is persisted (MEMORY_AND_DISK) so the stats,
+    bucket-total, and boundary passes reuse one materialization; no
+    stage sees unbounded per-task state.
     """
     v, t = F.col(value_col), F.col(tiebreak_col)
     pc0 = (

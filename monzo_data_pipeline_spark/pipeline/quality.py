@@ -203,3 +203,60 @@ def reconciliation_checksums(
             .alias("checksum"),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], scale: int = 100
+) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns — the
+    multi-column half of the profiling pass (feature redundancy /
+    leakage screens over a training table).
+
+    ONE scan, one wide partial-aggregated agg: every pairwise moment
+    (Σxᵢ, Σxᵢ², Σxᵢxⱼ) comes from the same pass; the pair explode is
+    cluster-side on the 1-row result. Values are quantized to integers
+    (floor(x·scale)) and moments accumulate in DECIMAL(38,0), so the
+    sums are EXACT at lake row counts; the final correlation uses only
+    division and IEEE-correctly-rounded sqrt on those exact sums —
+    bit-identical across engines (no log, no float accumulation
+    order), emitted as floor(corr·10⁶). Zero-variance columns yield
+    NULL (correlation undefined).
+    """
+    q = {c: F.floor(F.col(c) * scale).cast("decimal(38,0)") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(q[c]).alias(f"__s_{i}"))
+        aggs.append(F.sum(q[c] * q[c]).alias(f"__ss_{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(F.sum(q[cols[i]] * q[cols[j]]).alias(f"__sp_{i}_{j}"))
+    wide = df.agg(*aggs)
+
+    def corr_micro(i: int, j: int):
+        n = F.col("__n")
+        num = (n * F.col(f"__sp_{i}_{j}") - F.col(f"__s_{i}") * F.col(f"__s_{j}")).cast(
+            "double"
+        )
+        d_i = (n * F.col(f"__ss_{i}") - F.col(f"__s_{i}") * F.col(f"__s_{i}")).cast(
+            "double"
+        )
+        d_j = (n * F.col(f"__ss_{j}") - F.col(f"__s_{j}") * F.col(f"__s_{j}")).cast(
+            "double"
+        )
+        return F.when(
+            (d_i > 0) & (d_j > 0),
+            F.floor(num / F.sqrt(d_i) / F.sqrt(d_j) * 1_000_000).cast("long"),
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                corr_micro(i, j).alias("corr_micro"),
+            )
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select("p.*")

@@ -3959,6 +3959,54 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_audit(o, ["o_custkey"], "o_orderstatus", l_min=2)
 
 
+_CORR_M_CTE = """
+    WITH q AS (
+        SELECT CAST(floor(l_quantity * 100) AS HUGEINT) AS a,
+               CAST(floor(l_extendedprice * 100) AS HUGEINT) AS b,
+               CAST(floor(l_discount * 100) AS HUGEINT) AS c
+        FROM lineitem
+    ), m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+               SUM(a*a) AS saa, SUM(b*b) AS sbb, SUM(c*c) AS scc,
+               SUM(a*b) AS sab, SUM(a*c) AS sac, SUM(b*c) AS sbc
+        FROM q
+    )"""
+
+
+def _corr_sql(a: str, b: str, sp: str, sa: str, sb: str, da: str, db: str) -> str:
+    return f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(floor(CAST(n*{sp} - {sa}*{sb} AS DOUBLE)
+                      / sqrt(CAST(n*{da} - {sa}*{sa} AS DOUBLE))
+                      / sqrt(CAST(n*{db} - {sb}*{sb} AS DOUBLE))
+                      * 1000000) AS BIGINT) AS corr_micro
+    FROM m"""
+
+
+@_register(
+    "correlation_matrix",
+    "A6/north-star (pairwise Pearson over numeric columns in ONE scan + one "
+    "wide agg — exact DECIMAL(38,0) moments, log-free: division and "
+    "correctly-rounded sqrt on exact integers, so floor(corr*1e6) is "
+    "bit-identical cross-engine)",
+    f"""{_CORR_M_CTE}
+    {_corr_sql('l_quantity', 'l_extendedprice', 'sab', 'sa', 'sb', 'saa', 'sbb')}
+    UNION ALL
+    {_corr_sql('l_quantity', 'l_discount', 'sac', 'sa', 'sc', 'saa', 'scc')}
+    UNION ALL
+    {_corr_sql('l_extendedprice', 'l_discount', 'sbc', 'sb', 'sc', 'sbb', 'scc')}
+    """,
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.quality import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], scale=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classic warehouse shapes (TPC-H Q2/Q6/Q8-Q15/Q17-Q19/Q22 analogs) live in
 # their own module; they register through the same decorator.
@@ -4038,7 +4086,7 @@ _DRIVER_PREFIX = [
     "fuzzy_name_pairs",
     "bpe_merge_table",
     "image_decode_stats",
-    "image_resize_real",
+    "jpeg_decode_stats",
     "video_frame_stats",
     "media_resize",
     "media_feature_extract",

@@ -344,3 +344,29 @@ def test_schema_drift_report_and_policy():
         {"column": "x", "change": "added", "type": "int"}
     ]
 
+
+
+def test_correlation_matrix_exact_and_degenerate(spark):
+    from monzo_data_pipeline_spark.pipeline.quality import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0), (4.0, 8.0, 5.0)],
+        "x double, y double, z double",
+    )
+    out = {
+        (r.col_a, r.col_b): r.corr_micro
+        for r in correlation_matrix(df, ["x", "y", "z"], scale=100).collect()
+    }
+    # y = 2x exactly -> corr 1.0 -> 1_000_000 micro
+    assert out[("x", "y")] == 1_000_000
+    # z is constant -> zero variance -> undefined -> NULL
+    assert out[("x", "z")] is None and out[("y", "z")] is None
+    # anti-correlated pair
+    df2 = spark.createDataFrame(
+        [(1.0, 4.0), (2.0, 3.0), (3.0, 2.0), (4.0, 1.0)], "x double, y double"
+    )
+    o2 = {
+        (r.col_a, r.col_b): r.corr_micro
+        for r in correlation_matrix(df2, ["x", "y"]).collect()
+    }
+    assert o2[("x", "y")] == -1_000_000
