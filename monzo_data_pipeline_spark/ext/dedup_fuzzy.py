@@ -164,12 +164,32 @@ def lsh_candidate_pairs(
     )
 
 
+def _poly_hash62(col) -> "F.Column":
+    """Engine-agnostic 62-bit string hash: two independent 31-bit
+    polynomial folds (bases 131/137, mod 2³¹−1 — the pseudonymization
+    family) concatenated as f131·2³¹ + f137. Every step is integer
+    arithmetic both Spark and DuckDB reproduce exactly, so operators
+    built on it are oracle-checkable. ASCII inputs (ascii() semantics
+    agree there; this corpus is ASCII by construction)."""
+
+    def fold(base: int):
+        codes = F.transform(F.split(col, ""), lambda ch: F.ascii(ch).cast("long"))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * base + x) % 2147483647,
+        )
+
+    return fold(131) * F.lit(2147483648) + fold(137)
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     shingle_n: int = 5,
     id_col: str = "doc_id",
     max_shingles_per_doc: int | None = None,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """MinHash+LSH near-dedup: LSH candidates verified with exact
     Jaccard — in ONE shuffle over the shingle rows.
@@ -194,9 +214,23 @@ def minhash_near_dup_pairs(
     in both sets and |A_k∩B_k|/|A_k∪B_k| estimates true Jaccard).
     Signatures still see every shingle (min is cap-free). Default None
     = exact verification, used by the oracle-checked registry entry.
+
+    ``hash_family``: "xxhash" (default — Spark's native 64-bit hash,
+    fastest) or "poly" — the engine-agnostic 62-bit polynomial fold
+    plus affine per-slot hashes ((2i+1)·h + 7919·i mod 2³¹−1), every
+    step reproducible in ANSI SQL, which puts the WHOLE minhash→band→
+    verify pipeline under the DuckDB oracle gate (the registry's
+    `minhash_lsh_near_dup`). Identical plan shape either way.
     """
+    if hash_family not in ("xxhash", "poly"):
+        raise ValueError(f"hash_family must be 'xxhash' or 'poly', got {hash_family!r}")
+    base_hash = (
+        F.xxhash64("shingle")
+        if hash_family == "xxhash"
+        else _poly_hash62(F.col("shingle"))
+    )
     exploded = word_shingles(docs, n=shingle_n, id_col=id_col).withColumn(
-        "__h", F.xxhash64("shingle")
+        "__h", base_hash
     )
     # the verification sets hold the 64-bit shingle hashes, not the
     # n-word strings: same intersect counts absent a 2⁻⁶⁵-scale
@@ -210,11 +244,21 @@ def minhash_near_dup_pairs(
         exploded = exploded.withColumn("__rk", F.row_number().over(wk))
         # collect_set drops nulls → rows past the cap never enter the buffer
         sh_for_set = F.when(F.col("__rk") <= max_shingles_per_doc, F.col("__h"))
-    per_doc = exploded.groupBy(id_col).agg(
-        *[
+    if hash_family == "xxhash":
+        slot = [
             F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
             for i in range(N_MINHASH)
-        ],
+        ]
+    else:
+        hm = F.pmod(F.col("__h"), F.lit(2147483647))
+        slot = [
+            F.min((F.lit(2 * i + 1) * hm + F.lit(7919 * i)) % 2147483647).alias(
+                f"h{i}"
+            )
+            for i in range(N_MINHASH)
+        ]
+    per_doc = exploded.groupBy(id_col).agg(
+        *slot,
         F.collect_set(sh_for_set).alias("sh_set"),
     )
     per_doc = per_doc.select(

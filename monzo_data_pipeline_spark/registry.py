@@ -1768,15 +1768,52 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POLY_FOLD = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(shingle) + 1),
+                              i -> CAST(ascii(shingle[i]) AS BIGINT))),
+               (a, b) -> (a * {base} + b) % 2147483647)"""
+
+
 @_register(
     "minhash_lsh_near_dup",
-    "C2 (MinHash+LSH near-dedup: shingle→minhash→band→bucket-join→verify; "
-    "xxhash64 signatures are Spark-specific → rows-only)",
-    None,
+    "C2 (MinHash+LSH near-dedup: shingle→minhash→band→bucket-join→verify — "
+    "r3: engine-agnostic polynomial hash family, so the WHOLE pipeline "
+    "(64-slot signatures, 16×4 banding, exact-Jaccard verify) is "
+    "oracle-checked, not rows-only)",
+    _SHINGLES_CTE.rstrip()
+    + f""",
+hd AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           {_POLY_FOLD.format(base=131)} * 2147483648
+           + {_POLY_FOLD.format(base=137)} AS h62
+    FROM sh
+), slots AS MATERIALIZED (
+    SELECT doc_id, i.i AS slot,
+           MIN(((2*i.i + 1) * (h62 % 2147483647) + 7919*i.i) % 2147483647) AS g
+    FROM hd, LATERAL (SELECT unnest(range(0, 64)) AS i) i
+    GROUP BY doc_id, i.i
+), bands AS MATERIALIZED (
+    SELECT doc_id, slot // 4 AS band, list(g ORDER BY slot) AS bvals
+    FROM slots GROUP BY doc_id, slot // 4
+), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bvals = b.bvals AND a.doc_id < b.doc_id
+), hsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hd GROUP BY doc_id)
+SELECT c.doc_a, c.doc_b,
+       COUNT(*) / (CAST(sa.n_sh AS DOUBLE) + sb.n_sh - COUNT(*)) AS jaccard
+FROM cands c
+JOIN hd x ON x.doc_id = c.doc_a
+JOIN hd y ON y.doc_id = c.doc_b AND y.h62 = x.h62
+JOIN hsizes sa ON sa.doc_id = c.doc_a
+JOIN hsizes sb ON sb.doc_id = c.doc_b
+GROUP BY c.doc_a, c.doc_b, sa.n_sh, sb.n_sh
+HAVING COUNT(*) / (CAST(sa.n_sh AS DOUBLE) + sb.n_sh - COUNT(*)) >= 0.6
+""",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return DF.minhash_near_dup_pairs(docs, threshold=0.6)
+    return DF.minhash_near_dup_pairs(docs, threshold=0.6, hash_family="poly")
 
 
 @_register(

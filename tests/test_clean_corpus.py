@@ -241,3 +241,32 @@ def test_curriculum_sample_keeps_more_high_quality(spark):
     # deterministic: same result twice
     again = curriculum_sample(df).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
+
+
+def test_minhash_hash_families_agree_on_verified_pairs(spark):
+    """The engine-agnostic poly family and the native xxhash family
+    share everything after the hash: verified (doc_a, doc_b, jaccard)
+    pairs must coincide on a corpus with clear near-dups (banding
+    recall at jaccard >= 0.8 is ~1 for both 16x4 schemes)."""
+    import pytest as _pt
+
+    from monzo_data_pipeline_spark.ext import dedup_fuzzy as DF
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(i, base) for i in range(3)]  # identical triplet
+    rows += [(10 + i, base + "extra tail words here") for i in range(2)]
+    rows += [(100, "completely different text with nothing shared at all "
+                   "purple monkey dishwasher quantum")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {}
+    for fam in ("xxhash", "poly"):
+        out[fam] = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in DF.minhash_near_dup_pairs(
+                docs, threshold=0.6, hash_family=fam
+            ).collect()
+        }
+    assert out["xxhash"] == out["poly"]
+    assert len(out["poly"]) >= 4  # the identical triplet + tail pair survive
+    with _pt.raises(ValueError):
+        DF.minhash_near_dup_pairs(docs, hash_family="md5")
