@@ -183,6 +183,25 @@ def _poly_hash62(col) -> "F.Column":
     return fold(131) * F.lit(2147483648) + fold(137)
 
 
+def _lcg_constants(n: int = 64) -> tuple[list[int], list[int]]:
+    """Fixed pseudorandom multipliers/offsets for the engine-agnostic
+    affine hash family g_j(h) = (A_j·h + B_j) mod 2³¹−1: a
+    deterministic LCG walk, hardcoded identically into the DuckDB
+    oracles. LARGE 'random' multipliers matter — small structured ones
+    (2j+1) make the hyperplane bits correlated across j and collapse
+    SimHash's discrimination (measured: 126× more Hamming-≤6 pairs)."""
+    a, out_a, out_b = 88172645463325252 % 2147483647, [], []
+    for _ in range(n):
+        a = (1103515245 * a + 12345) % 2147483647
+        out_a.append(a | 1)  # odd, in [1, M-1]
+        a = (1103515245 * a + 12345) % 2147483647
+        out_b.append(a)
+    return out_a, out_b
+
+
+_AFFINE_A, _AFFINE_B = _lcg_constants(64)
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -217,7 +236,8 @@ def minhash_near_dup_pairs(
 
     ``hash_family``: "xxhash" (default — Spark's native 64-bit hash,
     fastest) or "poly" — the engine-agnostic 62-bit polynomial fold
-    plus affine per-slot hashes ((2i+1)·h + 7919·i mod 2³¹−1), every
+    plus affine per-slot hashes ((Aᵢ·h + Bᵢ) mod 2³¹−1, fixed
+    pseudorandom 31-bit constants — see _lcg_constants), every
     step reproducible in ANSI SQL, which puts the WHOLE minhash→band→
     verify pipeline under the DuckDB oracle gate (the registry's
     `minhash_lsh_near_dup`). Identical plan shape either way.
@@ -252,9 +272,9 @@ def minhash_near_dup_pairs(
     else:
         hm = F.pmod(F.col("__h"), F.lit(2147483647))
         slot = [
-            F.min((F.lit(2 * i + 1) * hm + F.lit(7919 * i)) % 2147483647).alias(
-                f"h{i}"
-            )
+            F.min(
+                (F.lit(_AFFINE_A[i]) * hm + F.lit(_AFFINE_B[i])) % 2147483647
+            ).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
     per_doc = exploded.groupBy(id_col).agg(
@@ -479,11 +499,22 @@ def contamination_check(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash",
+) -> DataFrame:
     """64-bit SimHash per document from token hashes.
 
-    bit j of the fingerprint = sign of Σ_tokens (±1 on bit j of
-    xxhash64(token)).
+    bit j of the fingerprint = sign of Σ_tokens (±1 per token on
+    hyperplane j). hash_family="xxhash" (default): the ±1 is bit j of
+    xxhash64(token). hash_family="poly": the ±1 is the threshold test
+    ((Aⱼ·h + Bⱼ) mod 2³¹−1) > ⌊(2³¹−2)/2⌋ over the engine-agnostic
+    polynomial fold, Aⱼ/Bⱼ fixed pseudorandom 31-bit constants
+    (_lcg_constants) — 64 independent affine hyperplanes whose every step an ANSI-SQL oracle reproduces, which
+    puts the whole simhash→chunk-block→Hamming pipeline under the
+    DuckDB gate.
 
     Implementation note: expressed as explode → one hash aggregate
     with 64 conditional-sum accumulators, NOT nested higher-order
@@ -492,18 +523,37 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     whole-stage codegen and the partial aggregation collapses the
     token rows map-side (~100× faster, bit-identical output).
     """
+    if hash_family not in ("xxhash", "poly"):
+        raise ValueError(f"hash_family must be 'xxhash' or 'poly', got {hash_family!r}")
     # fan out the single-file scan before the explode (see word_shingles)
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(64)
-    ]
+    )
+    if hash_family == "xxhash":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        bit_sums = [
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    else:
+        toks = toks.withColumn(
+            "h", F.pmod(_poly_hash62(F.col("tok")), F.lit(2147483647))
+        )
+        bit_sums = [
+            F.sum(
+                F.when(
+                    (F.lit(_AFFINE_A[j]) * F.col("h") + F.lit(_AFFINE_B[j]))
+                    % 2147483647
+                    > 1073741823,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     # pack sign bits into one signed 64-bit value (bit 63 is the sign bit:
     # 1<<63 as signed long is LONG_MIN, added explicitly)
@@ -518,18 +568,22 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 6, id_col: str = "doc_id"
+    docs: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """SimHash near-dup: pairs with Hamming distance ≤ max_hamming.
 
     Blocking: split the 64-bit fingerprint into 4 16-bit chunks; by
     pigeonhole, any pair within Hamming ≤ 3·4 shares ≥1 exact chunk —
     join on (chunk index, chunk value), verify with bit_count(xor).
+    `hash_family` as in `simhash` ("poly" → oracle-checkable).
     """
     # no checkpoint here: both self-join sides share one exchange
     # (ReuseExchange) within the single job, unlike the cross-job
     # recompute in near_dup_clusters
-    sh = simhash(docs, id_col=id_col)
+    sh = simhash(docs, id_col=id_col, hash_family=hash_family)
     # per-chunk extraction: shiftright then 16-bit mask
     exploded = sh.select(
         id_col,

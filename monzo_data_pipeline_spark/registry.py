@@ -1768,6 +1768,11 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .ext.dedup_fuzzy import _AFFINE_A as _AFA, _AFFINE_B as _AFB
+
+_A_SQL = "[" + ", ".join(str(x) for x in _AFA) + "]"
+_B_SQL = "[" + ", ".join(str(x) for x in _AFB) + "]"
+
 _POLY_FOLD = """list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(range(1, length(shingle) + 1),
                               i -> CAST(ascii(shingle[i]) AS BIGINT))),
@@ -1789,7 +1794,8 @@ hd AS MATERIALIZED (
     FROM sh
 ), slots AS MATERIALIZED (
     SELECT doc_id, i.i AS slot,
-           MIN(((2*i.i + 1) * (h62 % 2147483647) + 7919*i.i) % 2147483647) AS g
+           MIN((({_A_SQL})[i.i + 1] * (h62 % 2147483647)
+                + ({_B_SQL})[i.i + 1]) % 2147483647) AS g
     FROM hd, LATERAL (SELECT unnest(range(0, 64)) AS i) i
     GROUP BY doc_id, i.i
 ), bands AS MATERIALIZED (
@@ -1816,14 +1822,60 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DF.minhash_near_dup_pairs(docs, threshold=0.6, hash_family="poly")
 
 
+_TOK_FOLD = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(tok) + 1),
+                              i -> CAST(ascii(tok[i]) AS BIGINT))),
+               (a, b) -> (a * {base} + b) % 2147483647)"""
+
+
 @_register(
     "simhash_near_dup",
-    "north-star (SimHash 64-bit + pigeonhole-blocked Hamming pairs; rows-only)",
-    None,
+    "north-star (SimHash 64-bit + pigeonhole-blocked Hamming pairs — r3: "
+    "64 engine-agnostic affine hyperplanes over the polynomial fold, so "
+    "signature, 4×16-bit chunk blocking, and Hamming verify are all "
+    "oracle-checked)",
+    f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+), hm AS MATERIALIZED (
+    SELECT doc_id,
+           (({_TOK_FOLD.format(base=131)} * 2147483648
+             + {_TOK_FOLD.format(base=137)}) % 2147483647) AS h
+    FROM toks
+), bits AS MATERIALIZED (
+    SELECT doc_id, j.j AS j,
+           SUM(CASE WHEN (({_A_SQL})[j.j + 1] * h
+                          + ({_B_SQL})[j.j + 1]) % 2147483647
+                         > 1073741823 THEN 1 ELSE -1 END) AS b
+    FROM hm, LATERAL (SELECT unnest(range(0, 64)) AS j) j
+    GROUP BY doc_id, j.j
+), sig AS MATERIALIZED (
+    SELECT doc_id,
+           SUM(CASE WHEN b > 0 THEN
+                 (CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                       ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END)
+               ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+), chunks AS (
+    SELECT doc_id, simhash, c.c AS chunk_idx,
+           (simhash >> CAST(c.c * 16 AS INT)) & 65535 AS chunk_val
+    FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS c) c
+), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= 6
+""",
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return DF.simhash_near_dup_pairs(docs, max_hamming=6)
+    return DF.simhash_near_dup_pairs(docs, max_hamming=6, hash_family="poly")
 
 
 @_register(
