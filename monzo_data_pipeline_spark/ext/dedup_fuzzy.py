@@ -193,7 +193,9 @@ def _lcg_constants(n: int = 64) -> tuple[list[int], list[int]]:
     a, out_a, out_b = 88172645463325252 % 2147483647, [], []
     for _ in range(n):
         a = (1103515245 * a + 12345) % 2147483647
-        out_a.append(a | 1)  # odd, in [1, M-1]
+        # map into [1, M-1]: a multiplier ≡ 0 (mod M) would be a dead
+        # slot / constant hyperplane ('a | 1' could yield M itself)
+        out_a.append(a % 2147483646 + 1)
         a = (1103515245 * a + 12345) % 2147483647
         out_b.append(a)
     return out_a, out_b

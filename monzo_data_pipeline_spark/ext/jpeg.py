@@ -4,7 +4,8 @@ Closes the one remaining `NotImplementedError` in the media family
 (SURVEY.md §2.C5): entropy-coded JPEG. Scope is ITU-T T.81 baseline
 sequential DCT, 8-bit, Huffman coding, 1-component grayscale or
 3-component YCbCr without chroma subsampling (4:4:4); restart
-intervals (DRI/RSTn) are honored. Progressive (SOF2), arithmetic
+intervals (DRI/RSTn), 0xFF fill bytes, and baseline multi-scan
+layouts (one non-interleaved SOS per component) are honored. Progressive (SOF2), arithmetic
 coding, 12-bit precision, and subsampled chroma raise ValueError so
 callers quarantine rather than mis-decode.
 
@@ -30,15 +31,12 @@ scope like the rest of `ext/images.py`.
 from __future__ import annotations
 
 import math
-import os
 import struct
 
 import numpy as np
 
-# repo root for raw-session executor imports (see ext/images.py note)
-_PKG_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+# repo root for raw-session executor imports — single source of truth
+from monzo_data_pipeline_spark.ext.images import _PKG_ROOT
 
 # ---------------------------------------------------------------------------
 # Tables.
@@ -235,13 +233,18 @@ def encode_jpeg(
     arr: np.ndarray,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    multi_scan: bool = False,
 ) -> bytes:
     """Encode (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 as
     baseline-sequential JFIF. `quant` is an 8×8 quantization table in
     natural order (default all ones — near-lossless, and EXACTLY
     lossless on constant 8×8 blocks). `restart_interval` > 0 emits a
     DRI segment and RSTn markers every that many MCUs — the stream
-    shape long scans use for error resilience."""
+    shape long scans use for error resilience. `multi_scan` emits one
+    non-interleaved SOS per component (the other legal baseline
+    layout) instead of a single interleaved scan."""
+    if multi_scan and restart_interval:
+        raise ValueError("multi_scan with restart intervals not supported")
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     if arr.ndim == 2:
@@ -270,41 +273,58 @@ def encode_jpeg(
         d = np.einsum("ux,bxy,vy->buv", _DCT_M, f, _DCT_M)
         coeff.append(np.rint(d / q).astype(np.int64))
     n_blocks = coeff[0].shape[0]
-    for b in range(n_blocks):
-        if restart_interval and b and b % restart_interval == 0:
-            scan_parts.append(wr.flush())
-            scan_parts.append(bytes([0xFF, 0xD0 + ((b // restart_interval - 1) & 7)]))
+
+    def encode_block(ci: int, b: int, wr: _BitWriter, preds: list[int]) -> None:
+        zz = coeff[ci][b].reshape(64)[ZIGZAG]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        cat = _category(diff)
+        code, length = dc_codes[cat]
+        wr.write(code, length)
+        if cat:
+            wr.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL
+                wr.write(zc, zl)
+                run -= 16
+            cat = _category(v)
+            code, length = ac_codes[(run << 4) | cat]
+            wr.write(code, length)
+            wr.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            ec, el = ac_codes[0x00]  # EOB
+            wr.write(ec, el)
+
+    if multi_scan and n_comp > 1:
+        # one non-interleaved scan per component (scan bytes per comp)
+        comp_scans: list[bytes] = []
+        for ci in range(n_comp):
             wr = _BitWriter()
             preds = [0] * n_comp
-        for ci in range(n_comp):
-            zz = coeff[ci][b].reshape(64)[ZIGZAG]
-            diff = int(zz[0]) - preds[ci]
-            preds[ci] = int(zz[0])
-            cat = _category(diff)
-            code, length = dc_codes[cat]
-            wr.write(code, length)
-            if cat:
-                wr.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL
-                    wr.write(zc, zl)
-                    run -= 16
-                cat = _category(v)
-                code, length = ac_codes[(run << 4) | cat]
-                wr.write(code, length)
-                wr.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if run:
-                ec, el = ac_codes[0x00]  # EOB
-                wr.write(ec, el)
-    scan_parts.append(wr.flush())
-    scan = b"".join(scan_parts)
+            for b in range(n_blocks):
+                encode_block(ci, b, wr, preds)
+            comp_scans.append(wr.flush())
+        scan = None
+    else:
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                scan_parts.append(wr.flush())
+                scan_parts.append(
+                    bytes([0xFF, 0xD0 + ((b // restart_interval - 1) & 7)])
+                )
+                wr = _BitWriter()
+                preds = [0] * n_comp
+            for ci in range(n_comp):
+                encode_block(ci, b, wr, preds)
+        scan_parts.append(wr.flush())
+        scan = b"".join(scan_parts)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -320,14 +340,20 @@ def encode_jpeg(
     dht = bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
     dht += bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS)
     out.append(seg(0xFFC4, dht))
-    sos = bytes([n_comp])
-    for ci in range(n_comp):
-        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
-    sos += bytes([0, 63, 0])
     if restart_interval:
         out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
-    out.append(seg(0xFFDA, sos))
-    out.append(scan)
+    if multi_scan and n_comp > 1:
+        for ci in range(n_comp):
+            sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+            out.append(seg(0xFFDA, sos))
+            out.append(comp_scans[ci])
+    else:
+        sos = bytes([n_comp])
+        for ci in range(n_comp):
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([0, 63, 0])
+        out.append(seg(0xFFDA, sos))
+        out.append(scan)
     out.append(b"\xff\xd9")  # EOI
     return b"".join(out)
 
@@ -349,14 +375,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(cid, tq)])
     restart_interval = 0
+    decoded: dict[int, np.ndarray] = {}  # cid → padded plane
     while True:
-        if pos + 4 > len(payload):
+        if pos + 2 > len(payload):
             raise ValueError("truncated JPEG header")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before scan
-            raise ValueError("JPEG with no scan data")
+        if marker == 0xD9:  # EOI — finalize below
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn:
+            pos += 2  # standalone markers carry no length field
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG header")
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:
@@ -400,7 +435,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("only baseline-sequential JPEG supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — one of possibly several scans
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
@@ -408,32 +443,59 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
                 scan_tables[cid] = (tt >> 4, tt & 0x0F)
-            pos = pos + 2 + ln
-            return _decode_scan(
-                payload, pos, frame, scan_tables, qtables, htables, restart_interval
+            pos = _decode_scan(
+                payload,
+                pos + 2 + ln,
+                frame,
+                scan_tables,
+                qtables,
+                htables,
+                restart_interval,
+                decoded,
             )
+            continue
         # APPn / COM / anything else with a length: skip
         pos = pos + 2 + ln
 
+    if frame is None or not decoded:
+        raise ValueError("JPEG with no scan data")
+    h, w, comps = frame
+    missing = [cid for cid, _ in comps if cid not in decoded]
+    if missing:
+        raise ValueError(f"JPEG missing scans for components {missing}")
+    planes = [np.clip(np.round(decoded[cid][:h, :w]), 0, 255) for cid, _ in comps]
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)[:, :, None]
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    raise ValueError(f"unsupported component count {len(planes)}")
 
-def _decode_scan(data, pos, frame, scan_tables, qtables, htables, ri):
+
+def _decode_scan(data, pos, frame, scan_tables, qtables, htables, ri, decoded):
+    """Decode ONE scan's entropy data: all frame components listed in
+    the scan, interleaved (ns > 1) or non-interleaved (ns = 1 — the
+    legal baseline multi-scan layout, one SOS per component). With
+    4:4:4 sampling every component shares the full block grid, so an
+    MCU is one block per scan component either way. Planes land in
+    `decoded`; returns the payload offset of the next marker."""
     h, w, comps = frame
     bh, bw = -(-h // 8), -(-w // 8)
     n_mcu = bh * bw
     rd = _BitReader(data, pos)
-    out_planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
-    preds = [0] * len(comps)
+    scan_comps = [(cid, tq) for cid, tq in comps if cid in scan_tables]
+    if len(scan_comps) != len(scan_tables):
+        raise ValueError("SOS lists a component absent from SOF")
+    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _ in scan_comps}
+    preds = {cid: 0 for cid, _ in scan_comps}
     mt = _DCT_M.T
     for m in range(n_mcu):
         if ri and m and m % ri == 0:
             rd.align_to_restart((m // ri - 1) & 7)
-            preds = [0] * len(comps)
+            preds = {cid: 0 for cid, _ in scan_comps}
         by, bx = divmod(m, bw)
-        for ci, (cid, tq) in enumerate(comps):
+        for cid, tq in scan_comps:
             if tq not in qtables:
                 raise ValueError("missing quantization table")
-            if cid not in scan_tables:
-                raise ValueError("scan component without tables")
             td, ta = scan_tables[cid]
             try:
                 dc_tab = htables[(0, td)]
@@ -442,8 +504,8 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, ri):
                 raise ValueError("missing Huffman table") from None
             zz = np.zeros(64, dtype=np.int64)
             sym = _read_symbol(rd, dc_tab)
-            preds[ci] += _extend(rd.receive(sym), sym)
-            zz[0] = preds[ci]
+            preds[cid] += _extend(rd.receive(sym), sym)
+            zz[0] = preds[cid]
             k = 1
             while k < 64:
                 rs = _read_symbol(rd, ac_tab)
@@ -462,13 +524,14 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, ri):
             nat[ZIGZAG] = zz
             block = nat.reshape(8, 8) * qtables[tq]
             pix = mt @ block.astype(np.float64) @ _DCT_M + 128.0
-            out_planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in out_planes]
-    if len(planes) == 1:
-        return planes[0].astype(np.uint8)[:, :, None]
-    if len(planes) == 3:
-        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
-    raise ValueError(f"unsupported component count {len(planes)}")
+            planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    decoded.update(planes)
+    # skip padding bits/bytes to the next marker (0xFF not followed by
+    # the 0x00 stuffing byte)
+    p = rd.pos
+    while p + 1 < len(data) and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
 
 
 def _read_symbol(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:

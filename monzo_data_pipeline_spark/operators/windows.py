@@ -188,6 +188,10 @@ def exact_ntile(
     bucket-total, and boundary passes reuse one materialization; no
     stage sees unbounded per-task state.
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if n_buckets == 1:  # ntile(1): every row lands in bucket 1
+        return df.withColumn(out_col, F.lit(1).cast("int"))
     v, t = F.col(value_col), F.col(tiebreak_col)
     pc0 = (
         df.groupBy(v.alias("__v"))

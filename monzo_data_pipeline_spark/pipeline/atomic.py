@@ -370,6 +370,11 @@ def table_changes(
 
     old_dirs = dirs_at(from_version)
     new_dirs = dirs_at(to_version)
+    if not old_dirs and not new_dirs:
+        raise FileNotFoundError(
+            f"table {table!r} not in manifest v{from_version} or "
+            f"v{to_version if to_version is not None else 'current'}"
+        )
     shared = set(old_dirs) & set(new_dirs)
     old_only = [d for d in old_dirs if d not in shared]
     new_only = [d for d in new_dirs if d not in shared]

@@ -4120,7 +4120,7 @@ _FC.register(_register)
 
 
 # The driver's correctness gate hash-checks the FIRST 50 registry
-# entries only (the full 178 run under tools/oracle_check.py). This
+# entries only (the full registry runs under tools/oracle_check.py). This
 # curated prefix puts at least one query from EVERY operator family
 # inside that window — flagship agg, filters/limits, fin analytics,
 # GDPR, merge/dedup, projection, reconciliation, scalars, nested,

@@ -385,3 +385,15 @@ def test_table_changes_cdf_between_versions(spark, tmp_path):
     # identical versions -> empty frame with the _change_type column
     same = table_changes(wh, "t", 2, 2)
     assert same.count() == 0 and "_change_type" in same.columns
+
+
+def test_table_changes_unknown_table_raises(spark, tmp_path):
+    from monzo_data_pipeline_spark.pipeline.atomic import (
+        AtomicWarehouse,
+        table_changes,
+    )
+
+    wh = AtomicWarehouse(spark, str(tmp_path))
+    wh.overwrite(spark.createDataFrame([(1,)], "k bigint"), "t")
+    with pytest.raises(FileNotFoundError):
+        table_changes(wh, "nope", 1)

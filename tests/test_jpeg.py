@@ -105,3 +105,33 @@ def test_documents_as_jpegs_matches_rule(spark):
     assert stats[1].pix_sum == 64 * (ord("A") + ord("b") + ord("C") + ord("d"))
     assert stats[2].pix_sum == 64 * 4 * ord("x")  # cycled single char
     assert stats[3].pix_sum == 64 * 4 * ord(" ")  # non-ASCII → space rule
+
+
+def test_multi_scan_and_fill_bytes_decode():
+    # legal baseline variants the single-scan assumption used to reject
+    rng = np.random.RandomState(21)
+    a = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    p = encode_jpeg(a, multi_scan=True)
+    assert p.count(b"\xff\xda") == 3  # one SOS per component
+    out = decode_jpeg(p)
+    assert np.abs(out.astype(int) - a.astype(int)).max() <= 4
+    # T.81 B.1.1.2 fill bytes before a marker must be skipped
+    i = p.index(b"\xff\xc0")
+    filled = p[:i] + b"\xff\xff\xff" + p[i:]
+    assert np.array_equal(decode_jpeg(filled), out)
+    # multi-scan + restart is an explicit error, not silent corruption
+    with pytest.raises(ValueError):
+        encode_jpeg(a, multi_scan=True, restart_interval=2)
+
+
+def test_missing_component_scan_and_empty_stream_raise():
+    a = np.full((8, 8, 3), 90, dtype=np.uint8)
+    p = encode_jpeg(a, multi_scan=True)
+    # drop the last SOS+scan: two of three components decoded
+    last_sos = p.rindex(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing scans"):
+        decode_jpeg(p[:last_sos] + b"\xff\xd9")
+    # EOI with no scan at all
+    no_scan = p[: p.index(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no scan data"):
+        decode_jpeg(no_scan)

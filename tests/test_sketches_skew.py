@@ -225,3 +225,15 @@ def test_exact_ntile_empty_input(spark):
 
     df = spark.createDataFrame([], "v double, id bigint")
     assert exact_ntile(df, 4, "v", "id").count() == 0
+
+
+def test_exact_ntile_single_bucket_and_validation(spark):
+    from monzo_data_pipeline_spark.operators.windows import exact_ntile
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 2)], "v double, id bigint")
+    # ntile(1): every row in bucket 1, no jobs needed
+    assert {r.nt for r in exact_ntile(df, 1, "v", "id").collect()} == {1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        exact_ntile(df, 0, "v", "id")
