@@ -275,3 +275,57 @@ def ewma_user_values(events: DataFrame) -> DataFrame:
         fold.alias("ewma_q"),
         F.size("evs").cast("long").alias("n_events"),
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation — the CRM/marketing classic: quartile
+    each customer's Recency / Frequency / Monetary value and compose a
+    3-digit segment code (e.g. 144 = lapsed big spender). The anchor
+    date is the corpus max order date (deterministic — never
+    wall-clock), recency in whole days below it.
+
+    Each quartile assignment runs through `exact_ntile`
+    (operators/windows.py) — broadcast cut pairs, NO global-order
+    window — over the per-customer aggregate, which is |customers|
+    rows, not the fact. The aggregate is persisted across the three
+    ntile passes so the fact scans exactly once.
+    """
+    from .windows import exact_ntile
+
+    anchor_s = orders.agg(
+        F.max(F.unix_seconds(F.col("o_orderdate"))).alias("a")
+    ).collect()[0]["a"]
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.unix_seconds(F.col("o_orderdate"))).alias("last_s"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("monetary_cents"),
+        )
+        .select(
+            "o_custkey",
+            # non-negative by construction → DIV == floor cross-engine
+            F.expr(f"({anchor_s} - last_s) DIV 86400").alias("recency_days"),
+            "n_orders",
+            "monetary_cents",
+        )
+        .persist()
+    )
+    # NOTE: cust stays persisted for the returned lazy plan (an
+    # explicit unpersist here would evict before the caller's action);
+    # the cache is |customers|-sized and Spark reclaims it with the DF.
+    out = exact_ntile(cust, 4, "recency_days", "o_custkey", out_col="r_nt")
+    out = exact_ntile(out, 4, "n_orders", "o_custkey", out_col="f_nt")
+    out = exact_ntile(out, 4, "monetary_cents", "o_custkey", out_col="m_nt")
+    return out.select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary_cents",
+        "r_nt",
+        "f_nt",
+        "m_nt",
+        (F.col("r_nt") * 100 + F.col("f_nt") * 10 + F.col("m_nt"))
+        .cast("int")
+        .alias("segment"),
+    )

@@ -4048,6 +4048,39 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_audit(o, ["o_custkey"], "o_orderstatus", l_min=2)
 
 
+@_register(
+    "rfm_segments",
+    "B1/north-star (RFM customer segmentation: recency/frequency/monetary "
+    "quartiles composed via exact_ntile — broadcast cut pairs, no global "
+    "window; anchor = corpus max date, never wall-clock)",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               ((SELECT MAX(CAST(epoch(o_orderdate) AS BIGINT)) FROM orders)
+                - MAX(CAST(epoch(o_orderdate) AS BIGINT))) // 86400
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, n_orders, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_nt,
+           CAST(ntile(4) OVER (ORDER BY n_orders, o_custkey) AS INT) AS f_nt,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS INT) AS m_nt,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) * 100
+                + ntile(4) OVER (ORDER BY n_orders, o_custkey) * 10
+                + ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS INT)
+               AS segment
+    FROM cust
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fin import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
 _CORR_M_CTE = """
     WITH q AS (
         SELECT CAST(floor(l_quantity * 100) AS HUGEINT) AS a,

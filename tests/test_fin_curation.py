@@ -336,3 +336,41 @@ class TestRarityAndOov:
         }
         # vocab = {aa} (most frequent): doc0 = 1/4 OOV, doc1 fully OOV
         assert out[0] == 250000 and out[1] == 1000000
+
+
+def test_rfm_segments_quartiles_and_anchor(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from monzo_data_pipeline_spark.operators.fin import rfm_segments
+
+    rows = []
+    # 8 customers with distinct recency/frequency/monetary profiles
+    for c in range(8):
+        for k in range(c + 1):  # frequency = c+1 orders
+            rows.append((c, datetime(2024, 1 + c, 10), float(100 * (c + 1))))
+    orders = spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r.o_custkey: r for r in rfm_segments(orders).collect()}
+    # anchor = max date (customer 7's month): their recency is 0 days
+    assert out[7].recency_days == 0 and out[7].r_nt == 1
+    # oldest customer sits in the last recency quartile
+    assert out[0].r_nt == 4
+    # frequency/monetary quartiles are monotone in the constructed data
+    assert out[7].f_nt == 4 and out[0].f_nt == 1
+    assert out[7].m_nt == 4 and out[0].m_nt == 1
+    assert out[7].segment == 144 and out[0].segment == 411
+    # parity with plain window ntile on every dimension
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_seconds("o_orderdate")).alias("last_s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy(F.desc("last_s"), "o_custkey")
+    plain_r = {
+        r.o_custkey: r.nt
+        for r in cust.withColumn("nt", F.ntile(4).over(w)).collect()
+    }
+    assert all(out[c].r_nt == plain_r[c] for c in plain_r)
