@@ -404,14 +404,15 @@ def compact_table(
     sort_by: list[str] | None = None,
 ) -> dict:
     """Small-file compaction — the OPTIMIZE analog for the manifest
-    warehouse. Many append batches leave a table as many directories
-    of many small files; listing and per-file open costs then dominate
-    scans at lake scale. This rewrites the WHOLE table as one
-    directory of ~`target_file_mb` files (optionally sorted so
-    min/max stats become selective — the poor man's Z-order; io.py
-    has the real one), committed atomically: readers see the old
-    layout or the new, never a mixture, and the data is byte-for-byte
-    the same rows.
+    warehouse (`sources/io.py::compact_table` is the sibling for plain
+    parquet directories, where the swap is non-atomic). Many append
+    batches leave a table as many directories of many small files;
+    listing and per-file open costs then dominate scans at lake scale.
+    This rewrites the WHOLE table as one directory of
+    ~`target_file_mb` files (optionally sorted so min/max stats become
+    selective — the poor man's Z-order; io.py has the real one),
+    committed atomically: readers see the old layout or the new,
+    never a mixture, and the data is byte-for-byte the same rows.
 
     Sizing uses the current on-disk bytes (compressed parquet → the
     new files land near target). Returns

@@ -344,3 +344,35 @@ def read_jsonl_shards(
     """Read JSONL shards back with a pinned schema (no inference scan
     — at 100 TB schema inference is a full extra pass)."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC reader with a pinned schema — same contract as
+    read_parquet: no inference scan. ORC ships in Spark's classpath,
+    carries the same columnar pruning/pushdown story as parquet, and
+    is the interchange format Hive-era warehouses still emit."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC writer (snappy default) — mirror of the parquet path for
+    pipelines landing into Hive-compatible consumers."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for media ingestion: each file becomes one
+    row (path, modificationTime, length, content) — the shape that
+    feeds the multimodal decoders (`ext/images.py::image_stats` et
+    al.) directly from an object-store drop of images/audio. At
+    100 TB, spark.sql.files.maxPartitionBytes bounds per-task bytes
+    and the payload column is prunable like any other."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -342,3 +342,46 @@ def test_jsonl_shards_size_by_bytes_not_chars(spark, tmp_path):
     # yield ≥ 4 shards under byte sizing, ~2 under char sizing
     n = write_jsonl_shards(df, str(tmp_path / "cjk"), target_shard_mb=1)
     assert n >= 4
+
+
+def test_orc_roundtrip_pinned_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from monzo_data_pipeline_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, name string, v double"
+    )
+    write_orc(df, str(tmp_path / "t.orc"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    back = read_orc(spark, str(tmp_path / "t.orc"), schema)
+    assert back.schema == schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_binary_file_source_feeds_image_decoder(spark, tmp_path):
+    import numpy as np
+
+    from monzo_data_pipeline_spark.ext import images as IMG
+    from monzo_data_pipeline_spark.sources.io import read_binary_files
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    (tmp_path / "a.ppm").write_bytes(IMG.encode_ppm(arr))
+    (tmp_path / "b.png").write_bytes(IMG.encode_png(arr))
+    (tmp_path / "junk.txt").write_bytes(b"not an image")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.p*")
+    assert files.count() == 2  # glob filter pruned the txt
+    from pyspark.sql import functions as F
+
+    media = files.select(
+        F.xxhash64("path").alias("media_id"), F.col("content").alias("payload")
+    )
+    stats = IMG.image_stats(media).collect()
+    assert all(r.valid and r.pix_sum == int(arr.sum()) for r in stats)
