@@ -43,9 +43,7 @@ from pyspark.sql import types as T
 # root the driver imported it from. Local mode and shared-mount
 # clusters resolve the same path; wheel-shipped clusters never hit
 # the fallback because the package is already importable.
-_PKG_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+from monzo_data_pipeline_spark.ext._paths import _PKG_ROOT  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # Codecs (pure numpy / stdlib).

@@ -36,7 +36,8 @@ import struct
 import numpy as np
 
 # repo root for raw-session executor imports — single source of truth
-from monzo_data_pipeline_spark.ext.images import _PKG_ROOT
+# (_paths is stdlib-only: the codec keeps its numpy+stdlib import graph)
+from monzo_data_pipeline_spark.ext._paths import _PKG_ROOT
 
 # ---------------------------------------------------------------------------
 # Tables.
@@ -384,6 +385,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG header")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI — finalize below
             break
@@ -421,9 +424,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended seq.
+            if len(body) < 6:
+                raise ValueError("short SOF segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("short SOF segment")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -434,10 +441,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline-sequential JPEG supported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("short DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — one of possibly several scans
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("short SOS segment")
             ns = body[0]
             scan_tables = {}
             for si in range(ns):

@@ -295,6 +295,8 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     anchor_s = orders.agg(
         F.max(F.unix_seconds(F.col("o_orderdate"))).alias("a")
     ).collect()[0]["a"]
+    if anchor_s is None:  # empty input: anchor is moot, output is empty
+        anchor_s = 0
     cust = (
         orders.groupBy("o_custkey")
         .agg(

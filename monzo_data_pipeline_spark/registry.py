@@ -1774,8 +1774,8 @@ _A_SQL = "[" + ", ".join(str(x) for x in _AFA) + "]"
 _B_SQL = "[" + ", ".join(str(x) for x in _AFB) + "]"
 
 _POLY_FOLD = """list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, length(shingle) + 1),
-                              i -> CAST(ascii(shingle[i]) AS BIGINT))),
+               list_transform(range(1, length({col}) + 1),
+                              i -> CAST(ascii({col}[i]) AS BIGINT))),
                (a, b) -> (a * {base} + b) % 2147483647)"""
 
 
@@ -1789,8 +1789,8 @@ _POLY_FOLD = """list_reduce(list_prepend(CAST(0 AS BIGINT),
     + f""",
 hd AS MATERIALIZED (
     SELECT DISTINCT doc_id,
-           {_POLY_FOLD.format(base=131)} * 2147483648
-           + {_POLY_FOLD.format(base=137)} AS h62
+           {_POLY_FOLD.format(base=131, col='shingle')} * 2147483648
+           + {_POLY_FOLD.format(base=137, col='shingle')} AS h62
     FROM sh
 ), slots AS MATERIALIZED (
     SELECT doc_id, i.i AS slot,
@@ -1822,12 +1822,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DF.minhash_near_dup_pairs(docs, threshold=0.6, hash_family="poly")
 
 
-_TOK_FOLD = """list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, length(tok) + 1),
-                              i -> CAST(ascii(tok[i]) AS BIGINT))),
-               (a, b) -> (a * {base} + b) % 2147483647)"""
-
-
 @_register(
     "simhash_near_dup",
     "north-star (SimHash 64-bit + pigeonhole-blocked Hamming pairs — r3: "
@@ -1840,8 +1834,8 @@ WITH toks AS MATERIALIZED (
     FROM documents
 ), hm AS MATERIALIZED (
     SELECT doc_id,
-           (({_TOK_FOLD.format(base=131)} * 2147483648
-             + {_TOK_FOLD.format(base=137)}) % 2147483647) AS h
+           (({_POLY_FOLD.format(base=131, col='tok')} * 2147483648
+             + {_POLY_FOLD.format(base=137, col='tok')}) % 2147483647) AS h
     FROM toks
 ), bits AS MATERIALIZED (
     SELECT doc_id, j.j AS j,
