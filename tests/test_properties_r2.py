@@ -234,3 +234,36 @@ def test_bpe_merges_match_textbook_on_random_corpora(sp, docs, n_merges):
         for r in BPE.bpe_merges(df, n_merges=n_merges).orderBy("step").collect()
     ]
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    nb=st.integers(min_value=2, max_value=7),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_ntile_property_matches_window_ntile(sp, vals, nb):
+    """Property: exact_ntile == ntile() OVER a global order for random
+    multisets (ties everywhere) and any bucket count."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from monzo_data_pipeline_spark.operators.windows import exact_ntile
+
+    df = sp.createDataFrame(
+        [(float(v), i) for i, v in enumerate(vals)], "v double, id bigint"
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    plain = {
+        (r.id, r.nt) for r in df.withColumn("nt", F.ntile(nb).over(w)).collect()
+    }
+    got = {
+        (r.id, r.nt)
+        for r in exact_ntile(df, nb, "v", "id", range_buckets=4).collect()
+    }
+    assert got == plain
