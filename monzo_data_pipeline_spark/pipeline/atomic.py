@@ -220,17 +220,34 @@ class AtomicWarehouse:
             )
         return self.spark.read.parquet(*[self._abs(d) for d in dirs])
 
-    def vacuum(self) -> list[str]:
-        """Remove every data directory the CURRENT manifest does not
-        reference (crash orphans, overwritten/erased versions) and all
+    def vacuum(self, retain_last: int = 0) -> list[str]:
+        """Remove every data directory no RETAINED manifest references
+        (crash orphans, overwritten/erased versions) plus the expired
         archived manifests. Returns removed paths. Safe to run any
-        time: referenced dirs are never touched."""
-        live = {
-            rel
-            for dirs in self.manifest()["tables"].values()
-            for rel in dirs
-        }
+        time: referenced dirs are never touched.
+
+        ``retain_last=0`` (default) keeps only the CURRENT snapshot and
+        drops all history — complete erasure semantics. ``retain_last=N``
+        keeps the last N archived versions readable via
+        ``read_version`` (the Delta ``VACUUM RETAIN`` analog: bound the
+        storage cost of time travel without losing the recent undo
+        window)."""
+        cur = self.manifest()
+        live = {rel for dirs in cur["tables"].values() for rel in dirs}
+        hist = os.path.join(self.root, MANIFEST_DIR)
         removed: list[str] = []
+        keep_versions: set[int] = set()
+        if retain_last > 0 and os.path.isdir(hist):
+            versions = sorted(
+                int(f[1:-5])
+                for f in os.listdir(hist)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            keep_versions = set(versions[-retain_last:])
+            for v in keep_versions:
+                with open(os.path.join(hist, f"v{v}.json")) as f:
+                    man = json.load(f)
+                live |= {rel for dirs in man["tables"].values() for rel in dirs}
         for entry in sorted(os.listdir(self.root)):
             tdir = os.path.join(self.root, entry)
             if entry in (MANIFEST, MANIFEST_DIR) or not os.path.isdir(tdir):
@@ -242,10 +259,16 @@ class AtomicWarehouse:
                     removed.append(rel)
             if not os.listdir(tdir):
                 os.rmdir(tdir)
-        hist = os.path.join(self.root, MANIFEST_DIR)
         if os.path.isdir(hist):
-            shutil.rmtree(hist)
-            removed.append(MANIFEST_DIR)
+            if retain_last <= 0:
+                shutil.rmtree(hist)
+                removed.append(MANIFEST_DIR)
+            else:
+                for f in sorted(os.listdir(hist)):
+                    v = int(f[1:-5])
+                    if v not in keep_versions:
+                        os.remove(os.path.join(hist, f))
+                        removed.append(f"{MANIFEST_DIR}/{f}")
         return removed
 
 

@@ -397,3 +397,32 @@ def test_table_changes_unknown_table_raises(spark, tmp_path):
     wh.overwrite(spark.createDataFrame([(1,)], "k bigint"), "t")
     with pytest.raises(FileNotFoundError):
         table_changes(wh, "nope", 1)
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """vacuum(retain_last=N): the last N archived versions stay
+    time-travel-readable; older snapshots and their exclusive dirs
+    are swept; default retain_last=0 keeps the full-truncate
+    semantics existing callers rely on."""
+    from monzo_data_pipeline_spark.pipeline.atomic import AtomicWarehouse
+
+    wh = AtomicWarehouse(spark, str(tmp_path))
+    for v in (1, 2, 3, 4):
+        wh.overwrite(_df(spark, list(range(v))), "t")  # v1..v4
+    assert wh.manifest()["version"] == 4
+
+    removed = wh.vacuum(retain_last=2)
+    # v3 and v4 survive; v1/v2 dirs + manifests are gone
+    assert _vals(wh.read_version("t", 3)) == [0, 1, 2]
+    assert _vals(wh.read_version("t", 4)) == [0, 1, 2, 3]
+    with pytest.raises(FileNotFoundError):
+        wh.read_version("t", 1)
+    assert any(r.startswith("_manifests/") for r in removed)
+    assert sum(r.startswith("t/") for r in removed) == 2  # v1+v2 dirs
+    # current snapshot untouched throughout
+    assert _vals(wh.read("t")) == [0, 1, 2, 3]
+    # full truncate still works afterwards
+    wh.vacuum()
+    with pytest.raises(FileNotFoundError):
+        wh.read_version("t", 3)
+    assert _vals(wh.read("t")) == [0, 1, 2, 3]
