@@ -331,3 +331,53 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         .cast("int")
         .alias("segment"),
     )
+
+
+def reversal_matching(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    reversal_type: str = "error",
+    max_gap_s: int = 86400 * 30,
+    unit_scale: int = 1,
+) -> DataFrame:
+    """Payment-reversal reconciliation screen: for each purchase, the
+    EARLIEST later event of `reversal_type` by the same user with the
+    same quantized amount (⌊value·unit_scale⌋) within `max_gap_s` —
+    the candidate refund/chargeback pairing an ops team reviews. A
+    screen, not ledger matching: one reversal may pair with several
+    purchases of the same amount (document-reviewed downstream).
+
+    Plan: both sides filter at the scan (type pushdown), equi-join on
+    (user, amount) — blocked pair generation, never user×user — with
+    the time window as a residual; the earliest-reversal pick is one
+    min(struct) aggregate, no window. At 100 TB this is one keyed
+    shuffle on (user, amount).
+    """
+    amt = F.floor(F.col("value") * unit_scale).cast("long")
+    us = F.unix_micros("ts")
+    p = events.filter(F.col("event_type") == purchase_type).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"),
+        amt.alias("amt"),
+    )
+    r = events.filter(F.col("event_type") == reversal_type).select(
+        "user_id",
+        F.col("event_id").alias("reversal_id"),
+        us.alias("r_us"),
+        amt.alias("amt"),
+    )
+    j = p.join(r, ["user_id", "amt"]).filter(
+        (F.col("r_us") > F.col("p_us"))
+        & (F.col("r_us") <= F.col("p_us") + F.lit(max_gap_s * 1_000_000))
+    )
+    picked = j.groupBy("user_id", "purchase_id", "p_us", "amt").agg(
+        F.min(F.struct("r_us", "reversal_id")).alias("m")
+    )
+    return picked.select(
+        "user_id",
+        "purchase_id",
+        F.col("m.reversal_id").alias("reversal_id"),
+        "amt",
+        F.expr("(m.r_us - p_us) DIV 1000000").alias("gap_s"),
+    )

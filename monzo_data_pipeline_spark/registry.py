@@ -4043,6 +4043,39 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "reversal_matching",
+    "north-star/fin (payment-reversal reconciliation screen: earliest "
+    "same-user same-amount reversal within the window; blocked equi-join "
+    "on (user, amount), min-struct pick - no window, no user x user)",
+    """
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us,
+               CAST(floor(value) AS BIGINT) AS amt
+        FROM events WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT user_id, event_id AS reversal_id, epoch_us(ts) AS r_us,
+               CAST(floor(value) AS BIGINT) AS amt
+        FROM events WHERE event_type = 'error'
+    ), cand AS (
+        SELECT p.user_id, p.purchase_id, p.p_us, p.amt,
+               r.reversal_id, r.r_us,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY r.r_us, r.reversal_id) AS rn
+        FROM p JOIN r ON p.user_id = r.user_id AND p.amt = r.amt
+        WHERE r.r_us > p.p_us AND r.r_us <= p.p_us + 2592000000000
+    )
+    SELECT user_id, purchase_id, reversal_id, amt,
+           (r_us - p_us) // 1000000 AS gap_s
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_reversal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fin import reversal_matching
+
+    return reversal_matching(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "rfm_segments",
     "B1/north-star (RFM customer segmentation: recency/frequency/monetary "
     "quartiles composed via exact_ntile — broadcast cut pairs, no global "

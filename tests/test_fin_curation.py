@@ -374,3 +374,31 @@ def test_rfm_segments_quartiles_and_anchor(spark):
         for r in cust.withColumn("nt", F.ntile(4).over(w)).collect()
     }
     assert all(out[c].r_nt == plain_r[c] for c in plain_r)
+
+
+def test_reversal_matching_picks_earliest_within_window(spark):
+    from datetime import datetime
+
+    from monzo_data_pipeline_spark.operators.fin import reversal_matching
+
+    ev = spark.createDataFrame(
+        [
+            # purchase 1 at t0 amount 10.xx: two later reversals, earliest wins
+            (1, datetime(2024, 1, 1, 12), 7, "purchase", 10.40),
+            (2, datetime(2024, 1, 1, 13), 7, "error", 10.90),   # same unit amt
+            (3, datetime(2024, 1, 2, 9), 7, "error", 10.10),    # later
+            # reversal BEFORE the purchase never matches
+            (4, datetime(2023, 12, 31), 7, "error", 10.0),
+            # different user / amount: no match
+            (5, datetime(2024, 1, 1, 14), 8, "error", 10.5),
+            (6, datetime(2024, 1, 1, 12), 9, "purchase", 55.0),
+            # outside the window
+            (7, datetime(2024, 1, 1), 10, "purchase", 20.0),
+            (8, datetime(2024, 3, 15), 10, "error", 20.0),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    out = {r.purchase_id: r for r in reversal_matching(ev, max_gap_s=86400 * 30).collect()}
+    assert set(out) == {1}
+    assert out[1].reversal_id == 2 and out[1].amt == 10
+    assert out[1].gap_s == 3600
