@@ -426,3 +426,38 @@ def test_vacuum_retention_window(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         wh.read_version("t", 3)
     assert _vals(wh.read("t")) == [0, 1, 2, 3]
+
+
+def test_pre_stats_manifest_backward_compat(spark, tmp_path):
+    """Warehouses committed before r3 have no 'stats' key in the
+    manifest: pruning must degrade to 'every dir is a candidate'
+    (never assume exclusion) and the next commit starts recording
+    stats without disturbing old entries."""
+    import json
+    import os
+
+    from monzo_data_pipeline_spark.pipeline.atomic import AtomicWarehouse
+
+    wh = AtomicWarehouse(spark, str(tmp_path))
+    wh.append(spark.createDataFrame([(i,) for i in range(10)], "k bigint"), "t")
+    # simulate an r2-era manifest: strip the stats key in place
+    man = wh.manifest()
+    man.pop("stats", None)
+    with open(os.path.join(str(tmp_path), "_manifest.json"), "w") as f:
+        json.dump(man, f)
+
+    cand, clean = wh.pruned_dirs("t", "k", [99999])  # far out of range
+    assert clean == [] and len(cand) == 1  # no stats -> cannot prune
+    assert wh.read_pruned("t", "k", [5]).count() == 10
+
+    # a new append records stats for ITS dir; the legacy dir stays
+    # stats-less and conservative
+    wh.append(
+        spark.createDataFrame([(1000 + i,) for i in range(10)], "k bigint"), "t"
+    )
+    stats = wh.manifest().get("stats", {})
+    dirs = wh.manifest()["tables"]["t"]
+    assert dirs[1] in stats and dirs[0] not in stats
+    cand2, clean2 = wh.pruned_dirs("t", "k", [5])
+    assert dirs[0] in cand2 and dirs[1] in clean2  # new dir prunable
+    assert wh.read("t").count() == 20
