@@ -169,8 +169,11 @@ def bpe_merges_oracle_sql(n_merges: int = 6) -> str:
     )"""
         )
     selects = [
-        f"SELECT {i} AS step, a AS \"left\", b AS \"right\","
-        f" a || b AS merged, cnt AS pair_count FROM b{i}"
+        # CAST: cnt comes from SUM(BIGINT) → DuckDB HUGEINT → pandas
+        # float64, which hash-mismatches Spark's int64 in the driver's
+        # value hash; the literal step is INT32 for the same reason.
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS \"left\", b AS \"right\","
+        f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
     ]
     parts.append("\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step")
@@ -220,13 +223,14 @@ def bpe_stats_oracle_sql(n_merges: int = 6) -> str:
     instead of the merge table."""
     chain = bpe_merges_oracle_sql(n_merges)
     # keep everything up to the final merge-table SELECT, swap the tail
-    cut = chain.index("\n    SELECT 1 AS step")
+    cut = chain.index("\n    SELECT CAST(1 AS BIGINT) AS step")
     return (
         chain[:cut]
         + f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS distinct_words,
-           SUM(n) AS total_words,
-           SUM(len(string_split(trim(s, '|'), '||')) * n) AS total_symbols,
+           CAST(SUM(n) AS BIGINT) AS total_words,
+           CAST(SUM(len(string_split(trim(s, '|'), '||')) * n)
+                AS BIGINT) AS total_symbols,
            (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
             FROM (SELECT unnest(string_split(trim(s, '|'), '||')) AS sym
                   FROM c{n_merges})) AS vocab_size

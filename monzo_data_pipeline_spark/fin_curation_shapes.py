@@ -66,7 +66,7 @@ def register(_register) -> None:
                      % 1000 AS roundup
             FROM orders
         )
-        SELECT o_custkey, SUM(roundup) AS total_roundup_cents,
+        SELECT o_custkey, CAST(SUM(roundup) AS BIGINT) AS total_roundup_cents,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM r GROUP BY o_custkey
         ORDER BY total_roundup_cents DESC, o_custkey LIMIT 20
@@ -89,7 +89,7 @@ def register(_register) -> None:
             FROM events
         )
         SELECT user_id,
-               SUM(value_q * dur_s) // SUM(dur_s) AS twa_value_q,
+               CAST(SUM(value_q * dur_s) // SUM(dur_s) AS BIGINT) AS twa_value_q,
                CAST(COUNT(*) AS BIGINT) AS n_intervals
         FROM s WHERE dur_s IS NOT NULL
         GROUP BY user_id HAVING SUM(dur_s) > 0
@@ -132,7 +132,8 @@ def register(_register) -> None:
             SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit
         )
         SELECT digit, n,
-               (n * 1000000) // (SELECT SUM(n) FROM counts) AS share_ppm
+               CAST((n * 1000000) // (SELECT SUM(n) FROM counts)
+                    AS BIGINT) AS share_ppm
         FROM counts ORDER BY digit
         """,
     )
@@ -208,7 +209,8 @@ def register(_register) -> None:
             FROM g
         )
         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
-               list_min(fps) AS fp_min, list_sum(fps) AS fp_sum
+               list_min(fps) AS fp_min,
+               CAST(list_sum(fps) AS BIGINT) AS fp_sum
         FROM f ORDER BY doc_id
         """,
     )
@@ -237,7 +239,8 @@ def register(_register) -> None:
             FROM (SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY w
         )
         SELECT ab.a, ab.b, ab.n_ab,
-               (ab.n_ab * nb.n_bigrams * 1000) // (ua.c_w * ub.c_w) AS lift_q
+               CAST((ab.n_ab * nb.n_bigrams * 1000) // (ua.c_w * ub.c_w)
+                    AS BIGINT) AS lift_q
         FROM ab
         JOIN u ua ON ua.w = ab.a
         JOIN u ub ON ub.w = ab.b
@@ -262,10 +265,10 @@ def register(_register) -> None:
                 FROM documents
             ) WHERE w <> '' GROUP BY doc_id, w
         )
-        SELECT doc_id, SUM(n_i) AS n_tokens,
+        SELECT doc_id, CAST(SUM(n_i) AS BIGINT) AS n_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_distinct,
-               ((SUM(n_i)*SUM(n_i) - SUM(n_i*n_i)) * 1000000)
-                 // (SUM(n_i)*SUM(n_i)) AS simpson_q
+               CAST(((SUM(n_i)*SUM(n_i) - SUM(n_i*n_i)) * 1000000)
+                    // (SUM(n_i)*SUM(n_i)) AS BIGINT) AS simpson_q
         FROM c GROUP BY doc_id ORDER BY doc_id
         """,
     )
@@ -355,23 +358,35 @@ def register(_register) -> None:
     @_register(
         "random_projection_embed",
         "C3/north-star (deterministic ±1 Johnson–Lindenstrauss projection "
-        "64→16 dims, all-integer — the coarse-filter tier of ANN)",
+        "64→16 dims, all-integer — the coarse-filter tier of ANN). The "
+        "registry query serializes the vector to a ','-joined string: "
+        "array-typed output columns crash the driver's pandas "
+        "canonicalizer (unhashable list in sort_values); the array-typed "
+        "API function random_projection() is unchanged.",
         """
         SELECT vec_id,
-               list_transform(range(0, 16), j ->
-                 list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                     list_transform(range(1, 65), i ->
-                       (CASE WHEN (i*31 + j*17) % 2 = 0 THEN 1 ELSE -1 END)
-                       * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                              AS BIGINT))),
-                   (a, b) -> a + b)) AS proj_q,
+               array_to_string(
+                 list_transform(range(0, 16), j ->
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, 65), i ->
+                         (CASE WHEN (i*31 + j*17) % 2 = 0 THEN 1 ELSE -1 END)
+                         * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                                AS BIGINT))),
+                     (a, b) -> a + b)), ',') AS proj_q,
                label
         FROM embeddings ORDER BY vec_id
         """,
     )
     def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return SIM2.random_projection(load_table(spark, sf_dir, "embeddings"))
+        proj = SIM2.random_projection(load_table(spark, sf_dir, "embeddings"))
+        return proj.select(
+            "vec_id",
+            F.array_join(
+                F.transform("proj_q", lambda x: x.cast("string")), ","
+            ).alias("proj_q"),
+            "label",
+        )
 
     # -- trends, profiling, reconciliation ---------------------------------
 
@@ -388,8 +403,11 @@ def register(_register) -> None:
             FROM orders GROUP BY 1, 2
         )
         SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_months,
-               COUNT(*)*SUM(x*y) - SUM(x)*SUM(y) AS slope_num,
-               COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS slope_den
+               -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+               -- materializes as float64 and hash-mismatches Spark's
+               -- int64; values fit comfortably in BIGINT.
+               CAST(COUNT(*)*SUM(x*y) - SUM(x)*SUM(y) AS BIGINT) AS slope_num,
+               CAST(COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS BIGINT) AS slope_den
         FROM m GROUP BY o_custkey HAVING COUNT(*) >= 2
         ORDER BY o_custkey
         """,
@@ -638,7 +656,7 @@ def register(_register) -> None:
             SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM p GROUP BY a, b
         )
         SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               SUM(1000000 // c.c_ab) // COUNT(*) AS rarity_q
+               CAST(SUM(1000000 // c.c_ab) // COUNT(*) AS BIGINT) AS rarity_q
         FROM p JOIN c ON c.a = p.a AND c.b = p.b
         GROUP BY p.doc_id ORDER BY p.doc_id
         """,
@@ -663,8 +681,8 @@ def register(_register) -> None:
                 ORDER BY c DESC, w ASC LIMIT 10)
         )
         SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
-                 // COUNT(*) AS oov_ppm
+               CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS oov_ppm
         FROM w LEFT JOIN v ON v.w = w.w
         GROUP BY w.doc_id ORDER BY w.doc_id
         """,

