@@ -220,10 +220,16 @@ def exact_ntile(
             bucket = F.lit(0)
         else:
             span = float(stats["hi"]) - float(stats["lo"])
+            # subtract in double: for value domains where hi-lo exceeds
+            # int64, the native long subtraction wraps silently under
+            # non-ANSI mode and breaks bucket monotonicity (the result
+            # only feeds a coarse range bucket, so double's precision
+            # loss is harmless while overflow is not)
             bucket = F.least(
                 F.lit(range_buckets - 1),
                 F.floor(
-                    (F.col("__v") - F.lit(stats["lo"])) / F.lit(span) * range_buckets
+                    (F.col("__v").cast("double") - F.lit(float(stats["lo"])))
+                    / F.lit(span) * range_buckets
                 ).cast("int"),
             )
         pc = pc0.withColumn("__b", bucket)

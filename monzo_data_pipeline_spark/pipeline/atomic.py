@@ -241,7 +241,7 @@ class AtomicWarehouse:
             versions = sorted(
                 int(f[1:-5])
                 for f in os.listdir(hist)
-                if f.startswith("v") and f.endswith(".json")
+                if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
             )
             keep_versions = set(versions[-retain_last:])
             for v in keep_versions:
@@ -265,7 +265,15 @@ class AtomicWarehouse:
                 removed.append(MANIFEST_DIR)
             else:
                 for f in sorted(os.listdir(hist)):
-                    v = int(f[1:-5])
+                    # same v*.json filter as keep_versions above: a stray
+                    # file (editor temp, .DS_Store) must not abort the
+                    # removal loop with ValueError mid-vacuum
+                    if not (f.startswith("v") and f.endswith(".json")):
+                        continue
+                    try:
+                        v = int(f[1:-5])
+                    except ValueError:
+                        continue
                     if v not in keep_versions:
                         os.remove(os.path.join(hist, f))
                         removed.append(f"{MANIFEST_DIR}/{f}")
@@ -440,26 +448,34 @@ def compact_table(
     Sizing uses the current on-disk bytes (compressed parquet → the
     new files land near target). Returns
     ``{"dirs_before", "files_before", "files_after", "bytes"}``.
-    Old dirs remain until vacuum()."""
-    man = wh.manifest()
-    dirs = man["tables"].get(table)
-    if not dirs:
-        raise FileNotFoundError(f"table {table!r} not in manifest")
-    n_bytes = n_files = 0
-    for rel in dirs:
-        base = wh._abs(rel)
-        for name in os.listdir(base):
-            if name.endswith(".parquet"):
-                n_files += 1
-                n_bytes += os.path.getsize(os.path.join(base, name))
-    n_out = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
-    df = wh.read(table)
-    if sort_by:
-        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
-    else:
-        df = df.repartition(n_out)
+    Old dirs remain until vacuum().
+
+    The dir list is captured and read INSIDE the transaction so the
+    commit CAS covers the exact snapshot the rewrite was computed
+    from: a commit landing between a pre-transaction read and the
+    commit (e.g. an erasure) would otherwise base this transaction on
+    the newer manifest, dodge the version check, and append a
+    compacted dir rebuilt from the pre-erasure data — duplicating
+    rows and resurrecting erased records."""
     with wh.transaction() as txn:
-        new_rel = txn.replace_dirs(table, drop=list(dirs), df=df)
+        dirs = txn.tables.get(table)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} not in manifest")
+        dirs = list(dirs)
+        n_bytes = n_files = 0
+        for rel in dirs:
+            base = wh._abs(rel)
+            for name in os.listdir(base):
+                if name.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(base, name))
+        n_out = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
+        df = txn.read(table)
+        if sort_by:
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.repartition(n_out)
+        new_rel = txn.replace_dirs(table, drop=dirs, df=df)
     files_after = sum(
         1 for n in os.listdir(wh._abs(new_rel)) if n.endswith(".parquet")
     )

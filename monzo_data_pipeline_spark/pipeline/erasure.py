@@ -87,7 +87,15 @@ def _files_that_may_contain(path: str, key: str, keys: list) -> tuple[list[str],
 
     import pyarrow.parquet as pq
 
-    skeys = sorted(keys)
+    # Nulls can't match any stats range (and the anti-join drops them
+    # anyway — plain erase_keys tolerates them); mixed/incomparable key
+    # types would make sorted() itself raise, so both degrade to the
+    # documented never-assume-exclusion posture instead of crashing.
+    keys = [k for k in keys if k is not None]
+    try:
+        skeys = sorted(keys)
+    except TypeError:
+        skeys = None  # incomparable key mix → every file is a candidate
     candidates, clean = [], []
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
@@ -106,12 +114,18 @@ def _files_that_may_contain(path: str, key: str, keys: list) -> tuple[list[str],
                 None,
             )
             st = col.statistics if col is not None else None
-            if st is None or not st.has_min_max:
+            if st is None or not st.has_min_max or skeys is None:
                 may = True
                 break
-            # any erase key inside [min, max]? (keys sorted → bisect)
-            i = bisect.bisect_left(skeys, st.min)
-            if i < len(skeys) and skeys[i] <= st.max:
+            # any erase key inside [min, max]? (keys sorted → bisect);
+            # a key type incomparable with the column's stats degrades
+            # to candidate, per the never-assume-exclusion contract
+            try:
+                i = bisect.bisect_left(skeys, st.min)
+                if i < len(skeys) and skeys[i] <= st.max:
+                    may = True
+                    break
+            except TypeError:
                 may = True
                 break
         (candidates if may else clean).append(fpath)

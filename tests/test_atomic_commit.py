@@ -461,3 +461,66 @@ def test_pre_stats_manifest_backward_compat(spark, tmp_path):
     cand2, clean2 = wh.pruned_dirs("t", "k", [5])
     assert dirs[0] in cand2 and dirs[1] in clean2  # new dir prunable
     assert wh.read("t").count() == 20
+
+
+def test_compact_conflicts_with_interleaved_commit(spark, tmp_path, monkeypatch):
+    """A commit landing between compact_table's snapshot capture and its
+    own commit must trip the version CAS (ConflictError), never merge:
+    basing the rewrite on a pre-interloper snapshot and committing over
+    the newer one would duplicate rows and resurrect erased (GDPR)
+    records from the pre-erasure data."""
+    from monzo_data_pipeline_spark.pipeline import atomic as A
+
+    wh = A.AtomicWarehouse(spark, str(tmp_path))
+    for r in range(2):
+        wh.append(
+            spark.createDataFrame(
+                [(r * 10 + i,) for i in range(10)], "user_id bigint"
+            ),
+            "tx",
+        )
+
+    real_replace = A._Transaction.replace_dirs
+
+    def interleaved(self, table, drop, df):
+        # an erasure-like writer commits AFTER compact captured its dir
+        # list and built its rewrite frame, BEFORE compact commits
+        kept = wh.read("tx").filter("user_id >= 5")
+        with wh.transaction() as txn2:
+            txn2.overwrite(kept, "tx")
+        return real_replace(self, table, drop, df)
+
+    monkeypatch.setattr(A._Transaction, "replace_dirs", interleaved)
+    with pytest.raises(ConflictError):
+        A.compact_table(wh, "tx", target_file_mb=128)
+    monkeypatch.undo()
+
+    # the erasure stands; nothing duplicated, nothing resurrected
+    assert _vals(wh.read("tx"), "user_id") == list(range(5, 20))
+    # and a clean retry compacts the post-erasure snapshot
+    report = A.compact_table(wh, "tx", target_file_mb=128)
+    assert report["dirs_before"] == 1
+    assert _vals(wh.read("tx"), "user_id") == list(range(5, 20))
+
+
+def test_vacuum_tolerates_stray_files_in_manifest_dir(spark, tmp_path):
+    """A non-v*.json file in _manifests (editor temp, .DS_Store) must
+    not abort the retention sweep with ValueError."""
+    import json
+
+    from monzo_data_pipeline_spark.pipeline.atomic import AtomicWarehouse
+
+    wh = AtomicWarehouse(spark, str(tmp_path))
+    for r in range(3):
+        wh.append(_df(spark, [r]), "t")
+    hist = os.path.join(str(tmp_path), "_manifests")
+    for stray in (".DS_Store", "v1.json.tmp", "vacuum.json"):
+        with open(os.path.join(hist, stray), "w") as f:
+            json.dump({}, f)
+
+    removed = wh.vacuum(retain_last=1)
+    assert any(r.startswith("_manifests/v") for r in removed)
+    # strays survive untouched; retained manifest still readable
+    assert os.path.exists(os.path.join(hist, ".DS_Store"))
+    assert os.path.exists(os.path.join(hist, "vacuum.json"))
+    assert wh.read_version("t", wh.manifest()["version"]).count() == 3

@@ -199,3 +199,37 @@ def test_k_anonymity_and_l_diversity_audits(spark):
     }
     # 10001 is diverse (flu+cold); the other two classes are constant
     assert lrisk == {("10002", 40): (1, 1), ("10003", 50): (2, 1)}
+
+
+def test_erase_keys_pruned_tolerates_null_and_mixed_keys(spark, tmp_path):
+    """A NULL in the erase-id set (or a key type incomparable with the
+    column's footer stats) must degrade to the never-assume-exclusion
+    posture — plain erase_keys already tolerates nulls via the
+    anti-join, so the pruned variant must match it, not crash."""
+    from monzo_data_pipeline_spark.pipeline.erasure import (
+        _files_that_may_contain,
+        erase_keys_pruned,
+    )
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.overwrite(
+        spark.createDataFrame(
+            [(i, f"p{i}") for i in range(20)], "user_id bigint, payload string"
+        ).coalesce(1),  # one part file: empty parts are trivially clean
+        "tx",
+    )
+
+    ids = spark.createDataFrame(
+        [(3,), (None,), (17,)], "user_id bigint"
+    )
+    report = erase_keys_pruned(wh, ids, "user_id", ["tx"])
+    assert report["tx"]["rows_removed"] == 2
+    left = sorted(r.user_id for r in wh.read("tx").collect())
+    assert 3 not in left and 17 not in left and len(left) == 18
+
+    # direct unit check: nulls dropped, incomparable mix -> all candidates
+    path = wh.path("tx")
+    cand, clean = _files_that_may_contain(path, "user_id", [None, 9999999])
+    assert cand == [] or all(c.endswith(".parquet") for c in cand)
+    cand2, clean2 = _files_that_may_contain(path, "user_id", [None, "not-an-int"])
+    assert clean2 == []  # incomparable mix: every file stays a candidate

@@ -237,3 +237,30 @@ def test_exact_ntile_single_bucket_and_validation(spark):
 
     with _pt.raises(ValueError):
         exact_ntile(df, 0, "v", "id")
+
+
+def test_exact_ntile_extreme_long_domain_no_overflow(spark):
+    """Value domains where hi - lo exceeds int64 must not wrap in the
+    range-bucket expression (non-ANSI long subtraction is silent):
+    buckets would lose monotonicity and the boundary cuts — hence the
+    ntile assignments — would be wrong. The subtraction now runs in
+    double, where the coarse 256-way bucket tolerates precision loss."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from monzo_data_pipeline_spark.operators.windows import exact_ntile
+
+    lo, hi = -(2**62), 2**62  # hi - lo = 2**63 > int64 max
+    vals = [lo, lo + 1, -5, 0, 7, hi - 1, hi, lo // 2, hi // 2, 42]
+    df = spark.createDataFrame(
+        [(int(v), i) for i, v in enumerate(vals)], "v bigint, id bigint"
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    plain = {
+        (r.id, r.nt) for r in df.withColumn("nt", F.ntile(4).over(w)).collect()
+    }
+    got = {
+        (r.id, r.nt)
+        for r in exact_ntile(df, 4, "v", "id", range_buckets=8).collect()
+    }
+    assert got == plain
