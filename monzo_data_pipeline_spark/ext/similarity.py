@@ -370,11 +370,28 @@ def kmeans_fit(
     emb_q = emb.withColumn("__qv", F.transform(F.col(vec_col), _q))
     # per-coordinate DECIMAL means via element_at aggregates: one
     # shuffle of K groups × d partial-agg buffers per iteration — no
-    # posexplode row blow-up, no second shuffle to re-assemble arrays
+    # posexplode row blow-up, no second shuffle to re-assemble arrays.
+    # The mean is exact-decimal SUM → double, divided in IEEE double
+    # (the functions/deterministic.py davg idiom) rather than decimal
+    # AVG: Spark's decimal division rounds HALF_UP at a scale DuckDB
+    # can't reproduce, while sum-then-double-divide is bit-identical
+    # across engines — which is what lets kmeans_cluster_profile carry
+    # a hash-checked oracle twin instead of a rows-only check.
+    # float → DOUBLE → decimal, not float → decimal: Spark's float-to-
+    # decimal cast goes through the FLOAT's shortest decimal repr
+    # ("0.1"), an engine quirk no other system reproduces; widening to
+    # double first makes both engines round the same ~17-digit value
+    # at scale 12.
     mean_aggs = [
-        F.avg(F.element_at(F.col(vec_col), i + 1).cast("decimal(28,12)"))
-        .cast("double")
-        .alias(f"m{i}")
+        (
+            F.sum(
+                F.element_at(F.col(vec_col), i + 1)
+                .cast("double")
+                .cast("decimal(28,12)")
+            )
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"m{i}")
         for i in range(d)
     ]
     for _ in range(iters):
@@ -584,10 +601,20 @@ def pq_fit(
     ).withColumn("__qv", F.transform(F.col("__sv"), _q))
     subs = subs.persist()
     try:
+        # decimal-sum → IEEE-double divide, widened float→double→decimal
+        # — the same engine-reproducible mean as kmeans_fit (see the
+        # comment there), which is what lets pq_rerank_topk carry a
+        # hash-checked oracle twin.
         mean_aggs = [
-            F.avg(F.element_at(F.col("__sv"), i + 1).cast("decimal(28,12)"))
-            .cast("double")
-            .alias(f"m{i}")
+            (
+                F.sum(
+                    F.element_at(F.col("__sv"), i + 1)
+                    .cast("double")
+                    .cast("decimal(28,12)")
+                )
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"m{i}")
             for i in range(dsub)
         ]
         for _ in range(iters):
@@ -868,3 +895,203 @@ def random_projection(
 
     projected = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), proj_at)
     return quantized.select("vec_id", projected.alias("proj_q"), "label")
+
+
+def kmeans_profile_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin of ``kmeans_cluster_profile(emb, k, iters)``: the
+    same fixed-round Lloyd loop unrolled as chained CTEs — the
+    bpe_merges_oracle_sql technique applied to k-means.
+
+    Exactness contract (why the hash check can pass at all):
+      * init — the k lowest-vec_id embeddings, cell = rank-1 (the
+        enumerate order of kmeans_fit's seed collect);
+      * assign — identical integer arithmetic: floor(x·10⁶) quantize,
+        BIGINT squared distance, argmin tiebroken on low cell;
+      * update — exact DECIMAL(28,12) coordinate sums cast to double,
+        divided by the count in IEEE double: kmeans_fit computes the
+        same expression, so the centroids agree bit-for-bit (decimal
+        AVG would not — Spark rounds its decimal division HALF_UP at
+        a scale DuckDB cannot be asked to reproduce);
+      * empty cells keep their previous centroid (LEFT JOIN+COALESCE,
+        kmeans_fit's got/kept merge).
+
+    Every chained CTE is AS MATERIALIZED: c{i} feeds both the next
+    assignment and the empty-cell fallback, and default inlining
+    re-expands the chain exponentially (the bpe lesson).
+    """
+    parts = [
+        f"""
+    WITH emb_q AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), c0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    for i in range(1, iters + 2):  # iters updates + 1 final assignment
+        prev = i - 1
+        parts.append(
+            f""", s{i} AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding, c.cell,
+               list_sum(list_transform(
+                 list_zip(e.qv,
+                   list_transform(c.cvec,
+                     x -> CAST(FLOOR(x * 1000000.0) AS BIGINT))),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM emb_q e CROSS JOIN c{prev} c
+    ), a{i} AS MATERIALIZED (
+        SELECT vec_id, embedding, cell, d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2 ASC, cell ASC) AS rn
+            FROM s{i}
+        ) WHERE rn = 1
+    )"""
+        )
+        if i <= iters:
+            parts.append(
+                f""", m{i} AS MATERIALIZED (
+        SELECT cell, pos,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+                    AS DOUBLE) / COUNT(*) AS m
+        FROM (SELECT cell, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM a{i})
+        GROUP BY cell, pos
+    ), c{i} AS MATERIALIZED (
+        SELECT p.cell, COALESCE(nw.cvec, p.cvec) AS cvec
+        FROM c{prev} p
+        LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cvec
+                   FROM m{i} GROUP BY cell) nw USING (cell)
+    )"""
+            )
+    parts.append(
+        f"""
+    SELECT CAST(cell AS INTEGER) AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d2) // COUNT(*) AS BIGINT) AS avg_d2_q
+    FROM a{iters + 1} GROUP BY cell ORDER BY cell
+    """
+    )
+    return "".join(parts)
+
+
+def pq_rerank_oracle_sql(
+    m: int = 8,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    query_id: int = 0,
+    k: int = 10,
+    oversample: int = 5,
+) -> str:
+    """DuckDB twin of ``pq_fit → pq_encode → pq_adc_rerank_topk`` —
+    the kmeans_profile_oracle_sql technique with an extra `sub` key:
+    every subspace trains independently, so the whole joint trainer is
+    the same Lloyd unroll GROUPed BY (sub, cell).
+
+    Exactness contract: identical to kmeans_profile_oracle_sql (integer
+    quantize/distances, decimal-sum→double-divide means, widen float →
+    double before the decimal cast, empty cells keep their centroid),
+    plus: the ADC table is exact integer arithmetic on both engines,
+    and both shortlist and final top-k tiebreak on vec_id."""
+    dsub = dim // m
+    shortlist = k * oversample
+    parts = [
+        f"""
+    WITH emb_q AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), subs AS MATERIALIZED (
+        SELECT e.vec_id, s.sub,
+               e.embedding[s.sub*{dsub}+1 : s.sub*{dsub}+{dsub}] AS sv,
+               e.qv[s.sub*{dsub}+1 : s.sub*{dsub}+{dsub}] AS qsv
+        FROM emb_q e, LATERAL (SELECT unnest(range(0, {m})) AS sub) s
+    ), seeds AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cell,
+               embedding
+        FROM embeddings ORDER BY vec_id LIMIT {ksub}
+    ), cb0 AS MATERIALIZED (
+        SELECT s.sub, d.cell,
+               list_transform(
+                 d.embedding[s.sub*{dsub}+1 : s.sub*{dsub}+{dsub}],
+                 x -> CAST(x AS DOUBLE)) AS cvec
+        FROM seeds d, LATERAL (SELECT unnest(range(0, {m})) AS sub) s
+    )"""
+    ]
+    for i in range(1, iters + 2):  # iters updates + 1 encode assignment
+        prev = i - 1
+        parts.append(
+            f""", ps{i} AS MATERIALIZED (
+        SELECT t.vec_id, t.sub, t.sv, c.cell,
+               list_sum(list_transform(
+                 list_zip(t.qsv,
+                   list_transform(c.cvec,
+                     x -> CAST(FLOOR(x * 1000000.0) AS BIGINT))),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM subs t JOIN cb{prev} c ON c.sub = t.sub
+    ), pa{i} AS MATERIALIZED (
+        SELECT vec_id, sub, sv, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2 ASC, cell ASC) AS rn
+            FROM ps{i}
+        ) WHERE rn = 1
+    )"""
+        )
+        if i <= iters:
+            parts.append(
+                f""", pm{i} AS MATERIALIZED (
+        SELECT sub, cell, pos,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+                    AS DOUBLE) / COUNT(*) AS mval
+        FROM (SELECT sub, cell, unnest(sv) AS v,
+                     generate_subscripts(sv, 1) AS pos
+              FROM pa{i})
+        GROUP BY sub, cell, pos
+    ), cb{i} AS MATERIALIZED (
+        SELECT p.sub, p.cell, COALESCE(nw.cvec, p.cvec) AS cvec
+        FROM cb{prev} p
+        LEFT JOIN (SELECT sub, cell, list(mval ORDER BY pos) AS cvec
+                   FROM pm{i} GROUP BY sub, cell) nw
+          ON nw.sub = p.sub AND nw.cell = p.cell
+    )"""
+            )
+    parts.append(
+        f""", qsubs AS MATERIALIZED (
+        SELECT sub, qsv FROM subs WHERE vec_id = {query_id}
+    ), adc_tbl AS MATERIALIZED (
+        SELECT c.sub, c.cell,
+               list_sum(list_transform(
+                 list_zip(q.qsv,
+                   list_transform(c.cvec,
+                     x -> CAST(FLOOR(x * 1000000.0) AS BIGINT))),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        FROM cb{iters} c JOIN qsubs q ON q.sub = c.sub
+    ), adc AS MATERIALIZED (
+        SELECT a.vec_id, SUM(t.dist) AS adc_d2_q
+        FROM pa{iters + 1} a
+        JOIN adc_tbl t ON t.sub = a.sub AND t.cell = a.cell
+        WHERE a.vec_id <> {query_id}
+        GROUP BY a.vec_id
+    ), short AS MATERIALIZED (
+        SELECT vec_id FROM adc
+        ORDER BY adc_d2_q ASC, vec_id ASC LIMIT {shortlist}
+    )
+    SELECT e.vec_id,
+           CAST(list_sum(list_transform(list_zip(e.qv, q.qv),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2_q
+    FROM emb_q e
+    JOIN short s ON s.vec_id = e.vec_id
+    CROSS JOIN (SELECT qv FROM emb_q WHERE vec_id = {query_id}) q
+    ORDER BY d2_q ASC, e.vec_id ASC
+    LIMIT {k}
+    """
+    )
+    return "".join(parts)

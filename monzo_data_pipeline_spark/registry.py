@@ -3539,8 +3539,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "kmeans_cluster_profile",
-    "C3/north-star (Lloyd k-means cell profile; IVF trainer)",
-    None,
+    "C3/north-star (Lloyd k-means cell profile; IVF trainer). Oracle "
+    "(r4, promoted from rows-only): the fixed-round Lloyd loop unrolled "
+    "as chained materialized CTEs — exact because assignment is integer "
+    "arithmetic and the centroid update is decimal-sum → IEEE-double "
+    "divide on both engines (ext/similarity.py::kmeans_profile_oracle_sql)",
+    SIM.kmeans_profile_oracle_sql(k=8, iters=3),
 )
 def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_cluster_profile(
@@ -3552,10 +3556,14 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq_rerank_topk",
     "C3/north-star scale path (product quantization: jointly-trained "
     "sub-codebooks, 32x-compressed codes, ADC table-lookup shortlist, "
-    "exact re-rank of k*oversample survivors — the IVF-PQ query shape; "
-    "deterministic but the codebook is engine-specific → rows-only; "
-    "recall + exactness anchors in tests/test_pq.py)",
-    None,
+    "exact re-rank of k*oversample survivors — the IVF-PQ query shape). "
+    "Oracle (r4, promoted from rows-only): the per-subspace Lloyd "
+    "trainer + encode + ADC + re-rank unrolled as chained materialized "
+    "CTEs (ext/similarity.py::pq_rerank_oracle_sql); recall + exactness "
+    "anchors stay in tests/test_pq.py",
+    SIM.pq_rerank_oracle_sql(
+        m=8, ksub=8, iters=2, dim=64, query_id=0, k=10, oversample=5
+    ),
 )
 def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
