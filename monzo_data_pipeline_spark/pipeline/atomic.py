@@ -28,6 +28,13 @@ and Iceberg use, reduced to its core:
     (ConflictError) if another writer advanced it since the
     transaction began — the local-fs analog of Delta's CAS on the
     log; retry by re-running the transaction on the new snapshot.
+    The re-read + rename pair runs under an exclusive flock on
+    `_manifest.json.lock`, making the check-and-swap genuinely atomic
+    across PROCESSES (two writers can otherwise both pass the version
+    check and one commit is silently lost); the OS releases the lock
+    if the holder dies, so a killed writer never wedges the
+    warehouse. On an object store this critical section maps to the
+    store's conditional-put / DynamoDB-mutex commit service.
 
 Archived manifests (`_manifests/v<N>.json`) give snapshot reads /
 time travel (`read_version`); `vacuum()` keeps only what the current
@@ -250,6 +257,10 @@ class AtomicWarehouse:
                 live |= {rel for dirs in man["tables"].values() for rel in dirs}
         for entry in sorted(os.listdir(self.root)):
             tdir = os.path.join(self.root, entry)
+            if entry.startswith(MANIFEST + ".tmp."):
+                os.remove(tdir)  # pointer temp left by a killed writer
+                removed.append(entry)
+                continue
             if entry in (MANIFEST, MANIFEST_DIR) or not os.path.isdir(tdir):
                 continue
             for sub in sorted(os.listdir(tdir)):
@@ -318,6 +329,30 @@ class _Transaction:
         self.stats[rel] = _dir_stats(self.wh._abs(rel))
         self.tables[table] = self.tables.get(table, []) + [rel]
 
+    def append_parquet_dir(self, src_dir: str, table: str) -> str:
+        """Stage ALREADY-WRITTEN parquet files (any producer — pyarrow,
+        another engine, a bulk copy) as one new data dir: the IMPORT /
+        ADD FILES analog. Files are hardlinked when possible (same
+        filesystem → zero copy), else copied; the source dir is left
+        untouched. Lets non-Spark processes write through the same
+        transactional commit protocol."""
+        import shutil
+
+        rel = self._new_dir(table)
+        dst = self.wh._abs(rel)
+        os.makedirs(dst, exist_ok=True)
+        for name in sorted(os.listdir(src_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            s, d = os.path.join(src_dir, name), os.path.join(dst, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+        self.stats[rel] = _dir_stats(dst)
+        self.tables[table] = self.tables.get(table, []) + [rel]
+        return rel
+
     def overwrite(self, df: DataFrame, table: str) -> None:
         rel = self._new_dir(table)
         df.write.mode("errorifexists").parquet(self.wh._abs(rel))
@@ -345,30 +380,47 @@ class _Transaction:
     def _commit(self) -> None:
         if self.committed:
             return
-        current = self.wh.manifest()
-        if current["version"] != self.base_version:
-            raise ConflictError(
-                f"manifest advanced v{self.base_version} → "
-                f"v{current['version']} during transaction; retry on the "
-                "new snapshot"
-            )
-        live = {rel for dirs in self.tables.values() for rel in dirs}
-        new = {
-            "version": self.base_version + 1,
-            "tables": self.tables,
-            # stats only for live dirs — dropped versions' stats go too
-            "stats": {rel: s for rel, s in self.stats.items() if rel in live},
-        }
-        hist = os.path.join(self.wh.root, MANIFEST_DIR)
-        os.makedirs(hist, exist_ok=True)
-        with open(os.path.join(hist, f"v{new['version']}.json"), "w") as f:
-            json.dump(new, f)
-        tmp = self.wh._pointer() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.wh._pointer())  # THE commit point
+        import fcntl
+
+        # exclusive flock around check-and-swap: without it two
+        # PROCESSES can both read version N, both pass the CAS check,
+        # and the second os.replace silently discards the first commit.
+        # The kernel releases the lock when the holder exits/dies, so a
+        # kill -9 mid-commit cannot wedge the warehouse.
+        lock_path = self.wh._pointer() + ".lock"
+        with open(lock_path, "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            current = self.wh.manifest()
+            if current["version"] != self.base_version:
+                raise ConflictError(
+                    f"manifest advanced v{self.base_version} → "
+                    f"v{current['version']} during transaction; retry on the "
+                    "new snapshot"
+                )
+            live = {rel for dirs in self.tables.values() for rel in dirs}
+            new = {
+                "version": self.base_version + 1,
+                "tables": self.tables,
+                # stats only for live dirs — dropped versions' stats go too
+                "stats": {rel: s for rel, s in self.stats.items() if rel in live},
+            }
+            tmp = self.wh._pointer() + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(new, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.wh._pointer())  # THE commit point
+            # archive AFTER the swap: a crash in between loses only the
+            # time-travel entry (read_version fails cleanly; the dirs
+            # stay protected via the current pointer) — archiving first
+            # would instead expose an UNCOMMITTED phantom snapshot to
+            # read_version if the writer died before the swap
+            hist = os.path.join(self.wh.root, MANIFEST_DIR)
+            os.makedirs(hist, exist_ok=True)
+            htmp = os.path.join(hist, f".v{new['version']}.tmp.{os.getpid()}")
+            with open(htmp, "w") as f:
+                json.dump(new, f)
+            os.replace(htmp, os.path.join(hist, f"v{new['version']}.json"))
         self.committed = True
 
 
