@@ -4259,11 +4259,10 @@ _DRIVER_PREFIX = [
     "broadcast_enrich_rates",
     "shipping_priority_q3",
     "asof_join",
-    # ivf_topk_multiprobe (same C3 scale-path family as pq_rerank_topk)
-    # is oracle-checked; pq_rerank_topk is rows-only by design, which
-    # reads as a guaranteed "no_oracle" red row inside the driver's
-    # hash-checked 50-query window.
-    "ivf_topk_multiprobe",
+    # r4: pq_rerank_topk is hash-checked now (pq_rerank_oracle_sql), so
+    # the PQ compression family returns to the prefix; ivf_topk below
+    # keeps the IVF family covered.
+    "pq_rerank_topk",
     "set_except",
     "top_n_per_group_salted",
     "running_total",
@@ -4292,7 +4291,11 @@ _DRIVER_PREFIX = [
     "image_decode_stats",
     "jpeg_decode_stats",
     "video_frame_stats",
-    "media_resize",
+    # r4: kmeans_cluster_profile is hash-checked now
+    # (kmeans_profile_oracle_sql) — it takes media_resize's slot
+    # (image_resize semantics stay covered via image_decode_stats +
+    # media_feature_extract, both real-codec paths)
+    "kmeans_cluster_profile",
     "media_feature_extract",
     "table_profile",
 ]

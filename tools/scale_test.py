@@ -186,8 +186,13 @@ def main() -> None:
     # this host's random external stalls
     subset = sys.argv[2:] or None
     spark = get_spark("scale-test")
-    print(f"replicating sf0.1 x{factor} into {SCALED_DIR} ...", flush=True)
-    replicate(spark, factor)
+    # SCALE_TEST_REUSE=1: reuse an existing replicated dir (re-running a
+    # crashed/partial sweep without paying the multi-minute replicate)
+    if os.environ.get("SCALE_TEST_REUSE") == "1" and os.path.isdir(SCALED_DIR):
+        print(f"reusing existing {SCALED_DIR}", flush=True)
+    else:
+        print(f"replicating sf0.1 x{factor} into {SCALED_DIR} ...", flush=True)
+        replicate(spark, factor)
 
     qs = queries()
     rows = []
