@@ -979,6 +979,26 @@ def kmeans_profile_oracle_sql(k: int = 8, iters: int = 3) -> str:
     return "".join(parts)
 
 
+def kmeans_representatives_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin of ``kmeans_representatives``: the same Lloyd chain
+    as kmeans_profile_oracle_sql, finishing with the per-cluster medoid
+    argmin (min d2, tiebreak low vec_id) instead of the cell profile."""
+    chain = kmeans_profile_oracle_sql(k, iters)
+    cut = chain.index("\n    SELECT CAST(cell AS INTEGER) AS cell,")
+    return (
+        chain[:cut]
+        + f"""
+    SELECT CAST(cell AS INTEGER) AS cell,
+           vec_id AS representative_id,
+           CAST(d2 AS BIGINT) AS d2_q
+    FROM (SELECT *, row_number() OVER (PARTITION BY cell
+                                       ORDER BY d2 ASC, vec_id ASC) AS rn
+          FROM a{iters + 1})
+    WHERE rn = 1 ORDER BY cell
+    """
+    )
+
+
 def pq_rerank_oracle_sql(
     m: int = 8,
     ksub: int = 8,

@@ -3553,6 +3553,20 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kmeans_representatives",
+    "C3/C2 north-star (semantic-dedup medoids: per k-means cluster the "
+    "vector nearest its centroid — one exemplar replaces a cluster of "
+    "near-duplicate embeddings; oracle = the same Lloyd chain ending in "
+    "a per-cluster argmin)",
+    SIM.kmeans_representatives_oracle_sql(k=8, iters=3),
+)
+def q_kmeans_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.kmeans_representatives(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+
+
+@_register(
     "pq_rerank_topk",
     "C3/north-star scale path (product quantization: jointly-trained "
     "sub-codebooks, 32x-compressed codes, ADC table-lookup shortlist, "
