@@ -227,11 +227,25 @@ class AtomicWarehouse:
             )
         return self.spark.read.parquet(*[self._abs(d) for d in dirs])
 
-    def vacuum(self, retain_last: int = 0) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 0, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Remove every data directory no RETAINED manifest references
         (crash orphans, overwritten/erased versions) plus the expired
-        archived manifests. Returns removed paths. Safe to run any
-        time: referenced dirs are never touched.
+        archived manifests. Returns removed paths. Referenced dirs are
+        never touched.
+
+        ``min_age_seconds`` is the staleness horizon that makes vacuum
+        safe to run WHILE writers are active: an unreferenced dir may
+        be a crash orphan — or the staged dir of an in-flight
+        transaction that is about to commit (vacuum cannot tell them
+        apart; the manifest only learns about a dir at commit). Only
+        candidates whose mtime is older than the horizon are swept, so
+        vacuum never destroys the staging of any transaction younger
+        than ``min_age_seconds`` (the Delta VACUUM retention-interval
+        contract, applied to stagings: size the horizon above your
+        longest-running transaction; pass 0 only when no writer is
+        live). The same horizon protects writers' pointer temp files.
 
         ``retain_last=0`` (default) keeps only the CURRENT snapshot and
         drops all history — complete erasure semantics. ``retain_last=N``
@@ -239,6 +253,16 @@ class AtomicWarehouse:
         ``read_version`` (the Delta ``VACUUM RETAIN`` analog: bound the
         storage cost of time travel without losing the recent undo
         window)."""
+        import time as _time
+
+        now = _time.time()
+
+        def _stale(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) >= min_age_seconds
+            except OSError:
+                return False  # vanished mid-sweep → someone owns it
+
         cur = self.manifest()
         live = {rel for dirs in cur["tables"].values() for rel in dirs}
         hist = os.path.join(self.root, MANIFEST_DIR)
@@ -258,14 +282,22 @@ class AtomicWarehouse:
         for entry in sorted(os.listdir(self.root)):
             tdir = os.path.join(self.root, entry)
             if entry.startswith(MANIFEST + ".tmp."):
-                os.remove(tdir)  # pointer temp left by a killed writer
-                removed.append(entry)
+                # pointer temp left by a killed writer — but a FRESH one
+                # belongs to a commit in flight between fsync and rename
+                if _stale(tdir):
+                    try:
+                        os.remove(tdir)
+                        removed.append(entry)
+                    except FileNotFoundError:
+                        pass  # the writer's os.replace won the race
                 continue
             if entry in (MANIFEST, MANIFEST_DIR) or not os.path.isdir(tdir):
                 continue
             for sub in sorted(os.listdir(tdir)):
                 rel = f"{entry}/{sub}"
-                if rel not in live:
+                # an unreferenced FRESH dir may be an in-flight
+                # transaction's staging — only sweep past the horizon
+                if rel not in live and _stale(self._abs(rel)):
                     shutil.rmtree(self._abs(rel))
                     removed.append(rel)
             if not os.listdir(tdir):
@@ -276,6 +308,18 @@ class AtomicWarehouse:
                 removed.append(MANIFEST_DIR)
             else:
                 for f in sorted(os.listdir(hist)):
+                    # archive temps (.v<N>.tmp.<pid>) left by a writer
+                    # killed between pointer swap and archive rename:
+                    # sweep once stale, same horizon as stagings
+                    fpath = os.path.join(hist, f)
+                    if ".tmp." in f:
+                        if _stale(fpath):
+                            try:
+                                os.remove(fpath)
+                                removed.append(f"{MANIFEST_DIR}/{f}")
+                            except FileNotFoundError:
+                                pass
+                        continue
                     # same v*.json filter as keep_versions above: a stray
                     # file (editor temp, .DS_Store) must not abort the
                     # removal loop with ValueError mid-vacuum
@@ -329,13 +373,22 @@ class _Transaction:
         self.stats[rel] = _dir_stats(self.wh._abs(rel))
         self.tables[table] = self.tables.get(table, []) + [rel]
 
-    def append_parquet_dir(self, src_dir: str, table: str) -> str:
+    def append_parquet_dir(
+        self, src_dir: str, table: str, link: bool = False
+    ) -> str:
         """Stage ALREADY-WRITTEN parquet files (any producer — pyarrow,
         another engine, a bulk copy) as one new data dir: the IMPORT /
-        ADD FILES analog. Files are hardlinked when possible (same
-        filesystem → zero copy), else copied; the source dir is left
-        untouched. Lets non-Spark processes write through the same
-        transactional commit protocol."""
+        ADD FILES analog. Lets non-Spark processes write through the
+        same transactional commit protocol.
+
+        Files are COPIED by default: a hardlink would share inodes
+        with files the producer still owns, so a later in-place
+        rewrite of the source would silently mutate the committed
+        (supposedly immutable) snapshot and every time-travel view of
+        it. Pass ``link=True`` only when the caller guarantees the
+        source files are never modified in place (e.g. a staging dir
+        that is deleted right after commit — deletion is safe, the
+        inode survives; modification is not)."""
         import shutil
 
         rel = self._new_dir(table)
@@ -345,9 +398,12 @@ class _Transaction:
             if not name.endswith(".parquet"):
                 continue
             s, d = os.path.join(src_dir, name), os.path.join(dst, name)
-            try:
-                os.link(s, d)
-            except OSError:
+            if link:
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+            else:
                 shutil.copy2(s, d)
         self.stats[rel] = _dir_stats(dst)
         self.tables[table] = self.tables.get(table, []) + [rel]

@@ -78,7 +78,7 @@ def test_vacuum_sweeps_crash_orphans_only(wh, spark):
     except RuntimeError:
         pass
     before = _vals(wh.read("t"))
-    removed = wh.vacuum()
+    removed = wh.vacuum(min_age_seconds=0)
     # exactly one orphaned data dir (plus manifest history) swept
     assert sum(r.startswith("t/") for r in removed) == 1
     assert _vals(wh.read("t")) == before == [1]
@@ -112,7 +112,7 @@ def test_time_travel_until_vacuum(wh, spark):
     assert _vals(wh.read_version("t", 1)) == [1]
     assert _vals(wh.read_version("t", 2)) == [1, 2]
     assert _vals(wh.read("t")) == [9]
-    wh.vacuum()
+    wh.vacuum(min_age_seconds=0)
     with pytest.raises(FileNotFoundError):
         wh.read_version("t", 1)
 
@@ -180,7 +180,7 @@ def test_atomic_erasure_one_commit_all_tables(wh, spark):
     assert sorted(r.user_id for r in wh.read("t2").collect()) == [4]
     # pre-erasure snapshot recoverable only until vacuum (then gone)
     assert wh.read_version("t1", 1).count() == 3
-    wh.vacuum()
+    wh.vacuum(min_age_seconds=0)
     import pytest as _pt
 
     with _pt.raises(FileNotFoundError):
@@ -298,7 +298,7 @@ def test_erase_keys_atomic_pruned_one_commit_clean_dirs_untouched(spark, tmp_pat
     stats = wh.manifest()["stats"]
     assert set(stats) == set(now) | set(wh.manifest()["tables"]["scores"])
     # vacuum sweeps the retired candidate dir
-    removed = wh.vacuum()
+    removed = wh.vacuum(min_age_seconds=0)
     assert any(rel.startswith("tx/") for rel in removed)
 
 
@@ -344,7 +344,7 @@ def test_compact_table_one_dir_same_rows_sorted_stats(spark, tmp_path):
     # stats recorded for the compacted dir and span the full domain
     assert wh.manifest()["stats"][now[0]]["user_id"] == [0, 999]
     # old dirs are vacuumable orphans
-    assert len([r for r in wh.vacuum() if r.startswith("tx/")]) == 4
+    assert len([r for r in wh.vacuum(min_age_seconds=0) if r.startswith("tx/")]) == 4
     assert wh.read("tx").count() == 1000
 
 
@@ -411,7 +411,7 @@ def test_vacuum_retention_window(spark, tmp_path):
         wh.overwrite(_df(spark, list(range(v))), "t")  # v1..v4
     assert wh.manifest()["version"] == 4
 
-    removed = wh.vacuum(retain_last=2)
+    removed = wh.vacuum(retain_last=2, min_age_seconds=0)
     # v3 and v4 survive; v1/v2 dirs + manifests are gone
     assert _vals(wh.read_version("t", 3)) == [0, 1, 2]
     assert _vals(wh.read_version("t", 4)) == [0, 1, 2, 3]
@@ -422,7 +422,7 @@ def test_vacuum_retention_window(spark, tmp_path):
     # current snapshot untouched throughout
     assert _vals(wh.read("t")) == [0, 1, 2, 3]
     # full truncate still works afterwards
-    wh.vacuum()
+    wh.vacuum(min_age_seconds=0)
     with pytest.raises(FileNotFoundError):
         wh.read_version("t", 3)
     assert _vals(wh.read("t")) == [0, 1, 2, 3]
@@ -518,7 +518,7 @@ def test_vacuum_tolerates_stray_files_in_manifest_dir(spark, tmp_path):
         with open(os.path.join(hist, stray), "w") as f:
             json.dump({}, f)
 
-    removed = wh.vacuum(retain_last=1)
+    removed = wh.vacuum(retain_last=1, min_age_seconds=0)
     assert any(r.startswith("_manifests/v") for r in removed)
     # strays survive untouched; retained manifest still readable
     assert os.path.exists(os.path.join(hist, ".DS_Store"))

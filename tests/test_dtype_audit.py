@@ -5,9 +5,12 @@ int64), no array/struct/map output columns (unhashable in pandas
 sort_values), no int-vs-float category splits between engines.
 
 Both round-3 driver-red classes (VERDICT.md "What's wrong" 1–2) would
-have been caught locally by this audit; it runs lazily (Spark analysis
-+ DuckDB bind only, no query execution) so the full 178-twin sweep is
-seconds, not minutes.
+have been caught locally by this audit; no result set is computed
+(Spark analysis + DuckDB bind), so the registry-wide sweep costs one
+plan-construction pass — under a minute — rather than the full gate's
+execute-and-compare. (Trainer specs do run their driver-side fit
+collects inside the query builder; that cost is inherent to
+constructing those plans at all.)
 """
 
 from __future__ import annotations
@@ -109,3 +112,21 @@ def test_driver_prefix_is_fully_hash_checkable(spark, duck, sf_dir):
     rows_only = [n for n in _DRIVER_PREFIX if by_name[n].oracle is None]
     assert not rows_only, f"rows-only queries inside hash-checked prefix: {rows_only}"
     assert len(_DRIVER_PREFIX) == 50
+
+
+def test_audit_catches_decimal_output(duck):
+    """DECIMAL output columns are unsafe even decimal-vs-decimal:
+    Spark toPandas gives object[Decimal('42.50')], DuckDB .df() gives
+    float64 42.5 — different strings under the driver's canonicalizer.
+    The policy is decimal INSIDE the aggregation, double/bigint at the
+    output boundary (functions/deterministic.py)."""
+    rel = duck.sql("SELECT CAST(42.5 AS DECIMAL(10,2)) AS v")
+    problems = audit_pair(
+        "injected_decimal", [("v", "decimal(10,2)")], list(rel.columns), list(rel.types)
+    )
+    assert problems and "decimal-typed OUTPUT" in problems[0]
+    # and the boundary CAST silences it
+    rel2 = duck.sql("SELECT CAST(CAST(42.5 AS DECIMAL(10,2)) AS DOUBLE) AS v")
+    assert not audit_pair(
+        "cast_fixed", [("v", "double")], list(rel2.columns), list(rel2.types)
+    )

@@ -227,9 +227,21 @@ def test_erase_keys_pruned_tolerates_null_and_mixed_keys(spark, tmp_path):
     left = sorted(r.user_id for r in wh.read("tx").collect())
     assert 3 not in left and 17 not in left and len(left) == 18
 
-    # direct unit check: nulls dropped, incomparable mix -> all candidates
-    path = wh.path("tx")
+    # direct unit check on a fresh single-part table (the erasure above
+    # rewrote tx's file layout): None contributes nothing to the range
+    # check, so [None, out-of-range] prunes the file as clean...
+    wh.overwrite(
+        spark.createDataFrame(
+            [(i, f"p{i}") for i in range(20)], "user_id bigint, payload string"
+        ).coalesce(1),
+        "tx2",
+    )
+    path = wh.path("tx2")
     cand, clean = _files_that_may_contain(path, "user_id", [None, 9999999])
-    assert cand == [] or all(c.endswith(".parquet") for c in cand)
+    assert cand == [] and len(clean) == 1
+    # ...and an in-range key still marks it a candidate despite the None
+    cand1, clean1 = _files_that_may_contain(path, "user_id", [None, 5])
+    assert len(cand1) == 1 and clean1 == []
+    # incomparable type mix: every file degrades to candidate, no crash
     cand2, clean2 = _files_that_may_contain(path, "user_id", [None, "not-an-int"])
-    assert clean2 == []  # incomparable mix: every file stays a candidate
+    assert len(cand2) == 1 and clean2 == []

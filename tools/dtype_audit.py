@@ -13,10 +13,14 @@ ways (both bit round 3 — see VERDICT.md "What's wrong"):
    object columns; ``sort_values`` raises ``unhashable type: 'list'``
    and the whole query reads as ``err``.
 
-This audit is cheap because neither side needs to execute: Spark query
-schemas come from lazy analysis (``spec.fn(spark, sf_dir).schema``) and
-DuckDB output types from the bound-but-unexecuted relation
-(``con.sql(oracle).types``). It flags:
+This audit is cheap because neither RESULT SET is computed: Spark
+query schemas come from analysis (``spec.fn(spark, sf_dir).schema``)
+and DuckDB output types from the bound-but-unexecuted relation
+(``con.sql(oracle).types``). Caveat: specs whose *builder* runs
+driver-side training loops (kmeans/PQ/BPE fit collects) do execute
+those loops during ``spec.fn`` — the audit costs roughly one
+plan-construction pass over the registry (~half a minute on the
+testdata), not the full gate's result comparison. It flags:
 
 * any DuckDB HUGEINT/UHUGEINT output column,
 * any complex-typed (list/struct/map) output column on either side,
@@ -113,7 +117,13 @@ def duck_category(dtype: str) -> str:
 
 
 # categories that stringify identically under the driver's canonicalizer,
-# so a cross-engine pairing is hash-safe despite differing names
+# so a cross-engine pairing is hash-safe despite differing names.
+# DECIMAL is deliberately NOT here even paired with itself: Spark
+# toPandas materializes object[Decimal('42.50')] while DuckDB .df()
+# gives float64 42.5 — different strings, guaranteed hash mismatch.
+# Aggregate in decimal, but CAST the final output column to double (or
+# an integer quantization) on BOTH sides — the engine's existing
+# functions/deterministic.py policy.
 _SAFE_PAIRS = {
     ("int", "int"),
     ("float", "float"),
@@ -122,7 +132,6 @@ _SAFE_PAIRS = {
     ("date", "date"),
     ("timestamp", "timestamp"),
     ("binary", "binary"),
-    ("decimal", "decimal"),
     ("null", "null"),
 }
 
@@ -168,6 +177,15 @@ def audit_pair(
                 f"duckdb={d_map[col]} — extend tools/dtype_audit.py maps"
             )
             continue
+        if sc == "decimal" or dc == "decimal":
+            problems.append(
+                f"{name}.{col}: decimal-typed OUTPUT (spark={s_map[col]}, "
+                f"duckdb={d_map[col]}) — pandas materializes "
+                f"object[Decimal] on Spark vs float64 on DuckDB; CAST "
+                f"the final column to double/bigint on both sides "
+                f"(keep the decimal aggregation internal)"
+            )
+            continue
         if (sc, dc) not in _SAFE_PAIRS:
             problems.append(
                 f"{name}.{col}: category mismatch spark={s_map[col]}({sc}) "
@@ -199,7 +217,10 @@ def run_audit(spark, con, specs, sf_dir: str, only: set[str] | None = None):
         if only and spec.name not in only:
             continue
         try:
-            sdf = spec.fn(spark, sf_dir)  # lazy: analysis only, no job
+            # no result-set execution (trainer specs still run their
+            # driver-side fit collects inside the builder — see module
+            # docstring caveat)
+            sdf = spec.fn(spark, sf_dir)
             s_dtypes = sdf.dtypes
         except Exception as e:  # noqa: BLE001
             violations.append(f"{spec.name}: spark analysis error: {e}")
