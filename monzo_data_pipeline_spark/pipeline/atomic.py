@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from contextlib import contextmanager
 
@@ -248,14 +249,20 @@ class AtomicWarehouse:
         live). The same horizon protects writers' pointer temp files.
 
         ``retain_last=0`` (default) keeps only the CURRENT snapshot and
-        drops all history — complete erasure semantics. ``retain_last=N``
-        keeps the last N archived versions readable via
-        ``read_version`` (the Delta ``VACUUM RETAIN`` analog: bound the
-        storage cost of time travel without losing the recent undo
-        window)."""
-        import time as _time
-
-        now = _time.time()
+        drops all history. For COMPLETE physical erasure (GDPR: the
+        erased bytes must leave the disk NOW), quiesce writers and call
+        ``vacuum(min_age_seconds=0)`` — under the default horizon a
+        just-erased data dir younger than an hour is deliberately left
+        for the next sweep, because vacuum cannot distinguish it from a
+        live transaction's staging. ``retain_last=N`` keeps the last N
+        archived versions readable via ``read_version`` (the Delta
+        ``VACUUM RETAIN`` analog: bound the storage cost of time travel
+        without losing the recent undo window). Note the retention
+        window is computed from one directory listing at scan time: a
+        version committed DURING the sweep is never removed (its
+        archive is newer than the scan), and every removal tolerates
+        the target vanishing to a concurrent writer or second vacuum."""
+        now = time.time()
 
         def _stale(path: str) -> bool:
             try:
@@ -268,16 +275,24 @@ class AtomicWarehouse:
         hist = os.path.join(self.root, MANIFEST_DIR)
         removed: list[str] = []
         keep_versions: set[int] = set()
-        if retain_last > 0 and os.path.isdir(hist):
-            versions = sorted(
-                int(f[1:-5])
-                for f in os.listdir(hist)
-                if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
-            )
+        # ONE listing drives the archive removal below: versions that
+        # land after this point are invisible to the sweep, so a
+        # concurrent commit's archive can never be collected out from
+        # under retain_last
+        hist_entries = sorted(os.listdir(hist)) if os.path.isdir(hist) else []
+        versions = sorted(
+            int(f[1:-5])
+            for f in hist_entries
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        )
+        if retain_last > 0 and versions:
             keep_versions = set(versions[-retain_last:])
             for v in keep_versions:
-                with open(os.path.join(hist, f"v{v}.json")) as f:
-                    man = json.load(f)
+                try:
+                    with open(os.path.join(hist, f"v{v}.json")) as f:
+                        man = json.load(f)
+                except FileNotFoundError:
+                    continue  # another vacuum expired it first
                 live |= {rel for dirs in man["tables"].values() for rel in dirs}
         for entry in sorted(os.listdir(self.root)):
             tdir = os.path.join(self.root, entry)
@@ -298,40 +313,51 @@ class AtomicWarehouse:
                 # an unreferenced FRESH dir may be an in-flight
                 # transaction's staging — only sweep past the horizon
                 if rel not in live and _stale(self._abs(rel)):
-                    shutil.rmtree(self._abs(rel))
-                    removed.append(rel)
-            if not os.listdir(tdir):
-                os.rmdir(tdir)
-        if os.path.isdir(hist):
-            if retain_last <= 0:
-                shutil.rmtree(hist)
-                removed.append(MANIFEST_DIR)
-            else:
-                for f in sorted(os.listdir(hist)):
-                    # archive temps (.v<N>.tmp.<pid>) left by a writer
-                    # killed between pointer swap and archive rename:
-                    # sweep once stale, same horizon as stagings
-                    fpath = os.path.join(hist, f)
-                    if ".tmp." in f:
-                        if _stale(fpath):
-                            try:
-                                os.remove(fpath)
-                                removed.append(f"{MANIFEST_DIR}/{f}")
-                            except FileNotFoundError:
-                                pass
-                        continue
-                    # same v*.json filter as keep_versions above: a stray
-                    # file (editor temp, .DS_Store) must not abort the
-                    # removal loop with ValueError mid-vacuum
-                    if not (f.startswith("v") and f.endswith(".json")):
-                        continue
                     try:
-                        v = int(f[1:-5])
-                    except ValueError:
-                        continue
-                    if v not in keep_versions:
-                        os.remove(os.path.join(hist, f))
+                        shutil.rmtree(self._abs(rel))
+                        removed.append(rel)
+                    except FileNotFoundError:
+                        pass  # a concurrent vacuum swept it first
+            try:
+                os.rmdir(tdir)  # only succeeds when truly empty
+            except OSError:
+                pass  # non-empty (possibly a staging landed mid-sweep)
+        for f in hist_entries:
+            fpath = os.path.join(hist, f)
+            # archive temps (.v<N>.tmp.<pid>) left by a writer killed
+            # between pointer swap and archive rename: sweep once
+            # stale, same horizon as stagings — a FRESH temp belongs to
+            # a commit whose archive rename is in flight
+            if ".tmp." in f:
+                if _stale(fpath):
+                    try:
+                        os.remove(fpath)
                         removed.append(f"{MANIFEST_DIR}/{f}")
+                    except FileNotFoundError:
+                        pass
+                continue
+            # same v*.json filter as keep_versions above: a stray file
+            # (editor temp, .DS_Store) must not abort the sweep
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            try:
+                v = int(f[1:-5])
+            except ValueError:
+                continue
+            if v not in keep_versions:
+                try:
+                    os.remove(fpath)
+                    removed.append(f"{MANIFEST_DIR}/{f}")
+                except FileNotFoundError:
+                    pass
+        if retain_last <= 0:
+            # drop the (now empty) history dir itself, but never rmtree
+            # it wholesale: a concurrent committer may be mid-archive
+            try:
+                os.rmdir(hist)
+                removed.append(MANIFEST_DIR)
+            except OSError:
+                pass  # non-empty (fresh temp / new archive) or gone
         return removed
 
 
@@ -389,8 +415,6 @@ class _Transaction:
         source files are never modified in place (e.g. a staging dir
         that is deleted right after commit — deletion is safe, the
         inode survives; modification is not)."""
-        import shutil
-
         rel = self._new_dir(table)
         dst = self.wh._abs(rel)
         os.makedirs(dst, exist_ok=True)
@@ -470,13 +494,21 @@ class _Transaction:
             # time-travel entry (read_version fails cleanly; the dirs
             # stay protected via the current pointer) — archiving first
             # would instead expose an UNCOMMITTED phantom snapshot to
-            # read_version if the writer died before the swap
-            hist = os.path.join(self.wh.root, MANIFEST_DIR)
-            os.makedirs(hist, exist_ok=True)
-            htmp = os.path.join(hist, f".v{new['version']}.tmp.{os.getpid()}")
-            with open(htmp, "w") as f:
-                json.dump(new, f)
-            os.replace(htmp, os.path.join(hist, f"v{new['version']}.json"))
+            # read_version if the writer died before the swap. Best
+            # effort by the same logic: the COMMIT already landed at the
+            # pointer rename, so a concurrent vacuum(retain_last=0)
+            # deleting the history dir mid-archive must not turn a
+            # successful commit into a raised error (the caller would
+            # retry and duplicate the batch).
+            try:
+                hist = os.path.join(self.wh.root, MANIFEST_DIR)
+                os.makedirs(hist, exist_ok=True)
+                htmp = os.path.join(hist, f".v{new['version']}.tmp.{os.getpid()}")
+                with open(htmp, "w") as f:
+                    json.dump(new, f)
+                os.replace(htmp, os.path.join(hist, f"v{new['version']}.json"))
+            except OSError:
+                pass  # time-travel entry lost; the snapshot itself is live
         self.committed = True
 
 

@@ -47,7 +47,10 @@ def main() -> int:
             while True:
                 try:
                     with wh.transaction() as txn:
-                        txn.append_parquet_dir(src, "tx")
+                        # link=True is safe here (the staging dir is
+                        # deleted right after commit, never modified in
+                        # place) and keeps the hardlink path under test
+                        txn.append_parquet_dir(src, "tx", link=True)
                     break
                 except ConflictError:
                     continue  # retry on the new snapshot
