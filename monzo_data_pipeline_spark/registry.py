@@ -3096,18 +3096,23 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, MIN(activity_day) AS cohort_day
         FROM activity GROUP BY user_id
     )
-    SELECT cohort_day,
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
            CAST(datediff('day', cohort_day, activity_day) AS INT) AS offset_days,
            COUNT(*) AS n_users
     FROM activity JOIN cohorts USING (user_id)
-    GROUP BY cohort_day, offset_days
+    GROUP BY 1, 2
     """,
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.behavioral import cohort_retention
 
+    # ISO-serialize the date output: a raw DATE column materializes as
+    # object[datetime.date] from Spark but datetime64 ('... 00:00:00')
+    # from DuckDB — different strings under the driver's pandas
+    # canonicalizer (the only raw-DATE output in the registry)
     ev = load_table(spark, sf_dir, "events")
-    return cohort_retention(ev)
+    ret = cohort_retention(ev)
+    return ret.withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
 
 
 @_register(

@@ -130,3 +130,20 @@ def test_audit_catches_decimal_output(duck):
     assert not audit_pair(
         "cast_fixed", [("v", "double")], list(rel2.columns), list(rel2.types)
     )
+
+
+def test_audit_catches_date_output(duck):
+    """Raw DATE output columns are unsafe even date-vs-date: Spark
+    toPandas gives object[datetime.date] ('2024-01-01'), DuckDB .df()
+    gives datetime64 Timestamp ('2024-01-01 00:00:00') — caught live by
+    tools/driver_canon_check.py on cohort_retention in r4. Serialize to
+    an ISO string on both sides."""
+    rel = duck.sql("SELECT DATE '2024-01-01' AS d")
+    problems = audit_pair(
+        "injected_date", [("d", "date")], list(rel.columns), list(rel.types)
+    )
+    assert problems and "DATE-typed output" in problems[0]
+    rel2 = duck.sql("SELECT strftime(DATE '2024-01-01', '%Y-%m-%d') AS d")
+    assert not audit_pair(
+        "iso_fixed", [("d", "string")], list(rel2.columns), list(rel2.types)
+    )

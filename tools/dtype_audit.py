@@ -124,12 +124,15 @@ def duck_category(dtype: str) -> str:
 # Aggregate in decimal, but CAST the final output column to double (or
 # an integer quantization) on BOTH sides — the engine's existing
 # functions/deterministic.py policy.
+# DATE is likewise absent even paired with itself: Spark DateType →
+# pandas object[datetime.date] ('2024-01-01') while DuckDB DATE →
+# datetime64 Timestamp ('2024-01-01 00:00:00') — serialize the output
+# to an ISO string (date_format / strftime) on both sides.
 _SAFE_PAIRS = {
     ("int", "int"),
     ("float", "float"),
     ("bool", "bool"),
     ("str", "str"),
-    ("date", "date"),
     ("timestamp", "timestamp"),
     ("binary", "binary"),
     ("null", "null"),
@@ -175,6 +178,15 @@ def audit_pair(
             problems.append(
                 f"{name}.{col}: unclassified dtype spark={s_map[col]} "
                 f"duckdb={d_map[col]} — extend tools/dtype_audit.py maps"
+            )
+            continue
+        if sc == "date" or dc == "date":
+            problems.append(
+                f"{name}.{col}: DATE-typed output (spark={s_map[col]}, "
+                f"duckdb={d_map[col]}) — pandas materializes "
+                f"object[datetime.date] on Spark vs datetime64 Timestamp "
+                f"on DuckDB ('00:00:00' suffix); serialize to an ISO "
+                f"string (date_format / strftime) on both sides"
             )
             continue
         if sc == "decimal" or dc == "decimal":
