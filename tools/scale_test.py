@@ -126,6 +126,8 @@ QUERY_SET = [
     "media_feature_extract",
     "jpeg_decode_stats",
     "ewma_user_values",
+    # round-4 addition: medoid selection shares kmeans' Lloyd cost class
+    "kmeans_representatives",
 ]
 
 KEY_OFFSET = 100_000_000
