@@ -1854,11 +1854,15 @@ WITH toks AS MATERIALIZED (
     FROM hm, LATERAL (SELECT unnest(range(0, 64)) AS j) j
     GROUP BY doc_id, j.j
 ), sig AS MATERIALIZED (
+    -- CAST: SUM yields HUGEINT; leaving it would make xor(sim_a, sim_b)
+    -- run in 128-bit, where mixed-sign pairs sign-extend to 64 extra
+    -- set bits and bit_count silently exceeds the Hamming threshold —
+    -- dropping true near-pairs (66 missing rows at sf0.1, r4 find)
     SELECT doc_id,
-           SUM(CASE WHEN b > 0 THEN
+           CAST(SUM(CASE WHEN b > 0 THEN
                  (CASE WHEN j = 63 THEN -9223372036854775807 - 1
                        ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END)
-               ELSE 0 END) AS simhash
+               ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
 ), chunks AS (
     SELECT doc_id, simhash, c.c AS chunk_idx,
