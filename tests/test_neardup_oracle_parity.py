@@ -1,0 +1,114 @@
+"""Seeded random-corpus cross-engine parity for the near-dup family —
+the kmeans-parity idea (tests/test_kmeans_oracle_parity.py) applied to
+the queries with the subtlest oracle SQL: minhash banding, simhash
+chunk blocking, n-gram Jaccard, connected components, contamination.
+
+The fixed testdata corpus can only exercise the token distributions it
+happens to contain; these draws build adversarial corpora on purpose —
+template families with small mutations (dense near-dup structure),
+exact duplicates, empty and whitespace-only docs, single-token docs —
+and require the Spark result and the DuckDB oracle to agree row-exact.
+ASCII-only by construction: the engines' unicode lower()/regex
+semantics differ and the synthetic testdata contract is ASCII.
+
+This family is where the r4 HUGEINT-xor recall bug lived (invisible at
+sf0.01, 66 dropped pairs at sf0.1) — corpus-shape-sensitive bugs are
+exactly what random draws surface.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import random
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from monzo_data_pipeline_spark.registry import specs  # noqa: E402
+
+QUERIES = [
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
+    "near_dup_clusters",
+    "benchmark_contamination",
+]
+
+VOCAB = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "line", "sort", "window", "query",
+    "join", "filter", "group", "order", "data", "column", "stream", "big",
+    "small", "vector", "the", "a", "customer",
+]
+
+
+def _random_docs(seed: int, n_templates: int = 14, per_template: int = 5):
+    rng = random.Random(seed)
+    docs = []
+    for t in range(n_templates):
+        base = [rng.choice(VOCAB) for _ in range(rng.randint(8, 28))]
+        for c in range(per_template):
+            words = list(base)
+            for _ in range(rng.randint(0, 3)):  # small mutations
+                i = rng.randrange(len(words))
+                words[i] = rng.choice(VOCAB)
+            docs.append(" ".join(words))
+        docs.append(" ".join(base))  # one exact duplicate per template
+    # adversarial shapes
+    docs += ["", "   ", "solo", "a", "the the the the the the the the"]
+    rng.shuffle(docs)
+    return docs
+
+
+def _write_docs_dir(tmp_path, seed: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = _random_docs(seed)
+    d = tmp_path / f"sf-rand-{seed}"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array([f"src{i % 3}" for i in range(len(docs))]),
+            "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _canon_rows(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(str(v) for v in r))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_neardup_family_matches_oracle_on_random_corpora(spark, tmp_path, seed):
+    sf_dir = _write_docs_dir(tmp_path, seed)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    by_name = {s.name: s for s in specs()}
+    for name in QUERIES:
+        spec = by_name[name]
+        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+        orows = _canon_rows(con.sql(spec.oracle).fetchall())
+        assert srows == orows, (
+            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
+            f"oracle={len(orows)} rows; first deltas "
+            f"{[r for r in srows if r not in orows][:3]} vs "
+            f"{[r for r in orows if r not in srows][:3]}"
+        )
+    con.close()
