@@ -112,3 +112,54 @@ def test_neardup_family_matches_oracle_on_random_corpora(spark, tmp_path, seed):
             f"{[r for r in orows if r not in srows][:3]}"
         )
     con.close()
+
+
+TEXT_QUERIES = [
+    "word_frequencies",
+    "token_stats",
+    "lang_id_heuristic",
+    "quality_scores",
+    "tfidf_top_terms",
+    "bm25_keyword_search",
+    "textrank_keywords",
+    "pmi_collocations",
+    "heavy_hitter_words",
+    "token_diversity_scores",
+    "bigram_rarity_scores",
+    "oov_rates",
+    "winnowing_fingerprints",
+    "polynomial_fingerprints",
+    "dup_ngram_stats",
+    "inverted_index",
+    "sharded_inverted_index",
+    "adaptive_stopword_filter",
+    "bpe_merge_table",
+    "bpe_segmentation_stats",
+    "bpe_token_counts",
+]
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_text_family_matches_oracle_on_random_corpora(spark, tmp_path, seed):
+    """Same harness, the whole text-analysis family: token stats, TF-IDF,
+    BM25, TextRank, PMI, diversity, OOV, rarity, fingerprints, inverted
+    indexes, stopword filtering, and the unrolled BPE trainer — all
+    must agree row-exact with their DuckDB twins on a random corpus
+    with empty/whitespace/single-token edge docs."""
+    sf_dir = _write_docs_dir(tmp_path, seed)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    by_name = {s.name: s for s in specs()}
+    for name in TEXT_QUERIES:
+        spec = by_name[name]
+        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+        orows = _canon_rows(con.sql(spec.oracle).fetchall())
+        assert srows == orows, (
+            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
+            f"oracle={len(orows)} rows; first deltas "
+            f"{[r for r in srows if r not in orows][:3]} vs "
+            f"{[r for r in orows if r not in srows][:3]}"
+        )
+    con.close()
