@@ -163,3 +163,88 @@ def test_text_family_matches_oracle_on_random_corpora(spark, tmp_path, seed):
             f"{[r for r in orows if r not in srows][:3]}"
         )
     con.close()
+
+
+EVENT_QUERIES = [
+    "pseudonymized_activity", "scalar_functions", "struct_flatten",
+    "asof_join", "tumbling_window_agg", "sessionization",
+    "interval_join_attribution", "latest_events", "json_extract",
+    "sliding_window_agg", "null_safe_equality", "variant_json_stats",
+    "bitmap_exact_distinct", "scd2_intervals", "funnel_conversion",
+    "cohort_retention", "resample_gap_fill", "value_histogram",
+    "zscore_outliers", "mad_robust_outliers", "equi_depth_histogram",
+    "scd2_temporal_lookup", "event_transition_matrix",
+    "scd2_compressed_intervals", "session_paths_top",
+    "k_anonymity_audit", "reversal_matching", "time_weighted_balance",
+    "double_charge_flags", "ewma_user_values",
+]
+
+
+def _write_events_dir(tmp_path, seed: int) -> str:
+    """Random events with deliberate timestamp TIES (same-user and
+    cross-user), value extremes, single-event users, and bursts — the
+    determinism stress the uniform testdata never applies: every
+    window/as-of/SCD2 query's total-order tiebreak has to hold."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    types = ["signup", "login", "purchase", "refund", "error"]
+    for _ in range(700):
+        user = rng.randint(1, 25)
+        ts = base + dt.timedelta(seconds=rng.randint(0, 30 * 86400))
+        n_tied = rng.choice([1, 1, 1, 2, 3])  # ~40% land in a tie burst
+        for _ in range(n_tied):
+            val = rng.choice(
+                [0.0, 0.01, round(rng.uniform(-50, 500), 2), 185.22]
+            )
+            rows.append(
+                (
+                    eid,
+                    ts,  # identical across the burst: tiebreak stress
+                    user if rng.random() < 0.8 else rng.randint(1, 25),
+                    rng.choice(types),
+                    val,
+                    '{"k": %d}' % rng.randint(0, 99),
+                )
+            )
+            eid += 1
+    d = tmp_path / f"ev-rand-{seed}"
+    d.mkdir()
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3]),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5]),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_event_family_matches_oracle_on_random_streams(spark, tmp_path, seed):
+    sf_dir = _write_events_dir(tmp_path, seed)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    by_name = {s.name: s for s in specs()}
+    for name in EVENT_QUERIES:
+        spec = by_name[name]
+        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+        orows = _canon_rows(con.sql(spec.oracle).fetchall())
+        assert srows == orows, (
+            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
+            f"oracle={len(orows)} rows; first deltas "
+            f"{[r for r in srows if r not in orows][:3]} vs "
+            f"{[r for r in orows if r not in srows][:3]}"
+        )
+    con.close()
