@@ -248,3 +248,88 @@ def test_event_family_matches_oracle_on_random_streams(spark, tmp_path, seed):
             f"{[r for r in orows if r not in srows][:3]}"
         )
     con.close()
+
+
+ORDERS_QUERIES = [
+    "monthly_spend", "top_k_orders", "spend_trend_slopes", "set_except",
+    "top_n_per_group_salted", "running_total", "ntile_quartiles",
+    "rollup_spend", "pivot_status_by_month", "exact_distinct_counts",
+    "exact_percentiles", "table_profile", "upsert_last_wins",
+    "versioned_upsert_merge", "set_intersect", "union_batches",
+    "top_n_per_group", "cube_spend", "frequent_customers_having",
+    "orders_above_customer_avg", "case_bucketing", "grouping_sets",
+    "datetime_functions", "conditional_aggregates", "arg_extrema",
+    "sorted_array_agg", "date_spine_densification", "unpivot_melt",
+    "union_by_name_missing", "lag_lead_analytics", "rolling_7day_spend",
+    "snapshot_diff_cdc", "map_type_pipeline", "range_band_join",
+    "interval_band_revenue", "wow_revenue_movers", "l_diversity_audit",
+    "rfm_segments", "subscription_streaks", "roundup_pots",
+    "benford_digits",
+]
+
+
+def _write_orders_dir(tmp_path, seed: int) -> str:
+    """Random orders with deliberate TOTALPRICE and DATE ties, repeat
+    customers with bursts (streak/rolling-window stress), prices that
+    land exactly on cent/rounding boundaries (the floor(x*100+0.5)
+    and ntile cut edges), and single-order customers."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    statuses = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    rows = []
+    for okey in range(900):
+        cust = rng.randint(1, 40)
+        date = base + dt.timedelta(days=rng.randint(0, 400))
+        price = rng.choice(
+            [
+                0.01,
+                100.0,          # exact boundary
+                99.995,         # half-cent rounding edge
+                185.22,
+                round(rng.uniform(1, 400000), 2),
+                float(rng.randint(1, 5000)),  # integer-valued double
+            ]
+        )
+        rows.append(
+            (okey, cust, rng.choice(statuses), price, date, rng.choice(prios))
+        )
+    d = tmp_path / f"ord-rand-{seed}"
+    d.mkdir()
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(cols[0], pa.int64()),
+            "o_custkey": pa.array(cols[1], pa.int64()),
+            "o_orderstatus": pa.array(cols[2]),
+            "o_totalprice": pa.array(cols[3], pa.float64()),
+            "o_orderdate": pa.array(cols[4], pa.timestamp("us")),
+            "o_orderpriority": pa.array(cols[5]),
+        }
+    )
+    pq.write_table(tbl, str(d / "orders.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_orders_family_matches_oracle_on_random_tables(spark, tmp_path, seed):
+    sf_dir = _write_orders_dir(tmp_path, seed)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    by_name = {s.name: s for s in specs()}
+    for name in ORDERS_QUERIES:
+        spec = by_name[name]
+        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+        orows = _canon_rows(con.sql(spec.oracle).fetchall())
+        assert srows == orows, (
+            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
+            f"oracle={len(orows)} rows; first deltas "
+            f"{[r for r in srows if r not in orows][:3]} vs "
+            f"{[r for r in orows if r not in srows][:3]}"
+        )
+    con.close()
