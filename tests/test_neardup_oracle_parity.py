@@ -333,3 +333,284 @@ def test_orders_family_matches_oracle_on_random_tables(spark, tmp_path, seed):
             f"{[r for r in orows if r not in srows][:3]}"
         )
     con.close()
+
+
+WAREHOUSE_QUERIES = [
+    "pricing_summary", "date_range_filter", "anti_join_new_keys",
+    "project_cast_stamp", "reconciliation_checksums", "first_wins_dedup",
+    "fk_star_join", "broadcast_enrich_rates", "shipping_priority_q3",
+    "fuzzy_name_pairs", "full_scan_region", "row_count_lineitem",
+    "distinct_entities", "distinct_projection_wide", "default_fill",
+    "revenue_per_customer", "string_functions", "local_supplier_volume_q5",
+    "string_agg", "order_max_item", "semi_join", "full_outer_join",
+    "exists_agg_priority", "volume_shipping_q7", "percentrank_cumedist",
+    "algebraic_moments", "deterministic_mode", "systematic_sample",
+    "stratified_fixed_n_sample", "regexp_extract_brand", "posexplode_words",
+    "array_functions_breadth", "array_set_algebra", "grid_radius_join",
+    "row_fingerprints", "correlation_matrix", "forecast_revenue_q6",
+    "market_share_q8", "product_profit_q9", "returned_items_q10",
+    "important_parts_q11", "priority_linestatus_q12",
+    "customer_distribution_q13", "promo_revenue_q14", "top_supplier_q15",
+    "small_qty_orders_q17", "large_volume_customers_q18",
+    "disjunctive_revenue_q19", "waiting_customers_q22",
+    "parts_supplier_counts_q16", "excess_inventory_suppliers_q20",
+    "waiting_orders_suppliers_q21", "min_cost_supplier_q2",
+    "frequently_bought_together",
+]
+
+
+def _write_warehouse_dir(tmp_path, seed: int) -> str:
+    """Consistent random mini-warehouse with FK integrity, price/date
+    ties, skewed fact keys (one hot customer, one hot part), and
+    single-row dimension edges — the TPC-H-shape join family's stress
+    surface."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    d = tmp_path / f"wh-rand-{seed}"
+    d.mkdir()
+
+    def write(name, cols):
+        pq.write_table(pa.table(cols), str(d / f"{name}.parquet"))
+
+    regions = ["AMERICA", "ASIA", "EUROPE", "AFRICA", "MIDDLE EAST"]
+    write("region", {
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array(regions),
+    })
+    n_nat = 12
+    write("nation", {
+        "n_nationkey": pa.array(range(n_nat), pa.int32()),
+        "n_name": pa.array([f"NATION{i:02d}" for i in range(n_nat)]),
+        "n_regionkey": pa.array([i % 5 for i in range(n_nat)], pa.int32()),
+    })
+    n_cust = 60
+    write("customer", {
+        "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(1, n_cust + 1)]),
+        "c_nationkey": pa.array(
+            [rng.randrange(n_nat) for _ in range(n_cust)], pa.int32()
+        ),
+        "c_acctbal": pa.array(
+            [round(rng.uniform(-999, 9999), 2) for _ in range(n_cust)],
+            pa.float64(),
+        ),
+        "c_mktsegment": pa.array(
+            [rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY"])
+             for _ in range(n_cust)]
+        ),
+    })
+    n_supp = 15
+    write("supplier", {
+        "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(1, n_supp + 1)]),
+        "s_nationkey": pa.array(
+            [rng.randrange(n_nat) for _ in range(n_supp)], pa.int32()
+        ),
+        "s_acctbal": pa.array(
+            [round(rng.uniform(-999, 9999), 2) for _ in range(n_supp)],
+            pa.float64(),
+        ),
+    })
+    n_part = 50
+    brands = [f"Brand#{i}{j}" for i in range(1, 4) for j in range(1, 4)]
+    types = ["ECONOMY ANODIZED STEEL", "PROMO BURNISHED COPPER",
+             "STANDARD POLISHED TIN", "MEDIUM PLATED BRASS"]
+    write("part", {
+        "p_partkey": pa.array(range(1, n_part + 1), pa.int64()),
+        "p_name": pa.array(
+            [f"{rng.choice(['azure','blush','coral'])} "
+             f"{rng.choice(['green','ivory','khaki'])} part {i}"
+             for i in range(1, n_part + 1)]
+        ),
+        "p_brand": pa.array([rng.choice(brands) for _ in range(n_part)]),
+        "p_type": pa.array([rng.choice(types) for _ in range(n_part)]),
+        "p_size": pa.array(
+            [rng.randint(1, 50) for _ in range(n_part)], pa.int32()
+        ),
+        "p_retailprice": pa.array(
+            [round(rng.uniform(900, 2000), 2) for _ in range(n_part)],
+            pa.float64(),
+        ),
+    })
+    base = dt.datetime(2024, 1, 1)
+    n_ord = 300
+    hot_cust = 7  # skew: ~20% of orders on one customer
+    o_rows, l_rows = [], []
+    for okey in range(1, n_ord + 1):
+        cust = hot_cust if rng.random() < 0.2 else rng.randint(1, n_cust)
+        odate = base + dt.timedelta(days=rng.randint(0, 365))
+        total = 0.0
+        n_lines = rng.randint(1, 5)
+        for ln in range(1, n_lines + 1):
+            part = 3 if rng.random() < 0.15 else rng.randint(1, n_part)
+            qty = float(rng.randint(1, 50))
+            eprice = rng.choice(
+                [100.0, 99.995, round(rng.uniform(100, 90000), 2)]
+            )
+            l_rows.append(
+                (okey, part, rng.randint(1, n_supp), ln, qty, eprice,
+                 rng.choice([0.0, 0.05, 0.1]), rng.choice([0.0, 0.08]),
+                 rng.choice(["R", "A", "N"]), rng.choice(["O", "F"]),
+                 odate + dt.timedelta(days=rng.randint(1, 60)))
+            )
+            total += eprice
+        o_rows.append(
+            (okey, cust, rng.choice(["O", "F", "P"]), round(total, 2),
+             odate, rng.choice(
+                 ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                  "5-LOW"]))
+        )
+    oc = list(zip(*o_rows))
+    write("orders", {
+        "o_orderkey": pa.array(oc[0], pa.int64()),
+        "o_custkey": pa.array(oc[1], pa.int64()),
+        "o_orderstatus": pa.array(oc[2]),
+        "o_totalprice": pa.array(oc[3], pa.float64()),
+        "o_orderdate": pa.array(oc[4], pa.timestamp("us")),
+        "o_orderpriority": pa.array(oc[5]),
+    })
+    lc = list(zip(*l_rows))
+    write("lineitem", {
+        "l_orderkey": pa.array(lc[0], pa.int64()),
+        "l_partkey": pa.array(lc[1], pa.int64()),
+        "l_suppkey": pa.array(lc[2], pa.int64()),
+        "l_linenumber": pa.array(lc[3], pa.int32()),
+        "l_quantity": pa.array(lc[4], pa.float64()),
+        "l_extendedprice": pa.array(lc[5], pa.float64()),
+        "l_discount": pa.array(lc[6], pa.float64()),
+        "l_tax": pa.array(lc[7], pa.float64()),
+        "l_returnflag": pa.array(lc[8]),
+        "l_linestatus": pa.array(lc[9]),
+        "l_shipdate": pa.array(lc[10], pa.timestamp("us")),
+    })
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [37])
+def test_warehouse_family_matches_oracle_on_random_tables(spark, tmp_path, seed):
+    sf_dir = _write_warehouse_dir(tmp_path, seed)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    by_name = {s.name: s for s in specs()}
+    for name in WAREHOUSE_QUERIES:
+        spec = by_name[name]
+        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+        orows = _canon_rows(con.sql(spec.oracle).fetchall())
+        assert srows == orows, (
+            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
+            f"oracle={len(orows)} rows; first deltas "
+            f"{[r for r in srows if r not in orows][:3]} vs "
+            f"{[r for r in orows if r not in srows][:3]}"
+        )
+    con.close()
+
+
+EMBEDDING_QUERIES = [
+    "array_ops", "cosine_topk_bruteforce", "ivf_topk",
+    "ivf_topk_multiprobe", "bucketed_near_pairs",
+    "random_projection_embed", "knn_join", "embedding_cosine_near_dup",
+    "label_centroids", "kmeans_cluster_profile", "kmeans_representatives",
+    "pq_rerank_topk",
+]
+
+
+def _write_embeddings_dir(tmp_path, seed: int, n: int = 200) -> str:
+    """Random 64-dim float32 embeddings (the registry oracles hardcode
+    the dimension) with outlier magnitudes, exactly-representable
+    repeated values, duplicate vectors (near-dup/top-k tie stress),
+    and a sign-skewed region (LSH bucket collisions)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(0, 1, (n, 64)).astype(np.float32)
+    vecs[::11] *= 50.0                 # outlier magnitudes
+    vecs[1::7, :8] = np.abs(vecs[1::7, :8])  # sign-skew: LSH collisions
+    vecs[5] = vecs[4]                  # exact duplicate pair
+    vecs[3::13, 0] = 0.5               # exactly-representable repeats
+    d = tmp_path / f"emb-rand-{seed}"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([i % 10 for i in range(n)], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [41])
+def test_embedding_family_matches_oracle_on_random_vectors(
+    spark, tmp_path, seed
+):
+    sf_dir = _write_embeddings_dir(tmp_path, seed)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    by_name = {s.name: s for s in specs()}
+    for name in EMBEDDING_QUERIES:
+        spec = by_name[name]
+        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+        orows = _canon_rows(con.sql(spec.oracle).fetchall())
+        assert srows == orows, (
+            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
+            f"oracle={len(orows)} rows; first deltas "
+            f"{[r for r in srows if r not in orows][:3]} vs "
+            f"{[r for r in orows if r not in srows][:3]}"
+        )
+    con.close()
+
+
+MEDIA_DOC_QUERIES = [
+    "pack_sequences", "exact_dedup_survivors", "source_mixture_sample",
+    "token_repetition_stats", "chunk_documents", "bigram_counts",
+    "curriculum_quality_sample", "media_metadata", "frame_sampling",
+    "audio_windowing", "image_decode_stats", "image_resize_real",
+    "image_png_roundtrip", "jpeg_decode_stats", "video_frame_stats",
+    "media_resize", "media_feature_extract",
+]
+
+
+@pytest.mark.parametrize("seed", [53])
+def test_media_doc_family_matches_oracle_on_random_corpora(
+    spark, tmp_path, seed
+):
+    """The remaining documents-driven queries: packing, chunking,
+    curriculum sampling, and the REAL media codecs whose payloads are
+    constructed deterministically from the doc text — the oracles
+    recompute every pixel/sample statistic from the ASCII codes, so a
+    random corpus (including empty and whitespace-only docs, the
+    _MEDIA_CLEAN edge) must agree bit-exact through encode → decode →
+    stats on both engines."""
+    sf_dir = _write_docs_dir(tmp_path, seed)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    by_name = {s.name: s for s in specs()}
+    for name in MEDIA_DOC_QUERIES:
+        spec = by_name[name]
+        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+        orows = _canon_rows(con.sql(spec.oracle).fetchall())
+        assert srows == orows, (
+            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
+            f"oracle={len(orows)} rows; first deltas "
+            f"{[r for r in srows if r not in orows][:3]} vs "
+            f"{[r for r in orows if r not in srows][:3]}"
+        )
+    con.close()
