@@ -279,7 +279,10 @@ class AtomicWarehouse:
         # land after this point are invisible to the sweep, so a
         # concurrent commit's archive can never be collected out from
         # under retain_last
-        hist_entries = sorted(os.listdir(hist)) if os.path.isdir(hist) else []
+        try:
+            hist_entries = sorted(os.listdir(hist))
+        except FileNotFoundError:  # no history yet, or a concurrent
+            hist_entries = []      # vacuum(0) just reclaimed the dir
         versions = sorted(
             int(f[1:-5])
             for f in hist_entries
@@ -308,7 +311,11 @@ class AtomicWarehouse:
                 continue
             if entry in (MANIFEST, MANIFEST_DIR) or not os.path.isdir(tdir):
                 continue
-            for sub in sorted(os.listdir(tdir)):
+            try:
+                subs = sorted(os.listdir(tdir))
+            except FileNotFoundError:
+                continue  # a concurrent vacuum rmdir'd the emptied dir
+            for sub in subs:
                 rel = f"{entry}/{sub}"
                 # an unreferenced FRESH dir may be an in-flight
                 # transaction's staging — only sweep past the horizon
@@ -337,12 +344,26 @@ class AtomicWarehouse:
                         pass
                 continue
             # same v*.json filter as keep_versions above: a stray file
-            # (editor temp, .DS_Store) must not abort the sweep
-            if not (f.startswith("v") and f.endswith(".json")):
-                continue
-            try:
-                v = int(f[1:-5])
-            except ValueError:
+            # (editor temp, .DS_Store, or a "vacuum.json" that passes the
+            # shape test but not the version parse) must not abort the
+            # sweep. With a retention window strays are left alone
+            # (conservative); under retain_last=0 they ARE removed —
+            # complete-erasure callers expect vacuum(0) to leave no
+            # history residue, and a stray would otherwise block the
+            # final rmdir forever.
+            v = None
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    v = int(f[1:-5])
+                except ValueError:
+                    v = None
+            if v is None:
+                if retain_last <= 0:
+                    try:
+                        os.remove(fpath)
+                        removed.append(f"{MANIFEST_DIR}/{f}")
+                    except OSError:
+                        pass  # vanished, or a directory — leave it
                 continue
             if v not in keep_versions:
                 try:

@@ -524,3 +524,8 @@ def test_vacuum_tolerates_stray_files_in_manifest_dir(spark, tmp_path):
     assert os.path.exists(os.path.join(hist, ".DS_Store"))
     assert os.path.exists(os.path.join(hist, "vacuum.json"))
     assert wh.read_version("t", wh.manifest()["version"]).count() == 3
+
+    # complete-erasure mode (retain_last=0) DOES sweep the strays so the
+    # history dir can actually be reclaimed — no permanent residue
+    wh.vacuum(min_age_seconds=0)
+    assert not os.path.exists(hist)

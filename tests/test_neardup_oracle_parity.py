@@ -93,15 +93,11 @@ def _canon_rows(rows):
     return sorted(out)
 
 
-@pytest.mark.parametrize("seed", [3, 17])
-def test_neardup_family_matches_oracle_on_random_corpora(spark, tmp_path, seed):
-    sf_dir = _write_docs_dir(tmp_path, seed)
-    con = duckdb.connect()
-    con.sql(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
-    )
+def _assert_family(spark, con, sf_dir, names, seed):
+    """Run every query on Spark and its oracle on DuckDB; require
+    row-exact (multiset) agreement via sorted stringified rows."""
     by_name = {s.name: s for s in specs()}
-    for name in QUERIES:
+    for name in names:
         spec = by_name[name]
         srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
         orows = _canon_rows(con.sql(spec.oracle).fetchall())
@@ -111,6 +107,16 @@ def test_neardup_family_matches_oracle_on_random_corpora(spark, tmp_path, seed):
             f"{[r for r in srows if r not in orows][:3]} vs "
             f"{[r for r in orows if r not in srows][:3]}"
         )
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_neardup_family_matches_oracle_on_random_corpora(spark, tmp_path, seed):
+    sf_dir = _write_docs_dir(tmp_path, seed)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    _assert_family(spark, con, sf_dir, QUERIES, seed)
     con.close()
 
 
@@ -151,17 +157,7 @@ def test_text_family_matches_oracle_on_random_corpora(spark, tmp_path, seed):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
     )
-    by_name = {s.name: s for s in specs()}
-    for name in TEXT_QUERIES:
-        spec = by_name[name]
-        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
-        orows = _canon_rows(con.sql(spec.oracle).fetchall())
-        assert srows == orows, (
-            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
-            f"oracle={len(orows)} rows; first deltas "
-            f"{[r for r in srows if r not in orows][:3]} vs "
-            f"{[r for r in orows if r not in srows][:3]}"
-        )
+    _assert_family(spark, con, sf_dir, TEXT_QUERIES, seed)
     con.close()
 
 
@@ -194,7 +190,11 @@ def _write_events_dir(tmp_path, seed: int) -> str:
     base = dt.datetime(2024, 1, 1)
     rows = []
     eid = 0
-    types = ["signup", "login", "purchase", "refund", "error"]
+    # include "view" and "click": asof_join / attribution / funnel
+    # filter on them — without these the three checks compare
+    # empty against empty
+    types = ["signup", "login", "purchase", "refund", "error",
+             "view", "click"]
     for _ in range(700):
         user = rng.randint(1, 25)
         ts = base + dt.timedelta(seconds=rng.randint(0, 30 * 86400))
@@ -236,17 +236,7 @@ def test_event_family_matches_oracle_on_random_streams(spark, tmp_path, seed):
     sf_dir = _write_events_dir(tmp_path, seed)
     con = duckdb.connect()
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
-    by_name = {s.name: s for s in specs()}
-    for name in EVENT_QUERIES:
-        spec = by_name[name]
-        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
-        orows = _canon_rows(con.sql(spec.oracle).fetchall())
-        assert srows == orows, (
-            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
-            f"oracle={len(orows)} rows; first deltas "
-            f"{[r for r in srows if r not in orows][:3]} vs "
-            f"{[r for r in orows if r not in srows][:3]}"
-        )
+    _assert_family(spark, con, sf_dir, EVENT_QUERIES, seed)
     con.close()
 
 
@@ -321,17 +311,7 @@ def test_orders_family_matches_oracle_on_random_tables(spark, tmp_path, seed):
     sf_dir = _write_orders_dir(tmp_path, seed)
     con = duckdb.connect()
     con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
-    by_name = {s.name: s for s in specs()}
-    for name in ORDERS_QUERIES:
-        spec = by_name[name]
-        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
-        orows = _canon_rows(con.sql(spec.oracle).fetchall())
-        assert srows == orows, (
-            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
-            f"oracle={len(orows)} rows; first deltas "
-            f"{[r for r in srows if r not in orows][:3]} vs "
-            f"{[r for r in orows if r not in srows][:3]}"
-        )
+    _assert_family(spark, con, sf_dir, ORDERS_QUERIES, seed)
     con.close()
 
 
@@ -497,17 +477,7 @@ def test_warehouse_family_matches_oracle_on_random_tables(spark, tmp_path, seed)
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    by_name = {s.name: s for s in specs()}
-    for name in WAREHOUSE_QUERIES:
-        spec = by_name[name]
-        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
-        orows = _canon_rows(con.sql(spec.oracle).fetchall())
-        assert srows == orows, (
-            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
-            f"oracle={len(orows)} rows; first deltas "
-            f"{[r for r in srows if r not in orows][:3]} vs "
-            f"{[r for r in orows if r not in srows][:3]}"
-        )
+    _assert_family(spark, con, sf_dir, WAREHOUSE_QUERIES, seed)
     con.close()
 
 
@@ -562,17 +532,7 @@ def test_embedding_family_matches_oracle_on_random_vectors(
     con.sql(
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
     )
-    by_name = {s.name: s for s in specs()}
-    for name in EMBEDDING_QUERIES:
-        spec = by_name[name]
-        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
-        orows = _canon_rows(con.sql(spec.oracle).fetchall())
-        assert srows == orows, (
-            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
-            f"oracle={len(orows)} rows; first deltas "
-            f"{[r for r in srows if r not in orows][:3]} vs "
-            f"{[r for r in orows if r not in srows][:3]}"
-        )
+    _assert_family(spark, con, sf_dir, EMBEDDING_QUERIES, seed)
     con.close()
 
 
@@ -602,15 +562,5 @@ def test_media_doc_family_matches_oracle_on_random_corpora(
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
     )
-    by_name = {s.name: s for s in specs()}
-    for name in MEDIA_DOC_QUERIES:
-        spec = by_name[name]
-        srows = _canon_rows(tuple(r) for r in spec.fn(spark, sf_dir).collect())
-        orows = _canon_rows(con.sql(spec.oracle).fetchall())
-        assert srows == orows, (
-            f"{name} diverged on seed {seed}: spark={len(srows)} rows, "
-            f"oracle={len(orows)} rows; first deltas "
-            f"{[r for r in srows if r not in orows][:3]} vs "
-            f"{[r for r in orows if r not in srows][:3]}"
-        )
+    _assert_family(spark, con, sf_dir, MEDIA_DOC_QUERIES, seed)
     con.close()

@@ -53,12 +53,24 @@ def main() -> int:
     from monzo_data_pipeline_spark.schemas import TESTDATA_TABLES
     from monzo_data_pipeline_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rest = sys.argv[2:]
+    args = sys.argv[1:]
+    # sf_dir is optional: the first arg is a path only if it isn't a
+    # flag/query name (so `driver_canon_check.py --all` works as the
+    # usage line advertises)
+    if args and args[0] not in ("--all",) and os.path.isdir(args[0]):
+        sf_dir, rest = args[0], args[1:]
+    else:
+        sf_dir, rest = "/root/testdata/sf0.01", args
     if rest == ["--all"]:
         only = None
     elif rest:
         only = set(rest)
+        known = {s.name for s in specs()}
+        unknown = only - known
+        if unknown:
+            # a typo'd query name must not read as a green gate run
+            print(f"ERROR: unknown query names: {sorted(unknown)}")
+            return 2
     else:
         only = set(_DRIVER_PREFIX)  # default: the driver's hash window
 
