@@ -1,0 +1,394 @@
+"""Round-4 web-corpus curation operators.
+
+The reference pipeline curates card transactions
+(reference/src/sql/transform_bronze_to_silver.sql: dedup, cast,
+default-fill); a training-data engine at 100 TB needs the text-side
+equivalents of those same moves, applied corpus-wide:
+
+- ``segment_dedup`` — CCNet-style duplicated-passage removal
+  (Wenzek et al., LREC 2020): hash fixed-length token segments,
+  count them corpus-wide, rebuild each document from the segments
+  that are not boilerplate.
+- ``hashed_quality_scores`` — fastText-style linear classifier
+  inference (Joulin et al., EACL 2017): hashed bag-of-words buckets
+  dotted with a fixed weight vector, entirely map-side.
+- ``split_assignment`` / ``split_audit`` — leak-proof deterministic
+  train/val/test assignment keyed on the document id, plus the
+  per-(lang, source) share audit that catches stratification skew.
+- ``phrase_match`` — positional-postings phrase search: explode
+  (doc, pos, word), keep only the phrase's words, equi-join on
+  (doc, pos+1).
+- ``ks_drift`` — two-sample Kolmogorov–Smirnov statistic between
+  two sources over a binned value column; the drift monitor run
+  between ingest batches.
+- ``collapse_repeats`` — consecutive-duplicate token collapse
+  (the "aaaa" cleanup pass), zero-shuffle.
+
+Everything is integer / polynomial-hash arithmetic (mod 2³¹−1, the
+same engine-agnostic family as functions/text.py), so every operator
+is hash-checkable against a DuckDB oracle twin — no libm, no floats,
+no engine-specific hashes in any checked output.
+
+Scale posture (100 TB): segment counting is one partial-agg'd
+shuffle of (segment-hash) keys; the duplicated-segment set joins
+back broadcast (duplicated passages are a tiny fraction of a real
+corpus — the join degrades to a shuffle join via AQE if not).
+Everything else is map-side lambdas over materialized token arrays
+(see the HOF-inlining note at functions/text.py:431 — token arrays
+are projected once before any lambda references them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+POLY_MOD = 2_147_483_647  # 2^31 − 1; acc·131 + code stays < 2^39
+POLY_BASE = 131
+
+# Weight-vector constants for the hashed linear classifier: an LCG
+# step maps bucket → pseudo-weight in [−1000, 1000]. Full-period
+# multiplier (Numerical Recipes) — small structured multipliers
+# measurably collapse weight diversity, the same failure mode as
+# ext/dedup_fuzzy._lcg_constants.
+_W_MULT = 1_103_515_245
+_W_ADD = 12_345
+_W_SPAN = 2_001
+
+
+def _tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def _char_fold(s: Column) -> Column:
+    """(acc·131 + code) mod 2³¹−1 over a string's characters — the
+    engine-agnostic hash family shared with functions/text.py."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_BASE + F.coalesce(F.ascii(c), F.lit(0)))
+        % POLY_MOD,
+    )
+
+
+def segment_dedup(
+    documents: DataFrame,
+    seg_len: int = 8,
+    max_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """Corpus-wide duplicated-passage removal (CCNet / RefinedWeb
+    line-dedup, generalized to fixed-length token segments).
+
+    Each document is cut into consecutive ``seg_len``-token segments;
+    a segment whose hash occurs more than ``max_count`` times across
+    the corpus is boilerplate and is dropped from EVERY document.
+    Output per doc: segment counts plus ``kept_fold`` — the ordered
+    polynomial fold of the surviving segment hashes, which pins the
+    rebuilt document (content AND order) under the oracle gate
+    without shipping the rebuilt text.
+
+    Plan: segments stay inside their document row until one
+    posexplode feeds (a) the corpus count — one partial-agg'd
+    shuffle on the hash key — and (b) the join back against the
+    duplicated-hash set, which is broadcast (real corpora have few
+    duplicated passages; set ``broadcast_dups=False`` to let AQE
+    choose when the boilerplate set is itself huge). Reassembly is
+    one groupBy(doc) over (idx, hash) pairs.
+    """
+    d = (
+        documents.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), _tokens(text_col).alias("toks"))
+        .select(
+            id_col,
+            "toks",
+            F.expr(f"(size(toks) + {seg_len - 1}) DIV {seg_len}").alias("n_segs"),
+        )
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), F.col("n_segs") - 1),
+        lambda j: F.array_join(
+            F.slice("toks", j * seg_len + F.lit(1), seg_len), " "
+        ),
+    )
+    d = d.select(id_col, segs.alias("segs"))
+    d = d.select(id_col, F.transform("segs", _char_fold).alias("seg_h"))
+    e = d.select(id_col, F.posexplode("seg_h").alias("seg_idx", "h"))
+
+    dup = (
+        e.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > max_count)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    if broadcast_dups:
+        dup = F.broadcast(dup)
+
+    flagged = e.join(dup, "h", "left").select(
+        id_col,
+        "seg_idx",
+        "h",
+        F.col("is_dup").isNull().alias("kept"),
+    )
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("kept"), F.struct("seg_idx", "h")))
+        ).alias("kept_pairs"),
+    )
+    fold = F.aggregate(
+        F.transform("kept_pairs", lambda x: x["h"]),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * POLY_BASE + h) % POLY_MOD,
+    )
+    return out.select(id_col, "n_segs", "n_kept", fold.alias("kept_fold"))
+
+
+def hashed_quality_scores(
+    documents: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality classifier inference: each token
+    hashes into one of ``n_buckets`` feature buckets; each bucket
+    carries a fixed integer weight from a full-period LCG; the
+    document score is the sum of its tokens' weights and the accept
+    label is ``score >= 0``.
+
+    Entirely map-side (zero shuffle): at 100 TB this is the cheap
+    first-pass filter that runs ahead of any dedup or packing stage.
+    A trained model drops in by replacing the LCG weight expression
+    with a broadcast bucket→weight array lookup — the plan shape
+    (per-token transform + per-doc fold) is unchanged.
+    """
+    d = documents.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), _tokens(text_col).alias("toks")
+    )
+    th = F.transform("toks", _char_fold)
+    d = d.select(
+        id_col, F.size("toks").cast("long").alias("n_tokens"), th.alias("th")
+    )
+    weights = F.transform(
+        "th",
+        lambda h: ((h % n_buckets) * _W_MULT + _W_ADD) % _W_SPAN
+        - (_W_SPAN - 1) // 2,
+    )
+    score = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, w: acc + w
+    )
+    return d.select(
+        id_col,
+        "n_tokens",
+        score.alias("score"),
+        (score >= 0).alias("accept"),
+    )
+
+
+def split_assignment(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment keyed on the document
+    id: ``((id mod (2³¹−1)) · 2654435761) mod (2³¹−1) mod 100``
+    (Knuth's multiplicative hash; the inner mod keeps the product
+    under 2⁶³ for any int64 id) buckets every doc reproducibly
+    across engines, batches, and repartitionings — the property that
+    keeps the split leak-proof when the corpus is rebuilt
+    incrementally. Map-side only; adds a ``split`` column."""
+    bucket = (F.col(id_col) % POLY_MOD * F.lit(2_654_435_761)) % POLY_MOD % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.withColumn("split", split)
+
+
+def split_audit(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    strata: tuple[str, str] = ("lang", "source"),
+) -> DataFrame:
+    """Per-stratum split-share audit: counts and ppm share of each
+    split within every (lang, source) stratum — the check that a
+    deterministic hash split did not correlate with a stratum (which
+    would leak distribution shift between train and eval). Two
+    bounded aggs + one broadcast join; the fact table is touched
+    once."""
+    a, b = strata
+    counts = (
+        split_assignment(documents, id_col=id_col)
+        .groupBy(a, b, "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = counts.groupBy(a, b).agg(F.sum("n_docs").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), [a, b])
+        .select(
+            a,
+            b,
+            "split",
+            "n_docs",
+            F.expr("(n_docs * 1000000) DIV tot").alias("share_ppm"),
+        )
+    )
+
+
+def phrase_match(
+    documents: DataFrame,
+    phrase: str,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional phrase search: explode (doc, pos, token), keep only
+    the phrase's two words (the selective filter runs before any
+    shuffle), then equi-join first-word positions against
+    second-word positions at pos+1. Top-k docs by match count with a
+    unique tiebreak.
+
+    The join key is (doc, pos) — a hash join over two already-tiny
+    filtered sides; no nested-loop, no all-pairs. A standing corpus
+    index materializes the exploded postings once (see
+    ext/search.py::inverted_index for the incremental form) and this
+    query becomes two index lookups.
+    """
+    w1, w2 = phrase.lower().split()
+    pos = (
+        documents.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), _tokens(text_col).alias("toks"))
+        .select(id_col, F.posexplode("toks").alias("pos", "word"))
+        .filter(F.col("word").isin(w1, w2))
+    )
+    a = pos.filter(F.col("word") == w1).select(id_col, "pos")
+    b = pos.filter(F.col("word") == w2).select(
+        F.col(id_col).alias("__id2"), (F.col("pos") - 1).alias("__pos2")
+    )
+    m = a.join(
+        b,
+        (F.col(id_col) == F.col("__id2")) & (F.col("pos") == F.col("__pos2")),
+    )
+    return (
+        m.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ks_drift(
+    documents: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+    bin_width: int = 16,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    groups over a binned value column: KS = max over bins of
+    |CDF_a − CDF_b|, reported in ppm with the first bin achieving
+    the max. The standing data-drift monitor between ingest batches
+    or corpus sources.
+
+    Plan: one partial-agg'd shuffle keyed on the bin (bin count is
+    bounded by value-domain / bin_width, not by rows), then the
+    whole CDF walk happens inside ONE folded row — no window
+    anywhere, so nothing serializes on a single task no matter how
+    many rows feed the bins. The per-bin CDF difference is computed
+    in fixed-order IEEE doubles (cum·10⁶/n, identical expression
+    order in the DuckDB twin — determinism technique #1 in
+    COVERAGE.md), so both engines produce bit-identical diffs at any
+    corpus size; only the final floor-to-ppm is integer."""
+    f = documents.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.expr(f"{value_col} DIV {bin_width}").alias("bin"), F.col(group_col)
+    )
+    counts = f.groupBy("bin").agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("c2"),
+    )
+    row = counts.agg(
+        F.array_sort(F.collect_list(F.struct("bin", "c1", "c2"))).alias("bins"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum1"),
+        F.lit(0).cast("long").alias("cum2"),
+        F.lit(-1.0).alias("best"),
+        F.lit(-1).cast("long").alias("bestbin"),
+    )
+
+    def step(acc, x):
+        cum1 = acc["cum1"] + x["c1"]
+        cum2 = acc["cum2"] + x["c2"]
+        diff = F.abs(
+            cum1.cast("double") * F.lit(1_000_000.0)
+            / F.col("n1").cast("double")
+            - cum2.cast("double") * F.lit(1_000_000.0)
+            / F.col("n2").cast("double")
+        )
+        # strictly-greater keeps the FIRST (lowest) bin at the max —
+        # bins arrive ascending from array_sort
+        return F.struct(
+            cum1.alias("cum1"),
+            cum2.alias("cum2"),
+            F.greatest(diff, acc["best"]).alias("best"),
+            F.when(diff > acc["best"], x["bin"])
+            .otherwise(acc["bestbin"])
+            .alias("bestbin"),
+        )
+
+    folded = F.aggregate("bins", init, step)
+    return row.select(
+        F.size("bins").cast("long").alias("n_bins"),
+        "n1",
+        "n2",
+        F.floor(folded["best"]).cast("long").alias("ks_ppm"),
+        folded["bestbin"].alias("ks_bin"),
+    )
+
+
+def collapse_repeats(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Consecutive-duplicate token collapse (the "word word word"
+    cleanup): keep token i iff i is first or differs from token i−1.
+    Zero shuffle — pure per-row array lambdas. ``kept_fold`` (the
+    ordered polynomial fold of the surviving tokens' hashes) pins the
+    collapsed document under the oracle gate."""
+    d = documents.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), _tokens(text_col).alias("toks")
+    )
+    # previous token via 0-based F.get (null out of range — so i=1
+    # resolves through the OR without ever indexing position 0, which
+    # element_at rejects at runtime)
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: (i == 1)
+        | (F.element_at("toks", i) != F.get("toks", i - F.lit(2))),
+    )
+    d = d.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.transform(keep_idx, lambda i: F.element_at("toks", i)).alias("kept"),
+    )
+    fold = F.aggregate(
+        F.transform("kept", _char_fold),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * POLY_BASE + h) % POLY_MOD,
+    )
+    return d.select(
+        id_col,
+        "n_tokens",
+        F.size("kept").cast("long").alias("n_kept"),
+        fold.alias("kept_fold"),
+    )

@@ -4247,6 +4247,14 @@ from . import fin_curation_shapes as _FC  # noqa: E402
 
 _FC.register(_register)
 
+# Round-4 web-corpus curation shapes (passage dedup, quality
+# classifier, splits, phrase search, KS drift) — appended after all
+# earlier rounds for the same prefix-stability reason.
+
+from . import corpus_shapes as _CS  # noqa: E402
+
+_CS.register(_register)
+
 
 # ---------------------------------------------------------------------------
 # Public accessors (consumed by __spark_entry__.py).
