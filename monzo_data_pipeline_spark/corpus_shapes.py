@@ -24,8 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from .catalog import load_table
 from .ext import corpus as CP
+from .operators import filters as FLT
 
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
@@ -243,3 +246,69 @@ def register(_register) -> None:
     def q_collapse_repeat_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return CP.collapse_repeats(docs)
+
+    @_register(
+        "weighted_priority_sample",
+        "north-star (deterministic weighted sampling without "
+        "replacement: keyed-hash priority DIV weight, k smallest — "
+        "the integer twin of Efraimidis–Spirakis A-ES; map-side + "
+        "TakeOrderedAndProject — operators/filters.py::"
+        "weighted_priority_sample)",
+        """
+        WITH w AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS weight,
+                   ((o_orderkey % 2147483647) * 2654435761)
+                     % 2147483647 * 1000000 AS h6
+            FROM orders
+        )
+        SELECT o_orderkey, weight, h6 // weight AS priority
+        FROM w ORDER BY priority, o_orderkey LIMIT 100
+        """,
+    )
+    def q_weighted_priority_sample(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        return FLT.weighted_priority_sample(
+            orders, cents, key_col="o_orderkey", k=100
+        )
+
+    @_register(
+        "source_vocab_jaccard",
+        "north-star C4 (pairwise source-vocabulary Jaccard: distinct "
+        "(source, word) → word-keyed self-join bounded by n_sources² "
+        "per word, sizes broadcast back — "
+        "ext/corpus.py::source_vocab_jaccard)",
+        r"""
+        WITH e AS (
+            SELECT source AS src,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS word
+            FROM documents WHERE trim(text) <> ''
+        ), v AS (
+            SELECT DISTINCT src, word FROM e
+        ), s AS (
+            SELECT src, COUNT(*) AS vsize FROM v GROUP BY src
+        ), i AS (
+            SELECT a.src AS source_a, b.src AS source_b,
+                   COUNT(*) AS n_inter
+            FROM v a JOIN v b ON a.word = b.word
+            WHERE a.src < b.src
+            GROUP BY a.src, b.src
+        )
+        SELECT source_a, source_b,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(sa.vsize + sb.vsize - n_inter AS BIGINT) AS n_union,
+               CAST((n_inter * 1000000)
+                    // (sa.vsize + sb.vsize - n_inter) AS BIGINT)
+                 AS jaccard_ppm
+        FROM i
+        JOIN s sa ON sa.src = i.source_a
+        JOIN s sb ON sb.src = i.source_b
+        """,
+    )
+    def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return CP.source_vocab_jaccard(docs)

@@ -392,3 +392,60 @@ def collapse_repeats(
         F.size("kept").cast("long").alias("n_kept"),
         fold.alias("kept_fold"),
     )
+
+
+def source_vocab_jaccard(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jaccard similarity between sources' vocabularies —
+    the corpus-composition profile that flags near-identical crawl
+    snapshots or mislabeled source tags before they skew a mixture.
+
+    Set-similarity done as an equi-join, never source×source over
+    rows: distinct (source, word) — one partial-agg'd shuffle over
+    the corpus — then the intersection count is a self-join keyed on
+    the word, whose per-key fan-out is bounded by n_sources², and
+    per-source vocabulary sizes broadcast back. Output is one row
+    per unordered source pair, jaccard in ppm (integer DIV)."""
+    vocab = (
+        documents.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(source_col).alias("src"), _tokens(text_col).alias("toks"))
+        .select("src", F.explode("toks").alias("word"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("src").agg(F.count(F.lit(1)).alias("vsize"))
+    a = vocab
+    b = vocab.select(F.col("src").alias("src_b"), F.col("word").alias("word"))
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("src") < F.col("src_b"))
+        .groupBy(F.col("src").alias("source_a"), F.col("src_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("src").alias("source_a"),
+                                     F.col("vsize").alias("size_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("source_b"),
+                                     F.col("vsize").alias("size_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (F.col("size_a") + F.col("size_b") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_inter",
+        "n_union",
+        F.expr("(n_inter * 1000000) DIV n_union").alias("jaccard_ppm"),
+    )

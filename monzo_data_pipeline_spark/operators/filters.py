@@ -13,7 +13,7 @@ source-side filtering, same idea.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -84,3 +84,42 @@ def source_mixture_sample(
             cond & (F.col(id_col) % mod < r)
         )
     return df.filter(keep)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: each row
+    gets priority ``hash(key)·10⁶ DIV weight`` (Knuth multiplicative
+    hash, pseudo-uniform in [0, 2³¹)) and the k smallest priorities
+    win — heavier rows draw proportionally smaller priorities, the
+    integer twin of the Efraimidis–Spirakis A-ES exponential-jump
+    sampler (u^(1/w) order statistics), with the keyed hash replacing
+    rand() so the selected SET is a pure function of the data:
+    reproducible across runs, partitionings, and engines, and
+    incrementally stable under appends.
+
+    Plan: one map-side projection + TakeOrderedAndProject (per-
+    partition top-k, k-sized merge on the driver) — no global sort,
+    no shuffle of the fact. Weight must be a positive integer column
+    (quantize money via floor(x·100+0.5) cents first)."""
+    staged = df.select(
+        F.col(key_col),
+        weight.cast("long").alias("weight"),
+        (
+            F.col(key_col) % F.lit(2_147_483_647)
+            * F.lit(2_654_435_761)
+            % F.lit(2_147_483_647)
+            * F.lit(1_000_000)
+        ).alias("_hash6"),
+    )
+    return (
+        staged.select(
+            key_col, "weight", F.expr("_hash6 DIV weight").alias("priority")
+        )
+        .orderBy(F.asc("priority"), F.asc(key_col))
+        .limit(k)
+    )

@@ -282,3 +282,83 @@ def test_mapside_ops_have_no_exchange(spark, build):
     docs = _docs(spark, [(1, "a b c"), (2, "d e f")])
     plan = build(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted_priority_sample
+
+
+def test_weighted_priority_sample_matches_python_reference(spark):
+    from monzo_data_pipeline_spark.operators import filters as FLT
+
+    rows = [(i, (i % 7 + 1) * 100) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = FLT.weighted_priority_sample(
+        df, F.col("w"), key_col="k", k=10
+    ).collect()
+
+    def pri(k, w):
+        return (k % 2_147_483_647) * 2_654_435_761 % 2_147_483_647 * 1_000_000 // w
+
+    ref = sorted(((pri(k, w), k, w) for k, w in rows))[:10]
+    assert [(r["priority"], r["k"], r["weight"]) for r in got] == ref
+
+
+def test_weighted_priority_sample_favors_heavy_rows(spark):
+    from monzo_data_pipeline_spark.operators import filters as FLT
+
+    # 500 light rows (weight 1) vs 500 heavy rows (weight 10_000):
+    # heavy rows should dominate the sample
+    rows = [(i, 1) for i in range(500)] + [
+        (1000 + i, 10_000) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = FLT.weighted_priority_sample(df, F.col("w"), key_col="k", k=50)
+    heavy = sum(1 for r in got.collect() if r["k"] >= 1000)
+    assert heavy >= 45
+
+
+def test_weighted_priority_sample_plan_is_take_ordered(spark):
+    from monzo_data_pipeline_spark.operators import filters as FLT
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "k long, w long")
+    plan = (
+        FLT.weighted_priority_sample(df, F.col("w"), key_col="k", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_jaccard
+
+
+def test_source_vocab_jaccard_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "b c d", "s2"),
+            (3, "x y", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in CP.source_vocab_jaccard(docs).collect()
+    }
+    # s1={a,b,c} s2={b,c,d}: inter 2, union 4 → 500000 ppm
+    r = out[("s1", "s2")]
+    assert (r["n_inter"], r["n_union"], r["jaccard_ppm"]) == (2, 4, 500_000)
+    # s3 shares nothing → absent (inner join)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_source_vocab_jaccard_duplicate_words_counted_once(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "s1"), (2, "a b b b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    r = CP.source_vocab_jaccard(docs).collect()[0]
+    assert (r["n_inter"], r["n_union"], r["jaccard_ppm"]) == (2, 2, 1_000_000)
