@@ -132,8 +132,8 @@ def register(_register) -> None:
                         ELSE 'test' END AS split
             FROM (
                 SELECT lang, source,
-                       ((doc_id % 2147483647) * 2654435761)
-                         % 2147483647 % 100 AS b
+                       (((doc_id % 2147483647 + 2147483647) % 2147483647)
+                         * 2654435761) % 2147483647 % 100 AS b
                 FROM documents
             )
         ), c AS (
@@ -209,9 +209,13 @@ def register(_register) -> None:
             FROM cum, t
         )
         SELECT n_bins, n1, n2,
-               CAST(floor((SELECT MAX(diff) FROM diffs)) AS BIGINT) AS ks_ppm,
-               (SELECT MIN(bin) FROM diffs
-                WHERE diff = (SELECT MAX(diff) FROM diffs)) AS ks_bin
+               CASE WHEN COALESCE(n1, 0) > 0 AND COALESCE(n2, 0) > 0 THEN
+                 CAST(floor((SELECT MAX(diff) FROM diffs)) AS BIGINT)
+               END AS ks_ppm,
+               CASE WHEN COALESCE(n1, 0) > 0 AND COALESCE(n2, 0) > 0 THEN
+                 (SELECT MIN(bin) FROM diffs
+                  WHERE diff = (SELECT MAX(diff) FROM diffs))
+               END AS ks_bin
         FROM t
         """,
     )
@@ -258,12 +262,13 @@ def register(_register) -> None:
         WITH w AS (
             SELECT o_orderkey,
                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS weight,
-                   ((o_orderkey % 2147483647) * 2654435761)
-                     % 2147483647 * 1000000 AS h6
+                   (((o_orderkey % 2147483647 + 2147483647) % 2147483647)
+                     * 2654435761) % 2147483647 * 1000000 AS h6
             FROM orders
         )
         SELECT o_orderkey, weight, h6 // weight AS priority
-        FROM w ORDER BY priority, o_orderkey LIMIT 100
+        FROM w WHERE weight > 0
+        ORDER BY priority, o_orderkey LIMIT 100
         """,
     )
     def q_weighted_priority_sample(

@@ -202,7 +202,12 @@ def split_assignment(
     across engines, batches, and repartitionings — the property that
     keeps the split leak-proof when the corpus is rebuilt
     incrementally. Map-side only; adds a ``split`` column."""
-    bucket = (F.col(id_col) % POLY_MOD * F.lit(2_654_435_761)) % POLY_MOD % 100
+    # pmod, not %: Spark % keeps the dividend's sign, so a negative id
+    # would land in a negative bucket (< train_pct) and every negative
+    # id would silently become 'train'
+    bucket = (
+        F.pmod(F.col(id_col), F.lit(POLY_MOD)) * F.lit(2_654_435_761)
+    ) % POLY_MOD % 100
     split = (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
@@ -346,12 +351,19 @@ def ks_drift(
         )
 
     folded = F.aggregate("bins", init, step)
+    # a KS statistic only exists when BOTH groups have rows — a group
+    # going empty (a source stops ingesting) would otherwise divide by
+    # zero (Inf → garbage floor'd long); emit NULL ks_ppm/ks_bin, the
+    # same degenerate-input contract as the DuckDB twin
+    ok = (F.coalesce(F.col("n1"), F.lit(0)) > 0) & (
+        F.coalesce(F.col("n2"), F.lit(0)) > 0
+    )
     return row.select(
         F.size("bins").cast("long").alias("n_bins"),
         "n1",
         "n2",
-        F.floor(folded["best"]).cast("long").alias("ks_ppm"),
-        folded["bestbin"].alias("ks_bin"),
+        F.when(ok, F.floor(folded["best"]).cast("long")).alias("ks_ppm"),
+        F.when(ok, folded["bestbin"]).alias("ks_bin"),
     )
 
 

@@ -382,6 +382,10 @@ def kmeans_fit(
     # ("0.1"), an engine quirk no other system reproduces; widening to
     # double first makes both engines round the same ~17-digit value
     # at scale 12.
+    # divisor = count of NON-NULL elements at this position (avg
+    # semantics, matching the DuckDB twin's per-position unnest
+    # counts) — dividing by COUNT(*) would silently shrink the mean
+    # whenever a vector is shorter than d and element_at returns NULL
     mean_aggs = [
         (
             F.sum(
@@ -390,7 +394,7 @@ def kmeans_fit(
                 .cast("decimal(28,12)")
             )
             .cast("double")
-            / F.count(F.lit(1))
+            / F.count(F.element_at(F.col(vec_col), i + 1))
         ).alias(f"m{i}")
         for i in range(d)
     ]
@@ -605,6 +609,7 @@ def pq_fit(
         # — the same engine-reproducible mean as kmeans_fit (see the
         # comment there), which is what lets pq_rerank_topk carry a
         # hash-checked oracle twin.
+        # per-position non-null count as divisor — see kmeans_fit
         mean_aggs = [
             (
                 F.sum(
@@ -613,7 +618,7 @@ def pq_fit(
                     .cast("decimal(28,12)")
                 )
                 .cast("double")
-                / F.count(F.lit(1))
+                / F.count(F.element_at(F.col("__sv"), i + 1))
             ).alias(f"m{i}")
             for i in range(dsub)
         ]

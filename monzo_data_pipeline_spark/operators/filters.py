@@ -104,20 +104,26 @@ def weighted_priority_sample(
 
     Plan: one map-side projection + TakeOrderedAndProject (per-
     partition top-k, k-sized merge on the driver) — no global sort,
-    no shuffle of the fact. Weight must be a positive integer column
-    (quantize money via floor(x·100+0.5) cents first)."""
+    no shuffle of the fact. Weight should be a positive integer
+    column (quantize money via floor(x·100+0.5) cents first); rows
+    with weight <= 0 are excluded — a zero weight would otherwise
+    make the priority NULL (div-by-zero) and NULLs sort FIRST under
+    Spark's ascending ordering, guaranteeing invalid rows win the
+    sample. The hash is pmod'd so negative keys keep a non-negative
+    priority domain (a negative hash would invert the weighting)."""
     staged = df.select(
         F.col(key_col),
         weight.cast("long").alias("weight"),
         (
-            F.col(key_col) % F.lit(2_147_483_647)
+            F.pmod(F.col(key_col), F.lit(2_147_483_647))
             * F.lit(2_654_435_761)
             % F.lit(2_147_483_647)
             * F.lit(1_000_000)
         ).alias("_hash6"),
     )
     return (
-        staged.select(
+        staged.filter(F.col("weight") > 0)
+        .select(
             key_col, "weight", F.expr("_hash6 DIV weight").alias("priority")
         )
         .orderBy(F.asc("priority"), F.asc(key_col))

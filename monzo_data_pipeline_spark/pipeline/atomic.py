@@ -439,6 +439,7 @@ class _Transaction:
         rel = self._new_dir(table)
         dst = self.wh._abs(rel)
         os.makedirs(dst, exist_ok=True)
+        staged = 0
         for name in sorted(os.listdir(src_dir)):
             if not name.endswith(".parquet"):
                 continue
@@ -450,6 +451,14 @@ class _Transaction:
                     shutil.copy2(s, d)
             else:
                 shutil.copy2(s, d)
+            staged += 1
+        if staged == 0:
+            # committing an empty data dir would only surface later as
+            # Spark's unable-to-infer-schema read error, far from the
+            # typo'd path / wrong-format producer that caused it
+            raise FileNotFoundError(
+                f"append_parquet_dir: no *.parquet files in {src_dir!r}"
+            )
         self.stats[rel] = _dir_stats(dst)
         self.tables[table] = self.tables.get(table, []) + [rel]
         return rel

@@ -529,3 +529,17 @@ def test_vacuum_tolerates_stray_files_in_manifest_dir(spark, tmp_path):
     # history dir can actually be reclaimed — no permanent residue
     wh.vacuum(min_age_seconds=0)
     assert not os.path.exists(hist)
+
+
+def test_append_parquet_dir_empty_source_raises(wh, spark, tmp_path):
+    # ADVICE r4: a src_dir with no *.parquet files (typo'd path, or a
+    # producer that wrote .csv) must fail AT STAGE TIME, not surface
+    # later as Spark's unable-to-infer-schema read error
+    src = tmp_path / "not_parquet"
+    src.mkdir()
+    (src / "data.csv").write_text("a,b\n1,2\n")
+    with pytest.raises(FileNotFoundError, match="no \\*\\.parquet"):
+        with wh.transaction() as txn:
+            txn.append_parquet_dir(str(src), "tx")
+    # nothing was committed
+    assert not wh.exists("tx")

@@ -362,3 +362,71 @@ def test_source_vocab_jaccard_duplicate_words_counted_once(spark):
     )
     r = CP.source_vocab_jaccard(docs).collect()[0]
     assert (r["n_inter"], r["n_union"], r["jaccard_ppm"]) == (2, 2, 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 regressions: degenerate-input contracts
+
+
+def test_split_assignment_negative_ids_bucket_correctly(spark):
+    # % keeps the dividend's sign in both engines; split_assignment
+    # must pmod so negative ids spread over all three splits instead
+    # of collapsing into 'train' via a negative bucket
+    docs = spark.createDataFrame(
+        [(-i,) for i in range(1, 2001)], "doc_id long"
+    )
+    counts = {
+        r["split"]: r["count"]
+        for r in CP.split_assignment(docs).groupBy("split").count().collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    # ~80/10/10 within loose bounds
+    assert 0.70 < counts["train"] / 2000 < 0.90
+
+    def py_bucket(i):
+        return (i % POLY_MOD) * 2_654_435_761 % POLY_MOD % 100
+
+    rows = CP.split_assignment(docs).collect()
+    for r in rows[:50]:
+        b = py_bucket(r["doc_id"])  # python % is already pmod
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert r["split"] == want
+
+
+def test_weighted_priority_sample_excludes_nonpositive_weights(spark):
+    from monzo_data_pipeline_spark.operators import filters as FLT
+
+    rows = [(1, 0), (2, -5), (3, 10), (4, 20), (-7, 30)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = FLT.weighted_priority_sample(df, F.col("w"), key_col="k", k=10)
+    res = got.collect()
+    ks = {r["k"] for r in res}
+    # zero/negative weights never win (previously NULL priority sorted
+    # FIRST and zero-weight rows were guaranteed selections)
+    assert ks == {3, 4, -7}
+    # negative keys get a non-negative priority (pmod'd hash)
+    assert all(r["priority"] >= 0 for r in res)
+
+
+def test_ks_drift_empty_group_yields_null_not_garbage(spark):
+    # src1 has zero rows — exactly the event a drift monitor should
+    # flag; ks_ppm/ks_bin must be NULL, not floor(Inf)
+    rows = [(i, "src0", 16 * i) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    row = CP.ks_drift(docs, bin_width=16).collect()[0]
+    assert row["n1"] == 10
+    assert row["n2"] == 0
+    assert row["ks_ppm"] is None
+    assert row["ks_bin"] is None
+
+
+def test_ks_drift_no_rows_at_all_yields_nulls(spark):
+    docs = spark.createDataFrame(
+        [], "doc_id long, source string, n_chars long"
+    )
+    row = CP.ks_drift(docs, bin_width=16).collect()[0]
+    assert row["n_bins"] == 0
+    assert row["ks_ppm"] is None
+    assert row["ks_bin"] is None

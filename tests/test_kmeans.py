@@ -162,3 +162,19 @@ def test_kmeans_fit_too_few_vectors_raises(spark):
     )
     with pytest.raises(ValueError, match="need at least k=8"):
         SIM.kmeans_fit(df, k=8)
+
+
+def test_centroid_mean_skips_null_elements_like_avg(spark):
+    # ADVICE r4: the decimal-sum mean must divide by the count of
+    # NON-NULL elements at each position (avg semantics, matching the
+    # DuckDB twin's per-position unnest counts), not by COUNT(*)
+    rows = [
+        (0, [0.0, 2.0]),
+        (1, [4.0, None]),
+        (2, [8.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    _, cents = SIM.kmeans_fit(df, k=1, iters=1)
+    c = cents.collect()[0]["embedding"]
+    assert c[0] == pytest.approx(4.0)  # (0+4+8)/3
+    assert c[1] == pytest.approx(3.0)  # (2+4)/2, NOT (2+4)/3
