@@ -1,0 +1,106 @@
+"""Graph analytics over DataFrames: fixed-iteration weighted PageRank.
+
+The reference has no graph operators; this is north-star surface (the
+"entity importance" twin of the near-dup family's connected
+components, ext/dedup_fuzzy.py). The pattern a 100 TB pipeline
+actually uses is: aggregate the raw facts down to the entity-level
+edge list FIRST (a big join + groupBy — the scale-heavy part), then
+iterate PageRank on the entity graph, which is orders of magnitude
+smaller than the fact table.
+
+Determinism contract (what makes it hash-checkable against a DuckDB
+materialized-CTE twin): all arithmetic is integer fixed-point —
+ranks are scaled BIGINTs, contributions are ``rank·w DIV out`` floor
+divisions, damping is ``·85 DIV 100``. No float ever appears, so the
+result is bit-identical across engines, partitionings, and retries.
+Dangling-node mass (nodes with no out-edges) is dropped, not
+redistributed — the simple variant; documented, deterministic, and
+identical in the twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# rank fixed-point scale: 10^9 keeps rank·weight < 2^63 for graphs
+# with total scaled mass ≤ ~9·10^12 per node and edge weights ≤ 10^6
+RANK_SCALE = 1_000_000_000
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted PageRank, ``iters`` fixed rounds, integer fixed-point.
+
+    nodes: one row per node (``node_col``); edges: (src, dst, w>0).
+    Returns (node, rank_q) where rank_q is the scaled-integer rank.
+
+    Per round: one shuffle join ranks⋈edges on src (AQE broadcasts the
+    rank side when the node table is small), one partial-agg'd groupBy
+    dst, one left join back onto nodes for the (1−d) base — node- and
+    edge-proportional work only, never fact-proportional. Lineage is
+    flattened per round via localCheckpoint (the kmeans_fit /
+    near_dup_clusters idiom) so iteration N doesn't re-execute rounds
+    1..N−1 under each downstream action.
+    """
+    base = (100 - damping_pct) * RANK_SCALE // 100
+    out = edges.groupBy(src_col).agg(F.sum(weight_col).alias("__out"))
+    e = (
+        edges.join(out, src_col)
+        .select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            F.col(weight_col).alias("__w"),
+            "__out",
+        )
+    )
+    # the edge list (often the output of a fact-scale join) feeds every
+    # round — cache it so iteration i doesn't rebuild it; after the
+    # final localCheckpoint the returned ranks no longer reference it,
+    # so it unpersists safely before return
+    e = e.persist()
+    ranks = nodes.select(
+        F.col(node_col).alias("__node"),
+        F.lit(RANK_SCALE).cast("long").alias("rank_q"),
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, ranks["__node"] == e["__src"])
+            .select(
+                "__dst",
+                # floor division AFTER the product: exact integer
+                # share, identical in DuckDB's r.rank_q * w // out
+                F.expr("rank_q * __w DIV __out").alias("__c"),
+            )
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.select(F.col(node_col).alias("__node"))
+            .join(contrib, F.col("__node") == F.col("__dst"), "left")
+            .select(
+                "__node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"coalesce(__in, 0L) * {damping_pct} DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_q"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    if checkpoint:
+        e.unpersist()
+    return ranks.select(F.col("__node").alias(node_col), "rank_q")

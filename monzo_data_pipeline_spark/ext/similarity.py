@@ -366,8 +366,12 @@ def kmeans_fit(
         )
     d = len(cent_rows[0][1])
     # quantize the corpus once per job (1× per vector, not once per
-    # vector×centroid — the fold lambda then runs on bare longs)
-    emb_q = emb.withColumn("__qv", F.transform(F.col(vec_col), _q))
+    # vector×centroid — the fold lambda then runs on bare longs), and
+    # persist it: every Lloyd iteration plus the final assignment
+    # re-reads this frame, so without the cache the parquet scan +
+    # quantize transform re-runs iters+1 times (pq_fit already does
+    # this for its sub-vector frame)
+    emb_q = emb.withColumn("__qv", F.transform(F.col(vec_col), _q)).persist()
     # per-coordinate DECIMAL means via element_at aggregates: one
     # shuffle of K groups × d partial-agg buffers per iteration — no
     # posexplode row blow-up, no second shuffle to re-assemble arrays.
@@ -398,17 +402,23 @@ def kmeans_fit(
         ).alias(f"m{i}")
         for i in range(d)
     ]
-    for _ in range(iters):
-        assigned = _assign_literal(emb_q, cent_rows, id_col, vec_col)
-        new_rows = [
-            (r["cell"], [r[f"m{i}"] for i in range(d)])
-            for r in assigned.groupBy("cell").agg(*mean_aggs).collect()
-        ]
-        # a cluster can go empty: keep its previous centroid
-        got = {c for c, _ in new_rows}
-        cent_rows = sorted(
-            new_rows + [(c, v) for c, v in cent_rows if c not in got]
-        )
+    try:
+        for _ in range(iters):
+            assigned = _assign_literal(emb_q, cent_rows, id_col, vec_col)
+            new_rows = [
+                (r["cell"], [r[f"m{i}"] for i in range(d)])
+                for r in assigned.groupBy("cell").agg(*mean_aggs).collect()
+            ]
+            # a cluster can go empty: keep its previous centroid
+            got = {c for c, _ in new_rows}
+            cent_rows = sorted(
+                new_rows + [(c, v) for c, v in cent_rows if c not in got]
+            )
+    finally:
+        # the returned assignment re-derives from the (now uncached)
+        # lineage — one extra scan, vs leaking a cached frame into a
+        # caller that has no unpersist handle
+        emb_q.unpersist()
     centroids = spark.createDataFrame(cent_rows, cent_schema)
     return _assign_literal(emb_q, cent_rows, id_col, vec_col), centroids
 

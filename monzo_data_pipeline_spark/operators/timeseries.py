@@ -109,3 +109,90 @@ def resample_gap_fill(
         F.col("__pv").alias("ffill_v"),
         lerp.alias("lerp_v"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    max_lag: int = 3,
+    quant: int = 1_000,
+) -> DataFrame:
+    """Per-key autocorrelation function (ACF) at lags 1..max_lag — the
+    seasonality / momentum screen over an event-value series (e.g.
+    "does yesterday's spend predict today's" on the reference's
+    balance snapshot log, /root/reference/src/load/load.py:140).
+
+    Pearson r between the series and its k-step LEAD, computed from
+    EXACT integer moment sums of the quantized values: x is quantized
+    to ``floor(v·quant + 0.5)`` (a BIGINT), all five sums (Σx Σy Σxy
+    Σx² Σy²) are exact DECIMAL(38,0) accumulators — order-independent,
+    so partial aggregation over any partitioning is bit-stable — and
+    only the final Pearson expression runs in IEEE doubles in one
+    fixed operation order, making the floor'd ppm output identical
+    across engines (the spend_trend_slopes idiom extended with
+    second moments). Constant series (zero variance) yield NULL.
+
+    Plan: ONE window shuffle partitioned by key (ordered by ts with a
+    unique tiebreak) producing the max_lag LEAD columns, then one
+    partial-agg'd groupBy per (key, lag) after a bounded ×max_lag
+    explode of the lag pairs. No unpartitioned window, no iteration.
+    """
+    # the series is the NON-NULL observation sequence: drop null
+    # values before the window so lead(k) pairs k-apart observations
+    df = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(ts_col, order_tiebreak)
+    q = F.floor(F.col(value_col) * quant + F.lit(0.5)).cast("long")
+    with_leads = df.select(
+        *keys,
+        q.alias("__x"),
+        *[F.lead(q, k).over(w).alias(f"__y{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs = with_leads.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("__x").alias("x"),
+                        F.col(f"__y{k}").alias("y"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select(*keys, "p.lag", "p.x", "p.y").filter(F.col("y").isNotNull())
+
+    def d38(c):
+        return F.sum(F.col(c).cast("decimal(38,0)")).cast("double")
+
+    m = pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        d38("x").alias("__sx"),
+        d38("y").alias("__sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    corr_ppm = F.when(
+        (vx > 0) & (vy > 0),
+        F.floor(num / (F.sqrt(vx) * F.sqrt(vy)) * F.lit(1_000_000.0)).cast(
+            "long"
+        ),
+    )
+    return m.select(
+        *keys, "lag", "n_pairs", corr_ppm.alias("acf_ppm")
+    ).orderBy(*keys, "lag")

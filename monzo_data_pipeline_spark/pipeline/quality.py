@@ -260,3 +260,49 @@ def correlation_matrix(
         ]
     )
     return wide.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+def rule_screen(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Cluster-side variant of :func:`check`: the same one-pass wide
+    aggregate, unpivoted to (check_name, n_violations) rows so the
+    report is itself a DataFrame (joinable, storable, oracle-checkable)
+    instead of a driver dict."""
+    wide = df.agg(
+        *[F.count_if(~r.predicate).alias(f"c{i}") for i, r in enumerate(rules)]
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r.name).alias("check_name"),
+                        F.col(f"c{i}").alias("n_violations"),
+                    )
+                    for i, r in enumerate(rules)
+                ]
+            )
+        ).alias("s")
+    ).select("s.check_name", "s.n_violations")
+
+
+def fk_orphan_count(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, name: str
+) -> DataFrame:
+    """Referential-integrity screen: count of fact rows whose FK has
+    no match in the dimension (the analytical form of the reference's
+    silver-layer FOREIGN KEY declarations,
+    /root/reference/src/sql/create_silver_layer.sql:17-18, which
+    SQLite never actually enforces without a pragma).
+
+    Left-anti join keyed on the FK — shuffle-partitioned by key, dim
+    side broadcast when small (AQE decides) — then a count: one row
+    out. NULL FKs are orphans by this screen's definition (they
+    reference nothing)."""
+    orphans = fact.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        on=fact_key,
+        how="left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
+        F.lit(name).alias("check_name"), "n_violations"
+    )

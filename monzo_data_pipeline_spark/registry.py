@@ -4255,6 +4255,14 @@ from . import corpus_shapes as _CS  # noqa: E402
 
 _CS.register(_register)
 
+# Round-5 analytics shapes (PageRank, skyline, autocorrelation,
+# referential-integrity screen) — appended after all earlier rounds
+# for the same prefix-stability reason.
+
+from . import analytics_shapes as _AS  # noqa: E402
+
+_AS.register(_register)
+
 
 # ---------------------------------------------------------------------------
 # Public accessors (consumed by __spark_entry__.py).

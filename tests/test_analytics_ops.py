@@ -1,0 +1,245 @@
+"""Behavioral tests for the round-5 analytics operators: fixed-point
+PageRank (ext/graph.py), bucketed 2-D skyline (operators/skyline.py),
+per-series autocorrelation (operators/timeseries.py), and the
+data-quality screen (pipeline/quality.py::rule_screen /
+fk_orphan_count). Each is pinned against a hand-computed or pure-
+Python reference on planted fixtures."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from monzo_data_pipeline_spark.ext import graph as G
+from monzo_data_pipeline_spark.operators import skyline as SKY
+from monzo_data_pipeline_spark.operators import timeseries as TS
+from monzo_data_pipeline_spark.pipeline import quality as Q
+
+SCALE = G.RANK_SCALE
+
+
+def _py_pagerank(nodes, edges, iters=3, damping=85):
+    out = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    rank = {n: SCALE for n in nodes}
+    base = (100 - damping) * SCALE // 100
+    for _ in range(iters):
+        inw = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            inw[d] += rank[s] * w // out[s]
+        rank = {n: base + inw[n] * damping // 100 for n in nodes}
+    return rank
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+
+
+def _graph(spark, nodes, edges):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    return ndf, edf
+
+
+def test_pagerank_matches_python_reference(spark):
+    nodes = list(range(6))
+    edges = [
+        (0, 1, 3),
+        (0, 2, 1),
+        (1, 2, 2),
+        (2, 0, 1),
+        (3, 2, 5),
+        (4, 3, 1),
+    ]  # node 5 isolated, node 4 is a source, node 2 a hub
+    ndf, edf = _graph(spark, nodes, edges)
+    got = {r["node"]: r["rank_q"] for r in G.pagerank(ndf, edf).collect()}
+    assert got == _py_pagerank(nodes, edges)
+
+
+def test_pagerank_isolated_node_keeps_base_rank(spark):
+    ndf, edf = _graph(spark, [0, 1, 2], [(0, 1, 1)])
+    got = {r["node"]: r["rank_q"] for r in G.pagerank(ndf, edf).collect()}
+    base = 15 * SCALE // 100
+    assert got[2] == base  # no in-edges: pure (1-d) term
+    assert got[1] > got[2]  # receiving node outranks the isolated one
+
+
+def test_pagerank_weight_proportionality(spark):
+    # one source splitting 3:1 between two sinks — after round 1 the
+    # heavier target holds 3x the damped in-mass of the lighter one
+    ndf, edf = _graph(spark, [0, 1, 2], [(0, 1, 3), (0, 2, 1)])
+    got = {r["node"]: r["rank_q"] for r in G.pagerank(ndf, edf, iters=1).collect()}
+    base = 15 * SCALE // 100
+    assert (got[1] - base) == 3 * (got[2] - base)
+
+
+def test_pagerank_partition_invariance(spark):
+    nodes = list(range(20))
+    rng = random.Random(5)
+    edges = [
+        (rng.randrange(20), rng.randrange(20), rng.randint(1, 9))
+        for _ in range(60)
+    ]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    ndf, edf = _graph(spark, nodes, edges)
+    a = {r["node"]: r["rank_q"] for r in G.pagerank(ndf, edf).collect()}
+    b = {
+        r["node"]: r["rank_q"]
+        for r in G.pagerank(ndf.repartition(7), edf.repartition(5)).collect()
+    }
+    assert a == b == _py_pagerank(nodes, edges)
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d
+
+
+def _py_skyline(rows):
+    from collections import Counter
+
+    pairs = Counter(rows)
+    out = []
+    for (c, b), n in pairs.items():
+        dominated = any(
+            c2 <= c and b2 >= b and (c2 < c or b2 > b) for (c2, b2) in pairs
+        )
+        if not dominated:
+            out.append((c, b, n))
+    return sorted(out)
+
+
+def _sky(spark, rows):
+    df = spark.createDataFrame(rows, "cost double, benefit int")
+    got = SKY.skyline_2d(df, "cost", "benefit").collect()
+    return [(r["cost"], r["benefit"], r["n_rows"]) for r in got]
+
+
+def test_skyline_hand_fixture(spark):
+    rows = [
+        (1.0, 5),  # frontier
+        (1.0, 3),  # dominated (same cost, smaller benefit)
+        (2.0, 5),  # dominated (same benefit, higher cost)
+        (2.0, 7),  # frontier
+        (3.0, 7),  # dominated
+        (3.0, 9),  # frontier
+        (3.0, 9),  # duplicate of a frontier point -> counted
+        (9.0, 1),  # dominated by everything
+    ]
+    assert _sky(spark, rows) == [(1.0, 5, 1), (2.0, 7, 1), (3.0, 9, 2)]
+
+
+def test_skyline_single_point_and_all_equal(spark):
+    assert _sky(spark, [(4.0, 4)]) == [(4.0, 4, 1)]
+    assert _sky(spark, [(4.0, 4)] * 5) == [(4.0, 4, 5)]
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    rng = random.Random(11)
+    rows = [
+        (float(rng.randint(0, 30)), rng.randint(0, 30)) for _ in range(400)
+    ]
+    assert _sky(spark, rows) == _py_skyline(rows)
+
+
+def test_skyline_bucket_boundary_stress(spark):
+    # all mass in very few distinct costs: exercises empty buckets and
+    # the prefix-max broadcast path
+    rows = [(0.0, i % 4) for i in range(10)] + [(100.0, 10)]
+    assert _sky(spark, rows) == _py_skyline(rows)
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation
+
+
+def _acf(spark, rows, max_lag=2):
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, eid long, value double"
+    )
+    out = TS.autocorrelation(
+        df, ["k"], "ts", "value", order_tiebreak="eid", max_lag=max_lag
+    ).collect()
+    return {(r["k"], r["lag"]): (r["n_pairs"], r["acf_ppm"]) for r in out}
+
+
+def _ts(i):
+    from datetime import datetime, timedelta
+
+    return datetime(2024, 1, 1) + timedelta(hours=i)
+
+
+def test_acf_linear_series_is_one(spark):
+    rows = [("a", _ts(i), i, float(i)) for i in range(50)]
+    got = _acf(spark, rows)
+    n, ppm = got[("a", 1)]
+    assert n == 49
+    assert ppm >= 999_998  # Pearson of x vs x+1 is 1.0 up to float ulp
+
+
+def test_acf_alternating_series_is_minus_one(spark):
+    rows = [("a", _ts(i), i, float(i % 2)) for i in range(40)]
+    n, ppm = _acf(spark, rows)[("a", 1)]
+    assert n == 39
+    assert ppm <= -999_999
+    # lag 2 realigns: +1
+    assert _acf(spark, rows)[("a", 2)][1] >= 999_998
+
+
+def test_acf_constant_series_is_null(spark):
+    rows = [("a", _ts(i), i, 7.0) for i in range(10)]
+    assert _acf(spark, rows)[("a", 1)][1] is None
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+
+    rng = random.Random(3)
+    vals = [round(rng.uniform(0, 100), 3) for _ in range(200)]
+    rows = [("a", _ts(i), i, v) for i, v in enumerate(vals)]
+    got = _acf(spark, rows, max_lag=3)
+    q = np.floor(np.array(vals) * 1000 + 0.5)
+    for k in (1, 2, 3):
+        x, y = q[:-k], q[k:]
+        ref = np.corrcoef(x, y)[0, 1]
+        n, ppm = got[("a", k)]
+        assert n == 200 - k
+        assert abs(ppm / 1e6 - ref) < 2e-5
+
+
+def test_acf_null_values_excluded_from_series(spark):
+    rows = [("a", _ts(i), i, float(i)) for i in range(20)]
+    rows[5] = ("a", _ts(5), 5, None)
+    n, _ = _acf(spark, rows)[("a", 1)]
+    assert n == 18  # 19 non-null observations -> 18 lag-1 pairs
+
+
+# ---------------------------------------------------------------------------
+# rule_screen / fk_orphan_count
+
+
+def test_rule_screen_counts_planted_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 200.0)], "id long, v double"
+    )
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in Q.rule_screen(
+            df,
+            [Q.not_null("v"), Q.in_range("v", 0, 100)],
+        ).collect()
+    }
+    assert got["not_null(v)"] == 1
+    # NULL v is not an in_range violation (NULL predicate -> not counted)
+    assert got["in_range(v,0,100)"] == 2
+
+
+def test_fk_orphan_count_planted_orphans(spark):
+    fact = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk long")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = Q.fk_orphan_count(fact, dim, "fk", "pk", "fk(fact->dim)").collect()[0]
+    assert row["check_name"] == "fk(fact->dim)"
+    # 9 has no match; NULL joins nothing -> orphan by contract
+    assert row["n_violations"] == 2
