@@ -325,3 +325,54 @@ def register(_register) -> None:
         for f in fks:
             out = out.unionByName(f)
         return out.orderBy("check_name")
+
+    @_register(
+        "chi_square_lang_source",
+        "north-star (chi-square independence of lang × source over "
+        "documents — the contingency twin of distribution_drift_ks; "
+        "per-cell (o−e)²/e floored to ppm from exact counts so the "
+        "final SUM is exact BIGINT — pipeline/quality.py::"
+        "chi_square_independence)",
+        """
+        WITH c AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+            FROM documents GROUP BY 1, 2
+        ), rt AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+            FROM documents GROUP BY 1
+        ), ct AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+            FROM documents GROUP BY 1
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents
+        ), t AS (
+            SELECT rt.lang, ct.source,
+                   CAST(COALESCE(c.o, 0) AS DOUBLE) AS o,
+                   CAST(rt.nl * ct.ns AS DOUBLE) / CAST(n.nn AS DOUBLE) AS e,
+                   n.nn AS nn
+            FROM rt CROSS JOIN ct
+            LEFT JOIN c ON c.lang = rt.lang AND c.source = ct.source
+            CROSS JOIN n
+        ), agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST((COUNT(DISTINCT lang) - 1)
+                        * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+                   CAST(SUM(CAST(floor((o - e) * (o - e) / e * 1000000.0)
+                                 AS BIGINT)) AS BIGINT) AS chi2_ppm,
+                   MAX(nn) AS nn,
+                   CAST(least(COUNT(DISTINCT lang) - 1,
+                              COUNT(DISTINCT source) - 1) AS BIGINT) AS k
+            FROM t
+        )
+        SELECT n_cells, dof, chi2_ppm,
+               CASE WHEN k > 0 THEN
+                 CAST(floor(sqrt(CAST(chi2_ppm AS DOUBLE) / 1000000.0
+                                 / CAST(nn * k AS DOUBLE)) * 1000000.0)
+                      AS BIGINT)
+               END AS cramers_v_ppm
+        FROM agg
+        """,
+    )
+    def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return Q.chi_square_independence(docs, "lang", "source")

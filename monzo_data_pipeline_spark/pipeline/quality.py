@@ -306,3 +306,66 @@ def fk_orphan_count(
     return orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
         F.lit(name).alias("check_name"), "n_violations"
     )
+
+
+def chi_square_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Chi-square test of independence between two bounded-domain
+    categorical columns — the drift screen that catches a correlated
+    split or a source whose language mix shifted (the contingency twin
+    of ks_drift's two-sample test).
+
+    Determinism: each cell's (o−e)²/e term is computed in ONE fixed
+    IEEE-double operation order from exact integer counts, then
+    floored to ppm — so the final SUM is over exact BIGINTs
+    (order-independent under any partitioning, identical in the
+    DuckDB twin). Zero-observed cells contribute their full expected
+    mass, so the full L×S cross (two broadcast-small aggregate frames)
+    is materialized, never the fact×fact.
+
+    Output: one row (n_cells, dof, chi2_ppm, cramers_v_ppm).
+    Plan: three partial-agg'd passes over the fact (cells, row
+    totals, col totals — Catalyst shares the scan), then O(L·S)
+    broadcast-side arithmetic."""
+    cells = df.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("o"))
+    rt = df.groupBy(a_col).agg(F.count(F.lit(1)).alias("__nl"))
+    ct = df.groupBy(b_col).agg(F.count(F.lit(1)).alias("__ns"))
+    n = df.agg(F.count(F.lit(1)).alias("__nn"))
+    full = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(cells, [a_col, b_col], "left")
+        .crossJoin(F.broadcast(n))
+    )
+    o = F.coalesce(F.col("o"), F.lit(0)).cast("double")
+    e = (F.col("__nl") * F.col("__ns")).cast("double") / F.col("__nn").cast(
+        "double"
+    )
+    term = F.floor((o - e) * (o - e) / e * F.lit(1_000_000.0)).cast("long")
+    agg = full.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct(F.col(a_col)) - 1)
+            * (F.count_distinct(F.col(b_col)) - 1)
+        ).alias("dof"),
+        F.sum(term).alias("chi2_ppm"),
+        F.max("__nn").alias("__n"),
+        F.least(
+            F.count_distinct(F.col(a_col)) - 1,
+            F.count_distinct(F.col(b_col)) - 1,
+        ).alias("__k"),
+    )
+    v = F.floor(
+        F.sqrt(
+            F.col("chi2_ppm").cast("double")
+            / F.lit(1_000_000.0)
+            / (F.col("__n") * F.col("__k")).cast("double")
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return agg.select(
+        "n_cells",
+        "dof",
+        "chi2_ppm",
+        F.when(F.col("__k") > 0, v).alias("cramers_v_ppm"),
+    )

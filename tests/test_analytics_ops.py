@@ -243,3 +243,65 @@ def test_fk_orphan_count_planted_orphans(spark):
     assert row["check_name"] == "fk(fact->dim)"
     # 9 has no match; NULL joins nothing -> orphan by contract
     assert row["n_violations"] == 2
+
+
+# ---------------------------------------------------------------------------
+# chi_square_independence
+
+
+def test_chi_square_independent_uniform_is_zero(spark):
+    # perfectly proportional table: o == e everywhere -> chi2 == 0
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = Q.chi_square_independence(df, "a", "b").collect()[0]
+    assert r["n_cells"] == 4 and r["dof"] == 1
+    assert r["chi2_ppm"] == 0
+    assert r["cramers_v_ppm"] == 0
+
+
+def test_chi_square_matches_scipy_formula(spark):
+    rng = random.Random(9)
+    rows = [
+        (rng.choice("abc"), rng.choice("pqrs")) for _ in range(1000)
+    ] + [("a", "p")] * 200  # skew one cell
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = Q.chi_square_independence(df, "a", "b").collect()[0]
+
+    from collections import Counter
+    import math
+
+    o = Counter(rows)
+    nl = Counter(a for a, _ in rows)
+    ns = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2_ppm = sum(
+        math.floor(
+            (o.get((a, b), 0) - nl[a] * ns[b] / n) ** 2
+            / (nl[a] * ns[b] / n)
+            * 1_000_000
+        )
+        for a in nl
+        for b in ns
+    )
+    assert r["chi2_ppm"] == chi2_ppm
+    assert r["dof"] == 6 and r["n_cells"] == 12
+    k = min(len(nl) - 1, len(ns) - 1)
+    v = math.floor(math.sqrt(chi2_ppm / 1e6 / (n * k)) * 1_000_000)
+    assert r["cramers_v_ppm"] == v
+
+
+def test_chi_square_zero_observed_cell_contributes_expected(spark):
+    # (y, q) never observed: its term is e itself
+    rows = [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = Q.chi_square_independence(df, "a", "b").collect()[0]
+    assert r["n_cells"] == 4
+    assert r["chi2_ppm"] > 0
+
+
+def test_chi_square_single_column_domain_null_cramers(spark):
+    rows = [("x", "p")] * 5 + [("x", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = Q.chi_square_independence(df, "a", "b").collect()[0]
+    assert r["dof"] == 0
+    assert r["cramers_v_ppm"] is None
