@@ -128,6 +128,17 @@ QUERY_SET = [
     "ewma_user_values",
     # round-4 addition: medoid selection shares kmeans' Lloyd cost class
     "kmeans_representatives",
+    # round-5 batch: graph/frontier/statistical analytics + the
+    # corpus-curation family
+    "pagerank_trade_graph",
+    "skyline_parts",
+    "acf_event_values",
+    "referential_integrity_screen",
+    "chi_square_lang_source",
+    "corpus_segment_dedup",
+    "quality_classifier_scores",
+    "distribution_drift_ks",
+    "weighted_priority_sample",
 ]
 
 KEY_OFFSET = 100_000_000
