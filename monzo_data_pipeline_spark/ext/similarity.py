@@ -372,9 +372,14 @@ def kmeans_fit(
     # quantize transform re-runs iters+1 times (pq_fit already does
     # this for its sub-vector frame)
     emb_q = emb.withColumn("__qv", F.transform(F.col(vec_col), _q)).persist()
-    # per-coordinate DECIMAL means via element_at aggregates: one
-    # shuffle of K groups × d partial-agg buffers per iteration — no
-    # posexplode row blow-up, no second shuffle to re-assemble arrays.
+    # per-coordinate DECIMAL means via posexplode → (cell, pos) agg:
+    # ONE generic sum/count aggregate instead of d wide-agg columns —
+    # the partial-agg shuffle state is the same K·d buffers either
+    # way, but the plan Catalyst must analyze + codegen EVERY
+    # iteration shrinks from 64 decimal aggregates to 2 (measured:
+    # the wide-agg plan spent most of each Lloyd round in driver-side
+    # planning at toy SF); re-assembly is a K·d-row collect, no
+    # second shuffle.
     # The mean is exact-decimal SUM → double, divided in IEEE double
     # (the functions/deterministic.py davg idiom) rather than decimal
     # AVG: Spark's decimal division rounds HALF_UP at a scale DuckDB
@@ -388,27 +393,31 @@ def kmeans_fit(
     # at scale 12.
     # divisor = count of NON-NULL elements at this position (avg
     # semantics, matching the DuckDB twin's per-position unnest
-    # counts) — dividing by COUNT(*) would silently shrink the mean
-    # whenever a vector is shorter than d and element_at returns NULL
-    mean_aggs = [
-        (
-            F.sum(
-                F.element_at(F.col(vec_col), i + 1)
-                .cast("double")
-                .cast("decimal(28,12)")
+    # counts) — a COUNT(*) divisor would silently shrink the mean
+    # whenever a vector is shorter than d or has a NULL element
+    def _mean_rows(assigned: DataFrame) -> list[tuple[int, list]]:
+        per_pos = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("__p", "__v")
             )
-            .cast("double")
-            / F.count(F.element_at(F.col(vec_col), i + 1))
-        ).alias(f"m{i}")
-        for i in range(d)
-    ]
+            .groupBy("cell", "__p")
+            .agg(
+                (
+                    F.sum(F.col("__v").cast("double").cast("decimal(28,12)"))
+                    .cast("double")
+                    / F.count("__v")
+                ).alias("m")
+            )
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in per_pos.collect():
+            by_cell.setdefault(r["cell"], {})[r["__p"]] = r["m"]
+        return [(c, [pos.get(i) for i in range(d)]) for c, pos in by_cell.items()]
+
     try:
         for _ in range(iters):
             assigned = _assign_literal(emb_q, cent_rows, id_col, vec_col)
-            new_rows = [
-                (r["cell"], [r[f"m{i}"] for i in range(d)])
-                for r in assigned.groupBy("cell").agg(*mean_aggs).collect()
-            ]
+            new_rows = _mean_rows(assigned)
             # a cluster can go empty: keep its previous centroid
             got = {c for c, _ in new_rows}
             cent_rows = sorted(
