@@ -119,6 +119,7 @@ def autocorrelation(
     order_tiebreak: str,
     max_lag: int = 3,
     quant: int = 1_000,
+    chunk_granularity: str | None = "day",
 ) -> DataFrame:
     """Per-key autocorrelation function (ACF) at lags 1..max_lag — the
     seasonality / momentum screen over an event-value series (e.g.
@@ -135,21 +136,101 @@ def autocorrelation(
     across engines (the spend_trend_slopes idiom extended with
     second moments). Constant series (zero variance) yield NULL.
 
-    Plan: ONE window shuffle partitioned by key (ordered by ts with a
-    unique tiebreak) producing the max_lag LEAD columns, then one
-    partial-agg'd groupBy per (key, lag) after a bounded ×max_lag
-    explode of the lag pairs. No unpartitioned window, no iteration.
+    Scale posture — the FEW-long-series problem: a per-key window
+    serializes each key's whole series onto one task, so 5 event
+    types over 10⁹ rows would sort on 5 tasks no matter the cluster
+    (measured 40× wall at 100× data in SCALING.md before this). With
+    ``chunk_granularity`` set (default "day"), the series is windowed
+    per (key, date_trunc(chunk)) instead — parallelism = keys ×
+    periods — and exactness across chunk boundaries is restored by a
+    CARRY: the first max_lag rows of every chunk (a tiny heads frame)
+    are re-attached to each PRECEDING chunk via a bounded range join,
+    so every row still sees its true next-k series successors even
+    when intervening chunks hold fewer than max_lag rows. Lead pairs
+    are computed per (key, chunk) over base+carry and carry rows are
+    then dropped — pairing is bit-identical to the single-window
+    form (property-tested), so the oracle twin is unchanged. Pass
+    ``chunk_granularity=None`` to force the plain one-window plan.
     """
     # the series is the NON-NULL observation sequence: drop null
     # values before the window so lead(k) pairs k-apart observations
     df = df.filter(F.col(value_col).isNotNull())
-    w = Window.partitionBy(*keys).orderBy(ts_col, order_tiebreak)
     q = F.floor(F.col(value_col) * quant + F.lit(0.5)).cast("long")
-    with_leads = df.select(
-        *keys,
-        q.alias("__x"),
-        *[F.lead(q, k).over(w).alias(f"__y{k}") for k in range(1, max_lag + 1)],
-    )
+    if chunk_granularity is None:
+        w = Window.partitionBy(*keys).orderBy(ts_col, order_tiebreak)
+        with_leads = df.select(
+            *keys,
+            q.alias("__x"),
+            *[
+                F.lead(q, k).over(w).alias(f"__y{k}")
+                for k in range(1, max_lag + 1)
+            ],
+        )
+    else:
+        base = df.select(
+            *keys,
+            F.col(ts_col),
+            F.col(order_tiebreak),
+            q.alias("__x"),
+            F.date_trunc(chunk_granularity, F.col(ts_col)).alias("__ck"),
+            F.lit(True).alias("__real"),
+        )
+        # heads: the first max_lag rows of every (key, chunk) — the
+        # only rows any earlier chunk can ever need as successors
+        # (they cover the next max_lag series rows even if the
+        # following chunks hold a single row each)
+        wck = Window.partitionBy(*keys, "__ck").orderBy(
+            ts_col, order_tiebreak
+        )
+        heads = (
+            base.withColumn("__rn", F.row_number().over(wck))
+            .filter(F.col("__rn") <= max_lag)
+            .drop("__rn")
+        )
+        h = heads.select(
+            *[F.col(k).alias(f"__h_{k}") for k in keys],
+            F.col("__ck").alias("__hck"),
+            F.col(ts_col).alias("__hts"),
+            F.col(order_tiebreak).alias("__htb"),
+            F.col("__x").alias("__hx"),
+        )
+        chunks = base.select(*keys, "__ck").distinct()
+        # bounded range join: |chunks| × |heads| per key (periods ×
+        # max_lag·periods — chunk-level cardinality, never row-level)
+        cond = [chunks[k] == h[f"__h_{k}"] for k in keys] + [
+            h["__hck"] > chunks["__ck"]
+        ]
+        wrk = Window.partitionBy(*keys, "__ck").orderBy("__hts", "__htb")
+        carries = (
+            chunks.join(h, cond)
+            .withColumn("__rk", F.row_number().over(wrk))
+            .filter(F.col("__rk") <= max_lag)
+            .select(
+                *keys,
+                F.col("__hts").alias(ts_col),
+                F.col("__htb").alias(order_tiebreak),
+                F.col("__hx").alias("__x"),
+                "__ck",
+                F.lit(False).alias("__real"),
+            )
+        )
+        aug = base.unionByName(carries)
+        wl = Window.partitionBy(*keys, "__ck").orderBy(
+            ts_col, order_tiebreak
+        )
+        with_leads = (
+            aug.select(
+                *keys,
+                "__x",
+                "__real",
+                *[
+                    F.lead("__x", k).over(wl).alias(f"__y{k}")
+                    for k in range(1, max_lag + 1)
+                ],
+            )
+            .filter(F.col("__real"))
+            .drop("__real")
+        )
     pairs = with_leads.select(
         *keys,
         F.explode(

@@ -305,3 +305,32 @@ def test_chi_square_single_column_domain_null_cramers(spark):
     r = Q.chi_square_independence(df, "a", "b").collect()[0]
     assert r["dof"] == 0
     assert r["cramers_v_ppm"] is None
+
+
+def test_acf_chunked_matches_single_window_exactly(spark):
+    # the chunked-carry plan must pair IDENTICALLY to the one-window
+    # plan, including chunks holding fewer than max_lag rows
+    rng = random.Random(17)
+    rows = []
+    eid = 0
+    for day in range(8):
+        # wildly uneven chunk sizes incl. empty days and 1-row days
+        n = rng.choice([0, 1, 2, 3, 30])
+        for j in range(n):
+            from datetime import datetime, timedelta
+
+            t = datetime(2024, 3, 1) + timedelta(days=day, minutes=j)
+            rows.append(("a" if eid % 3 else "b", t, eid, rng.uniform(0, 50)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, eid long, value double"
+    )
+    kw = dict(order_tiebreak="eid", max_lag=3)
+    chunked = TS.autocorrelation(df, ["k"], "ts", "value", **kw).collect()
+    plain = TS.autocorrelation(
+        df, ["k"], "ts", "value", chunk_granularity=None, **kw
+    ).collect()
+    key = lambda r: (r["k"], r["lag"])
+    assert {key(r): (r["n_pairs"], r["acf_ppm"]) for r in chunked} == {
+        key(r): (r["n_pairs"], r["acf_ppm"]) for r in plain
+    }
