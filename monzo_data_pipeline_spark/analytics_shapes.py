@@ -376,3 +376,95 @@ def register(_register) -> None:
     def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return Q.chi_square_independence(docs, "lang", "source")
+
+    @_register(
+        "pii_pattern_screen",
+        "north-star/GDPR Art. 4(1) (PII-pattern discovery scan over "
+        "three text surfaces — the screen that tells you where "
+        "erase_keys/pseudonymize_columns must run; cross-engine-safe "
+        "regex family, one conditional-agg pass per surface — "
+        "pipeline/erasure.py::pii_pattern_counts)",
+        """
+        WITH srf AS (
+            SELECT 'customer.c_name' AS surface, c_name AS t FROM customer
+        ), pats AS (
+            SELECT * FROM (VALUES
+                ('email', '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'),
+                ('id_token', '[0-9]{6,}')
+            ) AS v(pattern, re)
+        ), a AS (
+            SELECT surface, pattern,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN len(regexp_extract_all(t, re)) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rows_matching,
+                   CAST(SUM(len(regexp_extract_all(t, re))) AS BIGINT)
+                     AS n_matches
+            FROM srf CROSS JOIN pats GROUP BY 1, 2
+        ), srf2 AS (
+            SELECT 'events.props' AS surface, props AS t FROM events
+        ), pats2 AS (
+            SELECT * FROM (VALUES
+                ('email', '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'),
+                ('number', '[0-9]+')
+            ) AS v(pattern, re)
+        ), b AS (
+            SELECT surface, pattern,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN len(regexp_extract_all(t, re)) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rows_matching,
+                   CAST(SUM(len(regexp_extract_all(t, re))) AS BIGINT)
+                     AS n_matches
+            FROM srf2 CROSS JOIN pats2 GROUP BY 1, 2
+        ), srf3 AS (
+            SELECT 'documents.text' AS surface, text AS t FROM documents
+        ), pats3 AS (
+            SELECT * FROM (VALUES
+                ('email', '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'),
+                ('phone', '\\+?[0-9][0-9 ()-]{7,}[0-9]')
+            ) AS v(pattern, re)
+        ), c AS (
+            SELECT surface, pattern,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN len(regexp_extract_all(t, re)) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rows_matching,
+                   CAST(SUM(len(regexp_extract_all(t, re))) AS BIGINT)
+                     AS n_matches
+            FROM srf3 CROSS JOIN pats3 GROUP BY 1, 2
+        )
+        SELECT * FROM (
+            SELECT * FROM a UNION ALL
+            SELECT * FROM b UNION ALL
+            SELECT * FROM c
+        ) ORDER BY surface, pattern
+        """,
+    )
+    def q_pii_pattern_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .pipeline import erasure as ER
+
+        P = ER.PII_PATTERNS
+        cust = ER.pii_pattern_counts(
+            load_table(spark, sf_dir, "customer"),
+            "c_name",
+            {"email": P["email"], "id_token": P["id_token"]},
+            "customer.c_name",
+        )
+        ev = ER.pii_pattern_counts(
+            load_table(spark, sf_dir, "events"),
+            "props",
+            {"email": P["email"], "number": P["number"]},
+            "events.props",
+        )
+        docs = ER.pii_pattern_counts(
+            load_table(spark, sf_dir, "documents"),
+            "text",
+            {"email": P["email"], "phone": P["phone"]},
+            "documents.text",
+        )
+        return (
+            cust.unionByName(ev)
+            .unionByName(docs)
+            .orderBy("surface", "pattern")
+        )

@@ -370,3 +370,81 @@ def pseudonymize_columns(df: DataFrame, cols: list[str], salt: str) -> DataFrame
         )
         out = out.withColumn(c, token)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 5 — PII pattern detection / redaction (GDPR Art. 4(1) personal-
+# data discovery: the scan that tells you WHERE erasure/pseudonymization
+# must run; complements erase_keys (Art. 17) and pseudonymize_columns
+# (Art. 4(5)) above).
+# ---------------------------------------------------------------------------
+
+# Cross-engine-safe regexes: character classes, bounded quantifiers and
+# alternation only — identical semantics in Java regex (Spark) and RE2
+# (DuckDB), which is what lets the scan carry an oracle twin.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "card": r"[0-9]{13,16}",
+    "id_token": r"[0-9]{6,}",
+    "number": r"[0-9]+",
+}
+
+
+def pii_pattern_counts(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str],
+    surface: str,
+) -> DataFrame:
+    """PII-pattern screen over one text surface: for each named
+    pattern, total non-overlapping matches and rows containing ≥1 —
+    ONE conditional-aggregate pass per surface (the rule_screen
+    shape), unpivoted cluster-side to (surface, pattern, n_rows,
+    n_rows_matching, n_matches) rows. Map-side regex, no shuffle
+    until the single-row agg."""
+    names = sorted(patterns)
+    cnt = {
+        n: F.regexp_count(F.col(text_col), F.lit(patterns[n]))
+        for n in names
+    }
+    wide = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(cnt[n]).alias(f"__m_{n}") for n in names],
+        *[F.count_if(cnt[n] > 0).alias(f"__r_{n}") for n in names],
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(surface).alias("surface"),
+                        F.lit(n).alias("pattern"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__r_{n}").alias("n_rows_matching"),
+                        F.col(f"__m_{n}").alias("n_matches"),
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    placeholder: str = "[PII]",
+) -> DataFrame:
+    """Redact every PII-pattern match in ``text_col`` with
+    ``placeholder`` — chained map-side regexp_replace (global, like
+    the training-data scrubbing pass before corpus export). Order is
+    the sorted pattern name, so e.g. 'card' runs before 'number' and
+    longer digit runs collapse to ONE placeholder instead of being
+    re-matched by the broader pattern."""
+    pats = patterns or PII_PATTERNS
+    out = F.col(text_col)
+    for n in sorted(pats):
+        out = F.regexp_replace(out, pats[n], placeholder)
+    return df.withColumn(text_col, out)

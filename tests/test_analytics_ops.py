@@ -334,3 +334,71 @@ def test_acf_chunked_matches_single_window_exactly(spark):
     assert {key(r): (r["n_pairs"], r["acf_ppm"]) for r in chunked} == {
         key(r): (r["n_pairs"], r["acf_ppm"]) for r in plain
     }
+
+
+# ---------------------------------------------------------------------------
+# PII pattern scan / redaction
+
+
+def _pii_df(spark):
+    from monzo_data_pipeline_spark.pipeline import erasure as ER
+
+    rows = [
+        (1, "contact bob.smith+x@mail.example.com or +44 20 7946 0958 now"),
+        (2, "card 4111111111111111 expires soon"),
+        (3, "clean text with no identifiers"),
+        (4, None),
+        (5, "two mails: a@b.co and c.d@e-f.org"),
+    ]
+    return ER, spark.createDataFrame(rows, "id long, text string")
+
+
+def test_pii_pattern_counts_planted(spark):
+    ER, df = _pii_df(spark)
+    got = {
+        r["pattern"]: (r["n_rows"], r["n_rows_matching"], r["n_matches"])
+        for r in ER.pii_pattern_counts(
+            df, "text", ER.PII_PATTERNS, "t"
+        ).collect()
+    }
+    assert got["email"] == (5, 2, 3)
+    assert got["card"] == (5, 1, 1)
+    assert got["phone"][1] >= 1  # the +44 number
+    assert all(r == 5 for r, _, _ in got.values())
+
+
+def test_pii_redact_removes_all_patterns(spark):
+    ER, df = _pii_df(spark)
+    red = {r["id"]: r["text"] for r in ER.pii_redact(df, "text").collect()}
+    assert "@" not in (red[1] or "")
+    assert "4111111111111111" not in red[2]
+    assert red[3] == "clean text with no identifiers"
+    assert red[4] is None
+    # rescanning the redacted text finds nothing
+    df2 = ER.pii_redact(df, "text")
+    got = {
+        r["pattern"]: r["n_matches"]
+        for r in ER.pii_pattern_counts(
+            df2, "text", {"email": ER.PII_PATTERNS["email"],
+                          "card": ER.PII_PATTERNS["card"]}, "t"
+        ).collect()
+    }
+    assert got == {"email": 0, "card": 0}
+
+
+def test_pii_scan_matches_python_reference(spark):
+    import re
+
+    ER, df = _pii_df(spark)
+    rows = df.collect()
+    for name, pat in ER.PII_PATTERNS.items():
+        want = sum(
+            len(re.findall(pat, r["text"])) for r in rows if r["text"]
+        )
+        got = {
+            g["pattern"]: g["n_matches"]
+            for g in ER.pii_pattern_counts(
+                df, "text", {name: pat}, "t"
+            ).collect()
+        }[name]
+        assert got == want, name
