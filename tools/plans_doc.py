@@ -70,6 +70,13 @@ SHOW = {
     "jpeg_decode_stats": "baseline JPEG under the gate — synth MapInPandas + decode MapInPandas, zero exchanges",
     "k_anonymity_audit": "k-anonymity — one map-side-combined HashAggregate pair on the quasi key; output bounded by risky classes",
     "l_diversity_audit": "l-diversity — two grain changes ((quasi,sensitive) → quasi), both partial-agg'd",
+    # round 5
+    "pagerank_trade_graph": "PageRank — fact-scale 4-way join builds the edge list ONCE (persisted); per round one join + one partial-agg'd groupBy on edges, lineage cut by localCheckpoint",
+    "skyline_parts": "2-D skyline — distinct-pair collapse, per-cost argmax, PARTITIONED per-bucket running max + broadcast prefix maxima; no global sort/window",
+    "acf_event_values": "ACF — per-(type, day) chunked windows with head-carry (parallelism = keys × periods, not keys); exact DECIMAL moment sums",
+    "referential_integrity_screen": "FK screen — 4 left-anti joins (AQE broadcasts dims) + one wide conditional agg per table",
+    "chi_square_lang_source": "chi-square — three partial-agg passes share the scan; L×S cross is broadcast×broadcast",
+    "pii_pattern_screen": "PII scan — map-side regexp_count into a 1-row wide agg per surface; explode unpivot cluster-side",
 }
 
 MARKERS = (
