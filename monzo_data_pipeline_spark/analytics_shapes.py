@@ -130,7 +130,9 @@ def register(_register) -> None:
         WITH pairs AS (
             SELECT p_retailprice AS price, p_size AS size,
                    CAST(COUNT(*) AS BIGINT) AS n_parts
-            FROM part GROUP BY 1, 2
+            FROM part
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+            GROUP BY 1, 2
         )
         SELECT price, size, n_parts FROM pairs a
         WHERE NOT EXISTS (
@@ -164,7 +166,7 @@ def register(_register) -> None:
                      OVER w AS y2,
                    LEAD(CAST(floor(value * 1000 + 0.5) AS BIGINT), 3)
                      OVER w AS y3
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
         ), p AS (
             SELECT event_type, lag_k, x, y FROM (
@@ -242,31 +244,31 @@ def register(_register) -> None:
                         AS BIGINT)
             UNION ALL
             SELECT 'in_range(l_quantity,1,50)',
-                   CAST(SUM(CASE WHEN NOT (l_quantity >= 1
+                   CAST(COALESCE(SUM(CASE WHEN NOT (l_quantity >= 1
                                            AND l_quantity <= 50)
-                                 THEN 1 ELSE 0 END) AS BIGINT)
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
             FROM lineitem
             UNION ALL
             SELECT 'in_range(l_discount,0,1)',
-                   CAST(SUM(CASE WHEN NOT (l_discount >= 0
+                   CAST(COALESCE(SUM(CASE WHEN NOT (l_discount >= 0
                                            AND l_discount <= 1)
-                                 THEN 1 ELSE 0 END) AS BIGINT)
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
             FROM lineitem
             UNION ALL
             SELECT 'not_null(l_shipdate)',
-                   CAST(SUM(CASE WHEN l_shipdate IS NULL
-                                 THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NULL
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
             FROM lineitem
             UNION ALL
             SELECT 'positive(o_totalprice)',
-                   CAST(SUM(CASE WHEN NOT (o_totalprice > 0)
-                                 THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(COALESCE(SUM(CASE WHEN NOT (o_totalprice > 0)
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
             FROM orders
             UNION ALL
             SELECT 'accepted_values(o_orderstatus)',
-                   CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P')
+                   CAST(COALESCE(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P')
                                            OR o_orderstatus IS NULL)
-                                 THEN 1 ELSE 0 END) AS BIGINT)
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
             FROM orders
         ) ORDER BY check_name
         """,
@@ -364,8 +366,10 @@ def register(_register) -> None:
                               COUNT(DISTINCT source) - 1) AS BIGINT) AS k
             FROM t
         )
-        SELECT n_cells, dof, chi2_ppm,
-               CASE WHEN k > 0 THEN
+        SELECT n_cells,
+               CASE WHEN n_cells > 0 THEN dof END AS dof,
+               chi2_ppm,
+               CASE WHEN n_cells > 0 AND k > 0 THEN
                  CAST(floor(sqrt(CAST(chi2_ppm AS DOUBLE) / 1000000.0
                                  / CAST(nn * k AS DOUBLE)) * 1000000.0)
                       AS BIGINT)
@@ -393,14 +397,17 @@ def register(_register) -> None:
                 ('id_token', '[0-9]{6,}')
             ) AS v(pattern, re)
         ), a AS (
-            SELECT surface, pattern,
-                   CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CASE WHEN len(regexp_extract_all(t, re)) > 0
-                                 THEN 1 ELSE 0 END) AS BIGINT)
+            -- patterns LEFT JOIN surface: an EMPTY surface still emits
+            -- one zero-count row per pattern (matching the Spark
+            -- global-agg shape); COUNT(t) counts scannable texts
+            SELECT 'customer.c_name' AS surface, pattern,
+                   CAST(COUNT(t) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(CASE WHEN len(regexp_extract_all(t, re)) > 0
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
                      AS n_rows_matching,
-                   CAST(SUM(len(regexp_extract_all(t, re))) AS BIGINT)
+                   CAST(COALESCE(SUM(len(regexp_extract_all(t, re))), 0) AS BIGINT)
                      AS n_matches
-            FROM srf CROSS JOIN pats GROUP BY 1, 2
+            FROM pats LEFT JOIN srf ON TRUE GROUP BY 1, 2
         ), srf2 AS (
             SELECT 'events.props' AS surface, props AS t FROM events
         ), pats2 AS (
@@ -409,14 +416,17 @@ def register(_register) -> None:
                 ('number', '[0-9]+')
             ) AS v(pattern, re)
         ), b AS (
-            SELECT surface, pattern,
-                   CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CASE WHEN len(regexp_extract_all(t, re)) > 0
-                                 THEN 1 ELSE 0 END) AS BIGINT)
+            -- patterns LEFT JOIN surface: an EMPTY surface still emits
+            -- one zero-count row per pattern (matching the Spark
+            -- global-agg shape); COUNT(t) counts scannable texts
+            SELECT 'events.props' AS surface, pattern,
+                   CAST(COUNT(t) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(CASE WHEN len(regexp_extract_all(t, re)) > 0
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
                      AS n_rows_matching,
-                   CAST(SUM(len(regexp_extract_all(t, re))) AS BIGINT)
+                   CAST(COALESCE(SUM(len(regexp_extract_all(t, re))), 0) AS BIGINT)
                      AS n_matches
-            FROM srf2 CROSS JOIN pats2 GROUP BY 1, 2
+            FROM pats2 LEFT JOIN srf2 ON TRUE GROUP BY 1, 2
         ), srf3 AS (
             SELECT 'documents.text' AS surface, text AS t FROM documents
         ), pats3 AS (
@@ -425,14 +435,17 @@ def register(_register) -> None:
                 ('phone', '\\+?[0-9][0-9 ()-]{7,}[0-9]')
             ) AS v(pattern, re)
         ), c AS (
-            SELECT surface, pattern,
-                   CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CASE WHEN len(regexp_extract_all(t, re)) > 0
-                                 THEN 1 ELSE 0 END) AS BIGINT)
+            -- patterns LEFT JOIN surface: an EMPTY surface still emits
+            -- one zero-count row per pattern (matching the Spark
+            -- global-agg shape); COUNT(t) counts scannable texts
+            SELECT 'documents.text' AS surface, pattern,
+                   CAST(COUNT(t) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(CASE WHEN len(regexp_extract_all(t, re)) > 0
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
                      AS n_rows_matching,
-                   CAST(SUM(len(regexp_extract_all(t, re))) AS BIGINT)
+                   CAST(COALESCE(SUM(len(regexp_extract_all(t, re))), 0) AS BIGINT)
                      AS n_matches
-            FROM srf3 CROSS JOIN pats3 GROUP BY 1, 2
+            FROM pats3 LEFT JOIN srf3 ON TRUE GROUP BY 1, 2
         )
         SELECT * FROM (
             SELECT * FROM a UNION ALL

@@ -53,6 +53,10 @@ def pagerank(
     1..N−1 under each downstream action.
     """
     base = (100 - damping_pct) * RANK_SCALE // 100
+    # w <= 0 would make __out zero/negative and the floor-division
+    # contribution NULL or sign-flipped (the weighted_priority_sample
+    # lesson): non-positive weights are dropped, not propagated
+    edges = edges.filter(F.col(weight_col) > 0)
     out = edges.groupBy(src_col).agg(F.sum(weight_col).alias("__out"))
     e = (
         edges.join(out, src_col)

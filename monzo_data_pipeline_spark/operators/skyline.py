@@ -39,8 +39,14 @@ def skyline_2d(
     ``benefit_col``. Returns (cost, benefit, n_rows) — one row per
     frontier point with the count of input rows sitting exactly on
     it — ordered by cost ascending."""
+    # a NULL cost/benefit has no place on a dominance frontier (and
+    # NULL ordering differs between engines): rows missing either
+    # dimension are excluded from the screen
     pairs = (
-        df.groupBy(
+        df.filter(
+            F.col(cost_col).isNotNull() & F.col(benefit_col).isNotNull()
+        )
+        .groupBy(
             F.col(cost_col).alias("cost"), F.col(benefit_col).alias("benefit")
         )
         .agg(F.count(F.lit(1)).alias("n_rows"))

@@ -153,8 +153,13 @@ def autocorrelation(
     ``chunk_granularity=None`` to force the plain one-window plan.
     """
     # the series is the NON-NULL observation sequence: drop null
-    # values before the window so lead(k) pairs k-apart observations
-    df = df.filter(F.col(value_col).isNotNull())
+    # values before the window so lead(k) pairs k-apart observations.
+    # NULL timestamps are dropped too — an unplaceable observation has
+    # no series position, and NULL ordering differs between engines
+    # (Spark NULLS FIRST asc, DuckDB NULLS LAST)
+    df = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     q = F.floor(F.col(value_col) * quant + F.lit(0.5)).cast("long")
     if chunk_granularity is None:
         w = Window.partitionBy(*keys).orderBy(ts_col, order_tiebreak)

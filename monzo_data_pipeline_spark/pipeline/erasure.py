@@ -408,9 +408,17 @@ def pii_pattern_counts(
         n: F.regexp_count(F.col(text_col), F.lit(patterns[n]))
         for n in names
     }
+    # n_rows counts SCANNABLE (non-null) texts, and the match sums
+    # coalesce to 0 — so an empty or all-NULL surface reports explicit
+    # zero rows instead of NULL sums, identically to the DuckDB twin's
+    # patterns-LEFT-JOIN-surface formulation (which keeps one output
+    # row per pattern even when the surface is empty)
     wide = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.sum(cnt[n]).alias(f"__m_{n}") for n in names],
+        F.count(F.col(text_col)).alias("__n"),
+        *[
+            F.coalesce(F.sum(cnt[n]), F.lit(0).cast("long")).alias(f"__m_{n}")
+            for n in names
+        ],
         *[F.count_if(cnt[n] > 0).alias(f"__r_{n}") for n in names],
     )
     return wide.select(

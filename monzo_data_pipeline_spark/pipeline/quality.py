@@ -363,9 +363,14 @@ def chi_square_independence(
         )
         * F.lit(1_000_000.0)
     ).cast("long")
+    # an empty input has no contingency table: count_distinct()−1
+    # would read −1·−1 = dof 1 — emit NULLs instead (same CASE in the
+    # DuckDB twin)
     return agg.select(
         "n_cells",
-        "dof",
+        F.when(F.col("n_cells") > 0, F.col("dof")).alias("dof"),
         "chi2_ppm",
-        F.when(F.col("__k") > 0, v).alias("cramers_v_ppm"),
+        F.when((F.col("n_cells") > 0) & (F.col("__k") > 0), v).alias(
+            "cramers_v_ppm"
+        ),
     )

@@ -361,10 +361,11 @@ def test_pii_pattern_counts_planted(spark):
             df, "text", ER.PII_PATTERNS, "t"
         ).collect()
     }
-    assert got["email"] == (5, 2, 3)
-    assert got["card"] == (5, 1, 1)
+    assert got["email"] == (4, 2, 3)
+    assert got["card"] == (4, 1, 1)
     assert got["phone"][1] >= 1  # the +44 number
-    assert all(r == 5 for r, _, _ in got.values())
+    # n_rows counts SCANNABLE texts: the NULL-text row is excluded
+    assert all(r == 4 for r, _, _ in got.values())
 
 
 def test_pii_redact_removes_all_patterns(spark):
@@ -402,3 +403,59 @@ def test_pii_scan_matches_python_reference(spark):
             ).collect()
         }[name]
         assert got == want, name
+
+
+def test_pii_scan_empty_surface_emits_zero_rows_per_pattern(spark):
+    from monzo_data_pipeline_spark.pipeline import erasure as ER
+
+    df = spark.createDataFrame([], "id long, text string")
+    got = {
+        r["pattern"]: (r["n_rows"], r["n_rows_matching"], r["n_matches"])
+        for r in ER.pii_pattern_counts(
+            df, "text", {"email": ER.PII_PATTERNS["email"]}, "t"
+        ).collect()
+    }
+    assert got == {"email": (0, 0, 0)}
+
+
+def test_chi_square_empty_input_yields_nulls(spark):
+    df = spark.createDataFrame([], "a string, b string")
+    r = Q.chi_square_independence(df, "a", "b").collect()[0]
+    assert r["n_cells"] == 0
+    assert r["dof"] is None
+    assert r["cramers_v_ppm"] is None
+
+
+def test_pagerank_nonpositive_weights_excluded(spark):
+    ndf = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edf = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 0), (1, 2, -3)], "src long, dst long, w long"
+    )
+    got = {r["node"]: r["rank_q"] for r in G.pagerank(ndf, edf).collect()}
+    # only the 0->1 edge survives: node 2 receives nothing
+    base = 15 * SCALE // 100
+    assert got[2] == base
+    assert got[1] > base
+
+
+def test_skyline_null_dimensions_excluded(spark):
+    rows = [(1.0, 5), (None, 99), (0.5, None), (2.0, 7)]
+    df = spark.createDataFrame(rows, "cost double, benefit int")
+    got = [
+        (r["cost"], r["benefit"], r["n_rows"])
+        for r in SKY.skyline_2d(df, "cost", "benefit").collect()
+    ]
+    assert got == [(1.0, 5, 1), (2.0, 7, 1)]
+
+
+def test_acf_null_timestamps_excluded(spark):
+    rows = [("a", _ts(i), i, float(i)) for i in range(10)] + [
+        ("a", None, 99, 5.0)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, eid long, value double"
+    )
+    out = TS.autocorrelation(
+        df, ["k"], "ts", "value", order_tiebreak="eid", max_lag=1
+    ).collect()
+    assert out[0]["n_pairs"] == 9  # the NULL-ts row joined no series
