@@ -564,3 +564,70 @@ def test_media_doc_family_matches_oracle_on_random_corpora(
     )
     _assert_family(spark, con, sf_dir, MEDIA_DOC_QUERIES, seed)
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# round-5 analytics family: PageRank, skyline, ACF, integrity screen,
+# chi-square, PII scan — over one combined random mini-warehouse +
+# stream + corpus dir (the family touches all three table groups).
+
+ANALYTICS_QUERIES = [
+    "pagerank_trade_graph",
+    "skyline_parts",
+    "acf_event_values",
+    "referential_integrity_screen",
+    "chi_square_lang_source",
+    "pii_pattern_screen",
+]
+
+
+def _write_analytics_dir(tmp_path, seed: int) -> str:
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed + 1000)
+    wh = _write_warehouse_dir(tmp_path, seed)
+    ev = _write_events_dir(tmp_path, seed)
+    shutil.copy2(
+        os.path.join(ev, "events.parquet"),
+        os.path.join(wh, "events.parquet"),
+    )
+    # documents with MIXED lang/source (chi-square needs dof > 0) and
+    # some digit/PII-ish tokens (pii screen needs non-zero matches)
+    docs = []
+    for i in range(120):
+        words = [rng.choice(VOCAB) for _ in range(rng.randint(3, 20))]
+        if rng.random() < 0.2:
+            words.append(f"user{rng.randint(100000, 999999)}")  # id_token
+        if rng.random() < 0.1:
+            words.append("a@b.co")
+        docs.append(" ".join(words))
+    docs += ["", "   "]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(
+                [rng.choice(["en", "fr", "de"]) for _ in docs]
+            ),
+            "source": pa.array([f"src{i % 4}" for i in range(len(docs))]),
+            "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(wh, "documents.parquet"))
+    return wh
+
+
+@pytest.mark.parametrize("seed", [41, 59])
+def test_analytics_family_matches_oracle_on_random_tables(
+    spark, tmp_path, seed
+):
+    sf_dir = _write_analytics_dir(tmp_path, seed)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    _assert_family(spark, con, sf_dir, ANALYTICS_QUERIES, seed)
+    con.close()
