@@ -481,3 +481,72 @@ def register(_register) -> None:
             .unionByName(docs)
             .orderBy("surface", "pattern")
         )
+
+    @_register(
+        "hits_customer_supplier",
+        "north-star (HITS hubs/authorities on the customer<->supplier "
+        "bipartite purchase graph, 2 max-normalized rounds: exact "
+        "DECIMAL edge sums + fixed-order IEEE normalization — "
+        "ext/graph.py::hits_bipartite; oracle = chained AS "
+        "MATERIALIZED half-rounds)",
+        """
+        WITH e AS MATERIALIZED (
+            SELECT o.o_custkey AS l, li.l_suppkey AS r,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ), h0 AS MATERIALIZED (
+            SELECT DISTINCT l, CAST(1000000 AS BIGINT) AS s FROM e
+        ), a1r AS MATERIALIZED (
+            SELECT e.r, SUM(h.s * e.w) AS raw
+            FROM h0 h JOIN e ON h.l = e.l GROUP BY 1
+        ), a1 AS MATERIALIZED (
+            SELECT r, CAST(floor(CAST(raw AS DOUBLE) * 1000000.0
+                     / CAST((SELECT MAX(raw) FROM a1r) AS DOUBLE))
+                     AS BIGINT) AS s
+            FROM a1r
+        ), h1r AS MATERIALIZED (
+            SELECT e.l, SUM(a.s * e.w) AS raw
+            FROM a1 a JOIN e ON a.r = e.r GROUP BY 1
+        ), h1 AS MATERIALIZED (
+            SELECT l, CAST(floor(CAST(raw AS DOUBLE) * 1000000.0
+                     / CAST((SELECT MAX(raw) FROM h1r) AS DOUBLE))
+                     AS BIGINT) AS s
+            FROM h1r
+        ), a2r AS MATERIALIZED (
+            SELECT e.r, SUM(h.s * e.w) AS raw
+            FROM h1 h JOIN e ON h.l = e.l GROUP BY 1
+        ), a2 AS MATERIALIZED (
+            SELECT r, CAST(floor(CAST(raw AS DOUBLE) * 1000000.0
+                     / CAST((SELECT MAX(raw) FROM a2r) AS DOUBLE))
+                     AS BIGINT) AS s
+            FROM a2r
+        )
+        SELECT s_name, a2.s AS authority_q
+        FROM a2 JOIN supplier ON r = s_suppkey
+        ORDER BY authority_q DESC, s_name LIMIT 20
+        """,
+    )
+    def q_hits_customer_supplier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        supp = load_table(spark, sf_dir, "supplier")
+        edges = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy(
+                F.col("o_custkey").alias("l"),
+                F.col("l_suppkey").alias("r"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        _, auth = G.hits_bipartite(
+            edges, rounds=2, left_col="l", right_col="r", weight_col="w"
+        )
+        return (
+            auth.join(F.broadcast(supp), auth["r"] == supp["s_suppkey"])
+            .select("s_name", F.col("score_q").alias("authority_q"))
+            .orderBy(F.desc("authority_q"), "s_name")
+            .limit(20)
+        )

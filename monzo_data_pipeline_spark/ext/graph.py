@@ -108,3 +108,98 @@ def pagerank(
     if checkpoint:
         e.unpersist()
     return ranks.select(F.col("__node").alias(node_col), "rank_q")
+
+
+# HITS fixed-point scale: 10^6 keeps every Σ score·w under 2^63 for
+# in-degrees ≤ ~10^6 edges of weight ≤ ~10^6 each
+HITS_SCALE = 1_000_000
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    rounds: int = 2,
+    left_col: str = "src",
+    right_col: str = "dst",
+    weight_col: str = "w",
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities on a weighted bipartite graph
+    (Kleinberg 1999): authority(r) = Σ hub(l)·w over in-edges,
+    hub(l) = Σ authority(r)·w, max-normalized to HITS_SCALE each
+    half-round.
+
+    Determinism: the Σ score·w accumulates in exact DECIMAL(38,0)
+    (order-independent — per-edge products stay < 10¹², the sum can't
+    overflow 38 digits), and the max-normalization runs in IEEE
+    doubles in ONE fixed operation order — the doubles may round (a
+    Σ can exceed 2⁵³) but they round IDENTICALLY from the same exact
+    integer in both engines, so floor(raw·SCALE/max) is bit-stable
+    (the spend_trend_slopes determinism argument); oracle = chained
+    AS MATERIALIZED CTE half-rounds.
+
+    Returns (hubs, authorities) DataFrames: (node, score_q). Per
+    half-round: one join edges⋈scores (shuffle on the score key, AQE
+    broadcasts when the node table is small), one partial-agg'd
+    groupBy, and the max-normalizer as a 1-row broadcast cross join —
+    no collect, no global sort. Non-positive weights are dropped
+    (the weighted_priority_sample lesson)."""
+    edges = edges.filter(F.col(weight_col) > 0).select(
+        F.col(left_col).alias("__l"),
+        F.col(right_col).alias("__r"),
+        F.col(weight_col).alias("__w"),
+    )
+    # the (fact-scale) edge list feeds every half-round; without the
+    # cache + per-half-round localCheckpoint the ONE lazy plan would
+    # re-execute the edge-build join ~2·rounds·2 times (raw appears
+    # under both the normalizer's max and the next join) — the
+    # pagerank() lineage-flattening idiom
+    edges = edges.persist()
+    hubs = edges.select("__l").distinct().select(
+        "__l", F.lit(HITS_SCALE).cast("long").alias("score_q")
+    )
+
+    cached: list[DataFrame] = []
+
+    def _half(scores: DataFrame, key: str, out_key: str) -> DataFrame:
+        # scores is node-count sized: broadcast it so the edge list
+        # joins map-side and the only exchange is the partial-agg'd
+        # node-count groupBy. raw is persisted (not checkpointed):
+        # it has two consumers (the max normalizer and the output),
+        # and the cache collapses all half-rounds into one lazy plan
+        # instead of 2·rounds eager materialization jobs
+        raw = (
+            F.broadcast(scores).join(edges, on=key)
+            .groupBy(out_key)
+            .agg(
+                F.sum(
+                    (F.col("score_q") * F.col("__w")).cast("decimal(38,0)")
+                ).alias("__raw")
+            )
+        ).persist()
+        cached.append(raw)
+        mx = raw.agg(F.max("__raw").alias("__mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            out_key,
+            F.floor(
+                F.col("__raw").cast("double")
+                * F.lit(float(HITS_SCALE))
+                / F.col("__mx").cast("double")
+            )
+            .cast("long")
+            .alias("score_q"),
+        )
+
+    auth = None
+    for _ in range(rounds):
+        auth = _half(hubs, "__l", "__r")
+        hubs = _half(auth, "__r", "__l")
+    # materialize the final node-count scores, then drop every cache
+    # (edges and the per-half-round raws) before handing them back
+    hubs = hubs.localCheckpoint(eager=True)
+    auth = auth.localCheckpoint(eager=True)
+    edges.unpersist()
+    for c in cached:
+        c.unpersist()
+    return (
+        hubs.select(F.col("__l").alias(left_col), "score_q"),
+        auth.select(F.col("__r").alias(right_col), "score_q"),
+    )

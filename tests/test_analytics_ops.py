@@ -459,3 +459,56 @@ def test_acf_null_timestamps_excluded(spark):
         df, ["k"], "ts", "value", order_tiebreak="eid", max_lag=1
     ).collect()
     assert out[0]["n_pairs"] == 9  # the NULL-ts row joined no series
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+
+
+def _py_hits(edges, rounds=2):
+    import math
+
+    S = 1_000_000
+    hubs = {l: S for l in {e[0] for e in edges}}
+    auth = {}
+    for _ in range(rounds):
+        raw = {}
+        for l, r, w in edges:
+            raw[r] = raw.get(r, 0) + hubs[l] * w
+        mx = max(raw.values())
+        auth = {r: math.floor(float(v) * float(S) / float(mx)) for r, v in raw.items()}
+        raw = {}
+        for l, r, w in edges:
+            raw[l] = raw.get(l, 0) + auth[r] * w
+        mx = max(raw.values())
+        hubs = {l: math.floor(float(v) * float(S) / float(mx)) for l, v in raw.items()}
+    return hubs, auth
+
+
+def test_hits_matches_python_reference(spark):
+    rng = random.Random(23)
+    edges = list(
+        {
+            (rng.randint(1, 12), rng.randint(100, 110), rng.randint(1, 9))
+            for _ in range(60)
+        }
+    )
+    edf = spark.createDataFrame(edges, "l long, r long, w long")
+    hubs, auth = G.hits_bipartite(
+        edf, rounds=2, left_col="l", right_col="r", weight_col="w"
+    )
+    ph, pa = _py_hits(edges)
+    assert {r["l"]: r["score_q"] for r in hubs.collect()} == ph
+    assert {r["r"]: r["score_q"] for r in auth.collect()} == pa
+
+
+def test_hits_top_node_is_scale_and_weights_guarded(spark):
+    edges = [(1, 10, 5), (2, 10, 5), (1, 11, 1), (3, 12, 0), (4, 12, -2)]
+    edf = spark.createDataFrame(edges, "l long, r long, w long")
+    hubs, auth = G.hits_bipartite(
+        edf, left_col="l", right_col="r", weight_col="w"
+    )
+    a = {r["r"]: r["score_q"] for r in auth.collect()}
+    assert a[10] == G.HITS_SCALE  # max-normalized top authority
+    assert 12 not in a  # only non-positive-weight edges -> dropped
+    assert a[11] < a[10]

@@ -573,6 +573,7 @@ def test_media_doc_family_matches_oracle_on_random_corpora(
 
 ANALYTICS_QUERIES = [
     "pagerank_trade_graph",
+    "hits_customer_supplier",
     "skyline_parts",
     "acf_event_values",
     "referential_integrity_screen",
