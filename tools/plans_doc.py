@@ -77,6 +77,7 @@ SHOW = {
     "referential_integrity_screen": "FK screen — 4 left-anti joins (AQE broadcasts dims) + one wide conditional agg per table",
     "chi_square_lang_source": "chi-square — three partial-agg passes share the scan; L×S cross is broadcast×broadcast",
     "pii_pattern_screen": "PII scan — map-side regexp_count into a 1-row wide agg per surface; explode unpivot cluster-side",
+    "hits_customer_supplier": "HITS — per half-round: broadcast scores ⋈ cached edges map-side, one node-count groupBy; 1-row max broadcast normalizer",
 }
 
 MARKERS = (

@@ -139,6 +139,8 @@ QUERY_SET = [
     "quality_classifier_scores",
     "distribution_drift_ks",
     "weighted_priority_sample",
+    "hits_customer_supplier",
+    "pii_pattern_screen",
 ]
 
 KEY_OFFSET = 100_000_000
