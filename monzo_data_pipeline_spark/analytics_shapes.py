@@ -36,6 +36,7 @@ from .ext import graph as G
 from .operators import skyline as SKY
 from .operators import timeseries as TS
 from .pipeline import quality as Q
+from .corpus_shapes import _fold_sql, _TOKS
 
 # DuckDB twin of one PageRank round: rank flowing r{i-1} -> r{i}.
 # AS MATERIALIZED: without it DuckDB re-expands each chained CTE and
@@ -549,4 +550,100 @@ def register(_register) -> None:
             .select("s_name", F.col("score_q").alias("authority_q"))
             .orderBy(F.desc("authority_q"), "s_name")
             .limit(20)
+        )
+
+    @_register(
+        "multi_touch_attribution",
+        "C6/north-star (linear multi-touch attribution: purchase "
+        "credit split exactly across the preceding hour's touches — "
+        "10^6 DIV n ppm each, remainder to the earliest touch so "
+        "every purchase sums to exactly 10^6; the multi-touch twin "
+        "of interval_join_attribution — operators/behavioral.py::"
+        "multi_touch_attribution)",
+        """
+        WITH t AS (
+            SELECT user_id, ts AS tts, event_id AS tid, event_type AS ch
+            FROM events WHERE event_type IN ('view', 'click')
+        ), p AS (
+            SELECT user_id, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase'
+        ), j AS (
+            SELECT p.pid, t.ch, t.tts, t.tid
+            FROM p JOIN t ON p.user_id = t.user_id
+             AND t.tts <= p.pts
+             AND t.tts >= p.pts - INTERVAL 3600 SECOND
+        ), r AS (
+            SELECT pid, ch,
+                   CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY pid
+                                      ORDER BY tts, tid) AS rk
+            FROM j
+        )
+        SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(1000000 // n
+                    + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END)
+                    AS BIGINT) AS credit_ppm
+        FROM r GROUP BY 1 ORDER BY 1
+        """,
+    )
+    def q_multi_touch_attribution(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import behavioral as BH
+
+        ev = load_table(spark, sf_dir, "events")
+        return BH.multi_touch_attribution(
+            ev.filter(F.col("event_type").isin("view", "click")),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_gap_seconds=3600,
+        )
+
+    @_register(
+        "classifier_bias_audit",
+        "north-star (per-language acceptance-rate fairness audit of "
+        "the hashed quality classifier: integer accept_ppm + lift vs "
+        "overall as a 1-row broadcast — ext/corpus.py::"
+        "acceptance_bias_audit over hashed_quality_scores)",
+        rf"""
+        WITH d AS (
+            SELECT doc_id, lang, {_TOKS} AS toks
+            FROM documents WHERE trim(text) <> ''
+        ), w AS (
+            SELECT doc_id, lang,
+                   CAST(COALESCE(list_sum(
+                     list_transform(
+                       list_transform(toks, t -> {_fold_sql('t')}),
+                       h -> ((h % 4096) * 1103515245 + 12345) % 2001 - 1000)
+                   ), 0) AS BIGINT) AS score
+            FROM d
+        ), s AS (
+            SELECT doc_id, lang, (score >= 0) AS accept FROM w
+        ), per AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_accepted
+            FROM s GROUP BY 1
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+                   CAST(SUM(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ta
+            FROM s
+        )
+        SELECT lang, n_docs, n_accepted,
+               CAST(n_accepted * 1000000 // n_docs AS BIGINT) AS accept_ppm,
+               CASE WHEN ta > 0 THEN
+                 CAST((n_accepted * 1000000 // n_docs) * 1000000
+                      // (ta * 1000000 // tn) AS BIGINT)
+               END AS lift_ppm
+        FROM per CROSS JOIN tot ORDER BY lang
+        """,
+    )
+    def q_classifier_bias_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .ext import corpus as CP
+
+        docs = load_table(spark, sf_dir, "documents")
+        return CP.acceptance_bias_audit(
+            CP.hashed_quality_scores(docs), docs.select("doc_id", "lang")
         )

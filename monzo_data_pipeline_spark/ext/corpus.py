@@ -461,3 +461,49 @@ def source_vocab_jaccard(
         "n_union",
         F.expr("(n_inter * 1000000) DIV n_union").alias("jaccard_ppm"),
     )
+
+
+def acceptance_bias_audit(
+    scored: DataFrame,
+    groups: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group acceptance-rate audit of a binary classifier — the
+    fairness screen over a quality filter: if the accept rate for one
+    language (or source) collapses, the filter is curating a biased
+    corpus. ``scored`` is hashed_quality_scores-shaped (id, accept);
+    ``groups`` maps id → group.
+
+    Integer-exact: accept_ppm = accepted·10⁶ DIV n per group, and
+    lift_ppm = accept_ppm·10⁶ DIV overall_ppm (overall as a 1-row
+    broadcast — no collect). Plan: one join on the doc id, one
+    group-grain agg, one scalar agg broadcast back."""
+    j = scored.select(id_col, F.col("accept").cast("int").alias("__a")).join(
+        groups.select(id_col, group_col), on=id_col
+    )
+    per = j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__a").cast("long").alias("n_accepted"),
+    )
+    overall = j.agg(
+        F.count(F.lit(1)).alias("__tn"),
+        F.sum("__a").cast("long").alias("__ta"),
+    )
+    return (
+        per.crossJoin(F.broadcast(overall))
+        .select(
+            group_col,
+            "n_docs",
+            "n_accepted",
+            F.expr("n_accepted * 1000000 DIV n_docs").alias("accept_ppm"),
+            F.when(
+                F.col("__ta") > 0,
+                F.expr(
+                    "(n_accepted * 1000000 DIV n_docs) * 1000000 "
+                    "DIV (__ta * 1000000 DIV __tn)"
+                ),
+            ).alias("lift_ppm"),
+        )
+        .orderBy(group_col)
+    )

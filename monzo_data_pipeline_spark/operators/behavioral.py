@@ -258,3 +258,71 @@ def compress_changes(
         .filter(~F.col("__same"))
         .drop("__same")
     )
+
+
+def multi_touch_attribution(
+    touches: DataFrame,
+    purchases: DataFrame,
+    max_gap_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    channel_col: str = "event_type",
+) -> DataFrame:
+    """Linear multi-touch attribution — each purchase's credit is
+    split EQUALLY across every touch (view/click/…) by the same user
+    in the preceding ``max_gap_seconds`` window, per-channel totals
+    out. The multi-touch twin of the last-touch interval join
+    (streaming/joins.py::attribute_purchases).
+
+    Exact-integer credit: each touch earns ``10⁶ DIV n`` ppm and the
+    EARLIEST touch (ts, id tiebreak) additionally carries the
+    ``10⁶ MOD n`` remainder, so every purchase's credit sums to
+    exactly 10⁶ — no float shares, bit-identical across engines and
+    partitionings.
+
+    Plan: one equi-join on the user with the time window as residual
+    (hash join, never a nested loop), one purchase-grain agg for
+    (n, first touch) joined back, one channel-grain agg out.
+    """
+    t = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col(id_col).alias("__tid"),
+        F.col(channel_col).alias("__ch"),
+    )
+    p = purchases.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__pts"),
+        F.col(id_col).alias("__pid"),
+    )
+    joined = p.join(t, on="__u").filter(
+        (F.col("__tts") <= F.col("__pts"))
+        & (
+            F.col("__tts")
+            >= F.col("__pts") - F.expr(f"INTERVAL {max_gap_seconds} SECOND")
+        )
+    )
+    per_p = joined.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct("__tts", "__tid")).alias("__first"),
+    )
+    credited = joined.join(per_p, on="__pid").select(
+        "__ch",
+        F.expr("1000000 DIV __n").alias("__base"),
+        F.when(
+            (F.col("__tts") == F.col("__first.__tts"))
+            & (F.col("__tid") == F.col("__first.__tid")),
+            F.expr("1000000 % __n"),
+        )
+        .otherwise(F.lit(0))
+        .alias("__rem"),
+    )
+    return (
+        credited.groupBy(F.col("__ch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.col("__base") + F.col("__rem")).alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )

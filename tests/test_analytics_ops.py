@@ -512,3 +512,59 @@ def test_hits_top_node_is_scale_and_weights_guarded(spark):
     assert a[10] == G.HITS_SCALE  # max-normalized top authority
     assert 12 not in a  # only non-positive-weight edges -> dropped
     assert a[11] < a[10]
+
+
+# ---------------------------------------------------------------------------
+# multi_touch_attribution / acceptance_bias_audit
+
+
+def test_multi_touch_credit_sums_to_million_per_purchase(spark):
+    from datetime import datetime, timedelta
+
+    from monzo_data_pipeline_spark.operators import behavioral as BH
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    # purchase 100 has 3 touches (view, view, click); purchase 101 has 1
+    rows = [
+        (1, base - timedelta(minutes=50), 1, "view", None),
+        (1, base - timedelta(minutes=30), 2, "view", None),
+        (1, base - timedelta(minutes=10), 3, "click", None),
+        (1, base, 100, "purchase", None),
+        (2, base - timedelta(minutes=5), 4, "click", None),
+        (2, base, 101, "purchase", None),
+        (2, base - timedelta(hours=3), 5, "view", None),  # outside window
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, x string"
+    )
+    out = BH.multi_touch_attribution(
+        df.filter(F.col("event_type").isin("view", "click")),
+        df.filter(F.col("event_type") == "purchase"),
+    ).collect()
+    got = {r["channel"]: (r["n_touches"], r["credit_ppm"]) for r in out}
+    # purchase 100: each touch 333333, earliest view gets +1 remainder
+    assert got["view"] == (2, 333_333 * 2 + 1)
+    assert got["click"] == (1 + 1, 333_333 + 1_000_000)
+    assert sum(c for _, c in got.values()) == 2_000_000
+
+
+def test_bias_audit_rates_and_lift(spark):
+    from monzo_data_pipeline_spark.ext import corpus as CP
+
+    scored = spark.createDataFrame(
+        [(i, 1, i % 2 == 0) for i in range(8)]
+        + [(10 + i, 1, True) for i in range(4)],
+        "doc_id long, n_tokens long, accept boolean",
+    ).select("doc_id", F.lit(0).alias("score"), "accept", "n_tokens")
+    groups = spark.createDataFrame(
+        [(i, "en") for i in range(8)] + [(10 + i, "fr") for i in range(4)],
+        "doc_id long, lang string",
+    )
+    out = {
+        r["lang"]: (r["n_docs"], r["n_accepted"], r["accept_ppm"], r["lift_ppm"])
+        for r in CP.acceptance_bias_audit(scored, groups).collect()
+    }
+    # en: 4/8 accepted = 500000 ppm; fr: 4/4 = 1000000 ppm
+    # overall: 8/12 -> 666666 ppm
+    assert out["en"] == (8, 4, 500_000, 500_000 * 1_000_000 // 666_666)
+    assert out["fr"] == (4, 4, 1_000_000, 1_000_000 * 1_000_000 // 666_666)

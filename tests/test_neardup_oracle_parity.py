@@ -579,6 +579,8 @@ ANALYTICS_QUERIES = [
     "referential_integrity_screen",
     "chi_square_lang_source",
     "pii_pattern_screen",
+    "multi_touch_attribution",
+    "classifier_bias_audit",
 ]
 
 
