@@ -647,3 +647,148 @@ def register(_register) -> None:
         return CP.acceptance_bias_audit(
             CP.hashed_quality_scores(docs), docs.select("doc_id", "lang")
         )
+
+    @_register(
+        "gini_spend_concentration",
+        "north-star (exact Gini coefficient of per-customer spend — "
+        "the inequality/concentration screen over the customer base; "
+        "distinct-value grain + range-bucket rank offsets, NO global "
+        "window — operators/fin.py::gini_concentration)",
+        """
+        WITH t AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS spend
+            FROM orders GROUP BY 1
+        ), r AS (
+            SELECT spend, ROW_NUMBER() OVER (ORDER BY spend) AS rk FROM t
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(spend) AS BIGINT) AS total_cents,
+               CAST(((2 * SUM(rk * spend) - (COUNT(*) + 1) * SUM(spend))
+                     * 1000000) // (COUNT(*) * SUM(spend)) AS BIGINT)
+                 AS gini_ppm
+        FROM r
+        """,
+    )
+    def q_gini_spend_concentration(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import fin as FIN
+
+        orders = load_table(spark, sf_dir, "orders")
+        totals = orders.groupBy("o_custkey").agg(
+            F.sum(FIN._cents("o_totalprice")).alias("spend_cents")
+        )
+        return FIN.gini_concentration(totals, "spend_cents")
+
+    @_register(
+        "cusum_daily_events",
+        "north-star (per-event-type CUSUM changepoint on the daily "
+        "volume series: the day the cumulative deviation from the "
+        "series mean peaks, integer-scaled, earliest-day tiebreak — "
+        "operators/timeseries.py::cusum_changepoint)",
+        """
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ), c AS (
+            SELECT event_type, day,
+                   SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   SUM(x) OVER (PARTITION BY event_type) AS tot
+            FROM d
+        ), v AS (
+            SELECT event_type, day, n, tot,
+                   CAST(n * cum - i * tot AS BIGINT) AS s
+            FROM c
+        ), p AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY abs(s) DESC, day ASC) AS rn
+            FROM v
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_points,
+               CAST(tot AS BIGINT) AS total_x,
+               strftime(day, '%Y-%m-%d') AS cp_t,
+               s AS cusum_peak,
+               CASE WHEN tot > 0 THEN
+                 CAST((abs(s) * 1000000) // (n * tot) AS BIGINT)
+               END AS strength_ppm
+        FROM p WHERE rn = 1 ORDER BY event_type
+        """,
+    )
+    def q_cusum_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        daily = (
+            ev.filter(
+                F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+            )
+            .groupBy(
+                "event_type", F.to_date("ts").alias("day")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        )
+        return TS.cusum_changepoint(
+            daily, "event_type", "day", "x"
+        ).withColumn("cp_t", F.date_format("cp_t", "yyyy-MM-dd"))
+
+    @_register(
+        "triangle_count_copurchase",
+        "north-star (exact triangle count + global clustering of the "
+        "support-2 co-purchase part graph: degree-oriented "
+        "compact-forward wedge join, O(sqrt m) out-degree bound, no "
+        "all-pairs — ext/graph.py::triangle_stats)",
+        """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), e AS (
+            SELECT a.p AS pa, b.p AS pb
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e)
+            GROUP BY 1
+        ), tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM e e1
+            JOIN e e2 ON e1.pb = e2.pa
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ), sc AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg
+        ), ec AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+        )
+        SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+               CASE WHEN n_wedges > 0 THEN
+                 CAST((3 * t * 1000000) // n_wedges AS BIGINT)
+               END AS clustering_ppm
+        FROM sc CROSS JOIN ec CROSS JOIN tri
+        """,
+    )
+    def q_triangle_count_copurchase(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        items = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        b = items.select(
+            F.col("o"), F.col("p").alias("p2")
+        )
+        edges = (
+            items.join(b, on="o")
+            .filter(F.col("p") < F.col("p2"))
+            .groupBy(F.col("p").alias("a"), F.col("p2").alias("b"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= 2)
+            .select("a", "b")
+        )
+        return G.triangle_stats(edges)

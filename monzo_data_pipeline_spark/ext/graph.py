@@ -203,3 +203,93 @@ def hits_bipartite(
         hubs.select(F.col("__l").alias(left_col), "score_q"),
         auth.select(F.col("__r").alias(right_col), "score_q"),
     )
+
+
+def triangle_stats(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected simple graph (edges as distinct a<b pairs). One row
+    out: (n_nodes, n_edges, n_wedges, n_triangles, clustering_ppm)
+    with clustering_ppm = ⌊3·Δ·10⁶ / wedges⌋.
+
+    Compact-forward at scale: every edge is oriented from its
+    lower-(degree, id) endpoint to its higher one, so a node's
+    out-degree is bounded by O(√m) on any graph (the arboricity
+    argument) — the wedge self-join on the shared source never
+    explodes on a hub the way a naive id-orientation does. The close
+    step is a semi-join of candidate (v, w) wedge tips against the
+    oriented edge set: two keyed shuffles total, no all-pairs
+    anywhere.
+    """
+    e = (
+        edges.select(
+            F.col(a_col).cast("long").alias("__a"),
+            F.col(b_col).cast("long").alias("__b"),
+        )
+        .filter(
+            F.col("__a").isNotNull()
+            & F.col("__b").isNotNull()
+            & (F.col("__a") < F.col("__b"))
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .unionAll(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    da = deg.select(
+        F.col("__n").alias("__a"), F.col("__d").alias("__da")
+    )
+    db = deg.select(
+        F.col("__n").alias("__b"), F.col("__d").alias("__db")
+    )
+    ed = e.join(da, on="__a").join(db, on="__b")
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("__a")).otherwise(F.col("__b")).alias("__u"),
+        F.when(lower_first, F.struct("__b", "__db"))
+        .otherwise(F.struct(F.col("__a").alias("__b"), F.col("__da").alias("__db")))
+        .alias("__vs"),
+    ).select("__u", F.col("__vs.__b").alias("__v"), F.col("__vs.__db").alias("__dv"))
+    # wedges at the oriented source: ordered tip pairs (v, w) with
+    # (d_v, v) < (d_w, w) — each triangle yields exactly one wedge
+    # whose tips close as an oriented edge
+    w1 = o.select("__u", F.col("__v").alias("__p"), F.col("__dv").alias("__dp"))
+    w2 = o.select("__u", F.col("__v").alias("__q"), F.col("__dv").alias("__dq"))
+    cand = w1.join(w2, on="__u").filter(
+        (F.col("__dp") < F.col("__dq"))
+        | ((F.col("__dp") == F.col("__dq")) & (F.col("__p") < F.col("__q")))
+    )
+    closed = cand.join(
+        o.select(
+            F.col("__u").alias("__p"), F.col("__v").alias("__q")
+        ).withColumn("__hit", F.lit(1)),
+        on=["__p", "__q"],
+        how="inner",
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    scal = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("__d * (__d - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        scal.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(3 * t * 1000000) DIV n_wedges"),
+            ).alias("clustering_ppm"),
+        )
+    )

@@ -282,3 +282,85 @@ def autocorrelation(
     return m.select(
         *keys, "lag", "n_pairs", corr_ppm.alias("acf_ppm")
     ).orderBy(*keys, "lag")
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Per-series CUSUM changepoint screen: the grid point where the
+    cumulative deviation from the series mean peaks — the standard
+    single-changepoint location estimate (argmax |Σ_{i≤t}(xᵢ − μ)|)
+    for a level shift in a daily metric (volume drop after a deploy,
+    a source going quiet).
+
+    All-integer: the running deviation is scaled by the series length
+    n (S'ₜ = n·Σ_{i≤t}xᵢ − t·Σx — same argmax, no division), the
+    reported strength is ⌊|S'peak|·10⁶ / (n·Σx)⌋ ppm, and the argmax
+    tiebreak is the EARLIEST grid point, so the result is hash-exact
+    against a plain window-SQL twin.
+
+    Plan: one window per key ordered by t (cumulative sum +
+    row_number), one per-key totals agg joined back (key-grain, AQE
+    broadcasts it), one max(struct) argmax agg. Series length is
+    grid-proportional (days), not fact-proportional — the caller
+    aggregates facts to the (key, t, x) grain first.
+
+    NB column hygiene: Spark resolution is case-insensitive, so no
+    internal name here differs from another only by case (a `__T`
+    next to `__t` reads as AMBIGUOUS_REFERENCE).
+    """
+    s = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(t_col).alias("__t"),
+        F.col(x_col).cast("long").alias("__x"),
+    ).filter(F.col("__k").isNotNull() & F.col("__t").isNotNull())
+    w = Window.partitionBy("__k").orderBy("__t")
+    cum = s.select(
+        "__k",
+        "__t",
+        F.sum("__x").over(w).alias("__cum"),
+        F.row_number().over(w).alias("__i"),
+    )
+    tot = s.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").alias("__tot"),
+    )
+    dev = cum.join(tot, on="__k").select(
+        "__k",
+        "__t",
+        "__n",
+        "__tot",
+        (F.col("__n") * F.col("__cum") - F.col("__i") * F.col("__tot")).alias(
+            "__s"
+        ),
+    )
+    # argmax |s| with earliest-t tiebreak: lexicographic max over
+    # (|s|, −epoch_micros) — t is re-derived from the winning struct
+    picked = dev.groupBy("__k").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("__s")).alias("a"),
+                (
+                    F.lit(0) - F.unix_micros(F.col("__t").cast("timestamp"))
+                ).alias("negt"),
+                F.col("__s").alias("s"),
+                F.col("__t").alias("t"),
+                F.col("__n").alias("n"),
+                F.col("__tot").alias("tot"),
+            )
+        ).alias("m")
+    )
+    return picked.select(
+        F.col("__k").alias(key_col),
+        F.col("m.n").alias("n_points"),
+        F.col("m.tot").alias("total_x"),
+        F.col("m.t").alias("cp_t"),
+        F.col("m.s").alias("cusum_peak"),
+        F.when(
+            F.col("m.tot") > 0,
+            F.expr("(m.a * 1000000) DIV (m.n * m.tot)"),
+        ).alias("strength_ppm"),
+    ).orderBy(key_col)

@@ -568,3 +568,83 @@ def test_bias_audit_rates_and_lift(spark):
     # overall: 8/12 -> 666666 ppm
     assert out["en"] == (8, 4, 500_000, 500_000 * 1_000_000 // 666_666)
     assert out["fr"] == (4, 4, 1_000_000, 1_000_000 * 1_000_000 // 666_666)
+
+
+# ---------------------------------------------------------------------------
+# gini_concentration / cusum_changepoint / triangle_stats
+
+
+def test_gini_exact_known_values(spark):
+    from monzo_data_pipeline_spark.operators import fin as FIN
+
+    # x = [1,1,2,4] ascending: S1 = 1+2+6+16 = 25, S0 = 8, n = 4
+    # gini = (2*25 - 5*8)/(4*8) = 10/32 -> 312500 ppm
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 4)], "k long, spend_cents long"
+    )
+    assert tuple(FIN.gini_concentration(df).collect()[0]) == (4, 8, 312_500)
+    # all-equal -> 0; empty -> (0, NULL, NULL); negative total -> NULL
+    eq = spark.createDataFrame([(i, 7) for i in range(5)], "k long, spend_cents long")
+    assert FIN.gini_concentration(eq).collect()[0]["gini_ppm"] == 0
+    assert tuple(
+        FIN.gini_concentration(df.filter("k < 0")).collect()[0]
+    ) == (0, None, None)
+    neg = spark.createDataFrame([(1, -5), (2, 1)], "k long, spend_cents long")
+    assert FIN.gini_concentration(neg).collect()[0]["gini_ppm"] is None
+
+
+def test_gini_matches_global_rank_with_heavy_ties(spark):
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from monzo_data_pipeline_spark.operators import fin as FIN
+
+    random.seed(23)
+    rows = [(i, random.randint(-50, 200) * random.randint(1, 9)) for i in range(3000)]
+    rows += [(10_000 + i, 42) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, spend_cents long")
+    got = tuple(FIN.gini_concentration(df).collect()[0])
+    # reference: brute-force global rank in python
+    xs = sorted(v for _, v in rows)
+    n, s0 = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    exp = (n, s0, (2 * s1 - (n + 1) * s0) * 1_000_000 // (n * s0))
+    assert got == exp
+
+
+def test_cusum_finds_level_shift_with_earliest_tiebreak(spark):
+    from datetime import date
+
+    from monzo_data_pipeline_spark.operators import timeseries as TS
+
+    rows = [("a", date(2024, 1, d), 10) for d in range(1, 11)]
+    rows += [("a", date(2024, 1, d), 30) for d in range(11, 21)]
+    # key b: constant series -> peak 0 at FIRST day (earliest tiebreak)
+    rows += [("b", date(2024, 2, d), 5) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "k string, t date, x long")
+    out = {r["k"]: r for r in TS.cusum_changepoint(df, "k", "t", "x").collect()}
+    # key a: shift after day 10 -> |S'| peaks at day 10
+    assert out["a"]["cp_t"] == date(2024, 1, 10)
+    assert out["a"]["n_points"] == 20 and out["a"]["total_x"] == 400
+    # S'_10 = 20*100 - 10*400 = -2000; strength = 2000e6 // 8000
+    assert out["a"]["cusum_peak"] == -2000
+    assert out["a"]["strength_ppm"] == 2_000_000_000 // 8000
+    assert out["b"]["cp_t"] == date(2024, 2, 1) and out["b"]["cusum_peak"] == 0
+
+
+def test_triangle_stats_k4_pendant_and_hub_safety(spark):
+    from monzo_data_pipeline_spark.ext import graph as G
+
+    # K4 (4 triangles) + pendant node; degrees 3,3,3,4,1 -> wedges 15
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    r = tuple(G.triangle_stats(df).collect()[0])
+    assert r == (5, 7, 15, 4, 3 * 4 * 1_000_000 // 15)
+    # duplicate + reversed-order input rows collapse via a<b + distinct
+    df2 = spark.createDataFrame(edges + [(1, 2), (2, 1)], "a long, b long")
+    assert tuple(G.triangle_stats(df2).collect()[0]) == r
+    # star graph (one hub): zero triangles, wedges C(5,2)
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "a long, b long")
+    s = tuple(G.triangle_stats(star).collect()[0])
+    assert s == (6, 5, 10, 0, 0)

@@ -581,6 +581,9 @@ ANALYTICS_QUERIES = [
     "pii_pattern_screen",
     "multi_touch_attribution",
     "classifier_bias_audit",
+    "gini_spend_concentration",
+    "cusum_daily_events",
+    "triangle_count_copurchase",
 ]
 
 
