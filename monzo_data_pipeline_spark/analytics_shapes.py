@@ -792,3 +792,181 @@ def register(_register) -> None:
             .select("a", "b")
         )
         return G.triangle_stats(edges)
+
+    # shared CTE prefix: the support-2 co-purchase part graph (edges
+    # a<b) — same graph as triangle_count_copurchase's oracle
+    _COPURCHASE_E = """
+        items AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), e AS (
+            SELECT a.p AS pa, b.p AS pb
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )"""
+
+    def _bfs_oracle(max_hops: int) -> str:
+        rounds = []
+        for r in range(1, max_hops + 1):
+            rounds.append(
+                f"""d{r} AS MATERIALIZED (
+            SELECT n, MIN(hd) AS hd FROM (
+                SELECT n, hd FROM d{r - 1}
+                UNION ALL
+                SELECT es.ed AS n, d{r - 1}.hd + 1 AS hd
+                FROM d{r - 1} JOIN es ON d{r - 1}.n = es.es
+            ) GROUP BY n
+        )"""
+            )
+        return (
+            "WITH "
+            + _COPURCHASE_E
+            + """, es AS (
+            SELECT pa AS es, pb AS ed FROM e
+            UNION ALL SELECT pb, pa FROM e
+        ), d0 AS MATERIALIZED (
+            SELECT DISTINCT p_partkey AS n, 0 AS hd FROM part
+            WHERE p_brand = 'Brand#11'
+        ), """
+            + ",\n        ".join(rounds)
+            + f"""
+        SELECT CAST(hd AS INT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM d{max_hops} GROUP BY 1 ORDER BY 1
+        """
+        )
+
+    @_register(
+        "bfs_copurchase_reach",
+        "north-star (multi-source BFS blast radius: min hop distance "
+        "from every Brand#11 part over the symmetrized support-2 "
+        "co-purchase graph, 3 fixed frontier rounds, localCheckpoint "
+        "lineage — ext/graph.py::bfs_hops; oracle = chained "
+        "AS MATERIALIZED min-agg rounds)",
+        _bfs_oracle(3),
+    )
+    def q_bfs_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        items = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        b = items.select(F.col("o"), F.col("p").alias("p2"))
+        e = (
+            items.join(b, on="o")
+            .filter(F.col("p") < F.col("p2"))
+            .groupBy(F.col("p").alias("pa"), F.col("p2").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= 2)
+            .select("pa", "pb")
+        )
+        sym = e.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst")
+        ).unionByName(
+            e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        srcs = part.filter(F.col("p_brand") == "Brand#11").select(
+            F.col("p_partkey").alias("node")
+        )
+        hops = G.bfs_hops(srcs, sym, max_hops=3)
+        return (
+            hops.groupBy(F.col("hops").cast("int").alias("hops"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .orderBy("hops")
+        )
+
+    @_register(
+        "assortativity_copurchase",
+        "north-star (degree assortativity of the support-2 "
+        "co-purchase graph: Pearson over symmetric endpoint-degree "
+        "pairs — a ratio of exact integers, no sqrt/IEEE anywhere — "
+        "ext/graph.py::degree_assortativity)",
+        "WITH "
+        + _COPURCHASE_E
+        + """, deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e)
+            GROUP BY 1
+        ), ed AS (
+            SELECT da.d AS dda, db.d AS ddb
+            FROM e JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+                   CAST(SUM(dda + ddb) AS BIGINT) AS sx,
+                   CAST(SUM(dda * dda + ddb * ddb) AS BIGINT) AS sxx,
+                   CAST(SUM(2 * dda * ddb) AS BIGINT) AS sxy
+            FROM ed
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+        )
+        -- DuckDB // TRUNCATES on integers; emulate FLOOR (the Spark
+        -- side's pmod form) so negative coefficients agree exactly
+        SELECT n_nodes, ne AS n_edges,
+               CASE WHEN (2 * ne * sxx - sx * sx) > 0 THEN
+                 CAST((((2 * ne * sxy - sx * sx) * 1000000)
+                       - (((((2 * ne * sxy - sx * sx) * 1000000)
+                            % (2 * ne * sxx - sx * sx))
+                           + (2 * ne * sxx - sx * sx))
+                          % (2 * ne * sxx - sx * sx)))
+                      // (2 * ne * sxx - sx * sx) AS BIGINT)
+               END AS assortativity_ppm
+        FROM m CROSS JOIN nn
+        """,
+    )
+    def q_assortativity_copurchase(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        items = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        b = items.select(F.col("o"), F.col("p").alias("p2"))
+        edges = (
+            items.join(b, on="o")
+            .filter(F.col("p") < F.col("p2"))
+            .groupBy(F.col("p").alias("a"), F.col("p2").alias("b"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= 2)
+            .select("a", "b")
+        )
+        return G.degree_assortativity(edges)
+
+    @_register(
+        "conversion_latency",
+        "C6/north-star (time-to-convert distribution: whole-second "
+        "latency from each purchase's FIRST in-window touch, exact "
+        "interpolated percentiles per first-touch channel — "
+        "operators/behavioral.py::conversion_latency)",
+        """
+        WITH t AS (
+            SELECT user_id, ts AS tts, event_id AS tid, event_type AS ch
+            FROM events WHERE event_type IN ('view', 'click')
+        ), p AS (
+            SELECT user_id, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase'
+        ), j AS (
+            SELECT p.pid, p.pts, t.ch, t.tts,
+                   ROW_NUMBER() OVER (PARTITION BY p.pid
+                                      ORDER BY t.tts, t.tid) AS rk
+            FROM p JOIN t ON p.user_id = t.user_id
+             AND t.tts <= p.pts
+             AND t.tts >= p.pts - INTERVAL 3600 SECOND
+        ), lat AS (
+            SELECT ch AS channel,
+                   CAST((epoch_us(pts) - epoch_us(tts)) // 1000000
+                        AS BIGINT) AS lat_s
+            FROM j WHERE rk = 1
+        )
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               round(quantile_cont(lat_s, 0.5), 4) AS median_s,
+               round(quantile_cont(lat_s, 0.9), 4) AS p90_s
+        FROM lat GROUP BY 1 ORDER BY 1
+        """,
+    )
+    def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators import behavioral as BH
+
+        ev = load_table(spark, sf_dir, "events")
+        return BH.conversion_latency(
+            ev.filter(F.col("event_type").isin("view", "click")),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_gap_seconds=3600,
+        )

@@ -293,3 +293,131 @@ def triangle_stats(
             ).alias("clustering_ppm"),
         )
     )
+
+
+def bfs_hops(
+    sources: DataFrame,
+    edges: DataFrame,
+    max_hops: int,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (≤ ``max_hops``) from
+    any source node, by fixed-round frontier expansion — the
+    reachability/blast-radius primitive (which entities sit within k
+    hops of a flagged seed set).
+
+    Per round: join the PREVIOUS round's frontier (nodes at exactly
+    d = r−1) against the edge list, union the r-labeled candidates
+    into the distance table, min-agg per node. Frontier- and
+    edge-proportional work only; lineage is flattened per round via
+    localCheckpoint (the pagerank idiom) so round N doesn't re-execute
+    rounds 1..N−1 under each downstream action. Exact by
+    construction — every distance is an integer hop count — so the
+    twin is the same min-agg recurrence as chained materialized CTEs.
+
+    Directed edges; pass a symmetrized edge list for undirected
+    semantics. Unreached nodes are absent from the output.
+    """
+    dist = (
+        sources.select(F.col(node_col).alias("__n"))
+        .filter(F.col("__n").isNotNull())
+        .distinct()
+        .withColumn("__d", F.lit(0).cast("int"))
+    )
+    e = edges.select(
+        F.col(src_col).alias("__es"), F.col(dst_col).alias("__ed")
+    ).filter(F.col("__es").isNotNull() & F.col("__ed").isNotNull())
+    for r in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("__d") == r - 1).select("__n")
+        nxt = (
+            frontier.join(e, frontier["__n"] == e["__es"])
+            .select(F.col("__ed").alias("__n"))
+            .withColumn("__d", F.lit(r).cast("int"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("__n")
+            .agg(F.min("__d").alias("__d"))
+        )
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=False)
+    return dist.select(
+        F.col("__n").alias(node_col), F.col("__d").alias("hops")
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Degree assortativity of an undirected simple graph (edges as
+    a<b pairs): the Pearson correlation of endpoint degrees over all
+    DIRECTED endpoint pairs (each edge contributes (dᵤ,dᵥ) and
+    (dᵥ,dᵤ) — the standard symmetric convention). Positive ⇒ hubs
+    link to hubs; negative ⇒ hub-and-spoke.
+
+    ALL-integer exact: under the symmetric convention the x and y
+    marginals coincide, so r = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) is a
+    RATIO OF INTEGERS — no sqrt, no IEEE anywhere. Sums ride
+    DECIMAL(38,0); the output is the floor'd ppm (floor emulated from
+    Spark's truncating DIV via pmod, since the numerator can be
+    negative). Degenerate (all degrees equal → zero variance) yields
+    NULL. One degree agg + one edge-side join — node- and
+    edge-proportional only.
+    """
+    e = (
+        edges.select(
+            F.col(a_col).cast("long").alias("__a"),
+            F.col(b_col).cast("long").alias("__b"),
+        )
+        .filter(
+            F.col("__a").isNotNull()
+            & F.col("__b").isNotNull()
+            & (F.col("__a") < F.col("__b"))
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .unionAll(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    )
+    da = deg.select(F.col("__n").alias("__a"), F.col("__deg").alias("__da"))
+    db = deg.select(F.col("__n").alias("__b"), F.col("__deg").alias("__db"))
+    ed = e.join(da, on="__a").join(db, on="__b")
+    # both directed orientations in one pass: x totals take u→v AND
+    # v→u, so Σx = Σy = Σ(dᵤ+dᵥ) and Σx² = Σy² by symmetry
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(d(F.col("__da") + F.col("__db"))).alias("__sx"),
+        F.sum(
+            d(F.col("__da")) * d(F.col("__da"))
+            + d(F.col("__db")) * d(F.col("__db"))
+        ).alias("__sxx"),
+        F.sum(F.lit(2) * d(F.col("__da")) * d(F.col("__db"))).alias("__sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        m.crossJoin(F.broadcast(nn))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.expr("2 * n_edges * `__sxy` - `__sx` * `__sx`").alias("__num"),
+            F.expr("2 * n_edges * `__sxx` - `__sx` * `__sx`").alias("__den"),
+        )
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(
+                F.col("__den") > 0,
+                F.expr(
+                    "CAST((`__num` * 1000000 - pmod(`__num` * 1000000,"
+                    " `__den`)) DIV `__den` AS BIGINT)"
+                ),
+            ).alias("assortativity_ppm"),
+        )
+    )

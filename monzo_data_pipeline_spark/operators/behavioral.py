@@ -326,3 +326,64 @@ def multi_touch_attribution(
         )
         .orderBy("channel")
     )
+
+
+def conversion_latency(
+    touches: DataFrame,
+    purchases: DataFrame,
+    max_gap_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    channel_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: for each purchase, the latency in
+    whole seconds from its FIRST touch (ts, id tiebreak) inside the
+    preceding ``max_gap_seconds`` window, summarized per first-touch
+    channel as exact interpolated percentiles (the exact_percentiles
+    idiom: round(…, 4) absorbs the engines' algebraically-equivalent
+    but FP-different interpolation).
+
+    Same join shape as multi_touch_attribution (user equi-join, time
+    window residual, purchase-grain min-struct agg) — one extra
+    integer subtraction, no new shuffle class. Purchases with no
+    in-window touch are absent (they have no latency).
+    """
+    t = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col(id_col).alias("__tid"),
+        F.col(channel_col).alias("__ch"),
+    )
+    p = purchases.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__pts"),
+        F.col(id_col).alias("__pid"),
+    )
+    joined = p.join(t, on="__u").filter(
+        (F.col("__tts") <= F.col("__pts"))
+        & (
+            F.col("__tts")
+            >= F.col("__pts") - F.expr(f"INTERVAL {max_gap_seconds} SECOND")
+        )
+    )
+    per_p = joined.groupBy("__pid").agg(
+        F.min(F.struct("__tts", "__tid", "__ch")).alias("__first"),
+        F.max("__pts").alias("__p_ts"),
+    )
+    lat = per_p.select(
+        F.col("__first.__ch").alias("channel"),
+        F.expr(
+            "(unix_micros(`__p_ts`) - unix_micros(`__first`.`__tts`))"
+            " DIV 1000000"
+        ).alias("__lat_s"),
+    )
+    return (
+        lat.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.round(F.percentile("__lat_s", F.lit(0.5)), 4).alias("median_s"),
+            F.round(F.percentile("__lat_s", F.lit(0.9)), 4).alias("p90_s"),
+        )
+        .orderBy("channel")
+    )

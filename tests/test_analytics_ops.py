@@ -648,3 +648,133 @@ def test_triangle_stats_k4_pendant_and_hub_safety(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], "a long, b long")
     s = tuple(G.triangle_stats(star).collect()[0])
     assert s == (6, 5, 10, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops / degree_assortativity / conversion_latency
+
+
+def test_bfs_hops_min_distance_and_hop_cap(spark):
+    # path 1-2-3-4-5 plus a shortcut 1-4; sources {1}; undirected
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"] for r in G.bfs_hops(srcs, edges, 3).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # hop cap: max_hops=1 leaves 3 and 5 unreached (absent)
+    got1 = {r["node"]: r["hops"] for r in G.bfs_hops(srcs, edges, 1).collect()}
+    assert got1 == {1: 0, 2: 1, 4: 1}
+
+
+def test_bfs_hops_multi_source_takes_min(spark):
+    # directed chain 1->2->3->4; sources {1, 3}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,), (3,)], "node long")
+    got = {r["node"]: r["hops"] for r in G.bfs_hops(srcs, edges, 3).collect()}
+    assert got == {1: 0, 3: 0, 2: 1, 4: 1}
+
+
+def _py_assortativity_ppm(edges):
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    n = len(xs)
+    sx, sxx, sxy = sum(xs), sum(x * x for x in xs), sum(
+        x * y for x, y in zip(xs, ys)
+    )
+    num, den = n * sxy - sx * sx, n * sxx - sx * sx
+    return None if den <= 0 else (num * 1_000_000) // den
+
+
+def test_assortativity_star_is_minus_one(spark):
+    star = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "a long, b long")
+    r = G.degree_assortativity(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (6, 5)
+    assert r["assortativity_ppm"] == -1_000_000
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # 4-cycle: every degree 2 -> zero variance -> NULL
+    cyc = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(cyc, "a long, b long")
+    assert G.degree_assortativity(df).collect()[0]["assortativity_ppm"] is None
+
+
+def test_assortativity_matches_python_reference_random(spark):
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(60)
+            for a, b in [sorted(rng.sample(range(20), 2))]
+        }
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = G.degree_assortativity(df).collect()[0]["assortativity_ppm"]
+    assert got == _py_assortativity_ppm(edges)
+
+
+def test_conversion_latency_first_touch_and_percentiles(spark):
+    from datetime import datetime, timedelta
+
+    from monzo_data_pipeline_spark.operators import behavioral as BH
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    # four purchases whose FIRST in-window touch is a view, latencies
+    # 10/20/30/40 s (later click touches must not win)
+    ev = []
+    pid = 100
+    for i, lat in enumerate((10, 20, 30, 40)):
+        p_ts = base + timedelta(hours=2 * i)
+        ev.append((1, p_ts - timedelta(seconds=lat), 10 + i, "view"))
+        ev.append((1, p_ts - timedelta(seconds=5), 50 + i, "click"))
+        ev.append((1, p_ts, pid + i, "purchase"))
+    # purchase with NO in-window touch -> absent from output
+    ev.append((2, base, 999, "purchase"))
+    df = spark.createDataFrame(
+        ev, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    from pyspark.sql import functions as F2
+
+    out = BH.conversion_latency(
+        df.filter(F2.col("event_type").isin("view", "click")),
+        df.filter(F2.col("event_type") == "purchase"),
+        max_gap_seconds=3600,
+    ).collect()
+    got = {r["channel"]: r for r in out}
+    assert set(got) == {"view"}
+    v = got["view"]
+    # latencies [10,20,30,40]: median 25, p90 = 30 + 0.7*10 = 37
+    assert v["n_conversions"] == 4
+    assert v["median_s"] == 25.0
+    assert v["p90_s"] == 37.0
+
+
+def test_conversion_latency_id_tiebreak_on_equal_ts(spark):
+    from datetime import datetime
+
+    from monzo_data_pipeline_spark.operators import behavioral as BH
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    ev = [
+        (1, base, 2, "click"),
+        (1, base, 1, "view"),  # same ts, lower id -> first touch
+        (1, base, 9, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        ev, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = BH.conversion_latency(
+        df.filter(F.col("event_type") != "purchase"),
+        df.filter(F.col("event_type") == "purchase"),
+    ).collect()
+    assert len(out) == 1 and out[0]["channel"] == "view"
+    assert out[0]["median_s"] == 0.0

@@ -141,6 +141,14 @@ QUERY_SET = [
     "weighted_priority_sample",
     "hits_customer_supplier",
     "pii_pattern_screen",
+    "multi_touch_attribution",
+    "classifier_bias_audit",
+    "gini_spend_concentration",
+    "cusum_daily_events",
+    "triangle_count_copurchase",
+    "bfs_copurchase_reach",
+    "assortativity_copurchase",
+    "conversion_latency",
 ]
 
 KEY_OFFSET = 100_000_000
