@@ -970,3 +970,143 @@ def register(_register) -> None:
             ev.filter(F.col("event_type") == "purchase"),
             max_gap_seconds=3600,
         )
+
+    @_register(
+        "spearman_balance_spend",
+        "north-star (exact-tie Spearman rank correlation between "
+        "customer account balance and realized order spend: doubled "
+        "average ranks from the value-grain count-below primitive, "
+        "exact DECIMAL moments, one fixed-order IEEE expression — "
+        "operators/rankstats.py::spearman_corr)",
+        """
+        WITH b AS (
+            SELECT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+                   s.spend AS y
+            FROM customer c
+            JOIN (SELECT o_custkey,
+                         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS spend
+                  FROM orders GROUP BY 1) s
+              ON c.c_custkey = s.o_custkey
+        ), dx AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1
+        ), rx AS (
+            SELECT x,
+                   2 * COALESCE(SUM(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + c + 1 AS drx
+            FROM dx
+        ), dy AS (
+            SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1
+        ), ry AS (
+            SELECT y,
+                   2 * COALESCE(SUM(c) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + c + 1 AS dry
+            FROM dy
+        ), j AS (
+            SELECT drx, dry FROM b JOIN rx USING (x) JOIN ry USING (y)
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(drx) AS sx, SUM(dry) AS sy,
+                   SUM(drx * drx) AS sxx, SUM(dry * dry) AS syy,
+                   SUM(drx * dry) AS sxy
+            FROM j
+        ), t AS (
+            SELECT n,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS ddx,
+                   n * syy - sy * sy AS ddy
+            FROM m
+        )
+        SELECT n AS n_keys,
+               CASE WHEN ddx > 0 AND ddy > 0 THEN
+                 CAST(FLOOR(CAST(num AS DOUBLE)
+                            / SQRT(CAST(ddx AS DOUBLE)
+                                   * CAST(ddy AS DOUBLE))
+                            * 1000000) AS BIGINT)
+               END AS spearman_ppm
+        FROM t
+        """,
+    )
+    def q_spearman_balance_spend(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import fin as FIN
+        from .operators import rankstats as RS
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", FIN._cents("c_acctbal").alias("bal_cents")
+        )
+        spend = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(FIN._cents("o_totalprice")).cast("long").alias(
+                "spend_cents"))
+        )
+        j = cust.join(
+            spend, cust["c_custkey"] == spend["o_custkey"]
+        )
+        return RS.spearman_corr(j, "bal_cents", "spend_cents")
+
+    @_register(
+        "mannwhitney_urgent_orders",
+        "north-star (Mann-Whitney U / rank-biserial effect size: do "
+        "1-URGENT orders draw from the same price distribution as "
+        "the rest — exact doubled-rank tie handling, all-integer, "
+        "value-grain only — operators/rankstats.py::mann_whitney_u)",
+        """
+        WITH b AS (
+            SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+                   (o_orderpriority = '1-URGENT') AS ga
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_orderpriority IS NOT NULL
+        ), pc AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ca
+            FROM b GROUP BY 1
+        ), r AS (
+            SELECT *,
+                   COALESCE(SUM(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS rb
+            FROM pc
+        ), m AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                   CAST(SUM(c - ca) AS BIGINT) AS n_b,
+                   SUM(ca * (2 * rb + c + 1)) AS r1x2
+            FROM r
+        ), u AS (
+            SELECT n_a, n_b, r1x2 - n_a * (n_a + 1) AS u2 FROM m
+        )
+        -- DuckDB // TRUNCATES on integers; emulate FLOOR (the Spark
+        -- side's pmod form) so negative effect sizes agree exactly
+        SELECT n_a, n_b, CAST(u2 AS BIGINT) AS u2_a,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 CAST((((u2 - n_a * n_b) * 1000000)
+                       - ((((u2 - n_a * n_b) * 1000000) % (n_a * n_b)
+                           + n_a * n_b) % (n_a * n_b)))
+                      // (n_a * n_b) AS BIGINT)
+               END AS rank_biserial_ppm
+        FROM u
+        """,
+    )
+    def q_mannwhitney_urgent_orders(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import fin as FIN
+        from .operators import rankstats as RS
+
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        df = orders.select(
+            FIN._cents("o_totalprice").alias("price_cents"),
+            "o_orderpriority",
+        )
+        return RS.mann_whitney_u(
+            df, "price_cents", "o_orderpriority", "1-URGENT"
+        )

@@ -1,0 +1,223 @@
+"""Rank statistics without a global sort: Spearman correlation and the
+Mann-Whitney U test, built on the distinct-value-grain ranking idiom
+proven by gini_concentration (operators/fin.py).
+
+North-star analytics surface with no reference analog (the reference's
+single analytic output is one GROUP BY月 aggregate,
+/root/reference/src/sql/create_gold_layer.sql) — these are the
+standard nonparametric screens a spend warehouse runs: "is account
+balance associated with realized spend" (Spearman) and "do two
+segments draw from the same price distribution" (Mann-Whitney).
+
+Scale posture (the exact_ntile / gini lesson): ranks NEVER come from a
+global-order window. Average ranks depend only on each distinct
+value's global count-below Rᵥ and tie count cᵥ — so the plan is one
+groupBy(value), one ≤130-row exponent-bucket offset collect, one
+PARTITIONED in-bucket cumulative window over the DISTINCT table, and
+one exact-integer aggregate. Doubled average ranks (2Rᵥ + cᵥ + 1) keep
+everything integer through ties; moment sums ride DECIMAL(38,0)
+(exact for n ≲ 10¹²); Spearman's single final expression is
+fixed-order IEEE from exact integers (the HITS normalization idiom)
+so both engines produce the identical double before the FLOOR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def attach_count_below(
+    pc: DataFrame, x_col: str = "__x", c_col: str = "__c"
+) -> tuple[DataFrame, int]:
+    """Given a DISTINCT-value-grain frame (``x_col`` unique, ``c_col``
+    = multiplicity), return ``(frame + __r, total_count)`` where
+    ``__r`` = number of elements with value strictly below ``x_col``
+    — the shared primitive behind gini / Spearman / Mann-Whitney.
+
+    NO global-order window: values are range-bucketed by their binary
+    exponent (sign-aware ⌊log₂⌋ — order-preserving, no prior min/max
+    pass), per-bucket totals (≤130 rows, O(k) scalars) cross the
+    driver once for prefix offsets, and the cumulative window is
+    PARTITIONED by bucket. Exponent buckets are log-spaced, so a
+    quantized domain concentrates DISTINCT values — not rows — per
+    bucket; the window input is the distinct table, small by
+    construction.
+    """
+    bucket = (
+        F.when(F.col(x_col) == 0, F.lit(0))
+        .when(F.col(x_col) > 0, F.floor(F.log2(F.col(x_col))) + 1)
+        .otherwise(-(F.floor(F.log2(-F.col(x_col))) + 1))
+        .cast("int")
+    )
+    pb = pc.withColumn("__rs_b", bucket).persist()
+    try:
+        btot = {
+            r["__rs_b"]: r["bc"]
+            for r in pb.groupBy("__rs_b")
+            .agg(F.sum(c_col).alias("bc"))
+            .collect()
+        }
+        if not btot:
+            return (
+                pb.withColumn("__r", F.lit(0).cast("long")).drop("__rs_b"),
+                0,
+            )
+        acc, below = 0, {}
+        for b in sorted(btot):
+            below[b] = acc
+            acc += btot[b]
+        offs = F.broadcast(
+            pc.sparkSession.createDataFrame(
+                [(b, c) for b, c in below.items()],
+                "__rs_b int, __rs_off bigint",
+            )
+        )
+        w = (
+            Window.partitionBy("__rs_b")
+            .orderBy(x_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranked = (
+            pb.join(offs, on="__rs_b")
+            .withColumn(
+                "__r",
+                F.col("__rs_off")
+                + F.coalesce(F.sum(c_col).over(w), F.lit(0)),
+            )
+            .drop("__rs_b", "__rs_off")
+        )
+        return ranked, acc
+    finally:
+        pb.unpersist()
+
+
+def _dec(c: "F.Column") -> "F.Column":
+    return c.cast("decimal(38,0)")
+
+
+def spearman_corr(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact-tie Spearman rank correlation of two integer-valued
+    columns. One row out: (n_keys, spearman_ppm) with spearman_ppm =
+    ⌊ρ·10⁶⌋, ρ = Pearson on average ranks (ties get their run's mean
+    rank — the textbook tie treatment).
+
+    Doubled average ranks 2Rᵥ+cᵥ+1 are integers, so every moment sum
+    is exact DECIMAL(38,0); ρ's numerator/denominator terms are exact
+    integers and the ONE IEEE expression num/√(dx·dy)·10⁶ is evaluated
+    in the same fixed order by both engines before the FLOOR
+    (bit-stable — the HITS idiom). Zero-variance marginals (all x or
+    all y tied) → NULL. Plan: 2 value-grain rank maps + 2 equi-joins
+    back to the fact + 1 wide aggregate — no global sort anywhere.
+    """
+    base = df.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    dx = base.groupBy("__x").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    dy = base.groupBy("__y").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    rx, _ = attach_count_below(dx, x_col="__x")
+    ry, _ = attach_count_below(dy, x_col="__y")
+    rx = rx.select(
+        "__x",
+        (F.lit(2) * F.col("__r") + F.col("__c") + 1).alias("__drx"),
+    )
+    ry = ry.select(
+        "__y",
+        (F.lit(2) * F.col("__r") + F.col("__c") + 1).alias("__dry"),
+    )
+    j = base.join(rx, on="__x").join(ry, on="__y")
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_dec(F.col("__drx"))).alias("sx"),
+        F.sum(_dec(F.col("__dry"))).alias("sy"),
+        F.sum(_dec(F.col("__drx")) * _dec(F.col("__drx"))).alias("sxx"),
+        F.sum(_dec(F.col("__dry")) * _dec(F.col("__dry"))).alias("syy"),
+        F.sum(_dec(F.col("__drx")) * _dec(F.col("__dry"))).alias("sxy"),
+    )
+    t = m.select(
+        "n",
+        F.expr("n * sxy - sx * sy").alias("__num"),
+        F.expr("n * sxx - sx * sx").alias("__dx"),
+        F.expr("n * syy - sy * sy").alias("__dy"),
+    )
+    return t.select(
+        F.col("n").alias("n_keys"),
+        F.when(
+            (F.col("__dx") > 0) & (F.col("__dy") > 0),
+            F.floor(
+                F.col("__num").cast("double")
+                / F.sqrt(
+                    F.col("__dx").cast("double")
+                    * F.col("__dy").cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        ).alias("spearman_ppm"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between group A
+    (``group_col == group_a``) and everything else, with exact tie
+    handling via doubled average ranks. One row out:
+
+      * n_a, n_b — group sizes,
+      * u2_a — 2·U_A exactly (doubled so ties never leave the
+        integers; U_A itself may be half-integer under ties),
+      * rank_biserial_ppm — ⌊(2·U_A/(n_a·n_b) − 1)·10⁶⌋, the standard
+        effect size, a RATIO OF INTEGERS floor'd via the pmod trick
+        (Spark DIV truncates; the numerator can be negative).
+
+    ALL-integer end to end — no IEEE anywhere. Plan: one
+    groupBy(value) with a conditional group-A count, the shared
+    count-below attach (bucket offsets, partitioned window), one
+    aggregate. Value-grain only: the fact table is touched once.
+    """
+    base = df.select(
+        F.col(value_col).cast("long").alias("__x"),
+        (F.col(group_col) == F.lit(group_a)).alias("__ga"),
+    ).filter(F.col("__x").isNotNull() & F.col("__ga").isNotNull())
+    pc = base.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum(F.when(F.col("__ga"), 1).otherwise(0))
+        .cast("long")
+        .alias("__ca"),
+    )
+    r, _ = attach_count_below(pc)
+    dr = F.lit(2) * F.col("__r") + F.col("__c") + 1
+    m = r.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum(F.col("__c") - F.col("__ca")).cast("long").alias("n_b"),
+        F.sum(_dec(F.col("__ca")) * _dec(dr)).alias("__r1x2"),
+    )
+    u = m.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "`__r1x2` - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)"
+        ).alias("__u2"),
+    )
+    return u.select(
+        "n_a",
+        "n_b",
+        F.col("__u2").cast("long").alias("u2_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(
+                "CAST(((`__u2` - CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                " * 1000000"
+                " - pmod((`__u2` - CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                "        * 1000000,"
+                "        CAST(n_a AS DECIMAL(38,0)) * n_b))"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ),
+        ).alias("rank_biserial_ppm"),
+    )

@@ -778,3 +778,147 @@ def test_conversion_latency_id_tiebreak_on_equal_ts(spark):
     ).collect()
     assert len(out) == 1 and out[0]["channel"] == "view"
     assert out[0]["median_s"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# rankstats: spearman_corr / mann_whitney_u
+
+
+def _py_avg_ranks(xs):
+    """Brute-force textbook average ranks (1-based, ties -> mean)."""
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    ranks = [0.0] * len(xs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+            j += 1
+        avg = (i + j + 2) / 2.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def _py_spearman_ppm(xs, ys):
+    import math
+
+    rx, ry = _py_avg_ranks(xs), _py_avg_ranks(ys)
+    n = len(xs)
+    # mirror the engine: exact integer moments on DOUBLED ranks
+    dx = [int(2 * r) for r in rx]
+    dy = [int(2 * r) for r in ry]
+    sx, sy = sum(dx), sum(dy)
+    sxx = sum(a * a for a in dx)
+    syy = sum(a * a for a in dy)
+    sxy = sum(a * b for a, b in zip(dx, dy))
+    num = n * sxy - sx * sy
+    ddx = n * sxx - sx * sx
+    ddy = n * syy - sy * sy
+    if ddx <= 0 or ddy <= 0:
+        return None
+    # mirror the engine's fixed IEEE order: round each exact integer
+    # to double FIRST, then multiply/sqrt/divide
+    return math.floor(
+        float(num) / math.sqrt(float(ddx) * float(ddy)) * 1_000_000.0
+    )
+
+
+def test_spearman_known_values(spark):
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    # perfectly monotone -> rho = 1
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 35), (4, 99)], "x long, y long"
+    )
+    r = RS.spearman_corr(df, "x", "y").collect()[0]
+    assert (r["n_keys"], r["spearman_ppm"]) == (4, 1_000_000)
+    # perfectly anti-monotone -> rho = -1
+    df2 = spark.createDataFrame(
+        [(1, 99), (2, 35), (3, 20), (4, 10)], "x long, y long"
+    )
+    assert RS.spearman_corr(df2, "x", "y").collect()[0][
+        "spearman_ppm"
+    ] == -1_000_000
+    # zero-variance marginal -> NULL
+    df3 = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
+    assert RS.spearman_corr(df3, "x", "y").collect()[0][
+        "spearman_ppm"
+    ] is None
+    # empty -> n 0, NULL
+    r0 = RS.spearman_corr(df.filter("x < 0"), "x", "y").collect()[0]
+    assert (r0["n_keys"], r0["spearman_ppm"]) == (0, None)
+
+
+def test_spearman_randomized_vs_bruteforce(spark):
+    import random
+
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    random.seed(71)
+    # heavy ties, negatives, zeros — exercise the exponent buckets
+    rows = [
+        (random.randint(-30, 30) * 7, random.randint(-10, 10) ** 3)
+        for _ in range(2500)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = RS.spearman_corr(df, "x", "y").collect()[0]
+    xs = [a for a, _ in rows]
+    ys = [b for _, b in rows]
+    assert got["n_keys"] == len(rows)
+    assert got["spearman_ppm"] == _py_spearman_ppm(xs, ys)
+
+
+def test_mann_whitney_known_values(spark):
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    # A = {1,2}, B = {3,4}: U_A = 0 -> u2 = 0, biserial = -1
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "v long, g string"
+    )
+    r = RS.mann_whitney_u(df, "v", "g", "a").collect()[0]
+    assert (r["n_a"], r["n_b"], r["u2_a"], r["rank_biserial_ppm"]) == (
+        2, 2, 0, -1_000_000,
+    )
+    # A dominates: U_A = n_a*n_b = 4 -> biserial = +1
+    df2 = spark.createDataFrame(
+        [(9, "a"), (8, "a"), (3, "b"), (4, "b")], "v long, g string"
+    )
+    r2 = RS.mann_whitney_u(df2, "v", "g", "a").collect()[0]
+    assert (r2["u2_a"], r2["rank_biserial_ppm"]) == (8, 1_000_000)
+    # all tied: U_A = n_a*n_b/2 -> biserial = 0
+    df3 = spark.createDataFrame(
+        [(5, "a"), (5, "a"), (5, "b"), (5, "b")], "v long, g string"
+    )
+    r3 = RS.mann_whitney_u(df3, "v", "g", "a").collect()[0]
+    assert (r3["u2_a"], r3["rank_biserial_ppm"]) == (4, 0)
+    # one empty group -> effect size NULL, u2 still defined
+    df4 = spark.createDataFrame([(5, "a"), (6, "a")], "v long, g string")
+    r4 = RS.mann_whitney_u(df4, "v", "g", "a").collect()[0]
+    assert (r4["n_a"], r4["n_b"], r4["rank_biserial_ppm"]) == (2, 0, None)
+
+
+def test_mann_whitney_randomized_vs_bruteforce(spark):
+    import random
+
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    random.seed(137)
+    rows = [
+        (random.randint(-40, 40), "a" if random.random() < 0.3 else "b")
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = RS.mann_whitney_u(df, "v", "g", "a").collect()[0]
+    a = sorted(v for v, g in rows if g == "a")
+    b = sorted(v for v, g in rows if g == "b")
+    # brute force 2*U_A: wins*2 + ties (pairwise)
+    u2 = sum(
+        2 * sum(1 for y in b if x > y) + sum(1 for y in b if x == y)
+        for x in a
+    )
+    n_a, n_b = len(a), len(b)
+    assert (got["n_a"], got["n_b"], got["u2_a"]) == (n_a, n_b, u2)
+    assert got["rank_biserial_ppm"] == (
+        (u2 - n_a * n_b) * 1_000_000 // (n_a * n_b)
+    )

@@ -149,6 +149,8 @@ QUERY_SET = [
     "bfs_copurchase_reach",
     "assortativity_copurchase",
     "conversion_latency",
+    "spearman_balance_spend",
+    "mannwhitney_urgent_orders",
 ]
 
 KEY_OFFSET = 100_000_000
