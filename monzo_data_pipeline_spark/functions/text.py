@@ -141,6 +141,21 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.xxhash64(F.lower(F.trim(c)))
 
 
+def doc_fingerprint_portable(text: Column | str) -> Column:
+    """Engine-agnostic 62-bit content fingerprint of the normalized
+    text: the two-base polynomial fold family (ext/dedup_fuzzy.py::
+    _poly_hash62, bases 131/137 mod 2³¹−1) over lower(trim(text)) —
+    every step integer arithmetic both Spark and DuckDB reproduce
+    exactly, so the fingerprint is oracle-checkable AND stable across
+    engines, not just across Spark runs. Use this when fingerprints
+    must survive an engine migration; `doc_fingerprint` (xxhash64,
+    JVM-native) is the faster single-engine path."""
+    from ..ext.dedup_fuzzy import _poly_hash62
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _poly_hash62(F.lower(F.trim(c)))
+
+
 def word_frequencies(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """C4 — corpus word frequencies: lower→split→explode→count.
 

@@ -917,14 +917,38 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fp_fold_sql(expr: str, base: int) -> str:
+    """DuckDB twin of one base-``base`` polynomial fold over string
+    ``expr`` (ext/dedup_fuzzy.py::_poly_hash62's per-base half)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(ascii({expr}[i]) AS BIGINT))), "
+        f"(a, b) -> (a * {base} + b) % 2147483647)"
+    )
+
+
 @_register(
     "doc_fingerprints",
-    "north-star (64-bit content fingerprint; xxhash64 is Spark-specific → rows-only)",
-    None,
+    "north-star (62-bit engine-agnostic content fingerprint: the "
+    "two-base polynomial fold family shared with the near-dup "
+    "promotions — functions/text.py::doc_fingerprint_portable; the "
+    "xxhash64 fast path stays for single-engine use)",
+    f"""
+    WITH d AS (
+        SELECT doc_id, trim(lower(text)) AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST({_fp_fold_sql('t', 131)} * 2147483648
+                + {_fp_fold_sql('t', 137)} AS BIGINT) AS fingerprint
+    FROM d
+    """,
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id", TX.doc_fingerprint_portable("text").alias("fingerprint")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -149,6 +149,17 @@ class TestPolynomialFingerprint:
         ]
         assert fps[0] == fps[2] and fps[0] != fps[1]
 
+    def test_portable_62bit_known_value_and_normalization(self, spark):
+        # 'ab': fold131 = 97·131+98 = 12805, fold137 = 97·137+98 = 13387
+        # fingerprint = 12805·2³¹ + 13387
+        out = _docs(spark, ["ab", "  AB  ", "ac"]).select(
+            TX.doc_fingerprint_portable("text").alias("fp")
+        ).collect()
+        assert out[0]["fp"] == 12805 * 2_147_483_648 + 13387
+        # lower(trim(...)) normalization: '  AB  ' == 'ab'
+        assert out[1]["fp"] == out[0]["fp"]
+        assert out[2]["fp"] != out[0]["fp"]
+
 
 class TestWinnowing:
     def test_shared_run_shares_fingerprint(self, spark):
