@@ -1110,3 +1110,98 @@ def register(_register) -> None:
         return RS.mann_whitney_u(
             df, "price_cents", "o_orderpriority", "1-URGENT"
         )
+
+    @_register(
+        "benford_first_digit",
+        "north-star (Benford's-law first-significant-digit screen "
+        "over order totals — the fabricated-data tripwire; digit via "
+        "decimal string, hardcoded expected-ppm literals, no libm — "
+        "operators/fin.py::benford_screen)",
+        """
+        WITH v AS (
+            SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS cents
+            FROM orders
+        ), d AS (
+            SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                     AS digit
+            FROM v WHERE cents > 0
+        ), c AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY 1
+        ), spine AS (
+            SELECT * FROM (VALUES (1, 301029), (2, 176091),
+                (3, 124938), (4, 96910), (5, 79181), (6, 66946),
+                (7, 57991), (8, 51152), (9, 45757))
+              AS t(digit, expected_ppm)
+        ), tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS tn FROM c
+        )
+        SELECT s.digit,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_amounts,
+               CASE WHEN tn > 0 THEN
+                 CAST(COALESCE(c.n, 0) * 1000000 // tn AS BIGINT)
+               END AS observed_ppm,
+               CAST(s.expected_ppm AS BIGINT) AS expected_ppm,
+               CASE WHEN tn > 0 THEN
+                 CAST(COALESCE(c.n, 0) * 1000000 // tn
+                      - s.expected_ppm AS BIGINT)
+               END AS dev_ppm
+        FROM spine s LEFT JOIN c USING (digit) CROSS JOIN tot
+        ORDER BY s.digit
+        """,
+    )
+    def q_benford_first_digit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import fin as FIN
+
+        orders = load_table(spark, sf_dir, "orders")
+        cents = orders.select(
+            FIN._cents("o_totalprice").alias("cents")
+        )
+        return FIN.benford_screen(cents, "cents")
+
+    @_register(
+        "tvd_source_drift",
+        "north-star (total-variation distance between two sources' "
+        "unigram token distributions — the categorical drift monitor "
+        "beside ks_drift; exact integer cross-multiplied mass, no "
+        "libm — ext/corpus.py::tvd_token_drift)",
+        r"""
+        WITH f AS (
+            SELECT source AS src,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\s+')) AS w
+            FROM documents
+            WHERE source IN ('src0', 'src1') AND trim(text) <> ''
+        ), c AS (
+            SELECT w,
+                   CAST(SUM(CASE WHEN src = 'src0' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN src = 'src1' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c2
+            FROM f WHERE w <> '' GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM c
+        ), s AS (
+            SELECT SUM(abs(c1 * tot.n2 - c2 * tot.n1)) AS sd
+            FROM c CROSS JOIN tot
+        )
+        SELECT CAST(COALESCE(n1, 0) AS BIGINT) AS n1,
+               CAST(COALESCE(n2, 0) AS BIGINT) AS n2,
+               CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+               CASE WHEN n1 > 0 AND n2 > 0 THEN
+                 CAST((sd * 1000000) // (2 * n1 * n2) AS BIGINT)
+               END AS tvd_ppm
+        FROM tot CROSS JOIN s
+        """,
+    )
+    def q_tvd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .ext import corpus as CP
+
+        docs = load_table(spark, sf_dir, "documents")
+        return CP.tvd_token_drift(docs, "src0", "src1")

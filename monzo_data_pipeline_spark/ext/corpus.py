@@ -367,6 +367,80 @@ def ks_drift(
     )
 
 
+def tvd_token_drift(
+    documents: DataFrame,
+    source_a: str,
+    source_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Total-variation distance between two sources' unigram token
+    distributions — the categorical companion to ``ks_drift``: where
+    KS watches a numeric column's CDF, TVD answers "how differently
+    do these two corpus slices SPEAK" (vocabulary-shift monitor
+    between crawls / providers / snapshots).
+
+    TVD = ½·Σ_w |p_w − q_w| ∈ [0, 1]. ALL-integer: with c1/c2 the
+    per-word counts and n1/n2 the totals, Σ_w |c1_w·n2 − c2_w·n1|
+    is an exact DECIMAL(38,0) sum and tvd_ppm = S·10⁶ // (2·n1·n2)
+    — no libm (a KL/JS variant would put log() into a hash-checked
+    output; cross-libm log is not bit-stable). Words absent from one
+    source contribute their full mass, so a disjoint-vocabulary pair
+    reads exactly 10⁶ ppm.
+
+    Plan: one (word) partial-agg'd shuffle with conditional per-source
+    counts, 1-row totals broadcast back, one wide aggregate. Both
+    degenerate directions guarded: either source empty → NULL tvd_ppm
+    (same contract as ks_drift's n1/n2 guard, mirrored in the twin)."""
+    f = documents.filter(
+        F.col(source_col).isin(source_a, source_b)
+        & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(source_col).alias("__src"),
+        F.explode(_tokens(text_col)).alias("__w"),
+    ).filter(F.col("__w") != "")
+    counts = f.groupBy("__w").agg(
+        F.sum(F.when(F.col("__src") == source_a, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("__src") == source_b, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c2").cast("long").alias("n2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    s = counts.crossJoin(totals).agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(
+            F.abs(
+                F.col("c1").cast(dec) * F.col("n2").cast(dec)
+                - F.col("c2").cast(dec) * F.col("n1").cast(dec)
+            )
+        ).alias("__s"),
+    )
+    return s.select(
+        F.coalesce(F.col("n1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n2"),
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias(
+            "n_words"
+        ),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.expr(
+                "CAST((`__s` * 1000000)"
+                " DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ),
+        ).alias("tvd_ppm"),
+    )
+
+
 def collapse_repeats(
     documents: DataFrame,
     text_col: str = "text",

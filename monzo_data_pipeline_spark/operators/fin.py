@@ -481,3 +481,79 @@ def gini_concentration(
         )
     finally:
         pb.unpersist()
+
+
+# Benford expected first-digit shares, floor'd to ppm: log10(1+1/d).
+# HARDCODED literals (identical in every oracle twin) — computing them
+# at runtime would pull libm log10 into a hash-checked output, the one
+# cross-engine divergence class these queries are designed to avoid.
+_BENFORD_PPM = [
+    (1, 301029),
+    (2, 176091),
+    (3, 124938),
+    (4, 96910),
+    (5, 79181),
+    (6, 66946),
+    (7, 57991),
+    (8, 51152),
+    (9, 45757),
+]
+
+
+def benford_screen(df: DataFrame, amount_col: str) -> DataFrame:
+    """Benford's-law first-significant-digit conformance screen over a
+    positive integer amount column (quantize money to cents first) —
+    the classic fabricated-data / fraud tripwire on a spend ledger.
+
+    Output: one row per digit 1-9 (digits with zero observations
+    included): (digit, n_amounts, observed_ppm, expected_ppm,
+    dev_ppm = observed − expected, signed). All-integer: the first
+    digit comes from the integer's decimal string (substring, not
+    log10 — no libm anywhere), shares are exact floor-ppm, and the
+    expected shares are hardcoded literals shared with the oracle.
+
+    Plan: one map-side digit projection + one 9-key partial-agg'd
+    groupBy, 9-row spine broadcast, 1-row total broadcast — the fact
+    table is touched once, nothing driver-side. Empty input → 9 rows
+    with n_amounts 0 and NULL ppm (division by a zero total is
+    ill-defined; the oracle twin emits the same)."""
+    v = F.col(amount_col)
+    digits = df.filter(v > 0).select(
+        F.substring(v.cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    spine = F.broadcast(
+        df.sparkSession.createDataFrame(
+            _BENFORD_PPM, "digit int, expected_ppm bigint"
+        )
+    )
+    total = F.broadcast(
+        counts.agg(F.sum("__n").cast("long").alias("__tot"))
+    )
+    obs = F.when(
+        F.col("__tot") > 0,
+        F.expr("n_amounts * 1000000 DIV `__tot`"),
+    )
+    return (
+        spine.join(counts, on="digit", how="left")
+        .select(
+            "digit",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+                "n_amounts"
+            ),
+            "expected_ppm",
+        )
+        .crossJoin(total)
+        .select(
+            "digit",
+            "n_amounts",
+            obs.cast("long").alias("observed_ppm"),
+            "expected_ppm",
+            (obs - F.col("expected_ppm")).cast("long").alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -922,3 +922,71 @@ def test_mann_whitney_randomized_vs_bruteforce(spark):
     assert got["rank_biserial_ppm"] == (
         (u2 - n_a * n_b) * 1_000_000 // (n_a * n_b)
     )
+
+
+# ---------------------------------------------------------------------------
+# benford_screen / tvd_token_drift
+
+
+def test_benford_known_counts_and_spine_zeros(spark):
+    from monzo_data_pipeline_spark.operators import fin as FIN
+
+    # digits: 1,1,2,3,9 (0 and negatives excluded); total 5
+    df = spark.createDataFrame(
+        [(1,), (19,), (25,), (3,), (99,), (0,), (-7,)], "cents long"
+    )
+    out = {r["digit"]: r for r in FIN.benford_screen(df, "cents").collect()}
+    assert sorted(out) == list(range(1, 10))  # full 9-digit spine
+    assert out[1]["n_amounts"] == 2 and out[1]["observed_ppm"] == 400_000
+    assert out[2]["n_amounts"] == 1 and out[2]["observed_ppm"] == 200_000
+    assert out[4]["n_amounts"] == 0 and out[4]["observed_ppm"] == 0
+    assert out[1]["dev_ppm"] == 400_000 - 301_029
+    assert out[4]["dev_ppm"] == -96_910
+    # expected shares come from the hardcoded literal table
+    assert out[9]["expected_ppm"] == 45_757
+
+
+def test_benford_empty_input_yields_null_ppm(spark):
+    from monzo_data_pipeline_spark.operators import fin as FIN
+
+    df = spark.createDataFrame([(0,)], "cents long").filter("cents > 99")
+    out = FIN.benford_screen(df, "cents").collect()
+    assert len(out) == 9
+    assert all(r["n_amounts"] == 0 for r in out)
+    assert all(r["observed_ppm"] is None for r in out)
+    assert all(r["dev_ppm"] is None for r in out)
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_tvd_identical_zero_disjoint_full(spark):
+    from monzo_data_pipeline_spark.ext import corpus as CP
+
+    same = _src_docs(spark, [("a", "x y z"), ("b", "x y z")])
+    r = CP.tvd_token_drift(same, "a", "b").collect()[0]
+    assert (r["n1"], r["n2"], r["tvd_ppm"]) == (3, 3, 0)
+    disj = _src_docs(spark, [("a", "x x"), ("b", "y z")])
+    r2 = CP.tvd_token_drift(disj, "a", "b").collect()[0]
+    assert r2["tvd_ppm"] == 1_000_000
+    assert r2["n_words"] == 3
+
+
+def test_tvd_known_value_and_empty_source_guard(spark):
+    from monzo_data_pipeline_spark.ext import corpus as CP
+
+    # A: [a a b], B: [a b b] -> S = |2*3-1*3| + |1*3-2*3| = 6
+    # tvd = 6e6 // (2*3*3) = 333333
+    d = _src_docs(spark, [("a", "a a b"), ("b", "a b b")])
+    r = CP.tvd_token_drift(d, "a", "b").collect()[0]
+    assert (r["n1"], r["n2"], r["n_words"], r["tvd_ppm"]) == (
+        3, 3, 2, 333_333,
+    )
+    # one source absent entirely -> NULL (the ks_drift contract)
+    solo = _src_docs(spark, [("a", "a a b")])
+    r2 = CP.tvd_token_drift(solo, "a", "b").collect()[0]
+    assert (r2["n1"], r2["n2"], r2["tvd_ppm"]) == (3, 0, None)

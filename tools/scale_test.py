@@ -151,6 +151,8 @@ QUERY_SET = [
     "conversion_latency",
     "spearman_balance_spend",
     "mannwhitney_urgent_orders",
+    "benford_first_digit",
+    "tvd_source_drift",
 ]
 
 KEY_OFFSET = 100_000_000
