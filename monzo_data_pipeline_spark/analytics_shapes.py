@@ -1205,3 +1205,84 @@ def register(_register) -> None:
 
         docs = load_table(spark, sf_dir, "documents")
         return CP.tvd_token_drift(docs, "src0", "src1")
+
+    @_register(
+        "churn_survival_km",
+        "north-star (Kaplan-Meier churn survival at 7/30/60/90-day "
+        "horizons with proper right-censoring — exact integer risk "
+        "sets, ONE fixed-order IEEE factor product per horizon via "
+        "the single-row fold, no Spark-side window — "
+        "operators/behavioral.py::km_survival)",
+        """
+        WITH pu AS (
+            SELECT user_id, MIN(ts) AS f, MAX(ts) AS l
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1
+        ), g AS (
+            SELECT MAX(l) AS gmax FROM pu
+        ), u AS (
+            SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+                     AS dur,
+                   (l >= gmax - INTERVAL 7 DAY) AS cens
+            FROM pu CROSS JOIN g
+        ), grain AS (
+            SELECT dur,
+                   CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c
+            FROM u GROUP BY 1
+        ), tot AS (
+            SELECT CAST(COALESCE(SUM(d + c), 0) AS BIGINT) AS n_users,
+                   CAST(COALESCE(SUM(d), 0) AS BIGINT) AS n_churned,
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_censored
+            FROM grain
+        ), atrisk AS (
+            SELECT dur, d,
+                   tot.n_users
+                   - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n
+            FROM grain CROSS JOIN tot
+        ), fac AS (
+            SELECT dur,
+                   CASE WHEN n > 0 THEN
+                     1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                   ELSE 1.0 END AS f
+            FROM atrisk
+        ), prods AS (
+            SELECT
+              list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                list(f ORDER BY dur) FILTER (WHERE dur <= 7)),
+                (a, b) -> a * b) AS s7,
+              list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                list(f ORDER BY dur) FILTER (WHERE dur <= 30)),
+                (a, b) -> a * b) AS s30,
+              list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                list(f ORDER BY dur) FILTER (WHERE dur <= 60)),
+                (a, b) -> a * b) AS s60,
+              list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                list(f ORDER BY dur) FILTER (WHERE dur <= 90)),
+                (a, b) -> a * b) AS s90
+            FROM fac
+        )
+        SELECT n_users, n_churned, n_censored,
+               CASE WHEN n_users > 0 THEN
+                 CAST(FLOOR(s7 * 1000000.0) AS BIGINT) END AS s7_ppm,
+               CASE WHEN n_users > 0 THEN
+                 CAST(FLOOR(s30 * 1000000.0) AS BIGINT) END AS s30_ppm,
+               CASE WHEN n_users > 0 THEN
+                 CAST(FLOOR(s60 * 1000000.0) AS BIGINT) END AS s60_ppm,
+               CASE WHEN n_users > 0 THEN
+                 CAST(FLOOR(s90 * 1000000.0) AS BIGINT) END AS s90_ppm
+        FROM tot CROSS JOIN prods
+        """,
+    )
+    def q_churn_survival_km(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import behavioral as BH
+
+        ev = load_table(spark, sf_dir, "events")
+        return BH.km_survival(ev)

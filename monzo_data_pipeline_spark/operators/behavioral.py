@@ -387,3 +387,113 @@ def conversion_latency(
         )
         .orderBy("channel")
     )
+
+
+def km_survival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_window_days: int = 7,
+    horizons: tuple[int, ...] = (7, 30, 60, 90),
+) -> DataFrame:
+    """Kaplan-Meier churn survival at fixed horizons — "what share of
+    users are still active after h days" with RIGHT-CENSORING done
+    properly: a user whose last event falls within
+    ``censor_window_days`` of the log's end hasn't churned, they've
+    just run out of observation window, and counting them as churned
+    (the naive retention query) biases survival down. KM removes them
+    from the risk set at their censor time instead.
+
+    Per user: duration = datediff(last event day, first event day);
+    censored iff last event ≥ global max ts − censor window. Estimator
+    S(h) = Π_{t ≤ h} (1 − d_t / n_t) with d_t churns at duration t and
+    n_t the at-risk count just before t (deaths-before-censorings tie
+    convention: censors at t leave the risk set AFTER t's factor).
+
+    Determinism: d_t / n_t / N are exact integers; the only IEEE is
+    the factor product itself, folded over durations ASCENDING in one
+    fixed order (the ks_drift single-row fold — both engines multiply
+    the identical double sequence, then one floor to ppm).
+
+    Plan: one user-grain agg (shuffle on user), 1-row global-max
+    broadcast, one duration-grain agg (≤ day-span rows, bounded by
+    calendar not data), one single-row fold. NO window anywhere on the
+    Spark side; no per-row work after the duration grain. Empty input
+    → one row of zeros with NULL ppms."""
+    per_user = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).groupBy(user_col).agg(
+        F.min(ts_col).alias("__first"),
+        F.max(ts_col).alias("__last"),
+    )
+    gmax = F.broadcast(per_user.agg(F.max("__last").alias("__gmax")))
+    users = per_user.crossJoin(gmax).select(
+        F.datediff(F.to_date("__last"), F.to_date("__first")).alias(
+            "__dur"
+        ),
+        (
+            F.col("__last")
+            >= F.col("__gmax") - F.expr(f"INTERVAL {censor_window_days} DAY")
+        ).alias("__cens"),
+    )
+    grain = users.groupBy("__dur").agg(
+        F.sum(F.when(~F.col("__cens"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("__cens"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    row = grain.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__dur").alias("t"), "d", "c"))
+        ).alias("days"),
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n_users"),
+        F.sum("d").cast("long").alias("n_churned"),
+        F.sum("c").cast("long").alias("n_censored"),
+    )
+    init = F.struct(
+        F.coalesce(F.col("n_users"), F.lit(0))
+        .cast("double")
+        .alias("rem"),
+        *[F.lit(1.0).alias(f"s{h}") for h in horizons],
+    )
+
+    def step(acc, x):
+        factor = F.when(
+            acc["rem"] > 0.0,
+            F.lit(1.0) - x["d"].cast("double") / acc["rem"],
+        ).otherwise(F.lit(1.0))
+        fields = [
+            (acc["rem"] - x["d"].cast("double") - x["c"].cast("double"))
+            .alias("rem")
+        ]
+        for h in horizons:
+            fields.append(
+                F.when(x["t"] <= F.lit(h), acc[f"s{h}"] * factor)
+                .otherwise(acc[f"s{h}"])
+                .alias(f"s{h}")
+            )
+        return F.struct(*fields)
+
+    folded = F.aggregate("days", init, step)
+    ok = F.col("n_users") > 0
+    out_cols = [
+        F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias(
+            "n_users"
+        ),
+        F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias(
+            "n_churned"
+        ),
+        F.coalesce(F.col("n_censored"), F.lit(0)).cast("long").alias(
+            "n_censored"
+        ),
+    ]
+    for h in horizons:
+        out_cols.append(
+            F.when(
+                ok,
+                F.floor(folded[f"s{h}"] * F.lit(1000000.0)).cast("long"),
+            ).alias(f"s{h}_ppm")
+        )
+    return row.select(*out_cols)

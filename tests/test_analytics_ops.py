@@ -990,3 +990,111 @@ def test_tvd_known_value_and_empty_source_guard(spark):
     solo = _src_docs(spark, [("a", "a a b")])
     r2 = CP.tvd_token_drift(solo, "a", "b").collect()[0]
     assert (r2["n1"], r2["n2"], r2["tvd_ppm"]) == (3, 0, None)
+
+
+# ---------------------------------------------------------------------------
+# km_survival
+
+
+def _py_km(durs_churn, durs_cens, horizons=(7, 30, 60, 90)):
+    """Python mirror of the engine's exact fold (IEEE order included)."""
+    import math
+    from collections import Counter
+
+    d = Counter(durs_churn)
+    c = Counter(durs_cens)
+    days = sorted(set(d) | set(c))
+    rem = float(len(durs_churn) + len(durs_cens))
+    s = {h: 1.0 for h in horizons}
+    for t in days:
+        factor = 1.0 - d[t] / rem if rem > 0 else 1.0
+        for h in horizons:
+            if t <= h:
+                s[h] = s[h] * factor
+        rem = rem - d[t] - c[t]
+    n = len(durs_churn) + len(durs_cens)
+    return {
+        "n_users": n,
+        "n_churned": len(durs_churn),
+        "n_censored": len(durs_cens),
+        **{
+            f"s{h}_ppm": (math.floor(s[h] * 1000000.0) if n else None)
+            for h in horizons
+        },
+    }
+
+
+def _km_events(spark, user_days):
+    """user_days: list of (user, first_day, last_day) as day offsets."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u, f, l in user_days:
+        for day in {f, l}:
+            rows.append((u, base + timedelta(days=day), eid))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+
+
+def test_km_hand_fixture_no_mid_censoring(spark):
+    from monzo_data_pipeline_spark.operators import behavioral as BH
+
+    # u1 dur 0, u2 dur 2, u3 dur 5 (all churn); u9 dur 100 censored
+    # (defines the global max, last event inside the 7-day window)
+    ev = _km_events(spark, [(1, 0, 0), (2, 0, 2), (3, 0, 5), (9, 0, 100)])
+    r = BH.km_survival(ev).collect()[0]
+    exp = _py_km([0, 2, 5], [100])
+    assert r.asDict() == exp
+    # survival flat between day 5 and the horizons
+    assert r["s7_ppm"] == r["s90_ppm"]
+
+
+def test_km_censoring_shrinks_risk_set_not_churn(spark):
+    from monzo_data_pipeline_spark.operators import behavioral as BH
+
+    # churns at 2 and 5; u4 censored at 3 (still at risk for day 2's
+    # factor, gone before day 5's); u9 is the end-of-log censor
+    ev = _km_events(
+        spark, [(1, 0, 2), (2, 0, 5), (4, 97, 100), (9, 0, 100)]
+    )
+    # durations: u1=2 churn, u2=5 churn, u4=3 censored, u9=100 censored
+    r = BH.km_survival(ev).collect()[0]
+    exp = _py_km([2, 5], [3, 100])
+    assert r.asDict() == exp
+    # sanity: the day-5 factor used n=2 (u4 already censored out)
+    assert exp["s7_ppm"] == exp["s30_ppm"]
+
+
+def test_km_empty_input(spark):
+    from monzo_data_pipeline_spark.operators import behavioral as BH
+
+    ev = _km_events(spark, [(1, 0, 0)]).filter("user_id < 0")
+    r = BH.km_survival(ev).collect()[0]
+    assert (r["n_users"], r["n_churned"], r["n_censored"]) == (0, 0, 0)
+    assert r["s7_ppm"] is None and r["s90_ppm"] is None
+
+
+def test_km_randomized_vs_python_reference(spark):
+    import random
+
+    from monzo_data_pipeline_spark.operators import behavioral as BH
+
+    rng = random.Random(29)
+    user_days, churn, cens = [], [], []
+    max_day = 365
+    for u in range(400):
+        f = rng.randint(0, 300)
+        l = min(max_day, f + rng.randint(0, 120))
+        user_days.append((u, f, l))
+    # pin the global max so censoring is predictable
+    user_days.append((9999, 0, max_day))
+    gmax = max(l for _, _, l in user_days)
+    for _, f, l in user_days:
+        (cens if l >= gmax - 7 else churn).append(l - f)
+    ev = _km_events(spark, user_days)
+    r = BH.km_survival(ev).collect()[0]
+    assert r.asDict() == _py_km(churn, cens)

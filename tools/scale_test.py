@@ -153,18 +153,38 @@ QUERY_SET = [
     "mannwhitney_urgent_orders",
     "benford_first_digit",
     "tvd_source_drift",
+    "churn_survival_km",
 ]
 
 KEY_OFFSET = 100_000_000
 
 
-def replicate(spark, factor: int) -> None:
+def replicate(
+    spark,
+    factor: int,
+    tables: list[str] | None = None,
+    perturb_docs: bool = False,
+) -> None:
+    """Replicate BASE_SF ``factor``× with shifted keys.
+
+    ``tables`` restricts the build to a subset (a 100× build of all 10
+    tables takes minutes the subset's queries never read).
+    ``perturb_docs`` suffixes every documents.text token with the
+    replica index: key-shifted VERBATIM copies make every text appear
+    ``factor`` times, so near-dup pair output grows ~quadratically in
+    the factor (C(factor,2) pairs per distinct text) and the sweep
+    measures output explosion, not engine scaling; disjoint per-replica
+    token suffixes keep each replica's shingle space separate, so
+    near-dup work and output both grow linearly — the honest scaling
+    signal."""
     # events.ts must land as annotated INT64 micros (INT96 would defeat
     # the catalog's footer sniffing); pin it even under a foreign session
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     shutil.rmtree(SCALED_DIR, ignore_errors=True)
     os.makedirs(SCALED_DIR, exist_ok=True)
     for table, keys in KEYED.items():
+        if tables is not None and table not in tables:
+            continue
         df = load_table(spark, BASE_SF, table)
         if not keys or factor == 1:
             copies = [df] * (1 if not keys else factor)
@@ -174,15 +194,20 @@ def replicate(spark, factor: int) -> None:
                 c = df
                 for k in keys:
                     c = c.withColumn(k, F.col(k) + F.lit(r * KEY_OFFSET))
+                if perturb_docs and table == "documents" and r > 0:
+                    c = c.withColumn(
+                        "text",
+                        F.regexp_replace("text", r"(\S+)", f"$1r{r}"),
+                    )
                 copies.append(c)
         out: DataFrame = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
         # events.ts round-trips as timestamp[us]; the catalog sniffs the
         # footer and reads that layout natively
-        out.repartition(8).write.mode("overwrite").parquet(
-            os.path.join(SCALED_DIR, f"{table}.parquet")
-        )
+        out.repartition(8 if factor <= 10 else 32).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(SCALED_DIR, f"{table}.parquet"))
 
 
 def time_query(fn, spark, sf_dir: str) -> float:
@@ -197,9 +222,13 @@ def time_query(fn, spark, sf_dir: str) -> float:
     def run():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    run()  # warm
+    # SCALE_TEST_RUNS / SCALE_TEST_WARM: the 100× sweep runs minutes
+    # per query — warm+best-of-2 would triple an already-long wall
+    # clock for precision the minutes-long runtimes don't need
+    if os.environ.get("SCALE_TEST_WARM", "1") != "0":
+        run()  # warm
     best = float("inf")
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SCALE_TEST_RUNS", "2"))):
         t0 = time.time()
         run()
         best = min(best, time.time() - t0)
@@ -218,8 +247,18 @@ def main() -> None:
     if os.environ.get("SCALE_TEST_REUSE") == "1" and os.path.isdir(SCALED_DIR):
         print(f"reusing existing {SCALED_DIR}", flush=True)
     else:
-        print(f"replicating sf0.1 x{factor} into {SCALED_DIR} ...", flush=True)
-        replicate(spark, factor)
+        tables = (
+            os.environ["SCALE_TEST_TABLES"].split(",")
+            if os.environ.get("SCALE_TEST_TABLES")
+            else None
+        )
+        perturb = os.environ.get("SCALE_TEST_PERTURB_DOCS") == "1"
+        print(
+            f"replicating sf0.1 x{factor} into {SCALED_DIR} "
+            f"(tables={tables or 'all'}, perturb_docs={perturb}) ...",
+            flush=True,
+        )
+        replicate(spark, factor, tables=tables, perturb_docs=perturb)
 
     qs = queries()
     rows = []
