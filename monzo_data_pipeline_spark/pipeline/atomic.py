@@ -131,6 +131,122 @@ def _may_contain(stats: dict | None, col: str, values: list) -> bool:
         return True
 
 
+# --- per-directory Bloom index (point-lookup pruning) ----------------------
+#
+# min/max stats prune RANGE shapes; a point lookup on an UNSORTED key
+# (erasure subject ids, single-entity reads) hits every dir whose span
+# covers the value — usually all of them. A small per-dir Bloom filter
+# in the manifest (the Delta bloom-filter-index pattern) prunes those:
+# k double-hashed bit probes per value, zero data IO at read time.
+# Deterministic engine-agnostic hashes (the polynomial/Knuth family) —
+# the manifest stays portable across engines and Python versions.
+
+_BLOOM_MOD = 2_147_483_647
+
+
+def _bloom_hash_pair(v) -> tuple[int, int] | None:
+    """Two independent 31-bit hashes of an int/str value for
+    Kirsch-Mitzenmacher double hashing; None = type not indexable."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        x = v % _BLOOM_MOD  # pmod: negative ids stay in-domain
+        return (
+            (x * 2_654_435_761) % _BLOOM_MOD,
+            (x * 40_503 + 12_345) % _BLOOM_MOD,
+        )
+    if isinstance(v, str):
+        h1 = h2 = 0
+        for b in v.encode("utf-8", "surrogatepass"):
+            h1 = (h1 * 131 + b) % _BLOOM_MOD
+            h2 = (h2 * 137 + b) % _BLOOM_MOD
+        return h1, h2
+    return None
+
+
+def _bloom_positions(h1: int, h2: int, m: int, k: int):
+    return ((h1 + i * h2) % m for i in range(k))
+
+
+def _dir_bloom(
+    abs_dir: str,
+    cols: list[str],
+    bits_per_value: int = 10,
+    k: int = 7,
+    max_bits: int = 1 << 20,
+) -> dict:
+    """Per-column Bloom filters over a staged data dir, built at write
+    time from the just-written local files (page-cache hot — the same
+    argument as _dir_stats). ~10 bits/distinct value ≈ 1% false
+    positives at k=7; capped at 128 KiB of bits per column. Columns
+    with non-int/str values are skipped (absent = cannot prune)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(abs_dir, n)
+        for n in os.listdir(abs_dir)
+        if n.endswith(".parquet")
+    )
+    out: dict[str, dict] = {}
+    for col in cols:
+        distinct: set = set()
+        ok = True
+        for path in files:
+            try:
+                tbl = pq.read_table(path, columns=[col])
+            except Exception:
+                ok = False
+                break
+            for v in tbl.column(0).to_pylist():
+                if v is None:
+                    continue
+                distinct.add(v)
+        if not ok or not distinct:
+            continue
+        m = min(max_bits, max(64, bits_per_value * len(distinct)))
+        m = (m + 7) // 8 * 8
+        bits = bytearray(m // 8)
+        indexable = True
+        for v in distinct:
+            pair = _bloom_hash_pair(v)
+            if pair is None:
+                indexable = False
+                break
+            for pos in _bloom_positions(*pair, m, k):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        if indexable:
+            out[col] = {
+                "m": m,
+                "k": k,
+                "b64": base64.b64encode(bytes(bits)).decode(),
+            }
+    return out
+
+
+def _bloom_may_contain(stats: dict | None, col: str, values: list) -> bool:
+    """True unless the dir's Bloom filter for `col` provably excludes
+    every value. Missing filter / unindexable value → True."""
+    entry = (stats or {}).get("__bloom__", {}).get(col)
+    if not entry:
+        return True
+    import base64
+
+    bits = base64.b64decode(entry["b64"])
+    m, k = entry["m"], entry["k"]
+    for v in values:
+        pair = _bloom_hash_pair(v)
+        if pair is None:
+            return True
+        if all(
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in _bloom_positions(*pair, m, k)
+        ):
+            return True
+    return False
+
+
 class AtomicWarehouse:
     """Manifest-pointer parquet store with multi-table transactions.
 
@@ -140,9 +256,20 @@ class AtomicWarehouse:
     tables into one atomic visibility switch.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bloom_cols: dict[str, list[str]] | None = None,
+    ):
+        """``bloom_cols`` maps table → key columns to Bloom-index per
+        data dir at write time (see _dir_bloom). Point lookups via
+        read_pruned/pruned_dirs on those columns then skip dirs whose
+        min/max span covers the value but whose filter proves it
+        absent — the unsorted-key erasure/entity-read shape."""
         self.spark = spark
         self.root = root
+        self.bloom_cols = bloom_cols or {}
         os.makedirs(root, exist_ok=True)
 
     # -- manifest plumbing -------------------------------------------------
@@ -190,7 +317,11 @@ class AtomicWarehouse:
         stats = man.get("stats", {})
         cand, clean = [], []
         for rel in dirs:
-            (cand if _may_contain(stats.get(rel), col, values) else clean).append(rel)
+            st = stats.get(rel)
+            may = _may_contain(st, col, values) and _bloom_may_contain(
+                st, col, values
+            )
+            (cand if may else clean).append(rel)
         return cand, clean
 
     def read_pruned(self, table: str, col: str, values: list) -> DataFrame:
@@ -414,10 +545,23 @@ class _Transaction:
         os.makedirs(os.path.dirname(self.wh._abs(rel)), exist_ok=True)
         return rel
 
+    def _stage_stats(self, rel: str, table: str) -> None:
+        """Record stats (+ Bloom filters for the table's configured
+        key columns) for a freshly staged dir — one call per write
+        path so every dir carries the same pruning metadata."""
+        dst = self.wh._abs(rel)
+        st = _dir_stats(dst)
+        cols = self.wh.bloom_cols.get(table)
+        if cols:
+            bl = _dir_bloom(dst, cols)
+            if bl:
+                st["__bloom__"] = bl
+        self.stats[rel] = st
+
     def append(self, df: DataFrame, table: str) -> None:
         rel = self._new_dir(table)
         df.write.mode("errorifexists").parquet(self.wh._abs(rel))
-        self.stats[rel] = _dir_stats(self.wh._abs(rel))
+        self._stage_stats(rel, table)
         self.tables[table] = self.tables.get(table, []) + [rel]
 
     def append_parquet_dir(
@@ -459,14 +603,14 @@ class _Transaction:
             raise FileNotFoundError(
                 f"append_parquet_dir: no *.parquet files in {src_dir!r}"
             )
-        self.stats[rel] = _dir_stats(dst)
+        self._stage_stats(rel, table)
         self.tables[table] = self.tables.get(table, []) + [rel]
         return rel
 
     def overwrite(self, df: DataFrame, table: str) -> None:
         rel = self._new_dir(table)
         df.write.mode("errorifexists").parquet(self.wh._abs(rel))
-        self.stats[rel] = _dir_stats(self.wh._abs(rel))
+        self._stage_stats(rel, table)
         self.tables[table] = [rel]
 
     def replace_dirs(
@@ -482,7 +626,7 @@ class _Transaction:
         if df is not None:
             rel = self._new_dir(table)
             df.write.mode("errorifexists").parquet(self.wh._abs(rel))
-            self.stats[rel] = _dir_stats(self.wh._abs(rel))
+            self._stage_stats(rel, table)
             keep = keep + [rel]
         self.tables[table] = keep
         return rel

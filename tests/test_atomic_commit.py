@@ -543,3 +543,123 @@ def test_append_parquet_dir_empty_source_raises(wh, spark, tmp_path):
             txn.append_parquet_dir(str(src), "tx")
     # nothing was committed
     assert not wh.exists("tx")
+
+
+# ---------------------------------------------------------------------------
+# per-dir Bloom index
+
+
+def _udf_df(spark, user_ids):
+    return spark.createDataFrame(
+        [(int(u), f"row{u}") for u in user_ids], "user_id bigint, payload string"
+    )
+
+
+def test_bloom_prunes_where_minmax_cannot(spark, tmp_path):
+    """Two dirs with INTERLEAVED key ranges: both spans cover every
+    value, so min/max stats alone prune nothing — the Bloom filter
+    must separate them."""
+    wh = AtomicWarehouse(
+        spark, str(tmp_path / "whb"), bloom_cols={"tx": ["user_id"]}
+    )
+    evens = list(range(0, 200, 2))
+    odds = list(range(1, 200, 2))
+    with wh.transaction() as txn:
+        txn.append(_udf_df(spark, evens), "tx")
+    with wh.transaction() as txn:
+        txn.append(_udf_df(spark, odds), "tx")
+    dirs = wh.manifest()["tables"]["tx"]
+    stats = wh.manifest()["stats"]
+    # both dirs span [0..199] (or close): min/max can't separate
+    assert all("__bloom__" in stats[d] for d in dirs)
+    cand, clean = wh.pruned_dirs("tx", "user_id", [42])
+    assert len(cand) == 1 and len(clean) == 1
+    # the candidate really holds the row; the pruned read is exact
+    got = wh.read_pruned("tx", "user_id", [42]).filter("user_id = 42")
+    assert got.count() == 1
+    # a value in neither dir: bloom may false-positive (~1%) but with
+    # these sizes both dirs should prune for a far-out in-range probe
+    cand2, _ = wh.pruned_dirs("tx", "user_id", [143])  # odd -> dir 2
+    assert any(c in dirs for c in cand2)
+
+
+def test_bloom_never_false_negative_randomized(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    wh = AtomicWarehouse(
+        spark, str(tmp_path / "whr"), bloom_cols={"tx": ["user_id"]}
+    )
+    batches = [
+        sorted(rng.sample(range(100_000), 150)) for _ in range(4)
+    ]
+    for b in batches:
+        with wh.transaction() as txn:
+            txn.append(_udf_df(spark, b), "tx")
+    dirs = wh.manifest()["tables"]["tx"]
+    # every stored value must keep its dir as a candidate
+    for i, b in enumerate(batches):
+        probe = rng.sample(b, 10)
+        cand, _ = wh.pruned_dirs("tx", "user_id", probe)
+        assert dirs[i] in cand
+    # pruned read returns exactly the matching rows
+    probe = [batches[0][0], batches[3][-1], 99_999_999]
+    got = wh.read_pruned("tx", "user_id", probe).filter(
+        F.col("user_id").isin(probe)
+    )
+    exp = sum(v in b for b in batches for v in probe)
+    assert got.count() == exp
+
+
+def test_bloom_string_keys_and_unindexed_table(spark, tmp_path):
+    wh = AtomicWarehouse(
+        spark, str(tmp_path / "whs"), bloom_cols={"tx": ["name"]}
+    )
+    a = spark.createDataFrame(
+        [(i, f"user-{i}") for i in range(0, 100, 2)],
+        "id bigint, name string",
+    )
+    b = spark.createDataFrame(
+        [(i, f"user-{i}") for i in range(1, 100, 2)],
+        "id bigint, name string",
+    )
+    with wh.transaction() as txn:
+        txn.append(a, "tx")
+        txn.append(b, "tx")
+        # a table NOT in bloom_cols gets plain stats only
+        txn.append(a, "other")
+    cand, clean = wh.pruned_dirs("tx", "name", ["user-42"])
+    assert len(cand) == 1 and len(clean) == 1
+    assert wh.read_pruned("tx", "name", ["user-42"]).filter(
+        "name = 'user-42'"
+    ).count() == 1
+    other_stats = wh.manifest()["stats"][
+        wh.manifest()["tables"]["other"][0]
+    ]
+    assert "__bloom__" not in other_stats
+    # pruning on a column with no bloom falls back to stats-only
+    cand2, _ = wh.pruned_dirs("tx", "id", [42])
+    assert len(cand2) == 2
+
+
+def test_bloom_survives_compaction_and_vacuum(spark, tmp_path):
+    from monzo_data_pipeline_spark.pipeline.atomic import compact_table
+
+    wh = AtomicWarehouse(
+        spark, str(tmp_path / "whc"), bloom_cols={"tx": ["user_id"]}
+    )
+    for lo in (0, 1000, 2000):
+        with wh.transaction() as txn:
+            txn.append(_udf_df(spark, range(lo, lo + 300)), "tx")
+    compact_table(wh, "tx", sort_by=["user_id"])
+    dirs = wh.manifest()["tables"]["tx"]
+    assert len(dirs) == 1
+    # the compacted dir re-derives its bloom through _stage_stats
+    assert "__bloom__" in wh.manifest()["stats"][dirs[0]]
+    assert wh.read_pruned("tx", "user_id", [1100]).filter(
+        "user_id = 1100"
+    ).count() == 1
+    wh.vacuum(min_age_seconds=0)
+    assert wh.read("tx").count() == 900
