@@ -1286,3 +1286,75 @@ def register(_register) -> None:
 
         ev = load_table(spark, sf_dir, "events")
         return BH.km_survival(ev)
+
+    @_register(
+        "kendall_tau_balance_spend",
+        "north-star (Kendall tau-b between balance and spend deciles "
+        "— exact pair accounting over a bounded ntile-binned 10×10 "
+        "cell grid instead of O(n²) row pairs; all-integer C/D/tie "
+        "counts, one final IEEE expression — "
+        "operators/rankstats.py::kendall_tau_binned)",
+        """
+        WITH b AS (
+            SELECT c.c_custkey AS k,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+                   s.spend AS y
+            FROM customer c
+            JOIN (SELECT o_custkey,
+                         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS spend
+                  FROM orders GROUP BY 1) s
+              ON c.c_custkey = s.o_custkey
+        ), nt AS (
+            SELECT CAST(ntile(10) OVER (ORDER BY x, k) AS INT) AS gx,
+                   CAST(ntile(10) OVER (ORDER BY y, k) AS INT) AS gy
+            FROM b
+        ), cells AS (
+            SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n
+            FROM nt GROUP BY 1, 2
+        ), cd AS (
+            SELECT SUM(CASE WHEN a.gx < c.gx AND a.gy < c.gy
+                            THEN a.n * c.n ELSE 0 END) AS conc,
+                   SUM(CASE WHEN a.gx < c.gx AND a.gy > c.gy
+                            THEN a.n * c.n ELSE 0 END) AS disc
+            FROM cells a CROSS JOIN cells c
+        ), mx AS (
+            SELECT SUM(t * (t - 1) // 2) AS n1, SUM(t) AS ntot
+            FROM (SELECT SUM(n) AS t FROM cells GROUP BY gx)
+        ), my AS (
+            SELECT SUM(t * (t - 1) // 2) AS n2
+            FROM (SELECT SUM(n) AS t FROM cells GROUP BY gy)
+        )
+        SELECT CAST(COALESCE(ntot, 0) AS BIGINT) AS n_rows,
+               CAST(COALESCE(conc, 0) AS BIGINT) AS conc_pairs,
+               CAST(COALESCE(disc, 0) AS BIGINT) AS disc_pairs,
+               CASE WHEN ntot * (ntot - 1) // 2 - n1 > 0
+                     AND ntot * (ntot - 1) // 2 - n2 > 0 THEN
+                 CAST(FLOOR(CAST(conc - disc AS DOUBLE)
+                      / SQRT(CAST(ntot * (ntot - 1) // 2 - n1 AS DOUBLE)
+                             * CAST(ntot * (ntot - 1) // 2 - n2
+                                    AS DOUBLE))
+                      * 1000000) AS BIGINT)
+               END AS tau_b_ppm
+        FROM cd CROSS JOIN mx CROSS JOIN my
+        """,
+    )
+    def q_kendall_tau_balance_spend(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import fin as FIN
+        from .operators import rankstats as RS
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", FIN._cents("c_acctbal").alias("bal_cents")
+        )
+        spend = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(FIN._cents("o_totalprice")).cast("long").alias(
+                "spend_cents"))
+        )
+        j = cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
+        return RS.kendall_tau_binned(
+            j, "bal_cents", "spend_cents", "c_custkey", n_bins=10
+        )

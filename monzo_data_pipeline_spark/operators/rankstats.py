@@ -221,3 +221,138 @@ def mann_whitney_u(
             ),
         ).alias("rank_biserial_ppm"),
     )
+
+
+def kendall_tau_binned(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Kendall tau-b over NTILE-BINNED variables — the bounded-grid
+    contract that makes Kendall feasible at scale: exact tau needs
+    concordant/discordant counts over all row pairs (O(n²) naive,
+    O(n log n) only via a sequential merge sort), but binning both
+    margins to ``n_bins`` deciles first bounds the pair accounting to
+    an n_bins² cell grid regardless of row count. One row out:
+    (n_rows, conc_pairs, disc_pairs, tau_b_ppm).
+
+    Binning = the tie-stable ``exact_ntile`` (value, key ordering —
+    rows with equal values may split across adjacent buckets exactly
+    as SQL ntile does; the oracle twin bins identically, so the split
+    is deterministic cross-engine). Cell pairs with ax<bx count once
+    per unordered pair; same-bx pairs are x-ties by construction and
+    enter tau-b's denominator corrections (n1/n2), not C/D.
+
+    ALL-integer until the single final IEEE expression
+    (C−D)·10⁶ / √((n0−n1)·(n0−n2)) — the spearman/HITS idiom. Plan:
+    two exact_ntile passes (broadcast cuts, no global window), one
+    ≤n_bins² cell agg, one broadcast cell self-join, one wide
+    aggregate. Degenerate margins (everything one bucket) → NULL."""
+    from .windows import exact_ntile
+
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & F.col("__k").isNotNull()
+    )
+    b = exact_ntile(base, n_bins, "__x", "__k", out_col="bx")
+    b = exact_ntile(b, n_bins, "__y", "__k", out_col="by")
+    cells = (
+        b.groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    try:
+        dec = "decimal(38,0)"
+        a = cells.select(
+            F.col("bx").alias("ax"),
+            F.col("by").alias("ay"),
+            F.col("n").cast(dec).alias("an"),
+        )
+        c = F.broadcast(
+            cells.select(
+                F.col("bx").alias("cx"),
+                F.col("by").alias("cy"),
+                F.col("n").cast(dec).alias("cn"),
+            )
+        )
+        cd = a.crossJoin(c).agg(
+            F.sum(
+                F.when(
+                    (F.col("ax") < F.col("cx"))
+                    & (F.col("ay") < F.col("cy")),
+                    F.col("an") * F.col("cn"),
+                ).otherwise(F.lit(0).cast(dec))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("ax") < F.col("cx"))
+                    & (F.col("ay") > F.col("cy")),
+                    F.col("an") * F.col("cn"),
+                ).otherwise(F.lit(0).cast(dec))
+            ).alias("disc"),
+        )
+        margx = (
+            cells.groupBy("bx")
+            .agg(F.sum("n").cast(dec).alias("t"))
+            .agg(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) / F.lit(2)
+                ).cast(dec).alias("n1"),
+                F.sum("t").cast(dec).alias("ntot"),
+            )
+        )
+        margy = (
+            cells.groupBy("by")
+            .agg(F.sum("n").cast(dec).alias("t"))
+            .agg(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) / F.lit(2)
+                ).cast(dec).alias("n2")
+            )
+        )
+        m = cd.crossJoin(F.broadcast(margx)).crossJoin(F.broadcast(margy))
+        out = m.select(
+            F.coalesce(F.col("ntot"), F.lit(0)).cast("long").alias(
+                "n_rows"
+            ),
+            F.coalesce(F.col("conc"), F.lit(0)).cast("long").alias(
+                "conc_pairs"
+            ),
+            F.coalesce(F.col("disc"), F.lit(0)).cast("long").alias(
+                "disc_pairs"
+            ),
+            # ntot·(ntot−1) is even, so /2 is exact in decimal — DIV
+            # would narrow to BIGINT and overflow first at lake scale
+            (
+                F.col("ntot") * (F.col("ntot") - F.lit(1)) / F.lit(2)
+            ).cast("decimal(38,0)").alias("__n0"),
+            F.col("n1").alias("__n1"),
+            F.col("n2").alias("__n2"),
+            (F.col("conc") - F.col("disc")).alias("__num"),
+        )
+        return out.select(
+            "n_rows",
+            "conc_pairs",
+            "disc_pairs",
+            F.when(
+                (F.col("__n0") - F.col("__n1") > 0)
+                & (F.col("__n0") - F.col("__n2") > 0),
+                F.floor(
+                    F.col("__num").cast("double")
+                    / F.sqrt(
+                        (F.col("__n0") - F.col("__n1")).cast("double")
+                        * (F.col("__n0") - F.col("__n2")).cast("double")
+                    )
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).alias("tau_b_ppm"),
+        )
+    finally:
+        cells.unpersist()

@@ -1098,3 +1098,100 @@ def test_km_randomized_vs_python_reference(spark):
     ev = _km_events(spark, user_days)
     r = BH.km_survival(ev).collect()[0]
     assert r.asDict() == _py_km(churn, cens)
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_binned
+
+
+def _py_ntile(rows, key, n):
+    """ntile(n) OVER (ORDER BY value, key): first N%n buckets one extra."""
+    order = sorted(range(len(rows)), key=key)
+    n_rows = len(rows)
+    base, extra = divmod(n_rows, n)
+    out = [0] * n_rows
+    pos = 0
+    for b in range(1, n + 1):
+        size = base + (1 if b <= extra else 0)
+        for _ in range(size):
+            if pos < n_rows:
+                out[order[pos]] = b
+                pos += 1
+    return out
+
+
+def _py_kendall_binned(pairs, n_bins=10):
+    import math
+
+    xs = [p[1] for p in pairs]
+    ys = [p[2] for p in pairs]
+    bx = _py_ntile(pairs, lambda i: (xs[i], pairs[i][0]), n_bins)
+    by = _py_ntile(pairs, lambda i: (ys[i], pairs[i][0]), n_bins)
+    n = len(pairs)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (bx[i] > bx[j]) - (bx[i] < bx[j])
+            dy = (by[i] > by[j]) - (by[i] < by[j])
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx != 0 and dy != 0:
+                if dx == dy:
+                    conc += 1
+                else:
+                    disc += 1
+    n0 = n * (n - 1) // 2
+    tau = None
+    if n0 - tx > 0 and n0 - ty > 0:
+        tau = math.floor(
+            float(conc - disc)
+            / math.sqrt(float(n0 - tx) * float(n0 - ty))
+            * 1_000_000.0
+        )
+    return n, conc, disc, tau
+
+
+def test_kendall_perfect_monotone_and_antitone(spark):
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    rows = [(i, i * 3, i * 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    r = RS.kendall_tau_binned(df, "x", "y", "k").collect()[0]
+    assert (r["n_rows"], r["tau_b_ppm"]) == (100, 1_000_000)
+    anti = spark.createDataFrame(
+        [(i, i, -i) for i in range(100)], "k long, x long, y long"
+    )
+    assert RS.kendall_tau_binned(anti, "x", "y", "k").collect()[0][
+        "tau_b_ppm"
+    ] == -1_000_000
+
+
+def test_kendall_empty_input(spark):
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    df = spark.createDataFrame(
+        [(1, 2, 3)], "k long, x long, y long"
+    ).filter("k < 0")
+    r = RS.kendall_tau_binned(df, "x", "y", "k").collect()[0]
+    assert (r["n_rows"], r["conc_pairs"], r["disc_pairs"], r["tau_b_ppm"]) \
+        == (0, 0, 0, None)
+
+
+def test_kendall_randomized_vs_bruteforce(spark):
+    import random
+
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    rng = random.Random(41)
+    rows = [
+        (i, rng.randint(-20, 20) * 5, rng.randint(0, 9) ** 2)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    r = RS.kendall_tau_binned(df, "x", "y", "k").collect()[0]
+    n, conc, disc, tau = _py_kendall_binned(rows)
+    assert (
+        r["n_rows"], r["conc_pairs"], r["disc_pairs"], r["tau_b_ppm"]
+    ) == (n, conc, disc, tau)

@@ -154,6 +154,7 @@ QUERY_SET = [
     "benford_first_digit",
     "tvd_source_drift",
     "churn_survival_km",
+    "kendall_tau_balance_spend",
 ]
 
 KEY_OFFSET = 100_000_000
