@@ -1358,3 +1358,59 @@ def register(_register) -> None:
         return RS.kendall_tau_binned(
             j, "bal_cents", "spend_cents", "c_custkey", n_bins=10
         )
+
+    @_register(
+        "hll_distinct_orders",
+        "C7/north-star (deterministic HyperLogLog: the estimate "
+        "itself is oracle-checked — engine-agnostic polynomial hash, "
+        "pure-integer trailing-zero registers, exact 2⁶⁴-scaled "
+        "harmonic sum, hardcoded alpha ppm; unlike "
+        "approx_count_distinct's engine-private HLL++ state — "
+        "operators/sketches.py::hll_deterministic)",
+        """
+        WITH k AS (
+            SELECT DISTINCT l_orderkey AS v FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+        ), h AS (
+            SELECT (((v % 2147483647) + 2147483647) % 2147483647
+                    * 2654435761 % 2147483647) * 2147483648
+                 + (((v % 2147483647) + 2147483647) % 2147483647
+                    * 40503 + 12345) % 2147483647 AS hh
+            FROM k
+        ), bw AS (
+            SELECT CAST(hh & 1023 AS INT) AS b,
+                   CAST(hh >> 10 AS BIGINT) AS w
+            FROM h
+        ), r AS (
+            SELECT b,
+                   MAX(CASE WHEN w > 0 THEN
+                         CAST(bit_count((w & -w) - 1) AS INT) + 1
+                       ELSE 53 END) AS reg
+            FROM bw GROUP BY 1
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS seen,
+                   -- widen BEFORE doubling: reg = 1 puts the shift at
+                   -- 2^62 and the *2 at exactly 2^63 — INT64 overflow
+                   SUM(CAST(CAST(1 AS BIGINT) << (63 - reg) AS HUGEINT)
+                       * 2) AS ssum
+            FROM r
+        )
+        SELECT CAST(1024 AS INT) AS m,
+               CAST(COALESCE(seen, 0) AS BIGINT) AS buckets_seen,
+               CASE WHEN seen > 0 THEN
+                 CAST(CAST(720539 AS HUGEINT) * 1024 * 1024
+                      * CAST(18446744073709551616 AS HUGEINT)
+                      // ((ssum + (1024 - seen)
+                           * CAST(18446744073709551616 AS HUGEINT))
+                          * 1000000) AS BIGINT)
+               END AS est_distinct
+        FROM s
+        """,
+    )
+    def q_hll_distinct_orders(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import sketches as SK
+
+        li = load_table(spark, sf_dir, "lineitem")
+        return SK.hll_deterministic(li, "l_orderkey")

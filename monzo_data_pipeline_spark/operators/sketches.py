@@ -178,3 +178,100 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+# --- deterministic HyperLogLog (oracle-checkable) ---------------------------
+
+_HLL_MOD = 2_147_483_647
+# alpha_1024 = 0.7213 / (1 + 1.079/1024), floor'd to ppm — a HARDCODED
+# literal shared with the oracle twin (computing it would put a libm
+# division result into a hash-checked output)
+_HLL_ALPHA_PPM_M1024 = 720_539
+
+
+def hll_deterministic(
+    df: DataFrame, key_col: str, m: int = 1024
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate that is BIT-IDENTICAL across
+    engines — unlike approx_count_distinct (whose xxhash64/HLL++ state
+    is a Spark implementation detail), every step here is exact
+    integer arithmetic on the engine-agnostic polynomial hash family,
+    so the ESTIMATE itself carries a DuckDB oracle twin: approximate
+    in accuracy, deterministic in value.
+
+    Construction (Flajolet et al. 2007, raw estimator):
+      * h = 62-bit two-base hash of the integer key (the _poly_hash62
+        family: (x·2654435761 mod 2³¹−1)·2³¹ + (x·40503+12345 mod
+        2³¹−1));
+      * bucket = h & (m−1), payload w = h >> log2(m) — pure shifts,
+        h is non-negative;
+      * rho = trailing-zeros(w) + 1 via the pure-integer identity
+        bit_count((w & −w) − 1) + 1 — no log2, no libm (P(rho ≥ k) =
+        2^−(k−1), the HLL geometric); w = 0 → the max register 53;
+      * register_b = max rho per bucket (one m-key groupBy — the
+        sketch state is mergeable by construction: max commutes);
+      * harmonic sum EXACTLY: Z⁻¹ = Σ_b 2^(−reg_b), scaled by 2⁶⁴ →
+        S = Σ_seen shiftleft(1, 63−reg)·2 + (m − seen)·2⁶⁴, all in
+        DECIMAL(38,0) (63−reg ≤ 62 keeps the shift inside int64);
+      * estimate = α_m·m²·2⁶⁴ DIV (S·10⁶) — all integer, one floor;
+        α_m is a hardcoded ppm literal shared with the oracle.
+
+    Raw estimator only (no small/large-range corrections — they need
+    libm ln; for n ≳ 2.5·m the raw estimate IS the standard one, and
+    the registry query counts a domain far above that). Error ~
+    1.04/√m ≈ 3.3% at m=1024. Output: (m, buckets_seen, est_distinct).
+    Plan: one map-side hash projection + one m-key partial-agg'd
+    groupBy + one m-row aggregate — the fact table is touched once,
+    and the m-register state is exactly what an incremental/streaming
+    variant would checkpoint."""
+    if m != 1024:
+        raise ValueError("alpha constant is hardcoded for m=1024")
+    shift = 10  # log2(m)
+    x = F.pmod(F.col(key_col).cast("long"), F.lit(_HLL_MOD))
+    h = (x * F.lit(2_654_435_761) % F.lit(_HLL_MOD)) * F.lit(
+        2_147_483_648
+    ) + (x * F.lit(40_503) + F.lit(12_345)) % F.lit(_HLL_MOD)
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
+        h.bitwiseAND(F.lit(m - 1)).cast("int").alias("__b"),
+        F.shiftright(h, shift).alias("__w"),
+    )
+    regs = (
+        hashed.withColumn(
+            "__rho",
+            F.when(
+                F.col("__w") > 0,
+                F.bit_count(
+                    F.col("__w").bitwiseAND(-F.col("__w")) - F.lit(1)
+                )
+                + F.lit(1),
+            )
+            .otherwise(F.lit(53))
+            .cast("int"),
+        )
+        .groupBy("__b")
+        .agg(F.max("__rho").alias("reg"))
+    )
+    dec = "decimal(38,0)"
+    s = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("seen"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 63 - reg)")
+            .cast(dec)
+            * F.lit(2)
+        ).alias("__ssum"),
+    )
+    return s.select(
+        F.lit(m).cast("int").alias("m"),
+        F.coalesce(F.col("seen"), F.lit(0)).alias("buckets_seen"),
+        F.when(
+            F.col("seen") > 0,
+            F.expr(
+                f"CAST(CAST({_HLL_ALPHA_PPM_M1024} AS DECIMAL(38,0))"
+                f" * {m} * {m}"
+                f" * CAST(18446744073709551616 AS DECIMAL(38,0))"
+                f" DIV ((`__ssum` + ({m} - seen)"
+                f" * CAST(18446744073709551616 AS DECIMAL(38,0)))"
+                f" * 1000000) AS BIGINT)"
+            ),
+        ).alias("est_distinct"),
+    )

@@ -86,3 +86,69 @@ def test_approx_registry_entries_run(spark, sf_dir):
     q = queries()
     assert q["equi_depth_histogram_approx"](spark, sf_dir).count() > 0
     assert q["mad_robust_outliers_approx"](spark, sf_dir).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# hll_deterministic (r5): oracle-checkable HyperLogLog
+
+
+def test_hll_accuracy_and_duplicate_insensitivity(spark):
+    from monzo_data_pipeline_spark.operators import sketches as SK
+
+    n = 40_000
+    df = spark.createDataFrame(
+        [(i * 7 + 13,) for i in range(n)], "k long"
+    )
+    r = SK.hll_deterministic(df, "k").collect()[0]
+    # raw estimator, m=1024: ~1.04/sqrt(m) = 3.3% typical error;
+    # allow 4 sigma
+    assert abs(r["est_distinct"] - n) / n < 0.13
+    # duplicating every row must not move the estimate at all
+    dup = df.union(df).union(df)
+    r2 = SK.hll_deterministic(dup, "k").collect()[0]
+    assert r2["est_distinct"] == r["est_distinct"]
+    assert r2["buckets_seen"] == r["buckets_seen"]
+
+
+def test_hll_partition_invariance_and_empty(spark):
+    from monzo_data_pipeline_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [(i * 31 + 5,) for i in range(15_000)], "k long"
+    )
+    a = SK.hll_deterministic(df, "k").collect()[0]
+    b = SK.hll_deterministic(df.repartition(17), "k").collect()[0]
+    assert a.asDict() == b.asDict()
+    empty = SK.hll_deterministic(df.filter("k < 0"), "k").collect()[0]
+    assert (empty["buckets_seen"], empty["est_distinct"]) == (0, None)
+
+
+def test_hll_negative_keys_and_python_mirror(spark):
+    """Pin the full construction against a bit-exact python mirror —
+    the same check the oracle runs, but with negative ids exercising
+    the pmod path."""
+    import random
+
+    from monzo_data_pipeline_spark.operators import sketches as SK
+
+    rng = random.Random(53)
+    keys = [rng.randint(-10**9, 10**9) for _ in range(5000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = SK.hll_deterministic(df, "k").collect()[0]
+    M = 2_147_483_647
+    regs = {}
+    for v in set(keys):
+        x = v % M  # python % is already non-negative for positive M
+        h = (x * 2_654_435_761 % M) * 2_147_483_648 + (
+            x * 40_503 + 12_345
+        ) % M
+        b, w = h & 1023, h >> 10
+        rho = (((w & -w) - 1).bit_count() + 1) if w > 0 else 53
+        regs[b] = max(regs.get(b, 0), rho)
+    seen = len(regs)
+    ssum = sum((1 << (63 - r)) * 2 for r in regs.values())
+    est = (720_539 * 1024 * 1024 * (1 << 64)) // (
+        (ssum + (1024 - seen) * (1 << 64)) * 1_000_000
+    )
+    assert got["buckets_seen"] == seen
+    assert got["est_distinct"] == est

@@ -155,6 +155,7 @@ QUERY_SET = [
     "tvd_source_drift",
     "churn_survival_km",
     "kendall_tau_balance_spend",
+    "hll_distinct_orders",
 ]
 
 KEY_OFFSET = 100_000_000
