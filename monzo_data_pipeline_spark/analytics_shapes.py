@@ -1414,3 +1414,128 @@ def register(_register) -> None:
 
         li = load_table(spark, sf_dir, "lineitem")
         return SK.hll_deterministic(li, "l_orderkey")
+
+    # the Welch variance/SE expressions, written ONCE and shared between
+    # nothing else — the Spark side (operators/rankstats.py) spells the
+    # identical cast/divide sequence so both engines walk the same IEEE
+    # path (the HITS idiom)
+    _wva = (
+        "(CAST(saa AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        " / CAST(n_a - 1 AS DOUBLE)"
+    )
+    _wvb = (
+        "(CAST(sbb AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / CAST(n_b - 1 AS DOUBLE)"
+    )
+    _wse2 = f"({_wva} / CAST(n_a AS DOUBLE) + {_wvb} / CAST(n_b AS DOUBLE))"
+    _wmd = (
+        "(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    )
+
+    @_register(
+        "welch_urgent_orders",
+        "north-star (Welch's unequal-variance t between 1-URGENT "
+        "orders and the rest — the parametric companion to "
+        "mannwhitney_urgent_orders; exact DECIMAL moments from one "
+        "conditional-agg scan, fixed-order IEEE t — "
+        "operators/rankstats.py::welch_t_test)",
+        f"""
+        WITH b AS (
+            SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+                   (o_orderpriority = '1-URGENT') AS ga
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_orderpriority IS NOT NULL
+        ), m AS (
+            SELECT CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_a,
+                   CAST(SUM(CASE WHEN NOT ga THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   SUM(CASE WHEN ga THEN CAST(x AS HUGEINT)
+                       ELSE 0 END) AS sa,
+                   SUM(CASE WHEN NOT ga THEN CAST(x AS HUGEINT)
+                       ELSE 0 END) AS sb,
+                   SUM(CASE WHEN ga THEN CAST(x AS HUGEINT) * x
+                       ELSE 0 END) AS saa,
+                   SUM(CASE WHEN NOT ga THEN CAST(x AS HUGEINT) * x
+                       ELSE 0 END) AS sbb
+            FROM b
+        )
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 THEN
+                 CAST(sa // n_a AS BIGINT) END AS mean_a_cents,
+               CASE WHEN n_b > 0 THEN
+                 CAST(sb // n_b AS BIGINT) END AS mean_b_cents,
+               CASE WHEN n_a > 1 AND n_b > 1 AND {_wse2} > 0 THEN
+                 CAST(FLOOR({_wmd} / SQRT({_wse2}) * 1000000.0)
+                      AS BIGINT)
+               END AS t_ppm
+        FROM m
+        """,
+    )
+    def q_welch_urgent_orders(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import fin as FIN
+        from .operators import rankstats as RS
+
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        df = orders.select(
+            FIN._cents("o_totalprice").alias("price_cents"),
+            "o_orderpriority",
+        )
+        return RS.welch_t_test(
+            df, "price_cents", "o_orderpriority", "1-URGENT"
+        )
+
+    @_register(
+        "weighted_price_percentiles",
+        "north-star/C7 (exact QUANTITY-weighted price percentiles — "
+        "the exposure view: the price the median UNIT sells at, not "
+        "the median order; count-below primitive with weights as "
+        "multiplicity, answer = MIN over qualifying distinct values, "
+        "zero order-dependent arithmetic — "
+        "operators/rankstats.py::weighted_percentiles)",
+        """
+        WITH v AS (
+            SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS x,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        ), pc AS (
+            SELECT x, CAST(SUM(w) AS BIGINT) AS c FROM v GROUP BY 1
+        ), r AS (
+            SELECT x, CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS cum
+            FROM pc
+        ), t AS (
+            SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tw,
+                   CAST(COUNT(*) AS BIGINT) AS nv
+            FROM pc
+        )
+        SELECT tw AS total_weight, nv AS n_values,
+               (SELECT MIN(x) FROM r, t WHERE cum * 100 >= 50 * tw)
+                 AS p50_weighted,
+               (SELECT MIN(x) FROM r, t WHERE cum * 100 >= 90 * tw)
+                 AS p90_weighted
+        FROM t
+        """,
+    )
+    def q_weighted_price_percentiles(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import fin as FIN
+        from .operators import rankstats as RS
+
+        li = load_table(spark, sf_dir, "lineitem")
+        df = li.select(
+            FIN._cents("l_extendedprice").alias("price_cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        return RS.weighted_percentiles(df, "price_cents", "qty")

@@ -356,3 +356,133 @@ def kendall_tau_binned(
         )
     finally:
         cells.unpersist()
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+) -> DataFrame:
+    """Welch's unequal-variance t statistic between group A
+    (``group_col == group_a``) and everything else — the parametric
+    companion to ``mann_whitney_u``. One row out: (n_a, n_b,
+    mean_a_cents, mean_b_cents, t_ppm).
+
+    Moments are exact DECIMAL(38,0) sums from ONE conditional-agg
+    scan; means land as floor'd integers (exact DIV); the t statistic
+    is a FIXED-ORDER IEEE expression over the exact integers —
+    m = s/n, v = (ss − s·s/n)/(n−1), t = (m_a − m_b)/√(v_a/n_a +
+    v_b/n_b) — with every cast/divide in the same sequence as the
+    DuckDB twin, so even the cancellation-amplified cases produce the
+    identical double before the floor (the HITS idiom). Degenerate
+    inputs (either group with < 2 rows, or both variances zero) →
+    NULL t_ppm. No shuffle beyond one partial-agg'd global aggregate."""
+    base = df.select(
+        F.col(value_col).cast("long").alias("__x"),
+        (F.col(group_col) == F.lit(group_a)).alias("__ga"),
+    ).filter(F.col("__x").isNotNull() & F.col("__ga").isNotNull())
+    dx = _dec(F.col("__x"))
+    m = base.agg(
+        F.sum(F.when(F.col("__ga"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("__ga"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__ga"), dx).otherwise(F.lit(0).cast(
+            "decimal(38,0)"))).alias("sa"),
+        F.sum(F.when(~F.col("__ga"), dx).otherwise(F.lit(0).cast(
+            "decimal(38,0)"))).alias("sb"),
+        F.sum(F.when(F.col("__ga"), dx * dx).otherwise(F.lit(0).cast(
+            "decimal(38,0)"))).alias("saa"),
+        F.sum(F.when(~F.col("__ga"), dx * dx).otherwise(F.lit(0).cast(
+            "decimal(38,0)"))).alias("sbb"),
+    )
+    va = (
+        "(CAST(saa AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        " / CAST(n_a - 1 AS DOUBLE)"
+    )
+    vb = (
+        "(CAST(sbb AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / CAST(n_b - 1 AS DOUBLE)"
+    )
+    se2 = f"({va} / CAST(n_a AS DOUBLE) + {vb} / CAST(n_b AS DOUBLE))"
+    md = (
+        "(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.when(
+            F.col("n_a") > 0, F.expr("CAST(sa DIV n_a AS BIGINT)")
+        ).alias("mean_a_cents"),
+        F.when(
+            F.col("n_b") > 0, F.expr("CAST(sb DIV n_b AS BIGINT)")
+        ).alias("mean_b_cents"),
+        F.when(
+            (F.col("n_a") > 1)
+            & (F.col("n_b") > 1)
+            & (F.expr(se2) > 0),
+            F.expr(
+                f"CAST(FLOOR({md} / SQRT({se2}) * 1000000.0) AS BIGINT)"
+            ),
+        ).alias("t_ppm"),
+    )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    quantiles_pct: tuple[int, ...] = (50, 90),
+) -> DataFrame:
+    """Exact weighted percentiles (lower weighted quantile: the
+    smallest value whose cumulative weight reaches q·W) WITHOUT a
+    global sort — the count-below primitive with weights as the
+    multiplicity column. "What price does the median UNIT sell at"
+    (quantity-weighted) differs from the median ORDER price whenever
+    big orders skew cheap — the weighted quantile is the inventory /
+    exposure view.
+
+    One row out: (total_weight, n_values, p{q}_weighted...). ALL
+    integer: the defining inequality cum·100 ≥ q·W is exact, and the
+    answer per quantile is a MIN over qualifying distinct values —
+    no order-dependent arithmetic at all. Plan: one value-grain agg,
+    the shared bucket-offset attach (partitioned window), one filter +
+    min aggregate per quantile over the distinct table. Nonpositive
+    weights are excluded (a zero/negative weight is an upstream bug,
+    not a sample). Empty input → 0s and NULLs."""
+    base = df.select(
+        F.col(value_col).cast("long").alias("__x"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).filter(
+        F.col("__x").isNotNull() & (F.col("__w") > 0)
+    )
+    pc = base.groupBy("__x").agg(F.sum("__w").cast("long").alias("__c"))
+    r, total = attach_count_below(pc)
+    cum = F.col("__r") + F.col("__c")  # cumulative weight through __x
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    ]
+    for q in quantiles_pct:
+        # both sides as LONG: q·W on int32 literals overflows as soon
+        # as total weight crosses 2³¹/q (~24M units at q=90)
+        aggs.append(
+            F.min(
+                F.when(
+                    cum * F.lit(100).cast("long")
+                    >= F.lit(q).cast("long") * F.lit(total).cast("long"),
+                    F.col("__x"),
+                )
+            ).alias(f"p{q}_weighted")
+        )
+    out = r.agg(*aggs)
+    return out.select(
+        F.lit(total).cast("long").alias("total_weight"),
+        "n_values",
+        *[f"p{q}_weighted" for q in quantiles_pct],
+    )

@@ -1195,3 +1195,105 @@ def test_kendall_randomized_vs_bruteforce(spark):
     assert (
         r["n_rows"], r["conc_pairs"], r["disc_pairs"], r["tau_b_ppm"]
     ) == (n, conc, disc, tau)
+
+
+# ---------------------------------------------------------------------------
+# welch_t_test / weighted_percentiles
+
+
+def test_welch_known_values_and_guards(spark):
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    # A = [10, 14] (mean 12, var 8), B = [1, 3] (mean 2, var 2)
+    # t = 10 / sqrt(8/2 + 2/2) = 10/sqrt(5)
+    import math
+
+    df = spark.createDataFrame(
+        [(10, "a"), (14, "a"), (1, "b"), (3, "b")], "v long, g string"
+    )
+    r = RS.welch_t_test(df, "v", "g", "a").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["mean_a_cents"], r["mean_b_cents"]) == (12, 2)
+    exp = math.floor(
+        (12.0 - 2.0) / math.sqrt(8.0 / 2.0 + 2.0 / 2.0) * 1_000_000.0
+    )
+    assert r["t_ppm"] == exp
+    # singleton group -> variance undefined -> NULL
+    df2 = spark.createDataFrame(
+        [(10, "a"), (1, "b"), (3, "b")], "v long, g string"
+    )
+    assert RS.welch_t_test(df2, "v", "g", "a").collect()[0][
+        "t_ppm"
+    ] is None
+    # zero variance in both -> SE 0 -> NULL
+    df3 = spark.createDataFrame(
+        [(5, "a"), (5, "a"), (5, "b"), (5, "b")], "v long, g string"
+    )
+    assert RS.welch_t_test(df3, "v", "g", "a").collect()[0][
+        "t_ppm"
+    ] is None
+
+
+def test_welch_randomized_vs_python_mirror(spark):
+    import math
+    import random
+
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    rng = random.Random(83)
+    rows = [
+        (rng.randint(0, 10_000), "a" if rng.random() < 0.4 else "b")
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "v long, g string")
+    r = RS.welch_t_test(df, "v", "g", "a").collect()[0]
+    a = [v for v, g in rows if g == "a"]
+    b = [v for v, g in rows if g == "b"]
+    na, nb = len(a), len(b)
+    sa, sb = sum(a), sum(b)
+    saa = sum(v * v for v in a)
+    sbb = sum(v * v for v in b)
+    # mirror the engine's IEEE order exactly
+    va = (float(saa) - float(sa) * float(sa) / float(na)) / float(na - 1)
+    vb = (float(sbb) - float(sb) * float(sb) / float(nb)) / float(nb - 1)
+    se2 = va / float(na) + vb / float(nb)
+    md = float(sa) / float(na) - float(sb) / float(nb)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["mean_a_cents"] == sa // na
+    assert r["t_ppm"] == math.floor(md / math.sqrt(se2) * 1_000_000.0)
+
+
+def test_weighted_percentiles_known_and_vs_bruteforce(spark):
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    # values 1..4 with weights 1,1,1,7: median unit is 4 (cum 3 < 5),
+    # p90 also 4
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 7)], "v long, w long"
+    )
+    r = RS.weighted_percentiles(df, "v", "w").collect()[0]
+    assert (r["total_weight"], r["n_values"]) == (10, 4)
+    assert (r["p50_weighted"], r["p90_weighted"]) == (4, 4)
+    # nonpositive weights excluded
+    df2 = spark.createDataFrame(
+        [(100, 0), (200, -5), (7, 3)], "v long, w long"
+    )
+    r2 = RS.weighted_percentiles(df2, "v", "w").collect()[0]
+    assert (r2["total_weight"], r2["p50_weighted"]) == (3, 7)
+    # randomized vs expanded-list brute force
+    import random
+
+    rng = random.Random(97)
+    rows = [
+        (rng.randint(-50, 50), rng.randint(1, 9)) for _ in range(1500)
+    ]
+    dfr = spark.createDataFrame(rows, "v long, w long")
+    rr = RS.weighted_percentiles(dfr, "v", "w").collect()[0]
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    W = len(expanded)
+    for q, col in ((50, "p50_weighted"), (90, "p90_weighted")):
+        # smallest value with cum*100 >= q*W == element at index
+        # ceil(q*W/100) - 1 of the expanded sorted list
+        idx = -(-q * W // 100) - 1
+        assert rr[col] == expanded[idx]
+    assert rr["total_weight"] == W

@@ -156,6 +156,8 @@ QUERY_SET = [
     "churn_survival_km",
     "kendall_tau_balance_spend",
     "hll_distinct_orders",
+    "welch_urgent_orders",
+    "weighted_price_percentiles",
 ]
 
 KEY_OFFSET = 100_000_000
