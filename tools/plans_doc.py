@@ -78,6 +78,17 @@ SHOW = {
     "chi_square_lang_source": "chi-square — three partial-agg passes share the scan; L×S cross is broadcast×broadcast",
     "pii_pattern_screen": "PII scan — map-side regexp_count into a 1-row wide agg per surface; explode unpivot cluster-side",
     "hits_customer_supplier": "HITS — per half-round: broadcast scores ⋈ cached edges map-side, one node-count groupBy; 1-row max broadcast normalizer",
+    # round 5, second batch
+    "spearman_balance_spend": "Spearman — two value-grain rank maps (exponent-bucket offsets, PARTITIONED windows), two equi-joins back, one wide DECIMAL agg; no global sort",
+    "mannwhitney_urgent_orders": "Mann-Whitney — one value-grain conditional agg + the shared count-below attach; all-integer to the output",
+    "kendall_tau_balance_spend": "Kendall tau-b — two exact_ntile passes (broadcast cuts), ≤100-row cell grid, broadcast cell self-join; pair math never touches rows",
+    "churn_survival_km": "KM survival — user-grain agg, duration-grain agg (calendar-bounded), ONE single-row fold; no Spark-side window",
+    "benford_first_digit": "Benford — map-side digit projection, 9-key agg, spine+total broadcast; fact scanned once",
+    "tvd_source_drift": "TVD drift — one (word) partial-agg'd shuffle, 1-row totals broadcast, one wide DECIMAL agg",
+    "hll_distinct_orders": "deterministic HLL — map-side hash/shift projection, m-key partial-agg'd groupBy, m-row final agg; estimate all-integer",
+    "welch_urgent_orders": "Welch t — ONE conditional-agg scan; the t expression is driver-free scalar algebra on the agg row",
+    "weighted_price_percentiles": "weighted percentiles — value-grain agg + count-below attach; answers are MINs over the distinct table, no global sort",
+    "doc_fingerprints": "portable fingerprint — pure map-side two-base char fold; zero exchanges before the driver fetch",
 }
 
 MARKERS = (
