@@ -584,6 +584,21 @@ ANALYTICS_QUERIES = [
     "gini_spend_concentration",
     "cusum_daily_events",
     "triangle_count_copurchase",
+    # r5 second batch — graph reach/mixing, conversion timing, rank
+    # statistics, survival, drift/quality screens, deterministic HLL
+    "bfs_copurchase_reach",
+    "assortativity_copurchase",
+    "conversion_latency",
+    "spearman_balance_spend",
+    "mannwhitney_urgent_orders",
+    "welch_urgent_orders",
+    "kendall_tau_balance_spend",
+    "benford_first_digit",
+    "tvd_source_drift",
+    "churn_survival_km",
+    "hll_distinct_orders",
+    "weighted_price_percentiles",
+    "doc_fingerprints",
 ]
 
 
