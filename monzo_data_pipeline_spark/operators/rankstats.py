@@ -1,13 +1,16 @@
-"""Rank statistics without a global sort: Spearman correlation and the
-Mann-Whitney U test, built on the distinct-value-grain ranking idiom
+"""Statistical screens without a global sort: Spearman correlation,
+the Mann-Whitney U test, binned Kendall tau-b, Welch's t, and exact
+weighted percentiles — built on the distinct-value-grain ranking idiom
 proven by gini_concentration (operators/fin.py).
 
 North-star analytics surface with no reference analog (the reference's
-single analytic output is one GROUP BY月 aggregate,
+single analytic output is one monthly GROUP BY aggregate,
 /root/reference/src/sql/create_gold_layer.sql) — these are the
-standard nonparametric screens a spend warehouse runs: "is account
-balance associated with realized spend" (Spearman) and "do two
-segments draw from the same price distribution" (Mann-Whitney).
+standard association / two-sample / quantile screens a spend warehouse
+runs: "is account balance associated with realized spend"
+(Spearman/Kendall), "do two segments draw from the same price
+distribution" (Mann-Whitney/Welch), "what price does the median UNIT
+sell at" (weighted percentiles).
 
 Scale posture (the exact_ntile / gini lesson): ranks NEVER come from a
 global-order window. Average ranks depend only on each distinct
