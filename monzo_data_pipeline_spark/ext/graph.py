@@ -330,6 +330,15 @@ def bfs_hops(
     e = edges.select(
         F.col(src_col).alias("__es"), F.col(dst_col).alias("__ed")
     ).filter(F.col("__es").isNotNull() & F.col("__ed").isNotNull())
+    # persist + EAGER per-round checkpoints (the pagerank idiom):
+    # with lazy checkpoints the un-persisted edge subtree re-executes
+    # inside every round's materialization — the (expensive) edge
+    # BUILD ran once per round instead of once per query (measured 2×
+    # on bfs_copurchase_reach, whose support-2 pair-generation join
+    # dominates). After the last eager checkpoint the returned dist no
+    # longer references e, so it unpersists safely before return.
+    if checkpoint:
+        e = e.persist()
     for r in range(1, max_hops + 1):
         frontier = dist.filter(F.col("__d") == r - 1).select("__n")
         nxt = (
@@ -343,7 +352,9 @@ def bfs_hops(
             .agg(F.min("__d").alias("__d"))
         )
         if checkpoint:
-            dist = dist.localCheckpoint(eager=False)
+            dist = dist.localCheckpoint(eager=True)
+    if checkpoint:
+        e.unpersist()
     return dist.select(
         F.col("__n").alias(node_col), F.col("__d").alias("hops")
     )
