@@ -1539,3 +1539,32 @@ def register(_register) -> None:
             F.col("l_quantity").cast("long").alias("qty"),
         )
         return RS.weighted_percentiles(df, "price_cents", "qty")
+
+    from .registry import _MEDIA_CODES_CTE
+
+    @_register(
+        "jpeg_progressive_decode_stats",
+        "C5/north-star (REAL progressive JPEG — SOF2 with spectral "
+        "selection AND successive approximation: DC first/refine, "
+        "banded AC first/refine with EOBRUN, T.81 G.2 — decoded by "
+        "the same numpy codec, ext/jpeg.py; constant-block streams "
+        "reconstruct bit-exact, so the oracle recomputes every pixel "
+        "sum from the character-cycling rule exactly as the baseline "
+        "jpeg_decode_stats twin does)",
+        f"""{_MEDIA_CODES_CTE}
+        SELECT media_id, TRUE AS valid, 16 AS width, 16 AS height,
+               1 AS channels, CAST(256 AS BIGINT) AS n_pixels,
+               CAST(64 * (codes[(0 % L) + 1] + codes[(1 % L) + 1]
+                          + codes[(2 % L) + 1] + codes[(3 % L) + 1])
+                    AS BIGINT) AS pix_sum
+        FROM s ORDER BY media_id
+        """,
+    )
+    def q_jpeg_progressive_decode_stats(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .ext import images as IMG
+        from .ext.jpeg import documents_as_jpegs
+
+        docs = load_table(spark, sf_dir, "documents")
+        return IMG.image_stats(documents_as_jpegs(docs, progressive=True))

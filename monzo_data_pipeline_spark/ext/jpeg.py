@@ -1,13 +1,24 @@
-"""Baseline-sequential JPEG (JFIF) codec — numpy + stdlib only.
+"""JPEG (JFIF) codec — numpy + stdlib only.
 
 Closes the one remaining `NotImplementedError` in the media family
-(SURVEY.md §2.C5): entropy-coded JPEG. Scope is ITU-T T.81 baseline
-sequential DCT, 8-bit, Huffman coding, 1-component grayscale or
-3-component YCbCr without chroma subsampling (4:4:4); restart
-intervals (DRI/RSTn), 0xFF fill bytes, and baseline multi-scan
-layouts (one non-interleaved SOS per component) are honored. Progressive (SOF2), arithmetic
-coding, 12-bit precision, and subsampled chroma raise ValueError so
-callers quarantine rather than mis-decode.
+(SURVEY.md §2.C5): entropy-coded JPEG. Scope is ITU-T T.81 DCT,
+8-bit, Huffman coding, 1-component grayscale or 3-component YCbCr
+without chroma subsampling (4:4:4), in BOTH frame types:
+
+  * baseline sequential (SOF0/1) — restart intervals (DRI/RSTn),
+    0xFF fill bytes, and multi-scan layouts (one non-interleaved SOS
+    per component) honored;
+  * progressive (SOF2, r5) — spectral selection AND successive
+    approximation: DC first/refine scans, AC band scans with EOBRUN
+    end-of-band runs, AC refinement with per-position correction
+    bits (T.81 G.2 / the libjpeg control flow); encoder
+    `encode_jpeg_progressive` emits the same scan scripts so the
+    decoder is gated by cross-path equality against the baseline
+    codec (identical quantized coefficients ⇒ identical pixels).
+
+Arithmetic coding, 12-bit precision, hierarchical frames, and
+subsampled chroma raise ValueError so callers quarantine rather than
+mis-decode.
 
 Both directions are implemented so the codec can gate itself:
 `decode_jpeg(encode_jpeg(x))` with an all-ones quantization table is
@@ -72,6 +83,20 @@ _STD_AC_VALS = [
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+
+# Progressive AC scans need EOBn symbols (r<<4 for r=1..14) that the
+# Annex-K baseline table does not define. A flat 8-bit canonical table
+# over every symbol a progressive AC scan can emit (EOB0..EOB14, ZRL,
+# all (run, size) pairs with size 1..10) is legal DHT (Kraft: 176/256)
+# and keeps the encoder deterministic — compression is not the point.
+_PROG_AC_VALS = sorted(
+    {r << 4 for r in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[7] = len(_PROG_AC_VALS)  # all codes 8 bits long
 
 
 def _dct_matrix() -> np.ndarray:
@@ -365,10 +390,11 @@ def encode_jpeg(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline-sequential JPEG to (h, w, 1) grayscale or
-    (h, w, 3) RGB uint8. Raises ValueError on progressive/arithmetic/
-    12-bit/subsampled streams and on malformed or truncated data —
-    callers quarantine, not crash."""
+    """Decode baseline-sequential (SOF0/1) or progressive-Huffman
+    (SOF2, r5) JPEG to (h, w, 1) grayscale or (h, w, 3) RGB uint8.
+    Raises ValueError on arithmetic/12-bit/hierarchical/subsampled
+    streams and on malformed or truncated data — callers quarantine,
+    not crash."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -377,6 +403,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (h, w, [(cid, tq)])
     restart_interval = 0
     decoded: dict[int, np.ndarray] = {}  # cid → padded plane
+    prog_coef: dict[int, np.ndarray] | None = None  # cid → (blocks, 64) zigzag
     while True:
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG header")
@@ -423,7 +450,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("short DHT")
                 htables[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if len(body) < 6:
                 raise ValueError("short SOF segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -438,8 +465,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("subsampled chroma unsupported (4:4:4 only)")
                 comps.append((cid, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline-sequential JPEG supported")
+            if marker == 0xC2:
+                bh, bw = -(-h // 8), -(-w // 8)
+                prog_coef = {
+                    cid: np.zeros((bh * bw, 64), dtype=np.int64)
+                    for cid, _ in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline-sequential and progressive-Huffman "
+                "JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("short DRI segment")
@@ -447,13 +483,36 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — one of possibly several scans
             if frame is None:
                 raise ValueError("SOS before SOF")
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
                 raise ValueError("short SOS segment")
             ns = body[0]
             scan_tables = {}
+            scan_order = []
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
                 scan_tables[cid] = (tt >> 4, tt & 0x0F)
+                scan_order.append(cid)
+            if prog_coef is not None:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if restart_interval:
+                    raise ValueError(
+                        "restart intervals in progressive scans unsupported"
+                    )
+                pos = _decode_scan_progressive(
+                    payload,
+                    pos + 2 + ln,
+                    frame,
+                    scan_order,
+                    scan_tables,
+                    htables,
+                    prog_coef,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0x0F,
+                )
+                continue
             pos = _decode_scan(
                 payload,
                 pos + 2 + ln,
@@ -468,6 +527,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # APPn / COM / anything else with a length: skip
         pos = pos + 2 + ln
 
+    if prog_coef is not None:
+        # all scans accumulated coefficient state; dequantize + IDCT once
+        h, w, comps = frame
+        bh, bw = -(-h // 8), -(-w // 8)
+        for cid, tq in comps:
+            if tq not in qtables:
+                raise ValueError("missing quantization table")
+            zz = prog_coef[cid]
+            nat = np.zeros((zz.shape[0], 64), dtype=np.int64)
+            nat[:, ZIGZAG] = zz
+            blocks = nat.reshape(-1, 8, 8) * qtables[tq][None, :, :]
+            # f = Mᵀ·F·M, batched (the baseline per-block `mt @ F @ M`)
+            pix = (
+                np.einsum(
+                    "ux,buv,vy->bxy",
+                    _DCT_M,
+                    blocks.astype(np.float64),
+                    _DCT_M,
+                )
+                + 128.0
+            )
+            plane = (
+                pix.reshape(bh, bw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)
+            )
+            decoded[cid] = plane
     if frame is None or not decoded:
         raise ValueError("JPEG with no scan data")
     h, w, comps = frame
@@ -564,11 +650,14 @@ def _read_symbol(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
 # ---------------------------------------------------------------------------
 
 
-def documents_as_jpegs(docs):
-    """(doc_id, text) → (media_id, payload): a 16×16 grayscale
-    baseline JPEG whose four 8×8 blocks are constants taken from the
-    doc's first four printable-ASCII codes (cycled; space if none) —
-    the same cleaning rule as `images.documents_as_images`. Arrow-
+def documents_as_jpegs(docs, progressive: bool = False):
+    """(doc_id, text) → (media_id, payload): a 16×16 grayscale JPEG
+    whose four 8×8 blocks are constants taken from the doc's first
+    four printable-ASCII codes (cycled; space if none) — the same
+    cleaning rule as `images.documents_as_images`. ``progressive``
+    emits SOF2 streams (DC first/refine + banded AC first/refine
+    scans) instead of baseline; the quantized coefficients are
+    identical either way, so both variants share one oracle. Arrow-
     batched mapInPandas; encode is pure numpy."""
     import re
 
@@ -589,7 +678,12 @@ def documents_as_jpegs(docs):
 
         if pkg_root not in sys.path:  # raw-session workers
             sys.path.insert(0, pkg_root)
-        from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg
+        from monzo_data_pipeline_spark.ext.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        enc = encode_jpeg_progressive if progressive else encode_jpeg
 
         def synth(text):
             clean = re.sub(r"[^\x20-\x7e]", "", text or "") or " "
@@ -597,7 +691,7 @@ def documents_as_jpegs(docs):
             for k in range(4):
                 v = ord(clean[k % len(clean)])
                 arr[(k // 2) * 8 : (k // 2) * 8 + 8, (k % 2) * 8 : (k % 2) * 8 + 8] = v
-            return encode_jpeg(arr)
+            return enc(arr)
 
         for pdf in it:
             yield pd.DataFrame(
@@ -608,3 +702,398 @@ def documents_as_jpegs(docs):
             )
 
     return docs.select("doc_id", "text").mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — spectral selection + successive approximation.
+#
+# Encoder and decoder are written as MIRRORS of one walk: the decoder
+# follows T.81 G.2 (the libjpeg control flow — EOBRUN bands, ZRL
+# zero-history skips, per-position correction bits read while walking),
+# and the encoder simulates that exact walk, emitting the bits the
+# decoder will consume in the same order (EOB symbols carry their run
+# length, so a run's correction bits buffer until the run flushes).
+# Both phases of the trade are covered: DC first/refine scans use the
+# ARITHMETIC point transform (v >> Al on the signed value; refinement
+# ORs magnitude bits back in), AC scans the SIGN-MAGNITUDE transform
+# (±(|v| >> Al)) with ±1<<Al refinement — the T.81/libjpeg convention.
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    refine: bool = True,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode as progressive JFIF (SOF2). Scan script: one interleaved
+    DC-first scan (+ one DC-refine when ``refine``), then per
+    component one AC-first scan per spectral band (+ matching
+    AC-refine scans when ``refine``; Al walks 1 → 0). Same component
+    model as `encode_jpeg` (8-bit, 4:4:4, shared tables). The
+    quantized coefficients are IDENTICAL to the baseline encoder's, so
+    `decode_jpeg(encode_jpeg_progressive(x, q))` must equal
+    `decode_jpeg(encode_jpeg(x, q))` bit-for-bit — the cross-path test
+    that gates both codecs against each other."""
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be 8x8 with entries in 1..255")
+    lo_hi = []
+    last = 0
+    for lo, hi in bands:
+        if lo != last + 1 or hi < lo or hi > 63:
+            raise ValueError("bands must partition 1..63 in order")
+        last = hi
+    if last != 63:
+        raise ValueError("bands must partition 1..63 in order")
+    del lo_hi
+
+    dc_codes = _canonical_codes(_STD_DC_BITS, _STD_DC_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    n_comp = len(planes)
+    coef = []  # per comp: (n_blocks, 64) zigzag-order quantized ints
+    for plane in planes:
+        f = _blocks(plane) - 128.0
+        d = np.einsum("ux,bxy,vy->buv", _DCT_M, f, _DCT_M)
+        zz = np.rint(d / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        coef.append(zz)
+    n_blocks = coef[0].shape[0]
+
+    def dc_first_scan(al: int) -> bytes:
+        wr = _BitWriter()
+        preds = [0] * n_comp
+        for b in range(n_blocks):
+            for ci in range(n_comp):
+                v = int(coef[ci][b, 0]) >> al  # arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                cat = _category(diff)
+                code, length = dc_codes[cat]
+                wr.write(code, length)
+                if cat:
+                    wr.write(
+                        diff if diff >= 0 else diff + (1 << cat) - 1, cat
+                    )
+        return wr.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        wr = _BitWriter()
+        for b in range(n_blocks):
+            for ci in range(n_comp):
+                wr.write((int(coef[ci][b, 0]) >> al) & 1, 1)
+        return wr.flush()
+
+    def ac_first_scan(ci: int, lo: int, hi: int, al: int) -> bytes:
+        wr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            nb = eobrun.bit_length() - 1
+            code, length = ac_codes[nb << 4]
+            wr.write(code, length)
+            if nb:
+                wr.write(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+        for b in range(n_blocks):
+            zz = coef[ci][b]
+            r = 0
+            wrote = False
+            for k in range(lo, hi + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    zc, zl = ac_codes[0xF0]
+                    wr.write(zc, zl)
+                    r -= 16
+                tv = t if v >= 0 else -t
+                cat = _category(tv)
+                code, length = ac_codes[(r << 4) | cat]
+                wr.write(code, length)
+                wr.write(tv if tv >= 0 else tv + (1 << cat) - 1, cat)
+                r = 0
+                wrote = True
+            if r or not wrote:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return wr.flush()
+
+    def ac_refine_scan(ci: int, lo: int, hi: int, al: int) -> bytes:
+        # mirror of the decoder walk: newly-nonzero = |v|>>al == 1,
+        # old-nonzero = |v|>>al > 1 (one correction bit each, read by
+        # the decoder while WALKING, so emit in position order);
+        # correction bits under a pending EOB run buffer until the run
+        # flushes (the run length rides the EOB symbol itself).
+        wr = _BitWriter()
+        eobrun = 0
+        pending: list[int] = []  # correction bits buffered under eobrun
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            nb = eobrun.bit_length() - 1
+            code, length = ac_codes[nb << 4]
+            wr.write(code, length)
+            if nb:
+                wr.write(eobrun - (1 << nb), nb)
+            for bit in pending:
+                wr.write(bit, 1)
+            pending.clear()
+            eobrun = 0
+
+        for b in range(n_blocks):
+            zz = coef[ci][b]
+            absv = [abs(int(zz[k])) >> al for k in range(lo, hi + 1)]
+            vals = [int(zz[k]) for k in range(lo, hi + 1)]
+            n = hi - lo + 1
+            k = 0
+            block_open = False  # a symbol was emitted for this block
+            while k < n:
+                # find next newly-nonzero position
+                knew = None
+                z = 0
+                j = k
+                while j < n:
+                    if absv[j] == 1:
+                        knew = j
+                        break
+                    if absv[j] == 0:
+                        z += 1
+                    j += 1
+                if knew is None:
+                    break  # rest of block folds into the EOB run
+                while z > 15:
+                    flush_eob()
+                    zc, zl = ac_codes[0xF0]
+                    wr.write(zc, zl)
+                    # walk 16 zero-history positions, emitting
+                    # corrections for old-nonzero positions crossed
+                    skipped = 0
+                    while skipped < 16:
+                        if absv[k] == 0:
+                            skipped += 1
+                        else:  # old nonzero
+                            wr.write(absv[k] & 1, 1)
+                        k += 1
+                    z -= 16
+                    block_open = True
+                flush_eob()
+                cat = 1
+                code, length = ac_codes[(z << 4) | cat]
+                wr.write(code, length)
+                wr.write(1 if vals[knew] > 0 else 0, 1)
+                # corrections for old-nonzero positions crossed up to knew
+                j = k
+                while j < knew:
+                    if absv[j] > 1:
+                        wr.write(absv[j] & 1, 1)
+                    j += 1
+                k = knew + 1
+                block_open = True
+            # block tail: remaining positions fold into the EOB run;
+            # their old-nonzero corrections buffer with it
+            tail_bits = [absv[j] & 1 for j in range(k, n) if absv[j] > 1]
+            if k < n or not block_open or tail_bits:
+                eobrun += 1
+                pending.extend(tail_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    zz_q = q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out = [b"\xff\xd8"]
+    out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    out.append(seg(0xFFDB, b"\x00" + zz_q))
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out.append(seg(0xFFC2, sof))  # SOF2: progressive
+    dht = bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
+    dht += bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    out.append(seg(0xFFC4, dht))
+    all_ids = [ci + 1 for ci in range(n_comp)]
+    al0 = 1 if refine else 0
+    out.append(sos(all_ids, 0, 0, 0, al0))
+    out.append(dc_first_scan(al0))
+    for ci in range(n_comp):
+        for lo, hi in bands:
+            out.append(sos([ci + 1], lo, hi, 0, al0))
+            out.append(ac_first_scan(ci, lo, hi, al0))
+    if refine:
+        out.append(sos(all_ids, 0, 0, 1, 0))
+        out.append(dc_refine_scan(0))
+        for ci in range(n_comp):
+            for lo, hi in bands:
+                out.append(sos([ci + 1], lo, hi, 1, 0))
+                out.append(ac_refine_scan(ci, lo, hi, 0))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def _decode_scan_progressive(
+    data, pos, frame, scan_order, scan_tables, htables, prog_coef,
+    ss, se, ah, al,
+):
+    """Decode ONE progressive scan into the zigzag coefficient state
+    (T.81 G.2, libjpeg control flow). Four scan kinds:
+
+      * DC first (Ss=Se=0, Ah=0): baseline DC diff coding of v >> Al
+        (arithmetic shift), interleaved over the scan's components;
+      * DC refine (Ss=Se=0, Ah>0): one raw bit per block, OR'd in at
+        bit Al;
+      * AC first (Ss>0, Ah=0): single-component band scan with EOBRUN
+        end-of-band runs; values arrive as ±(|v| >> Al) and land
+        shifted left by Al;
+      * AC refine (Ss>0, Ah>0): ±1<<Al for newly nonzero positions,
+        one correction bit per already-nonzero position, read WHILE
+        walking runs — the mirror of encode_jpeg_progressive's walk.
+
+    Returns the payload offset of the next marker."""
+    h, w, comps = frame
+    bh, bw = -(-h // 8), -(-w // 8)
+    n_blocks = bh * bw
+    rd = _BitReader(data, pos)
+    comp_ids = [cid for cid, _ in comps]
+    for cid in scan_order:
+        if cid not in comp_ids:
+            raise ValueError("SOS lists a component absent from SOF")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        if ah == 0:
+            preds = {cid: 0 for cid in scan_order}
+            for b in range(n_blocks):
+                for cid in scan_order:
+                    td, _ = scan_tables[cid]
+                    try:
+                        dc_tab = htables[(0, td)]
+                    except KeyError:
+                        raise ValueError("missing Huffman table") from None
+                    sym = _read_symbol(rd, dc_tab)
+                    preds[cid] += _extend(rd.receive(sym), sym)
+                    prog_coef[cid][b, 0] = preds[cid] << al
+        else:
+            p1 = 1 << al
+            for b in range(n_blocks):
+                for cid in scan_order:
+                    if rd.bit():
+                        prog_coef[cid][b, 0] |= p1
+    else:
+        if len(scan_order) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("bad spectral band")
+        cid = scan_order[0]
+        _, ta = scan_tables[cid]
+        try:
+            ac_tab = htables[(1, ta)]
+        except KeyError:
+            raise ValueError("missing Huffman table") from None
+        coefs = prog_coef[cid]
+        eobrun = 0
+        if ah == 0:  # AC first
+            for b in range(n_blocks):
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(rd, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.receive(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run overflows band")
+                    coefs[b, k] = _extend(rd.receive(s), s) << al
+                    k += 1
+        else:  # AC refine
+            p1, m1 = 1 << al, -1 << al
+
+            def correct(b: int, k: int) -> None:
+                c = int(coefs[b, k])
+                if rd.bit() and (c & p1) == 0:
+                    coefs[b, k] = c + (p1 if c >= 0 else m1)
+
+            for b in range(n_blocks):
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_symbol(rd, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rd.receive(r)
+                                break
+                            # ZRL: walk 16 zero-history positions
+                        elif s != 1:
+                            raise ValueError(
+                                "AC refinement symbol must have s in {0,1}"
+                            )
+                        else:
+                            s = p1 if rd.bit() else m1
+                        while k <= se:
+                            if coefs[b, k] != 0:
+                                correct(b, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and rs & 0x0F:
+                            if k > se:
+                                raise ValueError(
+                                    "AC refinement places past the band"
+                                )
+                            coefs[b, k] = s
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if coefs[b, k] != 0:
+                            correct(b, k)
+                        k += 1
+                    eobrun -= 1
+    # skip padding bits to the next marker
+    p = rd.pos
+    while p + 1 < len(data) and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p

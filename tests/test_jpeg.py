@@ -135,3 +135,94 @@ def test_missing_component_scan_and_empty_stream_raise():
     no_scan = p[: p.index(b"\xff\xda")] + b"\xff\xd9"
     with pytest.raises(ValueError, match="no scan data"):
         decode_jpeg(no_scan)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): spectral selection + successive approximation
+
+
+def test_progressive_matches_baseline_pixel_exact_randomized():
+    """decode(progressive) == decode(baseline) BIT-FOR-BIT: both paths
+    produce the same quantized coefficients, so any pixel difference
+    is an entropy-coding bug. Random shapes, gray + color, lossless
+    and coarse quant tables, with and without refinement scans."""
+    from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        ch = int(rng.choice([1, 3]))
+        arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        if ch == 1:
+            arr = arr[:, :, 0]
+        q = (
+            np.ones((8, 8), np.int64)
+            if trial % 3 == 0
+            else rng.integers(1, 50, (8, 8))
+        )
+        base = decode_jpeg(encode_jpeg(arr, quant=q))
+        for refine in (False, True):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(arr, quant=q, refine=refine)
+            )
+            assert np.array_equal(base, prog), (
+                f"trial={trial} refine={refine} shape={arr.shape}"
+            )
+
+
+def test_progressive_eobrun_heavy_and_flat_images():
+    """Long EOB runs across blocks (sparse coefficients) and the
+    all-flat image (every AC scan is one maximal run)."""
+    from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg_progressive
+
+    flat = np.full((40, 56), 130, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat)),
+        decode_jpeg(encode_jpeg(flat)),
+    )
+    # one bright pixel in an otherwise flat image: most blocks carry
+    # zero AC energy -> EOBRUN spans blocks; the hot block refines
+    spot = np.full((48, 48), 90, dtype=np.uint8)
+    spot[20, 30] = 255
+    q = np.full((8, 8), 3, dtype=np.int64)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(spot, quant=q)),
+        decode_jpeg(encode_jpeg(spot, quant=q)),
+    )
+    # alternating extremes: dense coefficients, ZRL-heavy refinement
+    checker = (
+        (np.indices((24, 24)).sum(axis=0) % 2) * 255
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(checker, quant=q)),
+        decode_jpeg(encode_jpeg(checker, quant=q)),
+    )
+
+
+def test_progressive_single_band_and_custom_bands():
+    from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg_progressive
+
+    a = (np.arange(17 * 23, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).reshape(17, 23)
+    one_band = encode_jpeg_progressive(a, bands=((1, 63),))
+    many = encode_jpeg_progressive(
+        a, bands=((1, 1), (2, 9), (10, 35), (36, 63))
+    )
+    base = decode_jpeg(encode_jpeg(a))
+    assert np.array_equal(decode_jpeg(one_band), base)
+    assert np.array_equal(decode_jpeg(many), base)
+    with pytest.raises(ValueError, match="bands"):
+        encode_jpeg_progressive(a, bands=((1, 5), (7, 63)))
+
+
+def test_progressive_malformed_rejected():
+    from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg_progressive
+
+    a = np.full((8, 8), 50, dtype=np.uint8)
+    good = encode_jpeg_progressive(a)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-6])  # truncated scan
+    # arithmetic-coded progressive (SOF10) still quarantines
+    with pytest.raises(ValueError, match="supported"):
+        decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xca", 1))

@@ -158,6 +158,7 @@ QUERY_SET = [
     "hll_distinct_orders",
     "welch_urgent_orders",
     "weighted_price_percentiles",
+    "jpeg_progressive_decode_stats",
 ]
 
 KEY_OFFSET = 100_000_000
