@@ -1540,6 +1540,76 @@ def register(_register) -> None:
         )
         return RS.weighted_percentiles(df, "price_cents", "qty")
 
+    @_register(
+        "theilsen_balance_spend",
+        "north-star (Theil-Sen robust slope of spend deciles vs "
+        "balance deciles — median pairwise slope under the binned-"
+        "grid contract; every slope is the EXACT integer dy*2520/dx "
+        "(2520 = lcm(1..9)), weighted median via count-below, floor "
+        "via pmod — operators/rankstats.py::theilsen_slope_binned)",
+        """
+        WITH b AS (
+            SELECT c.c_custkey AS k,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+                   s.spend AS y
+            FROM customer c
+            JOIN (SELECT o_custkey,
+                         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS spend
+                  FROM orders GROUP BY 1) s
+              ON c.c_custkey = s.o_custkey
+        ), nt AS (
+            SELECT CAST(ntile(10) OVER (ORDER BY x, k) AS INT) AS gx,
+                   CAST(ntile(10) OVER (ORDER BY y, k) AS INT) AS gy
+            FROM b
+        ), cells AS (
+            SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n
+            FROM nt GROUP BY 1, 2
+        ), p AS (
+            SELECT (c.gy - a.gy) * 2520 // (c.gx - a.gx) AS sk,
+                   CAST(a.n * c.n AS BIGINT) AS w
+            FROM cells a CROSS JOIN cells c WHERE a.gx < c.gx
+        ), pc AS (
+            SELECT sk, CAST(SUM(w) AS BIGINT) AS c FROM p GROUP BY 1
+        ), r AS (
+            SELECT sk, CAST(SUM(c) OVER (ORDER BY sk) AS BIGINT) AS cum
+            FROM pc
+        ), t AS (
+            SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tw FROM pc
+        ), n0 AS (
+            SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows
+            FROM cells
+        ), med AS (
+            SELECT (SELECT MIN(sk) FROM r, t WHERE cum * 2 >= tw)
+                     AS mkey
+        )
+        SELECT n_rows, tw AS pair_weight,
+               CAST((mkey * 1000000
+                     - ((mkey * 1000000 % 2520 + 2520) % 2520))
+                    // 2520 AS BIGINT) AS slope_ppm
+        FROM n0 CROSS JOIN t CROSS JOIN med
+        """,
+    )
+    def q_theilsen_balance_spend(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import fin as FIN
+        from .operators import rankstats as RS
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", FIN._cents("c_acctbal").alias("bal_cents")
+        )
+        spend = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(FIN._cents("o_totalprice")).cast("long").alias(
+                "spend_cents"))
+        )
+        j = cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
+        return RS.theilsen_slope_binned(
+            j, "bal_cents", "spend_cents", "c_custkey", n_bins=10
+        )
+
     from .registry import _MEDIA_CODES_CTE
 
     @_register(

@@ -489,3 +489,110 @@ def weighted_percentiles(
         "n_values",
         *[f"p{q}_weighted" for q in quantiles_pct],
     )
+
+
+def theilsen_slope_binned(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Theil-Sen robust trend (median of pairwise slopes) under the
+    same BINNED-GRID contract as ``kendall_tau_binned``: exact
+    Theil-Sen needs the median over O(n²) pairwise slopes; ntile-bin
+    both margins first and the slope population collapses to weighted
+    cell pairs on an n_bins² grid.
+
+    The decisive trick: on a decile grid both deltas are in 1..9 (x,
+    strictly positive across distinct bins) × −9..9 (y), so EVERY
+    pairwise slope Δy/Δx is exactly representable as the integer
+    Δy·2520/Δx (2520 = lcm(1..9) — the division leaves no remainder).
+    The weighted median over those integer keys then rides the shared
+    count-below primitive: no floats, no global sort, and the one
+    output division floors via the pmod trick (slopes can be
+    negative). Output row: (n_rows, pair_weight, slope_ppm) with
+    slope_ppm = ⌊median(Δy/Δx)·10⁶⌋ in y-bins-per-x-bin units.
+
+    Weighted-median weights are n_a·n_c sums in int64 — exact for
+    n ≲ 4·10⁹ rows (the count-below contract; DECIMAL the two agg
+    columns beyond that). Degenerate inputs (no cross-bin pair, e.g.
+    all rows in one x bucket) → NULL slope."""
+    from .windows import exact_ntile
+
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & F.col("__k").isNotNull()
+    )
+    b = exact_ntile(base, n_bins, "__x", "__k", out_col="bx")
+    b = exact_ntile(b, n_bins, "__y", "__k", out_col="by")
+    cells = (
+        b.groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    try:
+        n_rows = cells.agg(F.sum("n")).collect()[0][0] or 0
+        a = cells.select(
+            F.col("bx").alias("ax"),
+            F.col("by").alias("ay"),
+            F.col("n").alias("an"),
+        )
+        c = F.broadcast(
+            cells.select(
+                F.col("bx").alias("cx"),
+                F.col("by").alias("cy"),
+                F.col("n").alias("cn"),
+            )
+        )
+        # slope key = Δy·2520/Δx, exact because Δx ∈ 1..(n_bins−1)
+        # divides 2520 for n_bins ≤ 10
+        if n_bins > 10:
+            raise ValueError("binned Theil-Sen supports n_bins <= 10")
+        pairs = (
+            a.crossJoin(c)
+            .filter(F.col("ax") < F.col("cx"))
+            .select(
+                # CASE-guarded: Catalyst may evaluate the projection
+                # alongside the filter inside one codegen stage, and
+                # ANSI mode turns the Δx=0 pairs the filter discards
+                # into DIVIDE_BY_ZERO unless the branch guards them
+                F.when(
+                    F.col("cx") > F.col("ax"),
+                    (F.col("cy") - F.col("ay"))
+                    * F.lit(2520)
+                    / (F.col("cx") - F.col("ax")),
+                )
+                .cast("long")
+                .alias("__x"),
+                (F.col("an") * F.col("cn")).alias("__w"),
+            )
+        )
+        pc = pairs.groupBy("__x").agg(
+            F.sum("__w").cast("long").alias("__c")
+        )
+        r, total = attach_count_below(pc)
+        med = r.agg(
+            F.min(
+                F.when(
+                    (F.col("__r") + F.col("__c")) * 2
+                    >= F.lit(total).cast("long"),
+                    F.col("__x"),
+                )
+            ).alias("__key")
+        )
+        return med.select(
+            F.lit(n_rows).cast("long").alias("n_rows"),
+            F.lit(total).cast("long").alias("pair_weight"),
+            F.expr(
+                "CAST((`__key` * 1000000"
+                " - pmod(`__key` * 1000000, 2520)) DIV 2520 AS BIGINT)"
+            ).alias("slope_ppm"),
+        )
+    finally:
+        cells.unpersist()

@@ -1297,3 +1297,77 @@ def test_weighted_percentiles_known_and_vs_bruteforce(spark):
         idx = -(-q * W // 100) - 1
         assert rr[col] == expanded[idx]
     assert rr["total_weight"] == W
+
+
+# ---------------------------------------------------------------------------
+# theilsen_slope_binned
+
+
+def _py_theilsen_binned(pairs, n_bins=10):
+    from collections import Counter
+
+    xs = [p[1] for p in pairs]
+    ys = [p[2] for p in pairs]
+    bx = _py_ntile(pairs, lambda i: (xs[i], pairs[i][0]), n_bins)
+    by = _py_ntile(pairs, lambda i: (ys[i], pairs[i][0]), n_bins)
+    cells = Counter(zip(bx, by))
+    wk = Counter()
+    for (ax, ay), an in cells.items():
+        for (cx, cy), cn in cells.items():
+            if ax < cx:
+                wk[(cy - ay) * 2520 // (cx - ax)] += an * cn
+    total = sum(wk.values())
+    if total == 0:
+        return len(pairs), 0, None
+    cum = 0
+    for key in sorted(wk):
+        cum += wk[key]
+        if 2 * cum >= total:
+            return (
+                len(pairs),
+                total,
+                (key * 1000000 - (key * 1000000 % 2520)) // 2520,
+            )
+
+
+def test_theilsen_monotone_and_degenerate(spark):
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    # perfectly monotone grid: every pairwise slope is dy/dx with
+    # dy == dx (deciles move together) -> median slope exactly 1
+    rows = [(i, i * 2, i * 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    r = RS.theilsen_slope_binned(df, "x", "y", "k").collect()[0]
+    assert (r["n_rows"], r["slope_ppm"]) == (100, 1_000_000)
+    # anti-monotone -> -1
+    anti = spark.createDataFrame(
+        [(i, i, -i) for i in range(100)], "k long, x long, y long"
+    )
+    assert RS.theilsen_slope_binned(anti, "x", "y", "k").collect()[0][
+        "slope_ppm"
+    ] == -1_000_000
+    # empty -> NULL
+    r0 = RS.theilsen_slope_binned(
+        df.filter("k < 0"), "x", "y", "k"
+    ).collect()[0]
+    assert (r0["n_rows"], r0["pair_weight"], r0["slope_ppm"]) == (
+        0, 0, None,
+    )
+
+
+def test_theilsen_randomized_vs_bruteforce(spark):
+    import random
+
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    rng = random.Random(61)
+    rows = [
+        (i, rng.randint(-100, 100), rng.randint(-40, 40) * 3)
+        for i in range(700)
+    ]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    got = RS.theilsen_slope_binned(df, "x", "y", "k").collect()[0]
+    n, w, slope = _py_theilsen_binned(rows)
+    assert (got["n_rows"], got["pair_weight"], got["slope_ppm"]) == (
+        n, w, slope,
+    )

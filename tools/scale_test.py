@@ -159,6 +159,7 @@ QUERY_SET = [
     "welch_urgent_orders",
     "weighted_price_percentiles",
     "jpeg_progressive_decode_stats",
+    "theilsen_balance_spend",
 ]
 
 KEY_OFFSET = 100_000_000
