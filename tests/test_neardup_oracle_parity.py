@@ -541,7 +541,8 @@ MEDIA_DOC_QUERIES = [
     "token_repetition_stats", "chunk_documents", "bigram_counts",
     "curriculum_quality_sample", "media_metadata", "frame_sampling",
     "audio_windowing", "image_decode_stats", "image_resize_real",
-    "image_png_roundtrip", "jpeg_decode_stats", "video_frame_stats",
+    "image_png_roundtrip", "jpeg_decode_stats",
+    "jpeg_progressive_decode_stats", "video_frame_stats",
     "media_resize", "media_feature_extract",
 ]
 
@@ -599,6 +600,7 @@ ANALYTICS_QUERIES = [
     "hll_distinct_orders",
     "weighted_price_percentiles",
     "doc_fingerprints",
+    "theilsen_balance_spend",
 ]
 
 
