@@ -1,6 +1,13 @@
 """Round-5 query shapes: graph centrality (fixed-iteration weighted
-PageRank), Pareto frontier (2-D skyline), per-series autocorrelation,
-and a referential-integrity / domain-rule data-quality screen.
+PageRank, HITS), Pareto frontier (2-D skyline), per-series
+autocorrelation, referential-integrity / domain-rule / chi-square /
+PII data-quality screens, attribution + conversion timing, exact Gini
+/ CUSUM / triangles / BFS / assortativity — and the second batch:
+rank statistics (Spearman, Mann-Whitney, Welch's t, binned Kendall
+tau-b, binned Theil-Sen), Kaplan-Meier churn survival, Benford
+first-digit screen, token-distribution TVD drift, the deterministic
+oracle-checked HyperLogLog, exact weighted percentiles, and
+progressive-JPEG decode stats.
 
 Registered through the same decorator as the main registry (the
 `corpus_shapes.py` pattern) and appended AFTER the earlier rounds'

@@ -89,6 +89,8 @@ SHOW = {
     "welch_urgent_orders": "Welch t — ONE conditional-agg scan; the t expression is driver-free scalar algebra on the agg row",
     "weighted_price_percentiles": "weighted percentiles — value-grain agg + count-below attach; answers are MINs over the distinct table, no global sort",
     "doc_fingerprints": "portable fingerprint — pure map-side two-base char fold; zero exchanges before the driver fetch",
+    "theilsen_balance_spend": "Theil-Sen — binned cell grid, broadcast pair join, weighted median over ≤ a few hundred integer slope keys; CASE-guarded division",
+    "jpeg_progressive_decode_stats": "progressive JPEG — synth + decode both MapInPandas, coefficient state per image, zero exchanges",
 }
 
 MARKERS = (
