@@ -1617,6 +1617,93 @@ def register(_register) -> None:
             j, "bal_cents", "spend_cents", "c_custkey", n_bins=10
         )
 
+    @_register(
+        "spearman_by_segment",
+        "north-star (per-market-segment exact-tie Spearman between "
+        "balance and spend — the Simpson's-paradox screen beside the "
+        "global spearman_balance_spend; ranks from windows "
+        "PARTITIONED by segment over per-segment distinct-value "
+        "tables — operators/rankstats.py::spearman_by_group)",
+        """
+        WITH b AS (
+            SELECT c.c_mktsegment AS g,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+                   s.spend AS y
+            FROM customer c
+            JOIN (SELECT o_custkey,
+                         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS spend
+                  FROM orders GROUP BY 1) s
+              ON c.c_custkey = s.o_custkey
+            WHERE c.c_mktsegment IS NOT NULL
+        ), dx AS (
+            SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2
+        ), rx AS (
+            SELECT g, x,
+                   2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) + c + 1 AS drx
+            FROM dx
+        ), dy AS (
+            SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2
+        ), ry AS (
+            SELECT g, y,
+                   2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) + c + 1 AS dry
+            FROM dy
+        ), j AS (
+            SELECT b.g, drx, dry
+            FROM b
+            JOIN rx ON rx.g = b.g AND rx.x = b.x
+            JOIN ry ON ry.g = b.g AND ry.y = b.y
+        ), m AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(drx) AS sx, SUM(dry) AS sy,
+                   SUM(drx * drx) AS sxx, SUM(dry * dry) AS syy,
+                   SUM(drx * dry) AS sxy
+            FROM j GROUP BY 1
+        ), t AS (
+            SELECT g, n,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS ddx,
+                   n * syy - sy * sy AS ddy
+            FROM m
+        )
+        SELECT g AS c_mktsegment, n AS n_keys,
+               CASE WHEN ddx > 0 AND ddy > 0 THEN
+                 CAST(FLOOR(CAST(num AS DOUBLE)
+                            / SQRT(CAST(ddx AS DOUBLE)
+                                   * CAST(ddy AS DOUBLE))
+                            * 1000000) AS BIGINT)
+               END AS spearman_ppm
+        FROM t ORDER BY c_mktsegment
+        """,
+    )
+    def q_spearman_by_segment(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import fin as FIN
+        from .operators import rankstats as RS
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_mktsegment",
+            FIN._cents("c_acctbal").alias("bal_cents"),
+        )
+        spend = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(FIN._cents("o_totalprice")).cast("long").alias(
+                "spend_cents"))
+        )
+        j = cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
+        return RS.spearman_by_group(
+            j, "c_mktsegment", "bal_cents", "spend_cents"
+        )
+
     from .registry import _MEDIA_CODES_CTE
 
     @_register(

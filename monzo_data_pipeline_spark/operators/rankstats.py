@@ -596,3 +596,87 @@ def theilsen_slope_binned(
         )
     finally:
         cells.unpersist()
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group exact-tie Spearman — ``spearman_corr`` computed
+    independently within every value of ``group_col`` ("is balance
+    associated with spend IN EACH SEGMENT" — Simpson's-paradox
+    screening, the reason the global number alone misleads).
+
+    Same doubled-average-rank construction, but ranks come from
+    windows PARTITIONED BY (group) over the per-group DISTINCT-value
+    table: the window input is bounded by distinct values per group,
+    never rows, and parallelism is the group count × value spread —
+    the cusum/per-series shape, fine for any bounded-cardinality
+    grouping column (segments, regions, priority classes; for an
+    unbounded key you'd re-bucket as in attach_count_below). One
+    row per group: (group, n_keys, spearman_ppm), NULL rho for
+    zero-variance marginals, groups ordered by name."""
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+
+    def ranks(col: str, out: str) -> DataFrame:
+        pc = base.groupBy("__g", col).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        w = (
+            Window.partitionBy("__g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return pc.select(
+            "__g",
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("__c").over(w), F.lit(0))
+                + F.col("__c")
+                + 1
+            ).alias(out),
+        )
+
+    rx = ranks("__x", "__drx")
+    ry = ranks("__y", "__dry")
+    j = base.join(rx, on=["__g", "__x"]).join(ry, on=["__g", "__y"])
+    m = j.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_dec(F.col("__drx"))).alias("sx"),
+        F.sum(_dec(F.col("__dry"))).alias("sy"),
+        F.sum(_dec(F.col("__drx")) * _dec(F.col("__drx"))).alias("sxx"),
+        F.sum(_dec(F.col("__dry")) * _dec(F.col("__dry"))).alias("syy"),
+        F.sum(_dec(F.col("__drx")) * _dec(F.col("__dry"))).alias("sxy"),
+    )
+    t = m.select(
+        "__g",
+        "n",
+        F.expr("n * sxy - sx * sy").alias("__num"),
+        F.expr("n * sxx - sx * sx").alias("__dx"),
+        F.expr("n * syy - sy * sy").alias("__dy"),
+    )
+    return t.select(
+        F.col("__g").alias(group_col),
+        F.col("n").alias("n_keys"),
+        F.when(
+            (F.col("__dx") > 0) & (F.col("__dy") > 0),
+            F.floor(
+                F.col("__num").cast("double")
+                / F.sqrt(
+                    F.col("__dx").cast("double")
+                    * F.col("__dy").cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        ).alias("spearman_ppm"),
+    ).orderBy(group_col)

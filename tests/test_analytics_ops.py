@@ -1371,3 +1371,46 @@ def test_theilsen_randomized_vs_bruteforce(spark):
     assert (got["n_rows"], got["pair_weight"], got["slope_ppm"]) == (
         n, w, slope,
     )
+
+
+# ---------------------------------------------------------------------------
+# spearman_by_group
+
+
+def test_spearman_by_group_matches_per_group_global(spark):
+    """Each group's rho must equal spearman_corr run on that group's
+    rows alone — the per-group operator is the global one fanned out."""
+    import random
+
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    rng = random.Random(73)
+    rows = []
+    for g, rule in (("up", 1), ("down", -1), ("noise", 0)):
+        for i in range(400):
+            x = rng.randint(-30, 30) * 3
+            y = rule * x + (rng.randint(-5, 5) if rule else rng.randint(-50, 50))
+            rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["n_keys"], r["spearman_ppm"])
+        for r in RS.spearman_by_group(df, "g", "x", "y").collect()
+    }
+    for g in ("up", "down", "noise"):
+        solo = RS.spearman_corr(
+            df.filter(F.col("g") == g), "x", "y"
+        ).collect()[0]
+        assert got[g] == (solo["n_keys"], solo["spearman_ppm"]), g
+    assert got["up"][1] > 900_000 and got["down"][1] < -900_000
+
+
+def test_spearman_by_group_degenerate_groups(spark):
+    from monzo_data_pipeline_spark.operators import rankstats as RS
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 5, 7), ("b", 6, 7)],
+        "g string, x long, y long",
+    )
+    got = {r["g"]: r for r in RS.spearman_by_group(df, "g", "x", "y").collect()}
+    assert got["a"]["spearman_ppm"] == 1_000_000
+    assert got["b"]["spearman_ppm"] is None  # zero-variance y marginal

@@ -601,6 +601,7 @@ ANALYTICS_QUERIES = [
     "weighted_price_percentiles",
     "doc_fingerprints",
     "theilsen_balance_spend",
+    "spearman_by_segment",
 ]
 
 

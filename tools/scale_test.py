@@ -160,6 +160,7 @@ QUERY_SET = [
     "weighted_price_percentiles",
     "jpeg_progressive_decode_stats",
     "theilsen_balance_spend",
+    "spearman_by_segment",
 ]
 
 KEY_OFFSET = 100_000_000
