@@ -724,7 +724,8 @@ def register(_register) -> None:
                strftime(day, '%Y-%m-%d') AS cp_t,
                s AS cusum_peak,
                CASE WHEN tot > 0 THEN
-                 CAST((abs(s) * 1000000) // (n * tot) AS BIGINT)
+                 CAST((CAST(abs(s) AS HUGEINT) * 1000000)
+                      // (CAST(n AS HUGEINT) * tot) AS BIGINT)
                END AS strength_ppm
         FROM p WHERE rn = 1 ORDER BY event_type
         """,

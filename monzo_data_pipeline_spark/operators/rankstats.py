@@ -18,8 +18,13 @@ value's global count-below Rᵥ and tie count cᵥ — so the plan is one
 groupBy(value), one ≤130-row exponent-bucket offset collect, one
 PARTITIONED in-bucket cumulative window over the DISTINCT table, and
 one exact-integer aggregate. Doubled average ranks (2Rᵥ + cᵥ + 1) keep
-everything integer through ties; moment sums ride DECIMAL(38,0)
-(exact for n ≲ 10¹²); Spearman's single final expression is
+everything integer through ties; moment sums ride DECIMAL(38,0).
+The sums alone are exact to n ≲ 10¹², but Spearman's final products
+n·sxx and sx·sx (sx ~ 2n²) exceed 38 digits near n ≈ 3·10⁹ — beyond
+that the ppm lands NULL in non-ANSI Spark (error under ANSI), never
+silently wrong; mann_whitney_u's u2_a long cast has a similar ~4·10⁹
+ceiling. Restructure to divide-before-multiply if a deployment ever
+needs the full 10¹². Spearman's single final expression is
 fixed-order IEEE from exact integers (the HITS normalization idiom)
 so both engines produce the identical double before the FLOOR.
 """

@@ -79,9 +79,13 @@ def skyline_2d(
         prefix.append(run)
         if b in bmax:
             run = max(run, bmax[b]) if run is not None else bmax[b]
+    # literals keep the benefit column's NATIVE type: a long cast here
+    # would truncate fractional benefits and let a point dominated by
+    # an earlier-bucket fractional max (5.5 vs 5.2) survive the frontier
+    btype = best.schema["benefit"].dataType.simpleString()
     prefix_arr = F.array(
         *[
-            F.lit(p).cast("long") if p is not None else F.lit(None).cast("long")
+            F.lit(p).cast(btype) if p is not None else F.lit(None).cast(btype)
             for p in prefix
         ]
     )
@@ -90,19 +94,22 @@ def skyline_2d(
         .orderBy(F.asc("cost"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # greatest() skips NULLs (returns NULL only when both sides are),
+    # so no sentinel literal is needed — the dominance bound keeps the
+    # benefit column's exact type end to end
     guarded = bucketed.select(
         "cost",
         "benefit",
         "n_rows",
         F.greatest(
-            F.coalesce(F.max("benefit").over(w), F.lit(-(2**62))),
-            F.coalesce(
-                F.element_at(prefix_arr, F.col("__b") + 1), F.lit(-(2**62))
-            ),
+            F.max("benefit").over(w),
+            F.element_at(prefix_arr, F.col("__b") + 1),
         ).alias("__dom"),
     )
     return (
-        guarded.filter(F.col("benefit") > F.col("__dom"))
+        guarded.filter(
+            F.col("__dom").isNull() | (F.col("benefit") > F.col("__dom"))
+        )
         .select("cost", "benefit", "n_rows")
         .orderBy("cost")
     )

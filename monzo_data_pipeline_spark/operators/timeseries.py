@@ -361,6 +361,13 @@ def cusum_changepoint(
         F.col("m.s").alias("cusum_peak"),
         F.when(
             F.col("m.tot") > 0,
-            F.expr("(m.a * 1000000) DIV (m.n * m.tot)"),
+            # widen BEFORE the ×10⁶: m.a is bounded only by n·tot, so
+            # the plain-BIGINT product wraps int64 silently (non-ANSI)
+            # once n_points·total_x crosses ~9.2e12 — DECIMAL(38,0)
+            # keeps the module's exactness posture to lake scale
+            F.expr(
+                "(CAST(m.a AS DECIMAL(38,0)) * 1000000)"
+                " DIV (CAST(m.n AS DECIMAL(38,0)) * m.tot)"
+            ),
         ).alias("strength_ppm"),
     ).orderBy(key_col)

@@ -447,12 +447,20 @@ def pii_redact(
 ) -> DataFrame:
     """Redact every PII-pattern match in ``text_col`` with
     ``placeholder`` — chained map-side regexp_replace (global, like
-    the training-data scrubbing pass before corpus export). Order is
-    the sorted pattern name, so e.g. 'card' runs before 'number' and
-    longer digit runs collapse to ONE placeholder instead of being
-    re-matched by the broader pattern."""
+    the training-data scrubbing pass before corpus export). Patterns
+    apply in SPECIFICITY order (email, phone, card, id_token, number,
+    then any extra names sorted): phone must run before the bare
+    digit-run patterns or '+44 1234 567890' fragments into several
+    placeholders; card before number so a 16-digit PAN collapses to
+    ONE placeholder instead of being re-matched by the broader
+    pattern. No PII survives either way — the order only fixes
+    placeholder granularity."""
     pats = patterns or PII_PATTERNS
+    _specificity = ("email", "phone", "card", "id_token", "number")
+    ordered = [n for n in _specificity if n in pats] + sorted(
+        n for n in pats if n not in _specificity
+    )
     out = F.col(text_col)
-    for n in sorted(pats):
+    for n in ordered:
         out = F.regexp_replace(out, pats[n], placeholder)
     return df.withColumn(text_col, out)
