@@ -284,13 +284,15 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     date is the corpus max order date (deterministic — never
     wall-clock), recency in whole days below it.
 
-    Each quartile assignment runs through `exact_ntile`
-    (operators/windows.py) — broadcast cut pairs, NO global-order
-    window — over the per-customer aggregate, which is |customers|
-    rows, not the fact. The aggregate is persisted across the three
-    ntile passes so the fact scans exactly once.
+    The three quartile assignments run through ONE fused
+    `exact_ntile_multi` pass (operators/windows.py) — broadcast cut
+    pairs, NO global-order window — over the per-customer aggregate,
+    which is |customers| rows, not the fact. Fusing collapses the
+    r/f/m triple from ~12 driver round-trips to 4 (one stacked
+    distinct table serves all three margins); the aggregate is
+    persisted so the fact scans exactly once.
     """
-    from .windows import exact_ntile
+    from .windows import exact_ntile_multi
 
     anchor_s = orders.agg(
         F.max(F.unix_seconds(F.col("o_orderdate"))).alias("a")
@@ -316,9 +318,14 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     # NOTE: cust stays persisted for the returned lazy plan (an
     # explicit unpersist here would evict before the caller's action);
     # the cache is |customers|-sized and Spark reclaims it with the DF.
-    out = exact_ntile(cust, 4, "recency_days", "o_custkey", out_col="r_nt")
-    out = exact_ntile(out, 4, "n_orders", "o_custkey", out_col="f_nt")
-    out = exact_ntile(out, 4, "monetary_cents", "o_custkey", out_col="m_nt")
+    out = exact_ntile_multi(
+        cust,
+        [
+            (4, "recency_days", "o_custkey", "r_nt"),
+            (4, "n_orders", "o_custkey", "f_nt"),
+            (4, "monetary_cents", "o_custkey", "m_nt"),
+        ],
+    )
     return out.select(
         "o_custkey",
         "recency_days",

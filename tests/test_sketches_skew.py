@@ -264,3 +264,57 @@ def test_exact_ntile_extreme_long_domain_no_overflow(spark):
         for r in exact_ntile(df, 4, "v", "id", range_buckets=8).collect()
     }
     assert got == plain
+
+
+def test_exact_ntile_multi_matches_chained_single(spark):
+    """exact_ntile_multi (one stacked pass for k assignments) must be
+    bit-identical to k chained exact_ntile calls — heavy ties, uneven
+    N % n, single-distinct degenerate columns, and ntile(1) specs."""
+    import random
+
+    from monzo_data_pipeline_spark.operators.windows import (
+        exact_ntile,
+        exact_ntile_multi,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            rng.randrange(0, 12),        # heavy ties
+            rng.randrange(-500, 500),    # wide-ish domain
+            3,                           # single distinct value
+        )
+        for i in range(137)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, a int, b bigint, c int")
+    specs = [
+        (4, "a", "id", "a_nt"),
+        (7, "b", "id", "b_nt"),
+        (5, "c", "id", "c_nt"),
+        (1, "a", "id", "one_nt"),
+    ]
+    want = df
+    for nb, vc, tc, oc in specs:
+        want = exact_ntile(want, nb, vc, tc, out_col=oc, range_buckets=8)
+    got = exact_ntile_multi(df, specs, range_buckets=8)
+    wset = {tuple(r) for r in want.collect()}
+    gset = {tuple(r) for r in got.collect()}
+    assert got.columns == want.columns
+    assert gset == wset
+
+
+def test_exact_ntile_multi_empty_and_validation(spark):
+    import pytest as _pt
+
+    from monzo_data_pipeline_spark.operators.windows import exact_ntile_multi
+
+    df = spark.createDataFrame([], "v bigint, id bigint")
+    out = exact_ntile_multi(df, [(4, "v", "id", "nt")])
+    assert out.count() == 0
+    assert "nt" in out.columns
+    df2 = spark.createDataFrame([(1, 1)], "v bigint, id bigint")
+    with _pt.raises(ValueError):
+        exact_ntile_multi(df2, [(0, "v", "id", "nt")])
+    # no specs: identity
+    assert exact_ntile_multi(df2, []).columns == df2.columns
