@@ -231,12 +231,63 @@ def mann_whitney_u(
     )
 
 
+def binned_cells(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """The shared decile-grid builder behind ``kendall_tau_binned``
+    and ``theilsen_slope_binned``: ntile-bin BOTH margins in ONE fused
+    ``exact_ntile_multi`` pass (the two stacked distinct-value tables
+    share every driver round-trip) and collapse to (bx, by, n) cell
+    counts — ≤ n_bins² rows regardless of input size.
+
+    Returns a PERSISTED, materialized frame; the caller owns the
+    unpersist. The input projection is persisted only for the
+    duration of the build (the multi-ntile pass scans it for the
+    stacked distinct build, the boundary-tie resolve, and the final
+    assignment — without the cache each scan would recompute the
+    caller's upstream join)."""
+    from .windows import exact_ntile_multi
+
+    base = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(x_col).cast("long").alias("__x"),
+            F.col(y_col).cast("long").alias("__y"),
+        )
+        .filter(
+            F.col("__x").isNotNull()
+            & F.col("__y").isNotNull()
+            & F.col("__k").isNotNull()
+        )
+        .persist()
+    )
+    try:
+        b = exact_ntile_multi(
+            base,
+            [(n_bins, "__x", "__k", "bx"), (n_bins, "__y", "__k", "by")],
+        )
+        cells = (
+            b.groupBy("bx", "by")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .persist()
+        )
+        cells.count()  # materialize before the base cache drops
+        return cells
+    finally:
+        base.unpersist()
+
+
 def kendall_tau_binned(
     df: DataFrame,
     x_col: str,
     y_col: str,
     key_col: str,
     n_bins: int = 10,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Kendall tau-b over NTILE-BINNED variables — the bounded-grid
     contract that makes Kendall feasible at scale: exact tau needs
@@ -255,27 +306,18 @@ def kendall_tau_binned(
 
     ALL-integer until the single final IEEE expression
     (C−D)·10⁶ / √((n0−n1)·(n0−n2)) — the spearman/HITS idiom. Plan:
-    two exact_ntile passes (broadcast cuts, no global window), one
-    ≤n_bins² cell agg, one broadcast cell self-join, one wide
-    aggregate. Degenerate margins (everything one bucket) → NULL."""
-    from .windows import exact_ntile
+    one fused two-margin ntile pass (broadcast cuts, no global
+    window; ``binned_cells``), one ≤n_bins² cell agg, one broadcast
+    cell self-join, one wide aggregate. Degenerate margins
+    (everything one bucket) → NULL.
 
-    base = df.select(
-        F.col(key_col).alias("__k"),
-        F.col(x_col).cast("long").alias("__x"),
-        F.col(y_col).cast("long").alias("__y"),
-    ).filter(
-        F.col("__x").isNotNull()
-        & F.col("__y").isNotNull()
-        & F.col("__k").isNotNull()
-    )
-    b = exact_ntile(base, n_bins, "__x", "__k", out_col="bx")
-    b = exact_ntile(b, n_bins, "__y", "__k", out_col="by")
-    cells = (
-        b.groupBy("bx", "by")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .persist()
-    )
+    ``cells=`` fast path: a caller that also needs the Theil-Sen
+    slope of the SAME (x, y) pair passes the ``binned_cells`` grid
+    once and both statistics derive from it without re-binning (the
+    caller then owns the persist lifetime)."""
+    own = cells is None
+    if own:
+        cells = binned_cells(df, x_col, y_col, key_col, n_bins)
     try:
         dec = "decimal(38,0)"
         a = cells.select(
@@ -363,7 +405,8 @@ def kendall_tau_binned(
             ).alias("tau_b_ppm"),
         )
     finally:
-        cells.unpersist()
+        if own:
+            cells.unpersist()
 
 
 def welch_t_test(
@@ -502,6 +545,7 @@ def theilsen_slope_binned(
     y_col: str,
     key_col: str,
     n_bins: int = 10,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Theil-Sen robust trend (median of pairwise slopes) under the
     same BINNED-GRID contract as ``kendall_tau_binned``: exact
@@ -522,25 +566,14 @@ def theilsen_slope_binned(
     Weighted-median weights are n_a·n_c sums in int64 — exact for
     n ≲ 4·10⁹ rows (the count-below contract; DECIMAL the two agg
     columns beyond that). Degenerate inputs (no cross-bin pair, e.g.
-    all rows in one x bucket) → NULL slope."""
-    from .windows import exact_ntile
+    all rows in one x bucket) → NULL slope.
 
-    base = df.select(
-        F.col(key_col).alias("__k"),
-        F.col(x_col).cast("long").alias("__x"),
-        F.col(y_col).cast("long").alias("__y"),
-    ).filter(
-        F.col("__x").isNotNull()
-        & F.col("__y").isNotNull()
-        & F.col("__k").isNotNull()
-    )
-    b = exact_ntile(base, n_bins, "__x", "__k", out_col="bx")
-    b = exact_ntile(b, n_bins, "__y", "__k", out_col="by")
-    cells = (
-        b.groupBy("bx", "by")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .persist()
-    )
+    Binning rides the shared ``binned_cells`` grid (one fused
+    two-margin ntile pass); ``cells=`` lets a caller that also runs
+    ``kendall_tau_binned`` on the SAME pair bin exactly once."""
+    own = cells is None
+    if own:
+        cells = binned_cells(df, x_col, y_col, key_col, n_bins)
     try:
         n_rows = cells.agg(F.sum("n")).collect()[0][0] or 0
         a = cells.select(
@@ -600,7 +633,8 @@ def theilsen_slope_binned(
             ).alias("slope_ppm"),
         )
     finally:
-        cells.unpersist()
+        if own:
+            cells.unpersist()
 
 
 def spearman_by_group(

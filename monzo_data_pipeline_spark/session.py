@@ -87,6 +87,14 @@ def get_spark(
         # 50-70% kernel time in vmstat; memory-backed scratch removes it
         .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-scratch"))
         .config("spark.ui.enabled", "false")
+        # size-first AQE coalescing: let the advisory partition size
+        # (not defaultParallelism) govern post-shuffle partition counts.
+        # The default parallelismFirst=true pins tiny stages at 32
+        # near-empty tasks on this host; at 100 TB the SAME advisory
+        # size yields thousands of right-sized partitions — this is the
+        # setting Spark's own AQE docs recommend flipping off.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
