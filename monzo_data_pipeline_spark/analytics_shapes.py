@@ -1733,3 +1733,31 @@ def register(_register) -> None:
 
         docs = load_table(spark, sf_dir, "documents")
         return IMG.image_stats(documents_as_jpegs(docs, progressive=True))
+
+    @_register(
+        "jpeg_subsampled_decode_stats",
+        "C5/north-star (REAL 4:2:0 chroma-subsampled color JPEG — the "
+        "layout of most real-world JPEGs: Y at 2×2, box-mean chroma, "
+        "T.81 A.2.3 MCU interleave, replication upsampling on decode, "
+        "ext/jpeg.py r6; the synthesized streams carry r=g=b constants "
+        "so Cb=Cr=128 exactly and the subsampled roundtrip is "
+        "bit-exact — pixel sum = 3× the grayscale character rule)",
+        f"""{_MEDIA_CODES_CTE}
+        SELECT media_id, TRUE AS valid, 16 AS width, 16 AS height,
+               3 AS channels, CAST(256 AS BIGINT) AS n_pixels,
+               CAST(3 * 64 * (codes[(0 % L) + 1] + codes[(1 % L) + 1]
+                              + codes[(2 % L) + 1] + codes[(3 % L) + 1])
+                    AS BIGINT) AS pix_sum
+        FROM s ORDER BY media_id
+        """,
+    )
+    def q_jpeg_subsampled_decode_stats(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .ext import images as IMG
+        from .ext.jpeg import documents_as_jpegs
+
+        docs = load_table(spark, sf_dir, "documents")
+        return IMG.image_stats(
+            documents_as_jpegs(docs, subsampling="420")
+        )

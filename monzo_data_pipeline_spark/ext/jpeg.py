@@ -2,12 +2,16 @@
 
 Closes the one remaining `NotImplementedError` in the media family
 (SURVEY.md §2.C5): entropy-coded JPEG. Scope is ITU-T T.81 DCT,
-8-bit, Huffman coding, 1-component grayscale or 3-component YCbCr
-without chroma subsampling (4:4:4), in BOTH frame types:
+8-bit, Huffman coding, 1-component grayscale or 3-component YCbCr,
+in BOTH frame types:
 
   * baseline sequential (SOF0/1) — restart intervals (DRI/RSTn),
-    0xFF fill bytes, and multi-scan layouts (one non-interleaved SOS
-    per component) honored;
+    0xFF fill bytes, multi-scan layouts (one non-interleaved SOS
+    per component), and (r6) chroma subsampling with factors 1–2
+    (4:2:0 / 4:2:2 / 4:4:0 — the layouts of nearly all real-world
+    JPEGs): T.81 A.2.3 MCU interleave on decode, box-mean
+    downsampling + replication upsampling gated by pixel equality
+    against the 4:4:4 path on chroma-constant fixtures;
   * progressive (SOF2, r5) — spectral selection AND successive
     approximation: DC first/refine scans, AC band scans with EOBRUN
     end-of-band runs, AC refinement with per-position correction
@@ -15,10 +19,11 @@ without chroma subsampling (4:4:4), in BOTH frame types:
     `encode_jpeg_progressive` emits the same scan scripts so the
     decoder is gated by cross-path equality against the baseline
     codec (identical quantized coefficients ⇒ identical pixels).
+    4:4:4 only.
 
-Arithmetic coding, 12-bit precision, hierarchical frames, and
-subsampled chroma raise ValueError so callers quarantine rather than
-mis-decode.
+Arithmetic coding, 12-bit precision, hierarchical frames, sampling
+factors above 2, and subsampled progressive frames raise ValueError
+so callers quarantine rather than mis-decode.
 
 Both directions are implemented so the codec can gate itself:
 `decode_jpeg(encode_jpeg(x))` with an all-ones quantization table is
@@ -255,11 +260,20 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
+_SUBSAMPLING = {
+    # name → (Y_H, Y_V): chroma is always (1, 1); 4:4:4 keeps Y at 1×1
+    "444": (1, 1),
+    "422": (2, 1),
+    "420": (2, 2),
+}
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
     multi_scan: bool = False,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 as
     baseline-sequential JFIF. `quant` is an 8×8 quantization table in
@@ -268,9 +282,22 @@ def encode_jpeg(
     DRI segment and RSTn markers every that many MCUs — the stream
     shape long scans use for error resilience. `multi_scan` emits one
     non-interleaved SOS per component (the other legal baseline
-    layout) instead of a single interleaved scan."""
+    layout) instead of a single interleaved scan.
+
+    ``subsampling`` (r6): "444" (every component 1×1), "422" (Y 2×1,
+    chroma box-averaged 2× horizontally), or "420" (Y 2×2, chroma
+    box-averaged 2×2) — the layouts covering the overwhelming
+    majority of real-world JPEGs. Chroma planes are box-mean
+    downsampled after edge-replication padding to the MCU grid, so on
+    images whose chroma is constant within every averaging cell the
+    subsampled roundtrip is pixel-identical to the 4:4:4 path (the
+    cross-path equality gate). Requires 3 channels; `multi_scan`
+    stays 4:4:4-only (non-interleaved subsampled layouts are rare in
+    the wild and unsupported here)."""
     if multi_scan and restart_interval:
         raise ValueError("multi_scan with restart intervals not supported")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     if arr.ndim == 2:
@@ -280,10 +307,33 @@ def encode_jpeg(
         planes = [ycc[..., i] for i in range(3)]
     else:
         raise ValueError(f"unsupported array shape {arr.shape}")
+    hmax, vmax = _SUBSAMPLING[subsampling] if len(planes) == 3 else (1, 1)
+    if subsampling != "444":
+        if len(planes) != 3:
+            raise ValueError("chroma subsampling requires a 3-channel image")
+        if multi_scan:
+            raise ValueError("multi_scan supports 4:4:4 only")
     h, w = arr.shape[:2]
     q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
     if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant table must be 8x8 with entries in 1..255")
+
+    # per-component sampling factors + source planes: Y keeps full
+    # resolution at (hmax, vmax); chroma is 1×1 — pad every full-res
+    # plane to the MCU grid FIRST (edge replication), then box-mean
+    # the chroma so averaging cells never straddle the padded edge
+    samp = [(hmax, vmax)] + [(1, 1)] * (len(planes) - 1)
+    if (hmax, vmax) != (1, 1):
+        mh, mw = 8 * vmax, 8 * hmax
+        ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+        padded = [
+            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            for p in planes
+        ]
+        planes = [padded[0]] + [
+            p.reshape(ph // vmax, vmax, pw // hmax, hmax).mean(axis=(1, 3))
+            for p in padded[1:]
+        ]
 
     dc_codes = _canonical_codes(_STD_DC_BITS, _STD_DC_VALS)
     ac_codes = _canonical_codes(_STD_AC_BITS, _STD_AC_VALS)
@@ -294,10 +344,12 @@ def encode_jpeg(
     # all components share quant table 0 and huffman table 0 (legal,
     # keeps the stream minimal); 4:4:4 → MCU = one block per component
     coeff = []
+    grid_w = []  # per comp: block-grid width (for MCU block addressing)
     for plane in planes:
         f = _blocks(plane) - 128.0
         d = np.einsum("ux,bxy,vy->buv", _DCT_M, f, _DCT_M)
         coeff.append(np.rint(d / q).astype(np.int64))
+        grid_w.append(-(-plane.shape[1] // 8))
     n_blocks = coeff[0].shape[0]
 
     def encode_block(ci: int, b: int, wr: _BitWriter, preds: list[int]) -> None:
@@ -339,16 +391,33 @@ def encode_jpeg(
             comp_scans.append(wr.flush())
         scan = None
     else:
-        for b in range(n_blocks):
-            if restart_interval and b and b % restart_interval == 0:
+        if (hmax, vmax) == (1, 1):
+            n_mcu = n_blocks
+            mcus_x = grid_w[0]
+        else:
+            mcus_x = grid_w[0] // hmax
+            n_mcu = coeff[0].shape[0] // (hmax * vmax)
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
                 scan_parts.append(wr.flush())
                 scan_parts.append(
-                    bytes([0xFF, 0xD0 + ((b // restart_interval - 1) & 7)])
+                    bytes([0xFF, 0xD0 + ((m // restart_interval - 1) & 7)])
                 )
                 wr = _BitWriter()
                 preds = [0] * n_comp
-            for ci in range(n_comp):
-                encode_block(ci, b, wr, preds)
+            if (hmax, vmax) == (1, 1):
+                for ci in range(n_comp):
+                    encode_block(ci, m, wr, preds)
+            else:
+                # T.81 A.2.3 MCU order: each component's V×H block
+                # sub-grid in raster order, components in SOF order
+                my, mx = divmod(m, mcus_x)
+                for ci in range(n_comp):
+                    hh, vv = samp[ci]
+                    for iv in range(vv):
+                        for ih in range(hh):
+                            b = (my * vv + iv) * grid_w[ci] + mx * hh + ih
+                            encode_block(ci, b, wr, preds)
         scan_parts.append(wr.flush())
         scan = b"".join(scan_parts)
 
@@ -361,7 +430,8 @@ def encode_jpeg(
     out.append(seg(0xFFDB, b"\x00" + zz_q))  # DQT: Pq=0, Tq=0
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for ci in range(n_comp):
-        sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, quant 0
+        hh, vv = samp[ci]
+        sof += bytes([ci + 1, (hh << 4) | vv, 0])  # id, HxV sampling, quant 0
     out.append(seg(0xFFC0, sof))
     dht = bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
     dht += bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS)
@@ -461,15 +531,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("subsampled chroma unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hh, vv = samp >> 4, samp & 0x0F
+                if hh not in (1, 2) or vv not in (1, 2):
+                    raise ValueError(
+                        f"unsupported sampling factors {hh}x{vv}"
+                    )
+                comps.append((cid, tq, hh, vv))
             frame = (h, w, comps)
             if marker == 0xC2:
+                if any(c[2] != 1 or c[3] != 1 for c in comps):
+                    raise ValueError(
+                        "subsampled progressive JPEG unsupported"
+                    )
                 bh, bw = -(-h // 8), -(-w // 8)
                 prog_coef = {
                     cid: np.zeros((bh * bw, 64), dtype=np.int64)
-                    for cid, _ in comps
+                    for cid, _, _, _ in comps
                 }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -531,7 +608,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # all scans accumulated coefficient state; dequantize + IDCT once
         h, w, comps = frame
         bh, bw = -(-h // 8), -(-w // 8)
-        for cid, tq in comps:
+        for cid, tq, _, _ in comps:
             if tq not in qtables:
                 raise ValueError("missing quantization table")
             zz = prog_coef[cid]
@@ -557,10 +634,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or not decoded:
         raise ValueError("JPEG with no scan data")
     h, w, comps = frame
-    missing = [cid for cid, _ in comps if cid not in decoded]
+    missing = [cid for cid, _, _, _ in comps if cid not in decoded]
     if missing:
         raise ValueError(f"JPEG missing scans for components {missing}")
-    planes = [np.clip(np.round(decoded[cid][:h, :w]), 0, 255) for cid, _ in comps]
+    # per T.81 A.1.1 each component's true extent is ceil(dim·f/fmax);
+    # subsampled components upsample by sample replication back to the
+    # full grid (mirrors the encoder's box-mean: exact wherever chroma
+    # is constant within an averaging cell)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    planes = []
+    for cid, _, hh, vv in comps:
+        cw, ch = -(-(w * hh) // hmax), -(-(h * vv) // vmax)
+        p = decoded[cid][:ch, :cw]
+        if hh != hmax or vv != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vv, axis=0), hmax // hh, axis=1
+            )
+        planes.append(np.clip(np.round(p[:h, :w]), 0, 255))
     if len(planes) == 1:
         return planes[0].astype(np.uint8)[:, :, None]
     if len(planes) == 3:
@@ -571,26 +662,53 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 def _decode_scan(data, pos, frame, scan_tables, qtables, htables, ri, decoded):
     """Decode ONE scan's entropy data: all frame components listed in
     the scan, interleaved (ns > 1) or non-interleaved (ns = 1 — the
-    legal baseline multi-scan layout, one SOS per component). With
-    4:4:4 sampling every component shares the full block grid, so an
-    MCU is one block per scan component either way. Planes land in
-    `decoded`; returns the payload offset of the next marker."""
+    legal baseline multi-scan layout, one SOS per component).
+
+    Sampling-general (r6): interleaved MCUs carry each component's
+    V×H block sub-grid in raster order (T.81 A.2.3) over a
+    ceil(w/8Hmax) × ceil(h/8Vmax) MCU grid; a non-interleaved scan
+    walks the single component's OWN ceil(cw/8) × ceil(ch/8) grid one
+    block per MCU (A.2.2). With 4:4:4 both rules degenerate to the
+    one-block-per-component grid this decoder always had. Planes land
+    in `decoded` at component resolution (the caller upsamples);
+    returns the payload offset of the next marker."""
     h, w, comps = frame
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_mcu = bh * bw
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
     rd = _BitReader(data, pos)
-    scan_comps = [(cid, tq) for cid, tq in comps if cid in scan_tables]
+    scan_comps = [c for c in comps if c[0] in scan_tables]
     if len(scan_comps) != len(scan_tables):
         raise ValueError("SOS lists a component absent from SOF")
-    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _ in scan_comps}
-    preds = {cid: 0 for cid, _ in scan_comps}
+    if len(scan_comps) == 1:
+        # non-interleaved: one block per MCU over the component's grid
+        cid0, _, hh0, vv0 = scan_comps[0]
+        cw, ch = -(-(w * hh0) // hmax), -(-(h * vv0) // vmax)
+        gw = {cid0: -(-cw // 8)}
+        gh = {cid0: -(-ch // 8)}
+        n_mcu = gw[cid0] * gh[cid0]
+        mcu_layout = [(cid0, scan_comps[0][1], 1, 1)]
+    else:
+        gw = {c[0]: -(-w // (8 * hmax)) * c[2] for c in scan_comps}
+        gh = {c[0]: -(-h // (8 * vmax)) * c[3] for c in scan_comps}
+        n_mcu = (-(-w // (8 * hmax))) * (-(-h // (8 * vmax)))
+        mcu_layout = [(c[0], c[1], c[2], c[3]) for c in scan_comps]
+    planes = {
+        cid: np.zeros((gh[cid] * 8, gw[cid] * 8))
+        for cid, _, _, _ in scan_comps
+    }
+    preds = {cid: 0 for cid, _, _, _ in scan_comps}
     mt = _DCT_M.T
+    mcus_x = (
+        gw[scan_comps[0][0]]
+        if len(scan_comps) == 1
+        else -(-w // (8 * hmax))
+    )
     for m in range(n_mcu):
         if ri and m and m % ri == 0:
             rd.align_to_restart((m // ri - 1) & 7)
-            preds = {cid: 0 for cid, _ in scan_comps}
-        by, bx = divmod(m, bw)
-        for cid, tq in scan_comps:
+            preds = {cid: 0 for cid, _, _, _ in scan_comps}
+        my, mx = divmod(m, mcus_x)
+        for cid, tq, hh, vv in mcu_layout:
             if tq not in qtables:
                 raise ValueError("missing quantization table")
             td, ta = scan_tables[cid]
@@ -599,29 +717,34 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, ri, decoded):
                 ac_tab = htables[(1, ta)]
             except KeyError:
                 raise ValueError("missing Huffman table") from None
-            zz = np.zeros(64, dtype=np.int64)
-            sym = _read_symbol(rd, dc_tab)
-            preds[cid] += _extend(rd.receive(sym), sym)
-            zz[0] = preds[cid]
-            k = 1
-            while k < 64:
-                rs = _read_symbol(rd, ac_tab)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(rd.receive(s), s)
-                k += 1
-            nat = np.zeros(64, dtype=np.int64)
-            nat[ZIGZAG] = zz
-            block = nat.reshape(8, 8) * qtables[tq]
-            pix = mt @ block.astype(np.float64) @ _DCT_M + 128.0
-            planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+            for iv in range(vv):
+                for ih in range(hh):
+                    by, bx = my * vv + iv, mx * hh + ih
+                    zz = np.zeros(64, dtype=np.int64)
+                    sym = _read_symbol(rd, dc_tab)
+                    preds[cid] += _extend(rd.receive(sym), sym)
+                    zz[0] = preds[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _read_symbol(rd, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        zz[k] = _extend(rd.receive(s), s)
+                        k += 1
+                    nat = np.zeros(64, dtype=np.int64)
+                    nat[ZIGZAG] = zz
+                    block = nat.reshape(8, 8) * qtables[tq]
+                    pix = mt @ block.astype(np.float64) @ _DCT_M + 128.0
+                    planes[cid][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = pix
     decoded.update(planes)
     # skip padding bits/bytes to the next marker (0xFF not followed by
     # the 0x00 stuffing byte)
@@ -650,19 +773,29 @@ def _read_symbol(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
 # ---------------------------------------------------------------------------
 
 
-def documents_as_jpegs(docs, progressive: bool = False):
+def documents_as_jpegs(docs, progressive: bool = False, subsampling: str = "444"):
     """(doc_id, text) → (media_id, payload): a 16×16 grayscale JPEG
     whose four 8×8 blocks are constants taken from the doc's first
     four printable-ASCII codes (cycled; space if none) — the same
     cleaning rule as `images.documents_as_images`. ``progressive``
     emits SOF2 streams (DC first/refine + banded AC first/refine
     scans) instead of baseline; the quantized coefficients are
-    identical either way, so both variants share one oracle. Arrow-
-    batched mapInPandas; encode is pure numpy."""
+    identical either way, so both variants share one oracle.
+
+    ``subsampling`` ≠ "444" (r6) emits a COLOR stream instead — the
+    same per-block constants replicated into r=g=b, whose exact
+    YCbCr image is Y=v, Cb=Cr=128 (the chroma matrix rows sum to 0 on
+    equal channels): chroma is constant everywhere, so 4:2:0/4:2:2
+    box-mean + replication roundtrips bit-exact and the decoded pixel
+    sum is exactly 3× the grayscale rule — one shared oracle family.
+    Arrow-batched mapInPandas; encode is pure numpy."""
     import re
 
     import pandas as pd
     from pyspark.sql import types as T
+
+    if progressive and subsampling != "444":
+        raise ValueError("progressive emission is 4:4:4 only")
 
     schema = T.StructType(
         [
@@ -683,7 +816,11 @@ def documents_as_jpegs(docs, progressive: bool = False):
             encode_jpeg_progressive,
         )
 
-        enc = encode_jpeg_progressive if progressive else encode_jpeg
+        if progressive:
+            enc = encode_jpeg_progressive
+        else:
+            def enc(a):
+                return encode_jpeg(a, subsampling=subsampling)
 
         def synth(text):
             clean = re.sub(r"[^\x20-\x7e]", "", text or "") or " "
@@ -691,6 +828,8 @@ def documents_as_jpegs(docs, progressive: bool = False):
             for k in range(4):
                 v = ord(clean[k % len(clean)])
                 arr[(k // 2) * 8 : (k // 2) * 8 + 8, (k % 2) * 8 : (k % 2) * 8 + 8] = v
+            if subsampling != "444":
+                arr = np.repeat(arr[:, :, None], 3, axis=2)
             return enc(arr)
 
         for pdf in it:
@@ -984,7 +1123,7 @@ def _decode_scan_progressive(
     bh, bw = -(-h // 8), -(-w // 8)
     n_blocks = bh * bw
     rd = _BitReader(data, pos)
-    comp_ids = [cid for cid, _ in comps]
+    comp_ids = [cid for cid, _, _, _ in comps]
     for cid in scan_order:
         if cid not in comp_ids:
             raise ValueError("SOS lists a component absent from SOF")

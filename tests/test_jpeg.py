@@ -69,14 +69,15 @@ def test_malformed_payloads_raise_value_error():
             decode_jpeg(bad)
 
 
-def test_subsampled_and_16bit_rejected():
+def test_oversampled_and_16bit_rejected():
     good = encode_jpeg(np.full((8, 8, 3), 77, dtype=np.uint8))
-    # flip the Y sampling factor byte (0x11 → 0x22) inside SOF0
+    # flip the Y sampling factor byte (0x11 → 0x33) inside SOF0:
+    # factors above 2 stay quarantined (1–2 decode since r6)
     i = good.index(b"\xff\xc0")
     sof = bytearray(good)
     # SOF body: len(2) prec(1) h(2) w(2) nc(1) then [id, samp, tq]*
-    sof[i + 2 + 2 + 5 + 1 + 1] = 0x22
-    with pytest.raises(ValueError, match="subsampl"):
+    sof[i + 2 + 2 + 5 + 1 + 1] = 0x33
+    with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(sof))
 
 
@@ -226,3 +227,93 @@ def test_progressive_malformed_rejected():
     # arithmetic-coded progressive (SOF10) still quarantines
     with pytest.raises(ValueError, match="supported"):
         decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xca", 1))
+
+
+# ---------------------------------------------------------------------------
+# Chroma subsampling (r6): 4:2:2 / 4:2:0 encode + decode.
+# ---------------------------------------------------------------------------
+
+
+def _blockwise_gray_rgb(rng, shape):
+    """r=g=b image, constant per 8x8 block: Cb=Cr=128 exactly (the
+    RGB->YCbCr matrix rows for chroma sum to 0 on equal channels), so
+    chroma is constant within EVERY averaging cell and the subsampled
+    path must be pixel-identical to 4:4:4."""
+    bh, bw = -(-shape[0] // 8), -(-shape[1] // 8)
+    g = np.repeat(
+        np.repeat(rng.randint(0, 256, (bh, bw)).astype(np.uint8), 8, 0),
+        8,
+        1,
+    )[: shape[0], : shape[1]]
+    return np.stack([g] * 3, axis=-1)
+
+
+def test_subsampled_equals_444_on_chroma_constant_fixtures():
+    rng = np.random.RandomState(17)
+    for shape in [(16, 16), (17, 23), (8, 8), (15, 9), (33, 31)]:
+        rgb = _blockwise_gray_rgb(rng, shape)
+        base = decode_jpeg(encode_jpeg(rgb))
+        for sub in ("422", "420"):
+            got = decode_jpeg(encode_jpeg(rgb, subsampling=sub))
+            assert got.shape == base.shape
+            assert np.array_equal(got, base), (shape, sub)
+
+
+def test_subsampled_tolerance_on_random_color():
+    # random per-pixel chroma is the adversarial case for box-mean +
+    # replication: Y stays full-res (so luma error == the 4:4:4
+    # rounding bound) while chroma error is bounded by the cell spread
+    rng = np.random.RandomState(29)
+    a = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(a)).astype(int)
+    for sub in ("422", "420"):
+        got = decode_jpeg(encode_jpeg(a, subsampling=sub)).astype(int)
+        y_base = 0.299 * base[..., 0] + 0.587 * base[..., 1] + 0.114 * base[..., 2]
+        y_got = 0.299 * got[..., 0] + 0.587 * got[..., 1] + 0.114 * got[..., 2]
+        # luma is untouched by subsampling, but RGB clipping under big
+        # chroma error shifts the recoverable luma at isolated pixels —
+        # so bound the TYPICAL luma error tightly, the tail loosely
+        assert np.abs(y_got - y_base).mean() <= 2.0
+        assert np.percentile(np.abs(y_got - y_base), 95) <= 6.0
+        assert np.abs(got - base).mean() < 64  # chroma bounded, not garbage
+
+
+def test_subsampled_smooth_content_close_to_source():
+    # realistic (smooth) content: subsampling error stays within a few
+    # code values of the original
+    y, x = np.mgrid[0:64, 0:64]
+    a = np.stack([(x * 2) % 256, (y * 2) % 256, (x + y) % 256], -1).astype(
+        np.uint8
+    )
+    for sub in ("444", "422", "420"):
+        got = decode_jpeg(encode_jpeg(a, subsampling=sub)).astype(int)
+        assert np.abs(got - a.astype(int)).max() <= 4, sub
+
+
+def test_subsampled_restart_intervals():
+    rng = np.random.RandomState(31)
+    a = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    for sub in ("420", "422"):
+        plain = decode_jpeg(encode_jpeg(a, subsampling=sub))
+        p = encode_jpeg(a, subsampling=sub, restart_interval=2)
+        assert b"\xff\xdd" in p
+        assert np.array_equal(decode_jpeg(p), plain), sub
+
+
+def test_subsampling_guards():
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="3-channel"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), subsampling="420")
+    with pytest.raises(ValueError, match="multi_scan"):
+        encode_jpeg(a, subsampling="420", multi_scan=True)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(a, subsampling="411")
+    # subsampled progressive stays quarantined
+    from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg_progressive
+
+    prog = encode_jpeg_progressive(a)
+    i = prog.index(b"\xff\xc2")
+    mut = bytearray(prog)
+    mut[i + 2 + 2 + 5 + 1 + 1] = 0x22  # Y sampling 2x2 in SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(mut))
