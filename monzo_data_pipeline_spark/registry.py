@@ -4315,7 +4315,11 @@ _DRIVER_PREFIX = [
     "reconciliation_checksums",
     "scalar_functions",
     "struct_flatten",
-    "array_ops",
+    # r6: array_ops + token_stats rotated out (nested/scalar coverage
+    # stays via struct_flatten/scalar_functions, text via
+    # word_frequencies/lang_id/quality_scores) so the round-5 graph +
+    # rank-statistics families get hard-gate sampling too
+    "spearman_balance_spend",
     "first_wins_dedup",
     "exact_dup_groups",
     "fk_star_join",
@@ -4338,7 +4342,7 @@ _DRIVER_PREFIX = [
     "sessionization",
     "interval_join_attribution",
     "word_frequencies",
-    "token_stats",
+    "hits_customer_supplier",
     "lang_id_heuristic",
     "quality_scores",
     "pack_sequences",
