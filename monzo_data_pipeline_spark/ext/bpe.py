@@ -31,6 +31,7 @@ textrank_keywords technique), so Spark and DuckDB must agree on every
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from monzo_data_pipeline_spark.ext.lineage import truncate_lineage
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -91,7 +92,7 @@ def _train(
             ).alias("s"),
             "n",
         )
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     rows: list[tuple] = []
     for step in range(1, n_merges + 1):
@@ -110,7 +111,7 @@ def _train(
                 F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
             ).alias("s"),
             "n",
-        ).localCheckpoint()
+        ).transform(truncate_lineage)
     return rows, corpus
 
 
@@ -204,7 +205,7 @@ def bpe_segmentation_stats(
     distinct words, total word occurrences, total emitted symbols
     (the pre/post-merge token budget an LLM pipeline plans around),
     and distinct symbols (vocabulary size)."""
-    seg = bpe_segment_corpus(documents, text_col, n_merges).localCheckpoint()
+    seg = bpe_segment_corpus(documents, text_col, n_merges).transform(truncate_lineage)
     stats = seg.agg(
         F.count(F.lit(1)).cast("long").alias("distinct_words"),
         F.sum("n").alias("total_words"),

@@ -20,6 +20,7 @@ Scale design (the 100 TB story):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from monzo_data_pipeline_spark.ext.lineage import truncate_lineage
 from pyspark.sql import functions as F
 
 N_MINHASH = 64  # signature length
@@ -413,7 +414,10 @@ def near_dup_clusters(
         # edges sits under EVERY iteration's join: without truncation the
         # (possibly expensive) upstream pair generation — e.g. the n-gram
         # self-join — re-executes once per round. Materialize it once.
-        .localCheckpoint(eager=True)
+        # truncate_lineage: reliable checkpoint when the session
+        # has a checkpoint dir (cluster posture), localCheckpoint
+        # otherwise — ext/lineage.py
+        .transform(truncate_lineage)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
@@ -451,13 +455,13 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("__jl"), F.col("label"))
                 ).alias("label"),
             )
-            # localCheckpoint, not persist: persist caches DATA but the
+            # checkpoint, not persist: persist caches DATA but the
             # logical plan still deepens every iteration — analysis/
             # optimization time grows superlinearly and eventually
             # dominates (driver-side, not executor-side). Checkpointing
             # truncates the lineage so iteration i plans against a leaf,
             # the standard posture for iterative graph algorithms.
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -21,6 +21,7 @@ identical in the twin.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from monzo_data_pipeline_spark.ext.lineage import truncate_lineage
 from pyspark.sql import functions as F
 
 # rank fixed-point scale: 10^9 keeps rank·weight < 2^63 for graphs
@@ -104,7 +105,7 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = truncate_lineage(ranks)
     if checkpoint:
         e.unpersist()
     return ranks.select(F.col("__node").alias(node_col), "rank_q")
@@ -352,7 +353,7 @@ def bfs_hops(
             .agg(F.min("__d").alias("__d"))
         )
         if checkpoint:
-            dist = dist.localCheckpoint(eager=True)
+            dist = truncate_lineage(dist)
     if checkpoint:
         e.unpersist()
     return dist.select(

@@ -98,4 +98,10 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # reliable-checkpoint dir for iterative operators (ext/lineage.py):
+    # point at HDFS/S3 on a cluster; unset → localCheckpoint fallback
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

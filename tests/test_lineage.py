@@ -1,0 +1,63 @@
+"""truncate_lineage (ext/lineage.py): reliable checkpoint when the
+session has a checkpoint dir, localCheckpoint fallback otherwise —
+and identical results either way for the iterative operators."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from monzo_data_pipeline_spark.ext.dedup_fuzzy import near_dup_clusters
+from monzo_data_pipeline_spark.ext.lineage import truncate_lineage
+
+
+@pytest.fixture()
+def checkpoint_dir(spark, tmp_path):
+    d = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(d)
+    yield d
+    # clear: None maps to a JVM null -> Option(null) == None
+    spark.sparkContext._jsc.sc().setCheckpointDir(None)
+
+
+def _pairs(spark):
+    # two chains + one singleton-free clique: clusters {1..4}, {7,8}, {10,11,12}
+    rows = [(1, 2), (2, 3), (3, 4), (7, 8), (10, 11), (11, 12), (10, 12)]
+    return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+
+
+EXPECTED = {
+    (1, 1), (2, 1), (3, 1), (4, 1),
+    (7, 7), (8, 7),
+    (10, 10), (11, 10), (12, 10),
+}
+
+
+def test_local_fallback_without_checkpoint_dir(spark):
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    out = {
+        (r.doc_id, r.cluster_id)
+        for r in near_dup_clusters(_pairs(spark)).collect()
+    }
+    assert out == EXPECTED
+
+
+def test_reliable_checkpoint_used_when_dir_set(spark, checkpoint_dir):
+    out = {
+        (r.doc_id, r.cluster_id)
+        for r in near_dup_clusters(_pairs(spark)).collect()
+    }
+    assert out == EXPECTED
+    # the reliable path actually wrote RDD checkpoint files
+    found = []
+    for root, _, files in os.walk(checkpoint_dir):
+        found.extend(files)
+    assert found, "no checkpoint files written under the checkpoint dir"
+
+
+def test_truncate_lineage_preserves_rows(spark, checkpoint_dir):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = truncate_lineage(df)
+    assert out.collect() == df.collect()
