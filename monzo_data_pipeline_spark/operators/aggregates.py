@@ -421,3 +421,118 @@ def equi_depth_histogram_approx(
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6: deterministic-sketch forms — same sketch-shaped plans as the
+# GK/HLL++ versions above (bounded mergeable state, no exact value→
+# count map), but every estimate is exact integer arithmetic on an
+# engine-agnostic construction (operators/sketches.py grid + HLL), so
+# the registry entries carry full DuckDB oracle twins: the rows-only
+# lane closes. The builtin-sketch forms stay as the API for users who
+# want Spark's native GK/HLL++ (tolerance-pinned in tests).
+# ---------------------------------------------------------------------------
+
+
+def approx_aggregates_sketch(orders: DataFrame) -> DataFrame:
+    """approx_aggregates with oracle-checkable estimates: distinct
+    customers via the deterministic HLL (±3.3% at m=1024), price
+    median/p99 via the deterministic quantile grid (relative error ≤
+    2⁻⁵), both in integer cents. One row:
+    (approx_customers, approx_median_price_cents, approx_p99_price_cents).
+    """
+    from .fin import _cents
+    from .sketches import hll_deterministic, sketch_quantiles
+
+    hll = hll_deterministic(orders, "o_custkey").select(
+        F.col("est_distinct").alias("approx_customers")
+    )
+    pr = orders.select(_cents("o_totalprice").alias("__v"))
+    qs = sketch_quantiles(pr, "__v", [500_000, 990_000])
+    piv = qs.agg(
+        F.min(F.when(F.col("p_ppm") == 500_000, F.col("est"))).alias(
+            "approx_median_price_cents"
+        ),
+        F.min(F.when(F.col("p_ppm") == 990_000, F.col("est"))).alias(
+            "approx_p99_price_cents"
+        ),
+    )
+    return hll.crossJoin(F.broadcast(piv))
+
+
+def mad_outliers_sketch(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """mad_outliers with deterministic-grid medians — the oracle-
+    checkable 100 TB form: per-group median and MAD estimates ride
+    `sketch_quantiles_by_group` (cumulative window PARTITIONED by
+    group over ≤ ~3 810 cells per group BY CONSTRUCTION), outlier
+    counting is exact on the quantized cents. Same two-broadcast-back
+    plan shape as the GK version; the estimates are bit-stable across
+    engines. Output: (keys..., med_cents, mad_cents, n, n_outliers)."""
+    from .fin import _cents
+    from .sketches import sketch_quantiles_by_group
+
+    base = df.select(
+        *keys, _cents(value_col).alias("__v")
+    ).filter(F.col("__v").isNotNull()).persist()
+    # NOTE: base stays persisted for the returned lazy plan (the rfm
+    # pattern) — it feeds two grid builds and the final count; the
+    # cache is one long per fact row and Spark reclaims it.
+    med = sketch_quantiles_by_group(base, "__v", keys, [500_000]).select(
+        *keys, F.col("est").alias("med_cents")
+    )
+    j = base.join(F.broadcast(med), keys)
+    dev = j.select(
+        *keys, F.abs(F.col("__v") - F.col("med_cents")).alias("__d")
+    )
+    mad = sketch_quantiles_by_group(dev, "__d", keys, [500_000]).select(
+        *keys, F.col("est").alias("mad_cents")
+    )
+    return (
+        j.join(F.broadcast(mad), keys)
+        .groupBy(*keys, "med_cents", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                F.abs(F.col("__v") - F.col("med_cents"))
+                > 3 * F.col("mad_cents")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def equi_depth_histogram_sketch(
+    df: DataFrame, value_col: str, n_buckets: int = 20
+) -> DataFrame:
+    """equi_depth_histogram with deterministic-grid cutpoints — the
+    oracle-checkable 100 TB form: cut estimates from the quantile
+    grid (bounded mergeable state; depth error ≤ the 2⁻⁵ within-cell
+    interpolation), bucketing + per-bucket stats exact on quantized
+    cents. Output: (bucket, n, lo_cents, hi_cents)."""
+    from .fin import _cents
+    from .sketches import sketch_quantiles
+
+    base = df.select(_cents(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).persist()
+    probs = [i * 1_000_000 // n_buckets for i in range(1, n_buckets)]
+    cuts = sketch_quantiles(base, "__v", probs).agg(
+        F.sort_array(F.collect_list("est")).alias("cuts")
+    )
+    v = F.col("__v")
+    bucketed = base.crossJoin(F.broadcast(cuts)).select(
+        F.size(F.filter(F.col("cuts"), lambda q: q < v))
+        .cast("bigint")
+        .alias("bucket"),
+        v,
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(v).alias("lo_cents"),
+            F.max(v).alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -275,3 +275,300 @@ def hll_deterministic(
             ),
         ).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile sketch (r6) — the hll_deterministic
+# pattern applied to quantiles: approximate in accuracy, bit-identical
+# across engines, so the ESTIMATES themselves carry DuckDB oracle twins
+# (unlike approx_percentile, whose Greenwald-Khanna state is a Spark
+# implementation detail).
+#
+# Grid: sign-mirrored binary-exponent cells with 32 linear sub-bins.
+# For |v| >= 32 the cell containing v is
+#     [2^e + s·2^(e-5), 2^e + (s+1)·2^(e-5))   e = ⌊log₂|v|⌋, s ∈ 0..31
+# and every |v| < 32 is its own cell — so the within-cell width is
+# ≤ |v|/32 everywhere: uniform-interpolated quantile estimates carry a
+# RELATIVE error bound of 2⁻⁵ ≈ 3.1% (plus rank error 0: counts are
+# exact). State = (cell, count): ≤ 32 + 59·32·2 ≈ 3 810 cells over the
+# whole int64 domain regardless of row count — mergeable by SUM,
+# bounded per partial aggregate, exactly what a 100 TB scan shuffles.
+#
+# Everything is integer: the exponent via length(bin(|v|)) − 1 (both
+# engines' bin() — no libm log2 at a cell boundary), sub-bins and cell
+# bounds via shifts, interpolation via one DECIMAL(38,0) product + DIV.
+# ---------------------------------------------------------------------------
+
+GRID_SUB_BITS = 5  # 32 sub-bins per binary exponent
+
+# |v| saturates at ±2^62: abs(-2^63) wraps in non-ANSI mode, and one
+# guard bit keeps every shift below 63. Values beyond collapse into the
+# extreme cells (quantile estimates there saturate too — documented).
+_GRID_CLAMP = 1 << 62
+
+
+def _shl(x: str, n: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"SHIFTLEFT({x}, {n})"
+    return f"(({x}) << ({n}))"
+
+
+def _shr(x: str, n: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"SHIFTRIGHT({x}, {n})"
+    return f"(({x}) >> ({n}))"
+
+
+def grid_cell_expr(v_col: str, dialect: str = "spark") -> str:
+    """SQL expression mapping a BIGINT column to its grid cell index —
+    monotonic in the value. ``dialect`` picks the shift-operator
+    spelling ("spark" → SHIFTLEFT/SHIFTRIGHT, "duckdb" → << / >>);
+    the arithmetic is identical, which is the whole point: the oracle
+    twin reproduces every cell assignment bit-for-bit."""
+    v = (
+        f"GREATEST(LEAST(CAST({v_col} AS BIGINT), {_GRID_CLAMP}), "
+        f"-{_GRID_CLAMP})"
+    )
+    u = f"ABS({v})"
+    e = f"(LENGTH(BIN({u})) - 1)"
+    one = "CAST(1 AS BIGINT)"
+    idx_u = (
+        f"CASE WHEN {u} < 32 THEN {u} ELSE "
+        f"32 + CAST(({e} - 5) AS BIGINT) * 32 "
+        f"+ {_shr(f'{u} - {_shl(one, e, dialect)}', f'{e} - 5', dialect)} "
+        f"END"
+    )
+    return f"CASE WHEN {v} < 0 THEN -({idx_u}) ELSE ({idx_u}) END"
+
+
+def grid_lo_w_exprs(
+    cell_col: str, dialect: str = "spark"
+) -> tuple[str, str]:
+    """SQL expressions for a cell's inclusive lower bound and width."""
+    a = f"ABS({cell_col})"
+    if dialect == "spark":
+        e5 = f"CAST(({a} - 32) DIV 32 AS INT)"
+    else:
+        e5 = f"CAST(({a} - 32) // 32 AS INT)"
+    one = "CAST(1 AS BIGINT)"
+    w = (
+        f"CASE WHEN {a} < 32 THEN CAST(1 AS BIGINT) "
+        f"ELSE {_shl(one, e5, dialect)} END"
+    )
+    lo_u = (
+        f"CASE WHEN {a} < 32 THEN {a} "
+        f"ELSE {_shl(one, f'5 + {e5}', dialect)} "
+        f"+ (({a} - 32) % 32) * {_shl(one, e5, dialect)} END"
+    )
+    lo = (
+        f"CASE WHEN {cell_col} < 0 THEN -(({lo_u}) + ({w}) - 1) "
+        f"ELSE ({lo_u}) END"
+    )
+    return lo, w
+
+
+def quantile_grid_cells(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """The sketch state: (group..., cell, cnt) — one partial-agg'd
+    groupBy, bounded ≤ ~3 810 cells per group, mergeable by SUM."""
+    groups = group_cols or []
+    v = F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+        .select(*groups, F.expr(grid_cell_expr(value_col)).alias("cell"))
+        .groupBy(*groups, "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _est_expr(r_col: str, below_col: str) -> str:
+    """Uniform within-cell interpolation toward the 0-based rank
+    ``r_col``: lo + ⌊(r − below)·w / cnt⌋ — the product in
+    DECIMAL(38,0) (w ≤ 2⁵⁷, offsets row-count sized)."""
+    lo, w = grid_lo_w_exprs("cell")
+    return (
+        f"CAST(({lo}) + CAST(({r_col} - {below_col}) AS DECIMAL(38,0)) "
+        f"* ({w}) DIV cnt AS BIGINT)"
+    )
+
+
+def sketch_quantiles(
+    df: DataFrame, value_col: str, probs_ppm: list[int]
+) -> DataFrame:
+    """GLOBAL deterministic quantile estimates: one (p_ppm, est) row
+    per requested probability. Rank definition: the 0-based "lower"
+    rank r = (p_ppm · (n−1)) DIV 10⁶ — the estimate targets the r-th
+    order statistic. Cumulative counts ride attach_count_below
+    (exponent-bucketed PARTITIONED window — no global sort), so the
+    whole plan is: one fact scan → ≤3 810-row cell table → O(k)
+    scalars."""
+    from .rankstats import attach_count_below
+
+    cells = quantile_grid_cells(df, value_col)
+    pc = cells.select(
+        F.col("cell").alias("__x"), F.col("cnt").alias("__c")
+    )
+    ranked, n = attach_count_below(pc)
+    ranked = ranked.select(
+        F.col("__x").alias("cell"),
+        F.col("__c").alias("cnt"),
+        F.col("__r").alias("below"),
+    )
+    if n == 0:
+        probs = ", ".join(str(p) for p in sorted(probs_ppm))
+        return ranked.sparkSession.sql(
+            f"SELECT p_ppm, CAST(NULL AS BIGINT) AS est "
+            f"FROM (SELECT explode(array({probs})) AS p_ppm)"
+        )
+    targets = [(p, (p * (n - 1)) // 1_000_000) for p in sorted(probs_ppm)]
+    t = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("p_ppm"),
+                F.lit(r).cast("long").alias("r"),
+            )
+            for p, r in targets
+        ]
+    )
+    return (
+        ranked.select("cell", "cnt", "below", F.explode(t).alias("t"))
+        .filter(
+            (F.col("t.r") >= F.col("below"))
+            & (F.col("t.r") < F.col("below") + F.col("cnt"))
+        )
+        .select(
+            F.col("t.p_ppm").alias("p_ppm"),
+            F.expr(_est_expr("t.r", "below")).alias("est"),
+        )
+    )
+
+
+def sketch_quantiles_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs_ppm: list[int],
+) -> DataFrame:
+    """Per-group deterministic quantile estimates: (group..., p_ppm,
+    est). The cumulative window is PARTITIONED by the group columns
+    and its input is the per-group cell table — ≤ ~3 810 rows per
+    group BY CONSTRUCTION (the sketch bound), so no task ever sees
+    unbounded state no matter how large or skewed the groups are."""
+    from pyspark.sql import Window
+
+    cells = quantile_grid_cells(df, value_col, group_cols)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = df.filter(F.col(value_col).isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    probs = ", ".join(str(p) for p in sorted(probs_ppm))
+    return (
+        cells.withColumn(
+            "below", F.coalesce(F.sum("cnt").over(w), F.lit(0).cast("long"))
+        )
+        .join(F.broadcast(tot), on=group_cols)
+        .select(
+            *group_cols,
+            "cell",
+            "cnt",
+            "below",
+            "__n",
+            F.expr(f"explode(array({probs}))").alias("p_ppm"),
+        )
+        .withColumn(
+            "__r",
+            F.expr("CAST(p_ppm AS DECIMAL(38,0)) * (__n - 1) DIV 1000000")
+            .cast("long"),
+        )
+        .filter(
+            (F.col("__r") >= F.col("below"))
+            & (F.col("__r") < F.col("below") + F.col("cnt"))
+        )
+        .select(
+            *group_cols,
+            "p_ppm",
+            F.expr(_est_expr("__r", "below")).alias("est"),
+        )
+    )
+
+
+# --- oracle twins (DuckDB SQL builders) --------------------------------------
+# The registry's oracle strings are BUILT from the same expression
+# helpers the Spark plans use, so a grid change cannot silently desync
+# the twin. CTE names are prefixed so two sketches can share one query
+# (the MAD screen runs the grid twice).
+
+
+def grid_quantile_sql(src: str, probs_ppm: list[int], prefix: str = "gq") -> str:
+    """DuckDB CTE block (no leading WITH) computing ``{prefix}_est`` =
+    (p_ppm, est) over relation/CTE ``src`` exposing a BIGINT column
+    ``v`` — the oracle twin of ``sketch_quantiles``."""
+    cell = grid_cell_expr("v", "duckdb")
+    lo, w = grid_lo_w_exprs("cell", "duckdb")
+    probs = ", ".join(f"({p})" for p in sorted(probs_ppm))
+    return f"""
+    {prefix}_cells AS (
+        SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {src} WHERE v IS NOT NULL GROUP BY 1
+    ), {prefix}_r AS (
+        SELECT cell, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY cell
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS below
+        FROM {prefix}_cells
+    ), {prefix}_n AS (
+        SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n
+        FROM {prefix}_cells
+    ), {prefix}_t AS (
+        SELECT p_ppm,
+               CAST(CAST(p_ppm AS HUGEINT) * (n - 1) // 1000000 AS BIGINT)
+                   AS rk
+        FROM (VALUES {probs}) p(p_ppm), {prefix}_n
+    ), {prefix}_est AS (
+        SELECT t.p_ppm AS p_ppm,
+               CAST(({lo}) + CAST((t.rk - r.below) AS HUGEINT) * ({w})
+                    // r.cnt AS BIGINT) AS est
+        FROM {prefix}_t t JOIN {prefix}_r r
+          ON t.rk >= r.below AND t.rk < r.below + r.cnt
+    )"""
+
+
+def grid_quantile_by_group_sql(
+    src: str, probs_ppm: list[int], prefix: str = "gg"
+) -> str:
+    """DuckDB CTE block computing ``{prefix}_est`` = (g, p_ppm, est)
+    over relation/CTE ``src`` exposing (g, v) — the oracle twin of
+    ``sketch_quantiles_by_group``."""
+    cell = grid_cell_expr("v", "duckdb")
+    lo, w = grid_lo_w_exprs("cell", "duckdb")
+    probs = ", ".join(f"({p})" for p in sorted(probs_ppm))
+    return f"""
+    {prefix}_cells AS (
+        SELECT g, {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {src} WHERE v IS NOT NULL GROUP BY 1, 2
+    ), {prefix}_r AS (
+        SELECT g, cell, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY cell
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS below
+        FROM {prefix}_cells
+    ), {prefix}_n AS (
+        SELECT g, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM {prefix}_cells GROUP BY 1
+    ), {prefix}_t AS (
+        SELECT n.g, p.p_ppm,
+               CAST(CAST(p.p_ppm AS HUGEINT) * (n.n - 1) // 1000000
+                    AS BIGINT) AS rk
+        FROM {prefix}_n n, (VALUES {probs}) p(p_ppm)
+    ), {prefix}_est AS (
+        SELECT t.g, t.p_ppm,
+               CAST(({lo}) + CAST((t.rk - r.below) AS HUGEINT) * ({w})
+                    // r.cnt AS BIGINT) AS est
+        FROM {prefix}_t t JOIN {prefix}_r r
+          ON t.g = r.g AND t.rk >= r.below AND t.rk < r.below + r.cnt
+    )"""

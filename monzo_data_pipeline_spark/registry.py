@@ -762,13 +762,72 @@ def q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AGG.exact_distinct_counts(load_table(spark, sf_dir, "orders"))
 
 
+from .operators.sketches import (  # noqa: E402
+    grid_quantile_by_group_sql,
+    grid_quantile_sql,
+)
+
+# the deterministic-HLL CTE chain (shared construction with the
+# hll_distinct_orders oracle in analytics_shapes.py), keyed here on
+# orders.o_custkey
+_HLL_CUSTKEY_SQL = """
+    k AS (
+        SELECT DISTINCT o_custkey AS v FROM orders
+        WHERE o_custkey IS NOT NULL
+    ), h AS (
+        SELECT (((v % 2147483647) + 2147483647) % 2147483647
+                * 2654435761 % 2147483647) * 2147483648
+             + (((v % 2147483647) + 2147483647) % 2147483647
+                * 40503 + 12345) % 2147483647 AS hh
+        FROM k
+    ), bw AS (
+        SELECT CAST(hh & 1023 AS INT) AS b,
+               CAST(hh >> 10 AS BIGINT) AS w
+        FROM h
+    ), reg AS (
+        SELECT b,
+               MAX(CASE WHEN w > 0 THEN
+                     CAST(bit_count((w & -w) - 1) AS INT) + 1
+                   ELSE 53 END) AS reg
+        FROM bw GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS seen,
+               SUM(CAST(CAST(1 AS BIGINT) << (63 - reg) AS HUGEINT)
+                   * 2) AS ssum
+        FROM reg
+    )"""
+
+
 @_register(
     "approx_aggregates",
-    "C7 (HLL++ / quantile sketches; sketch outputs are engine-specific → rows-only)",
-    None,
+    "C7 (deterministic sketches, r6: distinct customers via the "
+    "engine-agnostic HLL, price median/p99 via the binary-exponent "
+    "quantile grid — approximate in accuracy, bit-identical across "
+    "engines, so the ESTIMATES are hash-checked; Spark's native "
+    "HLL++/GK forms remain as operators, tolerance-pinned in tests — "
+    "operators/aggregates.py::approx_aggregates_sketch)",
+    f"""
+    WITH {_HLL_CUSTKEY_SQL},
+    pq AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    ),{grid_quantile_sql('pq', [500_000, 990_000], 'gq')}
+    SELECT CASE WHEN seen > 0 THEN
+             CAST(CAST(720539 AS HUGEINT) * 1024 * 1024
+                  * CAST(18446744073709551616 AS HUGEINT)
+                  // ((ssum + (1024 - seen)
+                       * CAST(18446744073709551616 AS HUGEINT))
+                      * 1000000) AS BIGINT)
+           END AS approx_customers,
+           (SELECT est FROM gq_est WHERE p_ppm = 500000)
+               AS approx_median_price_cents,
+           (SELECT est FROM gq_est WHERE p_ppm = 990000)
+               AS approx_p99_price_cents
+    FROM s
+    """,
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AGG.approx_aggregates(load_table(spark, sf_dir, "orders"))
+    return AGG.approx_aggregates_sketch(load_table(spark, sf_dir, "orders"))
 
 
 # ---------------------------------------------------------------------------
@@ -3502,28 +3561,65 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "mad_robust_outliers_approx",
-    "C7 scale path (MAD profile via approx_percentile: O(accuracy) GK "
-    "sketch state per group instead of the exact value→count map; "
-    "deterministic but engine-specific → rows-only; tolerance vs the "
-    "exact twin pinned in tests/test_aggregates_approx.py)",
-    None,
+    "C7 scale path (r6: MAD profile via the deterministic quantile "
+    "grid — per-group bounded mergeable cell state instead of the "
+    "exact value→count map, estimates bit-identical across engines "
+    "and hash-checked; the GK form stays as mad_outliers_approx, "
+    "tolerance-pinned in tests — operators/aggregates.py::"
+    "mad_outliers_sketch)",
+    f"""
+    WITH q AS MATERIALIZED (
+        SELECT event_type AS g,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),{grid_quantile_by_group_sql('q', [500_000], 'm1')},
+    med AS (SELECT g, est AS med_cents FROM m1_est),
+    d AS MATERIALIZED (
+        SELECT q.g, ABS(q.v - med.med_cents) AS v,
+               q.v AS raw, med.med_cents
+        FROM q JOIN med USING (g)
+    ),{grid_quantile_by_group_sql('d', [500_000], 'm2')},
+    mad AS (SELECT g, est AS mad_cents FROM m2_est)
+    SELECT d.g AS event_type, d.med_cents, mad.mad_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (
+               WHERE ABS(d.raw - d.med_cents) > 3 * mad.mad_cents
+           ) AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (g)
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
 )
 def q_mad_robust_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AGG.mad_outliers_approx(
+    return AGG.mad_outliers_sketch(
         load_table(spark, sf_dir, "events"), ["event_type"], "value"
     ).orderBy("event_type")
 
 
 @_register(
     "equi_depth_histogram_approx",
-    "C7 scale path (equi-depth histogram with sketch cutpoints: rank "
-    "error ≤ n/accuracy, bounded partial-agg memory at 100 TB; "
-    "deterministic but engine-specific → rows-only; tolerance vs the "
-    "exact twin pinned in tests/test_aggregates_approx.py)",
-    None,
+    "C7 scale path (r6: equi-depth histogram with deterministic-grid "
+    "cutpoints — bounded mergeable cell state at 100 TB, estimates "
+    "bit-identical across engines and hash-checked; the GK form "
+    "stays as equi_depth_histogram_approx the operator, tolerance-"
+    "pinned in tests — operators/aggregates.py::"
+    "equi_depth_histogram_sketch)",
+    f"""
+    WITH q AS MATERIALIZED (
+        SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),{grid_quantile_sql('q', [i * 50_000 for i in range(1, 20)], 'gq')},
+    cuts AS (SELECT list_sort(list(est)) AS cuts FROM gq_est)
+    SELECT CAST(len(list_filter(cuts, c -> c < v)) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS lo_cents,
+           MAX(v) AS hi_cents
+    FROM q, cuts
+    GROUP BY 1 ORDER BY 1
+    """,
 )
 def q_equi_depth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AGG.equi_depth_histogram_approx(
+    return AGG.equi_depth_histogram_sketch(
         load_table(spark, sf_dir, "events"), "value", n_buckets=20
     )
 
