@@ -1761,3 +1761,24 @@ def register(_register) -> None:
         return IMG.image_stats(
             documents_as_jpegs(docs, subsampling="420")
         )
+
+    from .registry import _CLUSTERS_ORACLE_SQL
+
+    @_register(
+        "near_dup_clusters_star",
+        "C2/iterative at 100 TB (r6: large-star/small-star connected "
+        "components, Kiveris et al. SoCC'14 — O(log²) rounds vs "
+        "min-label propagation's one round per diameter hop, "
+        "per-round work ∝ the shrinking CURRENT edge set; identical "
+        "output contract and oracle as near_dup_clusters — "
+        "ext/dedup_fuzzy.py::connected_components_star)",
+        _CLUSTERS_ORACLE_SQL,
+    )
+    def q_near_dup_clusters_star(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .ext import dedup_fuzzy as DF
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = DF.ngram_jaccard_pairs(docs, threshold=0.6)
+        return DF.connected_components_star(pairs)

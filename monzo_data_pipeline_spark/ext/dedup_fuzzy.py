@@ -470,6 +470,117 @@ def near_dup_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the 100 TB-scale variant `near_dup_clusters`'s
+    docstring promises: plain min-label propagation pays one round
+    per hop of the largest cluster's diameter, while star operations
+    contract long chains in O(log²) rounds with per-round work
+    proportional to the CURRENT edge set (which shrinks as stars
+    form), never to the transitive closure.
+
+      * large-star(u): with Γ(u) the full neighborhood and
+        m = min(Γ(u) ∪ {u}), re-point every LARGER neighbor at m —
+        edges (v, m) for v ∈ Γ(u), v > u;
+      * small-star(u): orient edges toward their larger endpoint;
+        with Γ≤(u) the smaller-or-equal neighbors and
+        m = min(Γ≤(u) ∪ {u}), emit (v, m) for
+        v ∈ Γ≤(u) ∪ {u} \\ {m}.
+
+    Both steps are one groupBy + one join on the edge set — no
+    windows, no collect beyond the O(1) convergence scalar. Lineage
+    is cut per round via `truncate_lineage` (reliable checkpoint when
+    the session has a checkpoint dir). Convergence = the per-node
+    min-label sum goes stationary — labels are monotone
+    non-increasing, so a stationary exact sum IS the fixpoint (the
+    `near_dup_clusters` idiom).
+
+    Returns (doc_id, cluster_id) — identical output contract (and
+    registry oracle) as `near_dup_clusters`: every node labeled with
+    its component's minimum id."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .transform(truncate_lineage)
+    )
+
+    def _labels(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        return nodes.join(
+            nbr, nodes.node == nbr.u, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("node"), F.coalesce(F.col("mn"), F.col("node"))
+            ).alias("label"),
+        )
+
+    prev_sum = None
+    for _ in range(max_iterations):
+        # LARGE-STAR: symmetric neighborhoods; larger neighbors
+        # re-pointed at the neighborhood minimum
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: orient toward the larger endpoint; smaller
+        # neighbors (and the center) re-pointed at the minimum
+        oriented = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        smins = (
+            oriented.groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        j = oriented.join(smins, "u")
+        e1 = j.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        e2 = smins.select(F.col("u"), F.col("m").alias("v")).filter(
+            F.col("u") != F.col("v")
+        )
+        edges = e1.unionByName(e2).distinct().transform(truncate_lineage)
+        cur_sum = (
+            _labels(edges)
+            .agg(F.sum("label").cast("decimal(38,0)"))
+            .collect()[0][0]
+        )
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return _labels(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def contamination_check(
     train: DataFrame,
     benchmark: DataFrame,

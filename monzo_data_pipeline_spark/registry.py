@@ -1968,10 +1968,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DF.simhash_near_dup_pairs(docs, max_hamming=6, hash_family="poly")
 
 
-@_register(
-    "near_dup_clusters",
-    "C2/iterative (connected components over the near-dup graph: min-label "
-    "propagation to fixpoint; oracle = recursive-CTE transitive closure)",
+_CLUSTERS_ORACLE_SQL = (
     _SHINGLES_CTE
     + """
     , pairs AS (
@@ -1998,7 +1995,15 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(u, MIN(v)) AS cluster_id
     FROM reach
     GROUP BY u
-    """,
+    """
+)
+
+
+@_register(
+    "near_dup_clusters",
+    "C2/iterative (connected components over the near-dup graph: min-label "
+    "propagation to fixpoint; oracle = recursive-CTE transitive closure)",
+    _CLUSTERS_ORACLE_SQL,
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

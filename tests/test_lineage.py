@@ -61,3 +61,58 @@ def test_truncate_lineage_preserves_rows(spark, checkpoint_dir):
     df = spark.range(100).withColumn("v", F.col("id") * 2)
     out = truncate_lineage(df)
     assert out.collect() == df.collect()
+
+
+def test_star_cc_matches_pointer_jumping_on_random_graphs(spark):
+    """connected_components_star == near_dup_clusters on random
+    graphs: chains (worst case for plain propagation), cliques,
+    sparse random, and a mix — both label every node with its
+    component minimum."""
+    import random
+
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import (
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    cases = []
+    # long chain: 0-1-2-...-60
+    cases.append([(i, i + 1) for i in range(60)])
+    # two cliques + a bridge
+    k1 = [(a, b) for a in range(100, 106) for b in range(a + 1, 106)]
+    k2 = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    cases.append(k1 + k2 + [(105, 200)])
+    # sparse random
+    cases.append(
+        [(rng.randrange(0, 300), rng.randrange(0, 300)) for _ in range(150)]
+    )
+    for rows in cases:
+        rows = [(a, b) for a, b in rows if a != b]
+        df = spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+        star = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components_star(df).collect()
+        }
+        plain = {
+            (r.doc_id, r.cluster_id)
+            for r in near_dup_clusters(df).collect()
+        }
+        assert star == plain
+
+
+def test_star_cc_uses_reliable_checkpoint_when_dir_set(spark, checkpoint_dir):
+    import os
+
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import (
+        connected_components_star,
+    )
+
+    out = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(_pairs(spark)).collect()
+    }
+    assert out == EXPECTED
+    found = []
+    for root, _, files in os.walk(checkpoint_dir):
+        found.extend(files)
+    assert found
