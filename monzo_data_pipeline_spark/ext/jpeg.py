@@ -19,11 +19,14 @@ in BOTH frame types:
     `encode_jpeg_progressive` emits the same scan scripts so the
     decoder is gated by cross-path equality against the baseline
     codec (identical quantized coefficients ⇒ identical pixels).
-    4:4:4 only.
+    Since r6 chroma subsampling works here too: DC scans interleave
+    per-MCU (each component's V×H sub-grid), AC scans walk the
+    single component's own ceil-dims grid — the MCU-padding blocks
+    carry DC only, per T.81.
 
-Arithmetic coding, 12-bit precision, hierarchical frames, sampling
-factors above 2, and subsampled progressive frames raise ValueError
-so callers quarantine rather than mis-decode.
+Arithmetic coding, 12-bit precision, hierarchical frames, and
+sampling factors above 2 raise ValueError so callers quarantine
+rather than mis-decode.
 
 Both directions are implemented so the codec can gate itself:
 `decode_jpeg(encode_jpeg(x))` with an all-ones quantization table is
@@ -539,15 +542,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, tq, hh, vv))
             frame = (h, w, comps)
             if marker == 0xC2:
-                if any(c[2] != 1 or c[3] != 1 for c in comps):
-                    raise ValueError(
-                        "subsampled progressive JPEG unsupported"
-                    )
-                bh, bw = -(-h // 8), -(-w // 8)
-                prog_coef = {
-                    cid: np.zeros((bh * bw, 64), dtype=np.int64)
-                    for cid, _, _, _ in comps
-                }
+                prog_coef = {}
+                for cid, _, hh, vv in comps:
+                    gh, gw = _prog_grid(h, w, comps, hh, vv)
+                    prog_coef[cid] = np.zeros((gh * gw, 64), dtype=np.int64)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "only baseline-sequential and progressive-Huffman "
@@ -607,10 +605,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if prog_coef is not None:
         # all scans accumulated coefficient state; dequantize + IDCT once
         h, w, comps = frame
-        bh, bw = -(-h // 8), -(-w // 8)
-        for cid, tq, _, _ in comps:
+        for cid, tq, hh, vv in comps:
             if tq not in qtables:
                 raise ValueError("missing quantization table")
+            gh, gw = _prog_grid(h, w, comps, hh, vv)
             zz = prog_coef[cid]
             nat = np.zeros((zz.shape[0], 64), dtype=np.int64)
             nat[:, ZIGZAG] = zz
@@ -626,9 +624,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 + 128.0
             )
             plane = (
-                pix.reshape(bh, bw, 8, 8)
+                pix.reshape(gh, gw, 8, 8)
                 .transpose(0, 2, 1, 3)
-                .reshape(bh * 8, bw * 8)
+                .reshape(gh * 8, gw * 8)
             )
             decoded[cid] = plane
     if frame is None or not decoded:
@@ -657,6 +655,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(planes) == 3:
         return _ycbcr_to_rgb(np.stack(planes, axis=-1))
     raise ValueError(f"unsupported component count {len(planes)}")
+
+
+def _prog_grid(h, w, comps, hh, vv) -> tuple[int, int]:
+    """A component's PADDED coefficient-grid dims in a progressive
+    frame: multi-component frames interleave DC scans over the MCU
+    grid (so every component's grid pads to mcus × its factors);
+    single-component frames only ever scan non-interleaved, so the
+    grid is the plain ceil(dim/8) one (factors are irrelevant)."""
+    if len(comps) == 1:
+        return -(-h // 8), -(-w // 8)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    return (-(-h // (8 * vmax))) * vv, (-(-w // (8 * hmax))) * hh
 
 
 def _decode_scan(data, pos, frame, scan_tables, qtables, htables, ri, decoded):
@@ -794,9 +805,6 @@ def documents_as_jpegs(docs, progressive: bool = False, subsampling: str = "444"
     import pandas as pd
     from pyspark.sql import types as T
 
-    if progressive and subsampling != "444":
-        raise ValueError("progressive emission is 4:4:4 only")
-
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -817,7 +825,8 @@ def documents_as_jpegs(docs, progressive: bool = False, subsampling: str = "444"
         )
 
         if progressive:
-            enc = encode_jpeg_progressive
+            def enc(a):
+                return encode_jpeg_progressive(a, subsampling=subsampling)
         else:
             def enc(a):
                 return encode_jpeg(a, subsampling=subsampling)
@@ -864,16 +873,26 @@ def encode_jpeg_progressive(
     quant: np.ndarray | None = None,
     refine: bool = True,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    subsampling: str = "444",
 ) -> bytes:
     """Encode as progressive JFIF (SOF2). Scan script: one interleaved
     DC-first scan (+ one DC-refine when ``refine``), then per
     component one AC-first scan per spectral band (+ matching
     AC-refine scans when ``refine``; Al walks 1 → 0). Same component
-    model as `encode_jpeg` (8-bit, 4:4:4, shared tables). The
-    quantized coefficients are IDENTICAL to the baseline encoder's, so
+    model as `encode_jpeg` (8-bit, shared tables). The quantized
+    coefficients are IDENTICAL to the baseline encoder's, so
     `decode_jpeg(encode_jpeg_progressive(x, q))` must equal
     `decode_jpeg(encode_jpeg(x, q))` bit-for-bit — the cross-path test
-    that gates both codecs against each other."""
+    that gates both codecs against each other.
+
+    ``subsampling`` (r6) accepts the same "444"/"422"/"420" layouts
+    as the baseline encoder, with the same padding + box-mean chroma:
+    DC scans interleave each component's V×H block sub-grid per MCU
+    (T.81 A.2.3); AC scans are always non-interleaved and walk the
+    single component's OWN ceil-dims block grid (A.2.2) — the
+    MCU-padding blocks carry DC only, exactly as T.81 prescribes."""
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     if arr.ndim == 2:
@@ -897,39 +916,82 @@ def encode_jpeg_progressive(
         raise ValueError("bands must partition 1..63 in order")
     del lo_hi
 
+    hmax, vmax = _SUBSAMPLING[subsampling] if len(planes) == 3 else (1, 1)
+    if subsampling != "444" and len(planes) != 3:
+        raise ValueError("chroma subsampling requires a 3-channel image")
+    samp = [(hmax, vmax)] + [(1, 1)] * (len(planes) - 1)
+    # comp true dims BEFORE padding (A.1.1: ceil(dim·f/fmax))
+    comp_dims = [
+        (-(-(h * vv) // vmax), -(-(w * hh) // hmax)) for hh, vv in samp
+    ]
+    if (hmax, vmax) != (1, 1):
+        mh, mw = 8 * vmax, 8 * hmax
+        ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+        padded = [
+            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            for p in planes
+        ]
+        planes = [padded[0]] + [
+            p.reshape(ph // vmax, vmax, pw // hmax, hmax).mean(axis=(1, 3))
+            for p in padded[1:]
+        ]
+
     dc_codes = _canonical_codes(_STD_DC_BITS, _STD_DC_VALS)
     ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
     n_comp = len(planes)
-    coef = []  # per comp: (n_blocks, 64) zigzag-order quantized ints
-    for plane in planes:
+    coef = []  # per comp: (padded_grid_blocks, 64) zigzag-order ints
+    grid_w = []  # padded block-grid width per comp
+    own = []  # (own_bh, own_bw): the component's ceil-dims grid
+    for ci, plane in enumerate(planes):
         f = _blocks(plane) - 128.0
         d = np.einsum("ux,bxy,vy->buv", _DCT_M, f, _DCT_M)
         zz = np.rint(d / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
         coef.append(zz)
-    n_blocks = coef[0].shape[0]
+        grid_w.append(-(-plane.shape[1] // 8))
+        ch, cw = comp_dims[ci]
+        own.append((-(-ch // 8), -(-cw // 8)))
+    if (hmax, vmax) == (1, 1):
+        dc_order = [
+            (ci, b) for b in range(coef[0].shape[0]) for ci in range(n_comp)
+        ]
+    else:
+        mcus_x = grid_w[0] // hmax
+        n_mcu = coef[0].shape[0] // (hmax * vmax)
+        dc_order = []
+        for m in range(n_mcu):
+            my, mx = divmod(m, mcus_x)
+            for ci in range(n_comp):
+                hh, vv = samp[ci]
+                for iv in range(vv):
+                    for ih in range(hh):
+                        dc_order.append(
+                            (ci, (my * vv + iv) * grid_w[ci] + mx * hh + ih)
+                        )
+
+    def ac_blocks(ci: int) -> list[int]:
+        oh, ow = own[ci]
+        return [by * grid_w[ci] + bx for by in range(oh) for bx in range(ow)]
 
     def dc_first_scan(al: int) -> bytes:
         wr = _BitWriter()
         preds = [0] * n_comp
-        for b in range(n_blocks):
-            for ci in range(n_comp):
-                v = int(coef[ci][b, 0]) >> al  # arithmetic shift
-                diff = v - preds[ci]
-                preds[ci] = v
-                cat = _category(diff)
-                code, length = dc_codes[cat]
-                wr.write(code, length)
-                if cat:
-                    wr.write(
-                        diff if diff >= 0 else diff + (1 << cat) - 1, cat
-                    )
+        for ci, b in dc_order:
+            v = int(coef[ci][b, 0]) >> al  # arithmetic shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            cat = _category(diff)
+            code, length = dc_codes[cat]
+            wr.write(code, length)
+            if cat:
+                wr.write(
+                    diff if diff >= 0 else diff + (1 << cat) - 1, cat
+                )
         return wr.flush()
 
     def dc_refine_scan(al: int) -> bytes:
         wr = _BitWriter()
-        for b in range(n_blocks):
-            for ci in range(n_comp):
-                wr.write((int(coef[ci][b, 0]) >> al) & 1, 1)
+        for ci, b in dc_order:
+            wr.write((int(coef[ci][b, 0]) >> al) & 1, 1)
         return wr.flush()
 
     def ac_first_scan(ci: int, lo: int, hi: int, al: int) -> bytes:
@@ -947,7 +1009,7 @@ def encode_jpeg_progressive(
                 wr.write(eobrun - (1 << nb), nb)
             eobrun = 0
 
-        for b in range(n_blocks):
+        for b in ac_blocks(ci):
             zz = coef[ci][b]
             r = 0
             wrote = False
@@ -1000,7 +1062,7 @@ def encode_jpeg_progressive(
             pending.clear()
             eobrun = 0
 
-        for b in range(n_blocks):
+        for b in ac_blocks(ci):
             zz = coef[ci][b]
             absv = [abs(int(zz[k])) >> al for k in range(lo, hi + 1)]
             vals = [int(zz[k]) for k in range(lo, hi + 1)]
@@ -1076,7 +1138,8 @@ def encode_jpeg_progressive(
     out.append(seg(0xFFDB, b"\x00" + zz_q))
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for ci in range(n_comp):
-        sof += bytes([ci + 1, 0x11, 0])
+        hh, vv = samp[ci]
+        sof += bytes([ci + 1, (hh << 4) | vv, 0])
     out.append(seg(0xFFC2, sof))  # SOF2: progressive
     dht = bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
     dht += bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
@@ -1120,34 +1183,60 @@ def _decode_scan_progressive(
 
     Returns the payload offset of the next marker."""
     h, w, comps = frame
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_blocks = bh * bw
     rd = _BitReader(data, pos)
-    comp_ids = [cid for cid, _, _, _ in comps]
+    by_id = {c[0]: c for c in comps}
     for cid in scan_order:
-        if cid not in comp_ids:
+        if cid not in by_id:
             raise ValueError("SOS lists a component absent from SOF")
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+
+    def own_blocks(cid: int) -> list[int]:
+        # non-interleaved walk: the component's OWN ceil-dims grid,
+        # indexed into its padded coefficient array (T.81 A.2.2)
+        _, _, hh, vv = by_id[cid]
+        _, gw = _prog_grid(h, w, comps, hh, vv)
+        cw, ch = -(-(w * hh) // hmax), -(-(h * vv) // vmax)
+        ow, oh = -(-cw // 8), -(-ch // 8)
+        return [by * gw + bx for by in range(oh) for bx in range(ow)]
+
     if ss == 0:
         if se != 0:
             raise ValueError("progressive DC scan must have Se = 0")
+        # DC coded order: interleaved MCU walk (each component's V×H
+        # sub-grid, T.81 A.2.3) when the scan lists several
+        # components; the component's own grid when it lists one
+        if len(scan_order) > 1:
+            mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            order = []
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for cid in scan_order:
+                    _, _, hh, vv = by_id[cid]
+                    gw = mcus_x * hh
+                    for iv in range(vv):
+                        for ih in range(hh):
+                            order.append(
+                                (cid, (my * vv + iv) * gw + mx * hh + ih)
+                            )
+        else:
+            order = [(scan_order[0], b) for b in own_blocks(scan_order[0])]
         if ah == 0:
             preds = {cid: 0 for cid in scan_order}
-            for b in range(n_blocks):
-                for cid in scan_order:
-                    td, _ = scan_tables[cid]
-                    try:
-                        dc_tab = htables[(0, td)]
-                    except KeyError:
-                        raise ValueError("missing Huffman table") from None
-                    sym = _read_symbol(rd, dc_tab)
-                    preds[cid] += _extend(rd.receive(sym), sym)
-                    prog_coef[cid][b, 0] = preds[cid] << al
+            for cid, b in order:
+                td, _ = scan_tables[cid]
+                try:
+                    dc_tab = htables[(0, td)]
+                except KeyError:
+                    raise ValueError("missing Huffman table") from None
+                sym = _read_symbol(rd, dc_tab)
+                preds[cid] += _extend(rd.receive(sym), sym)
+                prog_coef[cid][b, 0] = preds[cid] << al
         else:
             p1 = 1 << al
-            for b in range(n_blocks):
-                for cid in scan_order:
-                    if rd.bit():
-                        prog_coef[cid][b, 0] |= p1
+            for cid, b in order:
+                if rd.bit():
+                    prog_coef[cid][b, 0] |= p1
     else:
         if len(scan_order) != 1:
             raise ValueError("progressive AC scan must be single-component")
@@ -1161,8 +1250,9 @@ def _decode_scan_progressive(
             raise ValueError("missing Huffman table") from None
         coefs = prog_coef[cid]
         eobrun = 0
+        blocks = own_blocks(cid)
         if ah == 0:  # AC first
-            for b in range(n_blocks):
+            for b in blocks:
                 if eobrun > 0:
                     eobrun -= 1
                     continue
@@ -1191,7 +1281,7 @@ def _decode_scan_progressive(
                 if rd.bit() and (c & p1) == 0:
                     coefs[b, k] = c + (p1 if c >= 0 else m1)
 
-            for b in range(n_blocks):
+            for b in blocks:
                 k = ss
                 if eobrun == 0:
                     while k <= se:

@@ -308,12 +308,33 @@ def test_subsampling_guards():
         encode_jpeg(a, subsampling="420", multi_scan=True)
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(a, subsampling="411")
-    # subsampled progressive stays quarantined
+
+
+def test_progressive_subsampled_matches_baseline_subsampled():
+    """decode(progressive+subsampled) == decode(baseline+subsampled)
+    BIT-FOR-BIT: identical padding/downsampling yields identical
+    quantized coefficients; the scan scripts differ (interleaved
+    MCU-order DC, own-grid AC with MCU-padding blocks carrying DC
+    only) but must reconstruct the same planes."""
     from monzo_data_pipeline_spark.ext.jpeg import encode_jpeg_progressive
 
-    prog = encode_jpeg_progressive(a)
-    i = prog.index(b"\xff\xc2")
-    mut = bytearray(prog)
-    mut[i + 2 + 2 + 5 + 1 + 1] = 0x22  # Y sampling 2x2 in SOF2
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(bytes(mut))
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        q = (
+            np.ones((8, 8), np.int64)
+            if trial % 3 == 0
+            else rng.integers(1, 50, (8, 8))
+        )
+        for sub in ("422", "420"):
+            base = decode_jpeg(encode_jpeg(arr, quant=q, subsampling=sub))
+            for refine in (False, True):
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(
+                        arr, quant=q, refine=refine, subsampling=sub
+                    )
+                )
+                assert np.array_equal(base, prog), (
+                    trial, sub, refine, (h, w)
+                )
