@@ -572,3 +572,19 @@ def grid_quantile_by_group_sql(
         FROM {prefix}_t t JOIN {prefix}_r r
           ON t.g = r.g AND t.rk >= r.below AND t.rk < r.below + r.cnt
     )"""
+
+
+def merge_grid_cells(*states: DataFrame) -> DataFrame:
+    """Merge quantile-grid states by counter addition (union + SUM —
+    commutative, associative, batching-invariant), exactly like
+    `cms_merge`/`hll_merge`: the cells of batch A ∪ batch B equal the
+    cells of A+B computed whole, so a warehouse can persist per-batch
+    grid states and answer quantiles over any batch combination
+    without rescanning the facts. Accepts outputs of
+    `quantile_grid_cells` (with or without group columns — every
+    non-(cell, cnt) column is treated as a group key)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c not in ("cnt",)]
+    return merged.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))

@@ -158,3 +158,48 @@ def test_mad_sketch_close_to_exact(spark):
         assert abs(got[g].med_cents - med_exact) <= max(med_exact, 1) * 0.04
         assert abs(got[g].mad_cents - mad_exact) <= max(mad_exact, 1) * 0.06
         assert got[g].n == exact[g].n
+
+
+def test_grid_cells_merge_equals_whole(spark):
+    """Mergeability: per-batch grid states summed == the whole-data
+    state, so quantile extraction over merged state is identical to a
+    full recompute — the property that makes the sketch a valid
+    incremental/streaming checkpoint."""
+    import numpy as np
+
+    from monzo_data_pipeline_spark.operators.sketches import (
+        merge_grid_cells,
+        quantile_grid_cells,
+    )
+
+    rng = np.random.default_rng(17)
+    vals = [int(v) for v in rng.integers(-10_000, 10_000_000, 6000)]
+    a = spark.createDataFrame([(v,) for v in vals[:2500]], "v bigint")
+    b = spark.createDataFrame([(v,) for v in vals[2500:]], "v bigint")
+    whole = spark.createDataFrame([(v,) for v in vals], "v bigint")
+
+    merged = {
+        (r.cell, r.cnt)
+        for r in merge_grid_cells(
+            quantile_grid_cells(a, "v"), quantile_grid_cells(b, "v")
+        ).collect()
+    }
+    full = {
+        (r.cell, r.cnt)
+        for r in quantile_grid_cells(whole, "v").collect()
+    }
+    assert merged == full
+    # merging the same batch twice is NOT idempotent (counts add) —
+    # unlike HLL/bitmap; assert the doubling so nobody assumes it
+    doubled = {
+        (r.cell, r.cnt)
+        for r in merge_grid_cells(
+            quantile_grid_cells(a, "v"), quantile_grid_cells(a, "v")
+        ).collect()
+    }
+    assert doubled == {
+        (c, 2 * n)
+        for c, n in (
+            (r.cell, r.cnt) for r in quantile_grid_cells(a, "v").collect()
+        )
+    }
