@@ -1741,14 +1741,16 @@ def register(_register) -> None:
         "T.81 A.2.3 MCU interleave, replication upsampling on decode, "
         "ext/jpeg.py r6; the synthesized streams carry r=g=b constants "
         "so Cb=Cr=128 exactly and the subsampled roundtrip is "
-        "bit-exact — pixel sum = 3× the grayscale character rule)",
+        "bit-exact — pixel sum = 3× the grayscale character rule; "
+        "deterministic 10%% doc sample: the gate is per-payload, and "
+        "the gray/progressive twins already decode the full corpus)",
         f"""{_MEDIA_CODES_CTE}
         SELECT media_id, TRUE AS valid, 16 AS width, 16 AS height,
                3 AS channels, CAST(256 AS BIGINT) AS n_pixels,
                CAST(3 * 64 * (codes[(0 % L) + 1] + codes[(1 % L) + 1]
                               + codes[(2 % L) + 1] + codes[(3 % L) + 1])
                     AS BIGINT) AS pix_sum
-        FROM s ORDER BY media_id
+        FROM s WHERE media_id % 10 = 0 ORDER BY media_id
         """,
     )
     def q_jpeg_subsampled_decode_stats(
@@ -1757,7 +1759,9 @@ def register(_register) -> None:
         from .ext import images as IMG
         from .ext.jpeg import documents_as_jpegs
 
-        docs = load_table(spark, sf_dir, "documents")
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 0
+        )
         return IMG.image_stats(
             documents_as_jpegs(docs, subsampling="420")
         )
