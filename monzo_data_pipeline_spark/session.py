@@ -96,6 +96,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
     )
+    # SPARK_GRAFT_ANSI=1: run under ANSI SQL semantics — arithmetic
+    # that would silently wrap/NULL in legacy mode raises instead. The
+    # engine's exactness contracts are written to survive both (the
+    # full oracle gate is CI'd under this flag too); production
+    # deployments that prefer fail-fast arithmetic set it.
+    if os.environ.get("SPARK_GRAFT_ANSI") == "1":
+        builder = builder.config("spark.sql.ansi.enabled", "true")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
