@@ -568,11 +568,18 @@ def connected_components_star(
             F.col("u") != F.col("v")
         )
         edges = e1.unionByName(e2).distinct().transform(truncate_lineage)
-        cur_sum = (
+        # stationarity of (label sum, label count) — labels are
+        # monotone non-increasing, so an unchanged exact sum IS the
+        # fixpoint; the count guards the degenerate-coincidence case
+        row = (
             _labels(edges)
-            .agg(F.sum("label").cast("decimal(38,0)"))
-            .collect()[0][0]
+            .agg(
+                F.sum("label").cast("decimal(38,0)"),
+                F.count(F.lit(1)),
+            )
+            .collect()[0]
         )
+        cur_sum = (row[0], row[1])
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -323,9 +323,20 @@ def exact_ntile_multi(
     """
     if not specs:
         return df
-    for nb, _, _, _ in specs:
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for nb, vc, _, _ in specs:
         if nb < 1:
             raise ValueError(f"n_buckets must be >= 1, got {nb}")
+        # the stack casts every value column to long; a fractional
+        # input would TRUNCATE silently and order differently than the
+        # single-column exact_ntile — reject instead
+        if not isinstance(df.schema[vc].dataType, integral):
+            raise TypeError(
+                f"exact_ntile_multi needs integer-typed value columns; "
+                f"{vc!r} is {df.schema[vc].dataType.simpleString()}"
+            )
     all_specs = [
         (i, nb, vc, tc, oc) for i, (nb, vc, tc, oc) in enumerate(specs)
     ]

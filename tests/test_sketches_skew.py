@@ -318,3 +318,13 @@ def test_exact_ntile_multi_empty_and_validation(spark):
         exact_ntile_multi(df2, [(0, "v", "id", "nt")])
     # no specs: identity
     assert exact_ntile_multi(df2, []).columns == df2.columns
+
+
+def test_exact_ntile_multi_rejects_fractional_value_columns(spark):
+    import pytest as _pt
+
+    from monzo_data_pipeline_spark.operators.windows import exact_ntile_multi
+
+    df = spark.createDataFrame([(1.5, 1)], "v double, id bigint")
+    with _pt.raises(TypeError, match="integer-typed"):
+        exact_ntile_multi(df, [(4, "v", "id", "nt")])
