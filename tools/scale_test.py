@@ -161,6 +161,13 @@ QUERY_SET = [
     "jpeg_progressive_decode_stats",
     "theilsen_balance_spend",
     "spearman_by_segment",
+    # round-6 batch: deterministic-sketch conversions, star CC,
+    # subsampled JPEG
+    "approx_aggregates",
+    "mad_robust_outliers_approx",
+    "equi_depth_histogram_approx",
+    "near_dup_clusters_star",
+    "jpeg_subsampled_decode_stats",
 ]
 
 KEY_OFFSET = 100_000_000
