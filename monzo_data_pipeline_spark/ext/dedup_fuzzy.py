@@ -504,15 +504,18 @@ def connected_components_star(
     Returns (doc_id, cluster_id) — identical output contract (and
     registry oracle) as `near_dup_clusters`: every node labeled with
     its component's minimum id."""
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .transform(truncate_lineage)
     )
+    # nodes from the RAW pairs: a degenerate self-loop-only node must
+    # still appear in the output (as its own cluster), exactly as the
+    # pointer-jumping variant labels it
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .transform(truncate_lineage)
     )

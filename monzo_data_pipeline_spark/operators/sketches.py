@@ -418,7 +418,8 @@ def sketch_quantiles(
     if n == 0:
         probs = ", ".join(str(p) for p in sorted(probs_ppm))
         return ranked.sparkSession.sql(
-            f"SELECT p_ppm, CAST(NULL AS BIGINT) AS est "
+            f"SELECT CAST(p_ppm AS BIGINT) AS p_ppm, "
+            f"CAST(NULL AS BIGINT) AS est "
             f"FROM (SELECT explode(array({probs})) AS p_ppm)"
         )
     targets = [(p, (p * (n - 1)) // 1_000_000) for p in sorted(probs_ppm)]

@@ -116,3 +116,21 @@ def test_star_cc_uses_reliable_checkpoint_when_dir_set(spark, checkpoint_dir):
     for root, _, files in os.walk(checkpoint_dir):
         found.extend(files)
     assert found
+
+
+def test_star_cc_keeps_self_loop_only_nodes(spark):
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (9, 9)], "doc_a bigint, doc_b bigint"
+    )
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(df).collect()
+    }
+    plain = {
+        (r.doc_id, r.cluster_id) for r in near_dup_clusters(df).collect()
+    }
+    assert star == plain == {(1, 1), (2, 1), (9, 9)}
