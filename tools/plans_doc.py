@@ -81,7 +81,11 @@ SHOW = {
     # round 5, second batch
     "spearman_balance_spend": "Spearman — two value-grain rank maps (exponent-bucket offsets, PARTITIONED windows), two equi-joins back, one wide DECIMAL agg; no global sort",
     "mannwhitney_urgent_orders": "Mann-Whitney — one value-grain conditional agg + the shared count-below attach; all-integer to the output",
-    "kendall_tau_balance_spend": "Kendall tau-b — two exact_ntile passes (broadcast cuts), ≤100-row cell grid, broadcast cell self-join; pair math never touches rows",
+    "kendall_tau_balance_spend": "Kendall tau-b — ONE fused two-margin ntile pass (binned_cells, r6), ≤100-row cell grid, broadcast cell self-join; pair math never touches rows",
+    "approx_aggregates": "r6 deterministic sketches — HLL register agg + quantile-grid cells (bounded mergeable state), O(k) scalar collects, 1-row broadcast pivot",
+    "equi_depth_histogram_approx": "r6 grid cutpoints — ≤3810-cell state, cut array as a 1-row broadcast, map-side HOF bucketing",
+    "near_dup_clusters_star": "large-star/small-star CC — per round one groupBy + one join on the shrinking edge set, lineage cut per round, O(1) convergence scalar",
+    "jpeg_subsampled_decode_stats": "4:2:0 color codec — Arrow-batched mapInPandas, no shuffle in decode, deterministic 10% sample pushed to the scan",
     "churn_survival_km": "KM survival — user-grain agg, duration-grain agg (calendar-bounded), ONE single-row fold; no Spark-side window",
     "benford_first_digit": "Benford — map-side digit projection, 9-key agg, spine+total broadcast; fact scanned once",
     "tvd_source_drift": "TVD drift — one (word) partial-agg'd shuffle, 1-row totals broadcast, one wide DECIMAL agg",
