@@ -745,6 +745,26 @@ def register(_register) -> None:
             daily, "event_type", "day", "x"
         ).withColumn("cp_t", F.date_format("cp_t", "yyyy-MM-dd"))
 
+    def _copurchase_edges(li, a_col: str = "a", b_col: str = "b"):
+        """The support-2 co-purchase part graph (a < b), built as
+        collect_set per order + map-side pair explosion instead of a
+        distinct + self-join: one shuffle fewer (the r6 A/B measured
+        4.0 → 2.5 s at sf0.1, identical edge set). Per-order fan-out
+        is C(order size, 2) — bounded by the max basket size at any
+        data scale, so the explode never amplifies unboundedly."""
+        per_order = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("ps")
+        )
+        return (
+            per_order.select(F.explode("ps").alias("p"), "ps")
+            .select("p", F.explode("ps").alias("p2"))
+            .filter(F.col("p") < F.col("p2"))
+            .groupBy(F.col("p").alias(a_col), F.col("p2").alias(b_col))
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= 2)
+            .select(a_col, b_col)
+        )
+
     @_register(
         "triangle_count_copurchase",
         "north-star (exact triangle count + global clustering of the "
@@ -785,21 +805,7 @@ def register(_register) -> None:
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
-        items = li.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        ).distinct()
-        b = items.select(
-            F.col("o"), F.col("p").alias("p2")
-        )
-        edges = (
-            items.join(b, on="o")
-            .filter(F.col("p") < F.col("p2"))
-            .groupBy(F.col("p").alias("a"), F.col("p2").alias("b"))
-            .agg(F.count(F.lit(1)).alias("sup"))
-            .filter(F.col("sup") >= 2)
-            .select("a", "b")
-        )
-        return G.triangle_stats(edges)
+        return G.triangle_stats(_copurchase_edges(li))
 
     # shared CTE prefix: the support-2 co-purchase part graph (edges
     # a<b) — same graph as triangle_count_copurchase's oracle
@@ -854,18 +860,7 @@ def register(_register) -> None:
     def q_bfs_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
         part = load_table(spark, sf_dir, "part")
-        items = li.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        ).distinct()
-        b = items.select(F.col("o"), F.col("p").alias("p2"))
-        e = (
-            items.join(b, on="o")
-            .filter(F.col("p") < F.col("p2"))
-            .groupBy(F.col("p").alias("pa"), F.col("p2").alias("pb"))
-            .agg(F.count(F.lit(1)).alias("sup"))
-            .filter(F.col("sup") >= 2)
-            .select("pa", "pb")
-        )
+        e = _copurchase_edges(li, "pa", "pb")
         sym = e.select(
             F.col("pa").alias("src"), F.col("pb").alias("dst")
         ).unionByName(
@@ -923,19 +918,7 @@ def register(_register) -> None:
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
-        items = li.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        ).distinct()
-        b = items.select(F.col("o"), F.col("p").alias("p2"))
-        edges = (
-            items.join(b, on="o")
-            .filter(F.col("p") < F.col("p2"))
-            .groupBy(F.col("p").alias("a"), F.col("p2").alias("b"))
-            .agg(F.count(F.lit(1)).alias("sup"))
-            .filter(F.col("sup") >= 2)
-            .select("a", "b")
-        )
-        return G.degree_assortativity(edges)
+        return G.degree_assortativity(_copurchase_edges(li))
 
     @_register(
         "conversion_latency",
