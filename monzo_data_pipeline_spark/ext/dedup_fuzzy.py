@@ -461,7 +461,9 @@ def near_dup_clusters(
             # dominates (driver-side, not executor-side). Checkpointing
             # truncates the lineage so iteration i plans against a leaf,
             # the standard posture for iterative graph algorithms.
-            .transform(truncate_lineage)
+            # Lazy: the convergence agg below is the action that
+            # materializes it — one job per round, not two.
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -496,15 +498,25 @@ def connected_components_star(
     Both steps are one groupBy + one join on the edge set — no
     windows, no collect beyond the O(1) convergence scalar. Lineage
     is cut per round via `truncate_lineage` (reliable checkpoint when
-    the session has a checkpoint dir). Convergence = the per-node
-    min-label sum goes stationary — labels are monotone
-    non-increasing, so a stationary exact sum IS the fixpoint (the
-    `near_dup_clusters` idiom).
+    the session has a checkpoint dir). Convergence = the EDGE SET
+    goes stationary, detected by an O(1) scalar over the round's
+    already-materialized checkpoint: (count, Σu, Σv, Σxxhash64(u,v)).
+    Kiveris et al. prove the alternation reaches a fixed point where
+    both star operations leave the edge set unchanged; a stationary
+    content signature IS that fixpoint, and checking it costs one
+    cache-read agg instead of the full label build (sym + groupBy +
+    node join) the r5 variant paid every round.
 
     Returns (doc_id, cluster_id) — identical output contract (and
     registry oracle) as `near_dup_clusters`: every node labeled with
     its component's minimum id."""
-    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # the input pair plan is typically the expensive part (an LSH /
+    # n-gram candidate build); it feeds BOTH the edge and the node
+    # derivation, so cache it for the two setup scans — without this
+    # the whole candidate build executes twice
+    raw = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).persist()
     edges = (
         raw.filter(F.col("u") != F.col("v"))
         .distinct()
@@ -519,6 +531,7 @@ def connected_components_star(
         .distinct()
         .transform(truncate_lineage)
     )
+    raw.unpersist()
 
     def _labels(e: DataFrame) -> DataFrame:
         sym = e.unionByName(
@@ -534,10 +547,13 @@ def connected_components_star(
             ).alias("label"),
         )
 
-    prev_sum = None
+    prev_sig = None
     for _ in range(max_iterations):
         # LARGE-STAR: symmetric neighborhoods; larger neighbors
-        # re-pointed at the neighborhood minimum
+        # re-pointed at the neighborhood minimum. Duplicate (v, m)
+        # emissions are NOT deduped here — the small-star groupBy/min
+        # is dup-insensitive and the round-end distinct catches the
+        # rest, saving one full shuffle per round
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -551,7 +567,6 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # SMALL-STAR: orient toward the larger endpoint; smaller
         # neighbors (and the center) re-pointed at the minimum
@@ -570,22 +585,26 @@ def connected_components_star(
         e2 = smins.select(F.col("u"), F.col("m").alias("v")).filter(
             F.col("u") != F.col("v")
         )
-        edges = e1.unionByName(e2).distinct().transform(truncate_lineage)
-        # stationarity of (label sum, label count) — labels are
-        # monotone non-increasing, so an unchanged exact sum IS the
-        # fixpoint; the count guards the degenerate-coincidence case
-        row = (
-            _labels(edges)
-            .agg(
-                F.sum("label").cast("decimal(38,0)"),
-                F.count(F.lit(1)),
-            )
-            .collect()[0]
+        # lazy truncation: the convergence agg below is the action
+        # that materializes the checkpoint — one job per round, not
+        # two (materialize + separate label-build agg)
+        edges = (
+            e1.unionByName(e2)
+            .distinct()
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
-        cur_sum = (row[0], row[1])
-        if cur_sum == prev_sum:
+        # stationarity of the edge-set content signature, read from
+        # the checkpoint blocks the same job just wrote
+        row = edges.agg(
+            F.count(F.lit(1)),
+            F.sum("u").cast("decimal(38,0)"),
+            F.sum("v").cast("decimal(38,0)"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        cur_sig = tuple(row)
+        if cur_sig == prev_sig:
             break
-        prev_sum = cur_sum
+        prev_sig = cur_sig
     return _labels(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

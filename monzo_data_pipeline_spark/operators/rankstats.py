@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from monzo_data_pipeline_spark.ext.lineage import truncate_lineage
+
 
 def attach_count_below(
     pc: DataFrame, x_col: str = "__x", c_col: str = "__c"
@@ -387,7 +389,7 @@ def kendall_tau_binned(
             F.col("n2").alias("__n2"),
             (F.col("conc") - F.col("disc")).alias("__num"),
         )
-        return out.select(
+        res = out.select(
             "n_rows",
             "conc_pairs",
             "disc_pairs",
@@ -404,6 +406,12 @@ def kendall_tau_binned(
                 ).cast("long"),
             ).alias("tau_b_ppm"),
         )
+        if own:
+            # materialize the 1-row result WHILE the grid cache is
+            # live — otherwise the finally's unpersist makes the
+            # caller's action re-execute the whole grid build
+            res = truncate_lineage(res)
+        return res
     finally:
         if own:
             cells.unpersist()
@@ -575,7 +583,14 @@ def theilsen_slope_binned(
     if own:
         cells = binned_cells(df, x_col, y_col, key_col, n_bins)
     try:
-        n_rows = cells.agg(F.sum("n")).collect()[0][0] or 0
+        # 1-row broadcast, not a collect: the whole statistic below is
+        # ONE lazy plan — zero driver round-trips after the grid build
+        n1 = F.broadcast(
+            cells.agg(
+                F.coalesce(F.sum("n").cast("long"), F.lit(0).cast("long"))
+                .alias("__nr")
+            )
+        )
         a = cells.select(
             F.col("bx").alias("ax"),
             F.col("by").alias("ay"),
@@ -614,24 +629,50 @@ def theilsen_slope_binned(
         pc = pairs.groupBy("__x").agg(
             F.sum("__w").cast("long").alias("__c")
         )
-        r, total = attach_count_below(pc)
+        # count-below on the BOUNDED slope population (≤ n_bins²·
+        # (n_bins−1)/2 distinct keys by the grid contract): a
+        # broadcast self-join replaces the generic exponent-bucket
+        # primitive — no driver collects, the whole median is lazy
+        pcb = F.broadcast(
+            pc.select(
+                F.col("__x").alias("__x2"), F.col("__c").alias("__c2")
+            )
+        )
+        r = (
+            pc.crossJoin(pcb)
+            .groupBy("__x", "__c")
+            .agg(
+                F.sum(
+                    F.when(F.col("__x2") < F.col("__x"), F.col("__c2"))
+                    .otherwise(F.lit(0).cast("long"))
+                ).alias("__r"),
+                F.sum("__c2").alias("__t"),
+            )
+        )
         med = r.agg(
             F.min(
                 F.when(
-                    (F.col("__r") + F.col("__c")) * 2
-                    >= F.lit(total).cast("long"),
+                    (F.col("__r") + F.col("__c")) * 2 >= F.col("__t"),
                     F.col("__x"),
                 )
-            ).alias("__key")
+            ).alias("__key"),
+            F.max("__t").alias("__t"),
         )
-        return med.select(
-            F.lit(n_rows).cast("long").alias("n_rows"),
-            F.lit(total).cast("long").alias("pair_weight"),
+        res = med.crossJoin(n1).select(
+            F.col("__nr").alias("n_rows"),
+            F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias(
+                "pair_weight"
+            ),
             F.expr(
                 "CAST((`__key` * 1000000"
                 " - pmod(`__key` * 1000000, 2520)) DIV 2520 AS BIGINT)"
             ).alias("slope_ppm"),
         )
+        if own:
+            # materialize the 1-row result WHILE the grid cache is
+            # live (the kendall_tau_binned note)
+            res = truncate_lineage(res)
+        return res
     finally:
         if own:
             cells.unpersist()

@@ -467,13 +467,26 @@ def exact_ntile_multi(
                     F.col("bk.k").alias("k"),
                     F.col("__v").alias("v"),
                     (F.col("bk.r") - F.col("__gcum")).alias("j"),
+                    "__cnt",
                 )
                 .collect()
             )
-            # one stacked boundary-tie pass: filter each spec to its
-            # ≤ n−1 boundary values BEFORE the union (scan pushdown)
+            # CLEAN cuts first: a boundary that lands on the LAST row
+            # of its value group (j+1 == cnt) splits between distinct
+            # values — the cut is value-only and needs NO tiebreak
+            # lookup. On near-distinct data (cents columns) that is
+            # nearly every boundary, and the whole tie-resolve pass
+            # (one more driver round-trip + df scan) is skipped.
+            for h in hits:
+                if h["j"] + 1 == h["__cnt"]:
+                    cuts[h["__si"]].append((h["k"], h["v"], None))
+            # one stacked boundary-tie pass for the rest: filter each
+            # spec to its ≤ n−1 boundary values BEFORE the union
+            # (scan pushdown)
             want: dict[int, set[tuple[int, int]]] = {}
             for h in hits:
+                if h["j"] + 1 == h["__cnt"]:
+                    continue
                 want.setdefault(h["__si"], set()).add((h["v"], h["j"] + 1))
             tstk = None
             for i, nb, vc, tc, oc in live:
@@ -510,6 +523,8 @@ def exact_ntile_multi(
                     (r["__si"], r["__v"], r["__rn"]): r["__t"] for r in tied
                 }
             for h in hits:
+                if h["j"] + 1 == h["__cnt"]:
+                    continue  # clean cut, already recorded above
                 cuts[h["__si"]].append(
                     (
                         h["k"],
@@ -532,8 +547,15 @@ def exact_ntile_multi(
             continue
         v, t = F.col(vc).cast("long"), F.col(tc)
         expr = F.lit(1)
-        for _, cv, ct in sorted(cuts[i]):
-            after = (v > F.lit(cv)) | ((v == F.lit(cv)) & (t > F.lit(ct)))
+        for _, cv, ct in sorted(cuts[i], key=lambda c: c[0]):
+            if ct is None:
+                # clean cut: the bucket boundary falls between two
+                # DISTINCT values — strictly-greater is exact
+                after = v > F.lit(cv)
+            else:
+                after = (v > F.lit(cv)) | (
+                    (v == F.lit(cv)) & (t > F.lit(ct))
+                )
             expr = expr + after.cast("int")
         out = out.withColumn(oc, expr.cast("int"))
     return out
