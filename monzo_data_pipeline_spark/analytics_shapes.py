@@ -1749,6 +1749,37 @@ def register(_register) -> None:
             documents_as_jpegs(docs, subsampling="420")
         )
 
+    @_register(
+        "jpeg12_decode_stats",
+        "C5/north-star (REAL 12-bit extended-sequential JPEG — SOF1, "
+        "T.81 process 2: 12-bit grayscale samples, level shift 2048, "
+        "Huffman tables widened to the 12-bit category ranges, uint16 "
+        "decode, ext/jpeg.py r6; block constants are the character "
+        "codes shifted left 4 bits, so DC-only blocks roundtrip "
+        "exactly and pixel sum = 16× the grayscale rule; "
+        "deterministic 10%% doc sample at residue 5 — a different "
+        "corpus slice than the subsampled twin's residue 0; the "
+        "gray/progressive twins decode the full corpus)",
+        f"""{_MEDIA_CODES_CTE}
+        SELECT media_id, TRUE AS valid, 16 AS width, 16 AS height,
+               1 AS channels, CAST(256 AS BIGINT) AS n_pixels,
+               CAST(16 * 64 * (codes[(0 % L) + 1] + codes[(1 % L) + 1]
+                               + codes[(2 % L) + 1] + codes[(3 % L) + 1])
+                    AS BIGINT) AS pix_sum
+        FROM s WHERE media_id % 10 = 5 ORDER BY media_id
+        """,
+    )
+    def q_jpeg12_decode_stats(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .ext import images as IMG
+        from .ext.jpeg import documents_as_jpegs
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 5
+        )
+        return IMG.image_stats(documents_as_jpegs(docs, precision=12))
+
     from .registry import _CLUSTERS_ORACLE_SQL
 
     @_register(

@@ -2,8 +2,8 @@
 
 Closes the one remaining `NotImplementedError` in the media family
 (SURVEY.md §2.C5): entropy-coded JPEG. Scope is ITU-T T.81 DCT,
-8-bit, Huffman coding, 1-component grayscale or 3-component YCbCr,
-in BOTH frame types:
+Huffman coding, 1-component grayscale or 3-component YCbCr, in
+THREE frame types:
 
   * baseline sequential (SOF0/1) — restart intervals (DRI/RSTn),
     0xFF fill bytes, multi-scan layouts (one non-interleaved SOS
@@ -22,10 +22,15 @@ in BOTH frame types:
     Since r6 chroma subsampling works here too: DC scans interleave
     per-MCU (each component's V×H sub-grid), AC scans walk the
     single component's own ceil-dims grid — the MCU-padding blocks
-    carry DC only, per T.81.
+    carry DC only, per T.81;
+  * extended sequential (SOF1 at 12-bit precision, r6) — grayscale
+    12-bit samples (medical/scientific capture), level shift 2048,
+    Huffman tables widened to the 12-bit category ranges (DC diff
+    to 15, AC size to 14 — T.81 Tables F.1/F.2), uint16 decode
+    output; gated by exact roundtrip on block-constant fixtures.
 
-Arithmetic coding, 12-bit precision, hierarchical frames, and
-sampling factors above 2 raise ValueError so callers quarantine
+Arithmetic coding, hierarchical frames, 12-bit progressive/color,
+and sampling factors above 2 raise ValueError so callers quarantine
 rather than mis-decode.
 
 Both directions are implemented so the codec can gate itself:
@@ -105,6 +110,21 @@ _PROG_AC_VALS = sorted(
 )
 _PROG_AC_BITS = [0] * 16
 _PROG_AC_BITS[7] = len(_PROG_AC_VALS)  # all codes 8 bits long
+
+# 12-bit extended-sequential (SOF1, r6) tables: DC difference
+# categories reach 15 and AC sizes reach 14 at 12-bit precision
+# (T.81 Tables F.1/F.2 extended ranges) — beyond what the Annex-K
+# 8-bit tables define. Same flat canonical-table idiom as _PROG_AC_*:
+# all 16 DC categories at 5 bits (Kraft 16/32, all-ones code unused),
+# EOB + ZRL + every (run 0..15, size 1..14) pair at 8 bits (226/256).
+_EXT12_DC_BITS = [0] * 16
+_EXT12_DC_BITS[4] = 16  # sixteen categories, every code 5 bits
+_EXT12_DC_VALS = list(range(16))
+_EXT12_AC_VALS = sorted(
+    {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 15)}
+)
+_EXT12_AC_BITS = [0] * 16
+_EXT12_AC_BITS[7] = len(_EXT12_AC_VALS)
 
 
 def _dct_matrix() -> np.ndarray:
@@ -277,6 +297,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     multi_scan: bool = False,
     subsampling: str = "444",
+    precision: int = 8,
 ) -> bytes:
     """Encode (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 as
     baseline-sequential JFIF. `quant` is an 8×8 quantization table in
@@ -296,13 +317,31 @@ def encode_jpeg(
     subsampled roundtrip is pixel-identical to the 4:4:4 path (the
     cross-path equality gate). Requires 3 channels; `multi_scan`
     stays 4:4:4-only (non-interleaved subsampled layouts are rare in
-    the wild and unsupported here)."""
+    the wild and unsupported here).
+
+    ``precision=12`` (r6) emits an EXTENDED-SEQUENTIAL frame (SOF1,
+    T.81 process 2): 12-bit samples in 0..4095, level shift 2048,
+    Huffman tables widened to the 12-bit category ranges (DC diff
+    categories to 15, AC sizes to 14 — Tables F.1/F.2). Grayscale
+    only — real-world 12-bit JPEG is overwhelmingly single-channel
+    (medical/scientific capture), and the 8-bit YCbCr path does not
+    define a 12-bit color transform here."""
     if multi_scan and restart_interval:
         raise ValueError("multi_scan with restart intervals not supported")
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if precision not in (8, 12):
+        raise ValueError(f"unsupported encode precision {precision}")
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
+    if precision == 12:
+        if arr.ndim != 2:
+            raise ValueError("12-bit JPEG encode is grayscale-only")
+        if multi_scan:
+            raise ValueError("12-bit multi_scan unsupported")
+        a = np.asarray(arr)
+        if a.min() < 0 or a.max() > 4095:
+            raise ValueError("12-bit samples must lie in 0..4095")
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -338,8 +377,16 @@ def encode_jpeg(
             for p in padded[1:]
         ]
 
-    dc_codes = _canonical_codes(_STD_DC_BITS, _STD_DC_VALS)
-    ac_codes = _canonical_codes(_STD_AC_BITS, _STD_AC_VALS)
+    if precision == 12:
+        dc_bits, dc_vals = _EXT12_DC_BITS, _EXT12_DC_VALS
+        ac_bits, ac_vals = _EXT12_AC_BITS, _EXT12_AC_VALS
+    else:
+        dc_bits, dc_vals = _STD_DC_BITS, _STD_DC_VALS
+        ac_bits, ac_vals = _STD_AC_BITS, _STD_AC_VALS
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+    level = float(1 << (precision - 1))
+    max_ac_cat = 14 if precision == 12 else 10
     wr = _BitWriter()
     scan_parts: list[bytes] = []
     preds = [0] * len(planes)
@@ -349,7 +396,7 @@ def encode_jpeg(
     coeff = []
     grid_w = []  # per comp: block-grid width (for MCU block addressing)
     for plane in planes:
-        f = _blocks(plane) - 128.0
+        f = _blocks(plane) - level
         d = np.einsum("ux,bxy,vy->buv", _DCT_M, f, _DCT_M)
         coeff.append(np.rint(d / q).astype(np.int64))
         grid_w.append(-(-plane.shape[1] // 8))
@@ -360,6 +407,10 @@ def encode_jpeg(
         diff = int(zz[0]) - preds[ci]
         preds[ci] = int(zz[0])
         cat = _category(diff)
+        if cat not in dc_codes:
+            raise ValueError(
+                f"DC category {cat} exceeds the {precision}-bit table"
+            )
         code, length = dc_codes[cat]
         wr.write(code, length)
         if cat:
@@ -375,6 +426,10 @@ def encode_jpeg(
                 wr.write(zc, zl)
                 run -= 16
             cat = _category(v)
+            if cat > max_ac_cat:
+                raise ValueError(
+                    f"AC size {cat} exceeds the {precision}-bit table"
+                )
             code, length = ac_codes[(run << 4) | cat]
             wr.write(code, length)
             wr.write(v if v >= 0 else v + (1 << cat) - 1, cat)
@@ -431,13 +486,14 @@ def encode_jpeg(
     out = [b"\xff\xd8"]  # SOI
     out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
     out.append(seg(0xFFDB, b"\x00" + zz_q))  # DQT: Pq=0, Tq=0
-    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    sof = struct.pack(">BHHB", precision, h, w, n_comp)
     for ci in range(n_comp):
         hh, vv = samp[ci]
         sof += bytes([ci + 1, (hh << 4) | vv, 0])  # id, HxV sampling, quant 0
-    out.append(seg(0xFFC0, sof))
-    dht = bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
-    dht += bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS)
+    # SOF0 = baseline (8-bit); SOF1 = extended sequential (12-bit)
+    out.append(seg(0xFFC1 if precision == 12 else 0xFFC0, sof))
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     out.append(seg(0xFFC4, dht))
     if restart_interval:
         out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
@@ -463,17 +519,19 @@ def encode_jpeg(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline-sequential (SOF0/1) or progressive-Huffman
-    (SOF2, r5) JPEG to (h, w, 1) grayscale or (h, w, 3) RGB uint8.
-    Raises ValueError on arithmetic/12-bit/hierarchical/subsampled
-    streams and on malformed or truncated data — callers quarantine,
-    not crash."""
+    """Decode baseline-sequential (SOF0/1), progressive-Huffman
+    (SOF2, r5) or 12-bit extended-sequential grayscale (SOF1, r6)
+    JPEG to (h, w, 1) grayscale or (h, w, 3) RGB — uint8 at 8-bit
+    precision, uint16 at 12-bit. Raises ValueError on arithmetic /
+    hierarchical / 12-bit-progressive / 12-bit-color streams and on
+    malformed or truncated data — callers quarantine, not crash."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(cid, tq)])
+    precision = 8
     restart_interval = 0
     decoded: dict[int, np.ndarray] = {}  # cid → padded plane
     prog_coef: dict[int, np.ndarray] | None = None  # cid → (blocks, 64) zigzag
@@ -527,8 +585,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if len(body) < 6:
                 raise ValueError("short SOF segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec == 12:
+                # extended sequential (SOF1) only; 12-bit progressive
+                # stays quarantined, as does 12-bit color (no 12-bit
+                # YCbCr transform defined here)
+                if marker != 0xC1:
+                    raise ValueError("12-bit JPEG supported for SOF1 only")
+                if nc != 1:
+                    raise ValueError("12-bit JPEG decode is grayscale-only")
+            elif prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            precision = prec
             if len(body) < 6 + 3 * nc:
                 raise ValueError("short SOF segment")
             comps = []
@@ -597,6 +664,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables,
                 restart_interval,
                 decoded,
+                level=float(1 << (precision - 1)),
             )
             continue
         # APPn / COM / anything else with a length: skip
@@ -649,9 +717,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             p = np.repeat(
                 np.repeat(p, vmax // vv, axis=0), hmax // hh, axis=1
             )
-        planes.append(np.clip(np.round(p[:h, :w]), 0, 255))
+        planes.append(
+            np.clip(np.round(p[:h, :w]), 0, (1 << precision) - 1)
+        )
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)[:, :, None]
+        dt = np.uint16 if precision > 8 else np.uint8
+        return planes[0].astype(dt)[:, :, None]
     if len(planes) == 3:
         return _ycbcr_to_rgb(np.stack(planes, axis=-1))
     raise ValueError(f"unsupported component count {len(planes)}")
@@ -670,7 +741,10 @@ def _prog_grid(h, w, comps, hh, vv) -> tuple[int, int]:
     return (-(-h // (8 * vmax))) * vv, (-(-w // (8 * hmax))) * hh
 
 
-def _decode_scan(data, pos, frame, scan_tables, qtables, htables, ri, decoded):
+def _decode_scan(
+    data, pos, frame, scan_tables, qtables, htables, ri, decoded,
+    level: float = 128.0,
+):
     """Decode ONE scan's entropy data: all frame components listed in
     the scan, interleaved (ns > 1) or non-interleaved (ns = 1 — the
     legal baseline multi-scan layout, one SOS per component).
@@ -752,7 +826,7 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, ri, decoded):
                     nat = np.zeros(64, dtype=np.int64)
                     nat[ZIGZAG] = zz
                     block = nat.reshape(8, 8) * qtables[tq]
-                    pix = mt @ block.astype(np.float64) @ _DCT_M + 128.0
+                    pix = mt @ block.astype(np.float64) @ _DCT_M + level
                     planes[cid][
                         by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                     ] = pix
@@ -784,7 +858,12 @@ def _read_symbol(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
 # ---------------------------------------------------------------------------
 
 
-def documents_as_jpegs(docs, progressive: bool = False, subsampling: str = "444"):
+def documents_as_jpegs(
+    docs,
+    progressive: bool = False,
+    subsampling: str = "444",
+    precision: int = 8,
+):
     """(doc_id, text) → (media_id, payload): a 16×16 grayscale JPEG
     whose four 8×8 blocks are constants taken from the doc's first
     four printable-ASCII codes (cycled; space if none) — the same
@@ -799,6 +878,12 @@ def documents_as_jpegs(docs, progressive: bool = False, subsampling: str = "444"
     equal channels): chroma is constant everywhere, so 4:2:0/4:2:2
     box-mean + replication roundtrips bit-exact and the decoded pixel
     sum is exactly 3× the grayscale rule — one shared oracle family.
+
+    ``precision=12`` (r6) emits EXTENDED-SEQUENTIAL (SOF1) 12-bit
+    streams whose block constants are the same codes shifted left 4
+    bits (code·16 ∈ 0..2032 ⊂ 0..4095): DC-only blocks stay exactly
+    representable, so the decoded pixel sum is exactly 16× the
+    grayscale rule — again one oracle family, one multiplier.
     Arrow-batched mapInPandas; encode is pure numpy."""
     import re
 
@@ -827,17 +912,23 @@ def documents_as_jpegs(docs, progressive: bool = False, subsampling: str = "444"
         if progressive:
             def enc(a):
                 return encode_jpeg_progressive(a, subsampling=subsampling)
+        elif precision == 12:
+            def enc(a):
+                return encode_jpeg(a, precision=12)
         else:
             def enc(a):
                 return encode_jpeg(a, subsampling=subsampling)
 
         def synth(text):
             clean = re.sub(r"[^\x20-\x7e]", "", text or "") or " "
-            arr = np.zeros((16, 16), dtype=np.uint8)
+            dt = np.uint16 if precision == 12 else np.uint8
+            arr = np.zeros((16, 16), dtype=dt)
             for k in range(4):
                 v = ord(clean[k % len(clean)])
+                if precision == 12:
+                    v <<= 4
                 arr[(k // 2) * 8 : (k // 2) * 8 + 8, (k % 2) * 8 : (k % 2) * 8 + 8] = v
-            if subsampling != "444":
+            if subsampling != "444" and precision != 12:
                 arr = np.repeat(arr[:, :, None], 3, axis=2)
             return enc(arr)
 

@@ -338,3 +338,76 @@ def test_progressive_subsampled_matches_baseline_subsampled():
                 assert np.array_equal(base, prog), (
                     trial, sub, refine, (h, w)
                 )
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1, r6).
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg12_constant_blocks_roundtrip_exact():
+    # same DC-only exactness law as 8-bit, at 12-bit amplitude
+    arr = np.zeros((16, 16), dtype=np.uint16)
+    arr[:8, :8], arr[:8, 8:], arr[8:, :8], arr[8:, 8:] = 0, 2048, 4095, 1040
+    payload = encode_jpeg(arr, precision=12)
+    # frame marker is SOF1, precision byte 12
+    i = payload.index(b"\xff\xc1")
+    assert payload[i + 4] == 12
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint16 and out.shape == (16, 16, 1)
+    assert np.array_equal(out[:, :, 0], arr)
+
+
+def test_jpeg12_random_roundtrip_near_lossless_and_odd_dims():
+    rng = np.random.RandomState(23)
+    for shape in [(24, 17), (8, 8), (9, 25)]:
+        a = rng.randint(0, 4096, shape).astype(np.uint16)
+        out = decode_jpeg(encode_jpeg(a, precision=12))
+        assert out.shape == (*shape, 1) and out.dtype == np.uint16
+        assert np.abs(out[:, :, 0].astype(int) - a.astype(int)).max() <= 2
+
+
+def test_jpeg12_restart_intervals_roundtrip():
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 4096, (16, 40)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg(a, precision=12, restart_interval=3))
+    assert np.abs(out[:, :, 0].astype(int) - a.astype(int)).max() <= 2
+
+
+def test_jpeg12_guards():
+    # color / multi_scan / out-of-range samples rejected at encode
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint16), precision=12)
+    with pytest.raises(ValueError, match="multi_scan"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint16), precision=12,
+                    multi_scan=True)
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg(np.full((8, 8), 4096, dtype=np.uint16), precision=12)
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint16), precision=10)
+    # 12-bit PROGRESSIVE stays quarantined: flip SOF1 -> SOF2
+    good = encode_jpeg(np.full((8, 8), 100, dtype=np.uint16), precision=12)
+    hacked = good.replace(b"\xff\xc1", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="SOF1 only"):
+        decode_jpeg(hacked)
+
+
+def test_jpeg12_documents_match_16x_rule(spark):
+    from monzo_data_pipeline_spark.ext import images as IMG
+    from monzo_data_pipeline_spark.ext.jpeg import documents_as_jpegs
+
+    docs = spark.createDataFrame(
+        [(1, "AbCd rest ignored"), (2, "x")],
+        "doc_id bigint, text string",
+    )
+    stats = {
+        r.media_id: r
+        for r in IMG.image_stats(
+            documents_as_jpegs(docs, precision=12)
+        ).collect()
+    }
+    assert stats[1].pix_sum == 16 * 64 * (
+        ord("A") + ord("b") + ord("C") + ord("d")
+    )
+    assert stats[2].pix_sum == 16 * 64 * 4 * ord("x")
+    assert stats[1].channels == 1 and stats[1].n_pixels == 256
