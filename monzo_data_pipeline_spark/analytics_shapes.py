@@ -920,6 +920,61 @@ def register(_register) -> None:
         li = load_table(spark, sf_dir, "lineitem")
         return G.degree_assortativity(_copurchase_edges(li))
 
+    def _kcore_oracle(k: int, rounds: int) -> str:
+        """Unrolled simultaneous-peel twin of ext/graph.py::k_core:
+        each round drops every node of current degree < k and the
+        edges touching it. `rounds` chained rounds reproduce the
+        Spark side's "≤ max_rounds peels, early-stop at fixpoint"
+        contract exactly — past the fixpoint a round is a no-op, and
+        below it both engines have run the identical prefix (the BFS
+        hop-cap always-agree construction)."""
+        parts = ["e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM e)"]
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"""a{r} AS MATERIALIZED (
+            SELECT n FROM (SELECT a AS n FROM e{r - 1}
+                           UNION ALL SELECT b FROM e{r - 1})
+            GROUP BY n HAVING COUNT(*) >= {k}
+        )"""
+            )
+            parts.append(
+                f"""e{r} AS MATERIALIZED (
+            SELECT a, b FROM e{r - 1}
+            WHERE a IN (SELECT n FROM a{r})
+              AND b IN (SELECT n FROM a{r})
+        )"""
+            )
+        return (
+            "WITH "
+            + _COPURCHASE_E
+            + ", "
+            + ",\n        ".join(parts)
+            + f"""
+        SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM (SELECT a AS n FROM e{rounds}
+              UNION ALL SELECT b FROM e{rounds})
+        GROUP BY n
+        """
+        )
+
+    @_register(
+        "k_core_copurchase",
+        "north-star (3-core of the co-purchase graph: simultaneous "
+        "peeling to fixpoint — each round drops ALL degree<3 nodes at "
+        "once; completes the graph family's standard set alongside "
+        "pagerank/HITS/triangles/BFS/assortativity/CC — "
+        "ext/graph.py::k_core; oracle = unrolled chained-CTE peels "
+        "under the BFS-style round-cap always-agree contract)",
+        _kcore_oracle(3, 12),
+    )
+    def q_k_core_copurchase(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return G.k_core(
+            _copurchase_edges(li), k=3, max_rounds=12
+        )
+
     @_register(
         "conversion_latency",
         "C6/north-star (time-to-convert distribution: whole-second "

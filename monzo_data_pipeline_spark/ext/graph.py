@@ -433,3 +433,80 @@ def degree_assortativity(
             ).alias("assortativity_ppm"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """The k-core of an undirected simple graph (edges as a<b pairs):
+    the maximal subgraph in which every node has degree ≥ k, computed
+    by SIMULTANEOUS peeling — each round drops ALL nodes of current
+    degree < k at once, then the edges touching them (Matula &
+    Beck's algorithm in its bulk-synchronous form, the shape
+    MapReduce/Pregel systems use). Returns (node, core_degree): every
+    surviving node with its degree inside the final subgraph.
+
+    Scale posture: per round one node-grain degree agg + two keyed
+    semi-joins of the edge set against the survivor set — work is
+    proportional to the CURRENT edge set, which only shrinks; no
+    windows, no collect beyond the O(1) convergence scalar. Lineage
+    is cut per round via `truncate_lineage` (reliable checkpoint when
+    the session has one), and the convergence signature — (count, Σa,
+    Σb, Σxxhash64(a,b)) — reads the blocks the round's job just
+    materialized, exactly the `connected_components_star` idiom.
+
+    The ``max_rounds`` cap is part of the SEMANTIC contract, not a
+    tuning knob: the operator computes "≤ max_rounds simultaneous
+    peels (stopping early at the fixpoint, where further rounds are
+    no-ops)", which an unrolled chained-CTE oracle reproduces exactly
+    whether or not the graph converges within the cap — the
+    always-agree construction the BFS oracle uses for its hop cap."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(
+            F.col(a_col).cast("long").alias("__a"),
+            F.col(b_col).cast("long").alias("__b"),
+        )
+        .filter(
+            F.col("__a").isNotNull()
+            & F.col("__b").isNotNull()
+            & (F.col("__a") < F.col("__b"))
+        )
+        .distinct()
+        .transform(truncate_lineage)
+    )
+
+    def _deg(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("__a").alias("__n"))
+            .unionAll(ed.select(F.col("__b").alias("__n")))
+            .groupBy("__n")
+            .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+        )
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        alive = _deg(e).filter(F.col("__d") >= k).select("__n")
+        e = (
+            e.join(alive, e["__a"] == alive["__n"], "left_semi")
+            .join(alive, F.col("__b") == alive["__n"], "left_semi")
+            .transform(lambda d: truncate_lineage(d, eager=False))
+        )
+        row = e.agg(
+            F.count(F.lit(1)),
+            F.sum("__a").cast("decimal(38,0)"),
+            F.sum("__b").cast("decimal(38,0)"),
+            F.sum(F.xxhash64("__a", "__b").cast("decimal(38,0)")),
+        ).collect()[0]
+        cur_sig = tuple(row)
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    return _deg(e).select(
+        F.col("__n").alias("node"), F.col("__d").alias("core_degree")
+    )

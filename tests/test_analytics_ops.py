@@ -1414,3 +1414,37 @@ def test_spearman_by_group_degenerate_groups(spark):
     got = {r["g"]: r for r in RS.spearman_by_group(df, "g", "x", "y").collect()}
     assert got["a"]["spearman_ppm"] == 1_000_000
     assert got["b"]["spearman_ppm"] is None  # zero-variance y marginal
+
+
+def test_k_core_peels_chain_keeps_clique(spark):
+    from monzo_data_pipeline_spark.ext import graph as G
+
+    # K4 clique (nodes 1-4) + a chain 4-5-6 hanging off it: the
+    # 3-core is exactly the clique (first peel drops 6, second drops
+    # 5 — degree updates must CASCADE, which a single-pass degree
+    # filter would miss)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    out = {r.node: r.core_degree for r in G.k_core(e, 3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 2-core keeps only cycles: clique survives, chain still peels
+    out2 = {r.node: r.core_degree for r in G.k_core(e, 2).collect()}
+    assert out2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=1 drops nothing on a connected graph
+    assert len(G.k_core(e, 1).collect()) == 6
+    # k beyond max degree empties the graph
+    assert G.k_core(e, 5).count() == 0
+
+
+def test_k_core_round_cap_is_semantic(spark):
+    from monzo_data_pipeline_spark.ext import graph as G
+
+    # a long path: each 2-core peel removes only the two endpoints,
+    # so max_rounds=2 must return the graph after EXACTLY two peels
+    # (nodes 3..8 of the 1..10 path), not the empty fixpoint
+    path = [(i, i + 1) for i in range(1, 10)]
+    e = spark.createDataFrame(path, "a long, b long")
+    after2 = {r.node for r in G.k_core(e, 2, max_rounds=2).collect()}
+    assert after2 == set(range(3, 9))
+    # and the fixpoint (enough rounds) is empty — a path has no 2-core
+    assert G.k_core(e, 2, max_rounds=12).count() == 0
