@@ -86,6 +86,8 @@ SHOW = {
     "equi_depth_histogram_approx": "r6 grid cutpoints — ≤3810-cell state, cut array as a 1-row broadcast, map-side HOF bucketing",
     "near_dup_clusters_star": "large-star/small-star CC — per round one groupBy + one join on the shrinking edge set, lineage cut per round, O(1) convergence scalar",
     "jpeg_subsampled_decode_stats": "4:2:0 color codec — Arrow-batched mapInPandas, no shuffle in decode, deterministic 10% sample pushed to the scan",
+    "jpeg12_decode_stats": "12-bit SOF1 codec — same Arrow-batched shape, residue-5 10% sample pushed to the scan",
+    "k_core_copurchase": "k-core peel — per round a degree agg + two keyed semi-joins on the shrinking edge set, lazy checkpoint materialized by the O(1) convergence scalar",
     "churn_survival_km": "KM survival — user-grain agg, duration-grain agg (calendar-bounded), ONE single-row fold; no Spark-side window",
     "benford_first_digit": "Benford — map-side digit projection, 9-key agg, spine+total broadcast; fact scanned once",
     "tvd_source_drift": "TVD drift — one (word) partial-agg'd shuffle, 1-row totals broadcast, one wide DECIMAL agg",
