@@ -47,14 +47,17 @@ def main() -> None:
     for spec in specs():
         spec.fn(spark, sf_dir).toPandas()
 
-    # Per-query latency: two sequential timed passes, per-query MIN
-    # (single-run timings on this host show one random ~25 s external
-    # stall per pass — kernel-time spikes in vmstat, query-independent;
-    # min-of-N is the standard interference filter and still includes
-    # full plan+execute+Arrow-retrieval cost).
+    # Per-query latency: three sequential timed passes, per-query MIN
+    # (single-run timings on this host show random external stalls —
+    # kernel-time spikes in vmstat, query-independent, at times a
+    # sustained ~20% whole-host drag; min-of-N is the standard
+    # interference filter and still includes full plan+execute+
+    # Arrow-retrieval cost. Raised from 2 to 3 passes in r6 after a
+    # noisy-neighbor episode inflated suite numbers ~20% while
+    # isolated re-timings of the same queries were unchanged).
     passes: list[dict[str, float]] = []
     row_counts: dict[str, int] = {}
-    for _ in range(2):
+    for _ in range(3):
         per: dict[str, float] = {}
         for spec in specs():
             t0 = time.time()
