@@ -268,31 +268,50 @@ def exact_ntile(
                 F.col("bk.k").alias("k"),
                 F.col("__v").alias("v"),
                 (F.col("bk.r") - F.col("__gcum")).alias("j"),
+                "__cnt",
             )
             .collect()
         )
-        # resolve boundary tiebreaks among just the ≤ n−1 boundary values
-        tw = Window.partitionBy(value_col).orderBy(tiebreak_col)
-        want = {(h["v"], h["j"] + 1) for h in hits}
-        cond = None
-        for bv, rn in want:
-            c = (v == F.lit(bv)) & (F.col("__rn") == F.lit(rn))
-            cond = c if cond is None else (cond | c)
-        tied = (
-            df.filter(v.isin([bv for bv, _ in want]))
-            .select(value_col, tiebreak_col)
-            .withColumn("__rn", F.row_number().over(tw))
-            .filter(cond)
-            .collect()
-        )
-        tie_at = {(r[value_col], r["__rn"]): r[tiebreak_col] for r in tied}
-        cuts = [(h["k"], h["v"], tie_at[(h["v"], h["j"] + 1)]) for h in hits]
+        # CLEAN cuts need no tiebreak: a boundary on the LAST row of
+        # its value group splits between distinct values (j+1 == cnt),
+        # which on near-distinct data is nearly every boundary — the
+        # exact_ntile_multi clean-cut rule (r6); only the rest pay the
+        # boundary-tie resolve pass
+        cuts = [
+            (h["k"], h["v"], None) for h in hits if h["j"] + 1 == h["__cnt"]
+        ]
+        want = {
+            (h["v"], h["j"] + 1) for h in hits if h["j"] + 1 != h["__cnt"]
+        }
+        tie_at = {}
+        if want:
+            tw = Window.partitionBy(value_col).orderBy(tiebreak_col)
+            cond = None
+            for bv, rn in want:
+                c = (v == F.lit(bv)) & (F.col("__rn") == F.lit(rn))
+                cond = c if cond is None else (cond | c)
+            tied = (
+                df.filter(v.isin([bv for bv, _ in want]))
+                .select(value_col, tiebreak_col)
+                .withColumn("__rn", F.row_number().over(tw))
+                .filter(cond)
+                .collect()
+            )
+            tie_at = {(r[value_col], r["__rn"]): r[tiebreak_col] for r in tied}
+        cuts += [
+            (h["k"], h["v"], tie_at[(h["v"], h["j"] + 1)])
+            for h in hits
+            if h["j"] + 1 != h["__cnt"]
+        ]
     finally:
         pc0.unpersist()
     # map-side assignment against the broadcast-literal cut pairs
     expr = F.lit(1)
     for _, cv, ct in cuts:
-        after = (v > F.lit(cv)) | ((v == F.lit(cv)) & (t > F.lit(ct)))
+        if ct is None:
+            after = v > F.lit(cv)  # clean cut between distinct values
+        else:
+            after = (v > F.lit(cv)) | ((v == F.lit(cv)) & (t > F.lit(ct)))
         expr = expr + after.cast("int")
     return df.withColumn(out_col, expr.cast("int"))
 

@@ -168,6 +168,8 @@ QUERY_SET = [
     "equi_depth_histogram_approx",
     "near_dup_clusters_star",
     "jpeg_subsampled_decode_stats",
+    "jpeg12_decode_stats",
+    "k_core_copurchase",
 ]
 
 KEY_OFFSET = 100_000_000
