@@ -1461,6 +1461,66 @@ def register(_register) -> None:
         li = load_table(spark, sf_dir, "lineitem")
         return SK.hll_deterministic(li, "l_orderkey")
 
+    @_register(
+        "hll_monthly_customers",
+        "C7/north-star (GROUPED deterministic HLL: per-month distinct "
+        "ordering customers as one (month, bucket) register table — "
+        "the mergeable-sketch shape a 100 TB rollup materializes; "
+        "estimate bit-identical cross-engine, exactly as the global "
+        "form — operators/sketches.py::hll_deterministic_by_group)",
+        """
+        WITH k AS (
+            SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS g,
+                   o_custkey AS v
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        ), h AS (
+            SELECT g,
+                   (((v % 2147483647) + 2147483647) % 2147483647
+                    * 2654435761 % 2147483647) * 2147483648
+                 + (((v % 2147483647) + 2147483647) % 2147483647
+                    * 40503 + 12345) % 2147483647 AS hh
+            FROM k
+        ), bw AS (
+            SELECT g, CAST(hh & 1023 AS INT) AS b,
+                   CAST(hh >> 10 AS BIGINT) AS w
+            FROM h
+        ), r AS (
+            SELECT g, b,
+                   MAX(CASE WHEN w > 0 THEN
+                         CAST(bit_count((w & -w) - 1) AS INT) + 1
+                       ELSE 53 END) AS reg
+            FROM bw GROUP BY 1, 2
+        ), s AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS seen,
+                   -- widen BEFORE doubling (the hll_distinct_orders note)
+                   SUM(CAST(CAST(1 AS BIGINT) << (63 - reg) AS HUGEINT)
+                       * 2) AS ssum
+            FROM r GROUP BY 1
+        )
+        SELECT g AS order_month, CAST(1024 AS INT) AS m,
+               seen AS buckets_seen,
+               CAST(CAST(720539 AS HUGEINT) * 1024 * 1024
+                    * CAST(18446744073709551616 AS HUGEINT)
+                    // ((ssum + (1024 - seen)
+                         * CAST(18446744073709551616 AS HUGEINT))
+                        * 1000000) AS BIGINT) AS est_distinct
+        FROM s ORDER BY order_month
+        """,
+    )
+    def q_hll_monthly_customers(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import sketches as SK
+
+        o = load_table(spark, sf_dir, "orders").select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_custkey",
+        )
+        return SK.hll_deterministic_by_group(
+            o, "o_custkey", "order_month"
+        )
+
     # the Welch variance/SE expressions, written ONCE and shared between
     # nothing else — the Spark side (operators/rankstats.py) spells the
     # identical cast/divide sequence so both engines walk the same IEEE

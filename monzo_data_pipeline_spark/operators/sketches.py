@@ -277,6 +277,73 @@ def hll_deterministic(
     )
 
 
+def hll_deterministic_by_group(
+    df: DataFrame, key_col: str, group_col: str, m: int = 1024
+) -> DataFrame:
+    """`hll_deterministic` fanned out per group — the shape a 100 TB
+    rollup actually materializes: one (group, bucket) register table
+    (≤ m rows per group, mergeable by MAX within a group and
+    UNION+MAX across shards/streams), one per-group harmonic fold.
+    Groups are bounded-cardinality dimensions (months, sources); the
+    fact table is touched once. NULL group keys are excluded (a
+    dimension rollup has no NULL lane; the oracle twin mirrors the
+    filter). Output: (group_col, m, buckets_seen, est_distinct) —
+    the ESTIMATE is bit-identical cross-engine, exactly as the
+    global form."""
+    if m != 1024:
+        raise ValueError("alpha constant is hardcoded for m=1024")
+    shift = 10  # log2(m)
+    x = F.pmod(F.col(key_col).cast("long"), F.lit(_HLL_MOD))
+    h = (x * F.lit(2_654_435_761) % F.lit(_HLL_MOD)) * F.lit(
+        2_147_483_648
+    ) + (x * F.lit(40_503) + F.lit(12_345)) % F.lit(_HLL_MOD)
+    hashed = df.filter(
+        F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        h.bitwiseAND(F.lit(m - 1)).cast("int").alias("__b"),
+        F.shiftright(h, shift).alias("__w"),
+    )
+    regs = (
+        hashed.withColumn(
+            "__rho",
+            F.when(
+                F.col("__w") > 0,
+                F.bit_count(
+                    F.col("__w").bitwiseAND(-F.col("__w")) - F.lit(1)
+                )
+                + F.lit(1),
+            )
+            .otherwise(F.lit(53))
+            .cast("int"),
+        )
+        .groupBy("__g", "__b")
+        .agg(F.max("__rho").alias("reg"))
+    )
+    dec = "decimal(38,0)"
+    s = regs.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("seen"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 63 - reg)")
+            .cast(dec)
+            * F.lit(2)
+        ).alias("__ssum"),
+    )
+    return s.select(
+        F.col("__g").alias(group_col),
+        F.lit(m).cast("int").alias("m"),
+        F.col("seen").alias("buckets_seen"),
+        F.expr(
+            f"CAST(CAST({_HLL_ALPHA_PPM_M1024} AS DECIMAL(38,0))"
+            f" * {m} * {m}"
+            f" * CAST(18446744073709551616 AS DECIMAL(38,0))"
+            f" DIV ((`__ssum` + ({m} - seen)"
+            f" * CAST(18446744073709551616 AS DECIMAL(38,0)))"
+            f" * 1000000) AS BIGINT)"
+        ).alias("est_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic mergeable quantile sketch (r6) — the hll_deterministic
 # pattern applied to quantiles: approximate in accuracy, bit-identical

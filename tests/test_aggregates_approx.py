@@ -152,3 +152,26 @@ def test_hll_negative_keys_and_python_mirror(spark):
     )
     assert got["buckets_seen"] == seen
     assert got["est_distinct"] == est
+
+
+def test_hll_by_group_matches_global_per_group(spark):
+    """Each group's grouped-HLL row must equal hll_deterministic run
+    on that group alone — the register table is just partitioned by
+    the group key."""
+    from pyspark.sql import functions as F
+
+    from monzo_data_pipeline_spark.operators import sketches as SK
+
+    rows = [(g, g * 100_000 + i * 7) for g in (1, 2, 3) for i in range(3000 * g)]
+    df = spark.createDataFrame(rows, "g int, k long")
+    grouped = {
+        r["g"]: r for r in SK.hll_deterministic_by_group(df, "k", "g").collect()
+    }
+    assert set(grouped) == {1, 2, 3}
+    for g in (1, 2, 3):
+        solo = SK.hll_deterministic(df.filter(F.col("g") == g), "k").collect()[0]
+        assert grouped[g]["est_distinct"] == solo["est_distinct"]
+        assert grouped[g]["buckets_seen"] == solo["buckets_seen"]
+    # null group keys are excluded, not a lane
+    withnull = df.union(spark.createDataFrame([(None, 1)], "g int, k long"))
+    assert SK.hll_deterministic_by_group(withnull, "k", "g").count() == 3
