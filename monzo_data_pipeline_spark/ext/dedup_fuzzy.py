@@ -505,7 +505,14 @@ def connected_components_star(
     both star operations leave the edge set unchanged; a stationary
     content signature IS that fixpoint, and checking it costs one
     cache-read agg instead of the full label build (sym + groupBy +
-    node join) the r5 variant paid every round.
+    node join) the r5 variant paid every round. Unlike k_core (whose
+    edge set only shrinks, so the exact count alone detects change),
+    star edge sets are not monotone — the signature is PROBABILISTIC:
+    two consecutive distinct edge sets colliding on all four scalars
+    requires equal count, equal endpoint sums AND an xxhash64-sum
+    collision (~2⁻⁶⁴ per round). The exact count and sums ride in the
+    tuple as deterministic anchors; a collision would stop one round
+    early with non-fixpoint labels, accepted at that probability.
 
     Returns (doc_id, cluster_id) — identical output contract (and
     registry oracle) as `near_dup_clusters`: every node labeled with

@@ -887,6 +887,22 @@ def documents_as_jpegs(
     Arrow-batched mapInPandas; encode is pure numpy."""
     import re
 
+    # 12-bit is SOF1-only here (mirrors encode_jpeg's multi_scan guard):
+    # without these guards the progressive branch would silently win and
+    # feed 12-bit-range samples to the 8-bit progressive encoder, whose
+    # DC category table overflows as a raw KeyError instead of the
+    # documented quarantine ValueError.
+    if precision == 12 and progressive:
+        raise ValueError(
+            "12-bit progressive encode is not supported "
+            "(quarantine lane: SOF2 is 8-bit here)"
+        )
+    if precision == 12 and subsampling != "444":
+        raise ValueError(
+            "12-bit encode is grayscale SOF1 only; "
+            "subsampling requires precision=8"
+        )
+
     import pandas as pd
     from pyspark.sql import types as T
 

@@ -392,6 +392,19 @@ def test_jpeg12_guards():
         decode_jpeg(hacked)
 
 
+def test_documents_as_jpegs_12bit_combo_guards(spark):
+    # r7 (ADVICE r6): documents_as_jpegs must reject the quarantined
+    # 12-bit combinations EAGERLY (driver-side ValueError), not let the
+    # progressive branch silently win and KeyError inside an executor
+    from monzo_data_pipeline_spark.ext.jpeg import documents_as_jpegs
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="progressive"):
+        documents_as_jpegs(docs, progressive=True, precision=12)
+    with pytest.raises(ValueError, match="subsampling"):
+        documents_as_jpegs(docs, subsampling="420", precision=12)
+
+
 def test_jpeg12_documents_match_16x_rule(spark):
     from monzo_data_pipeline_spark.ext import images as IMG
     from monzo_data_pipeline_spark.ext.jpeg import documents_as_jpegs
