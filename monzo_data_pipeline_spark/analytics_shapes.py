@@ -1915,3 +1915,109 @@ def register(_register) -> None:
         docs = load_table(spark, sf_dir, "documents")
         pairs = DF.ngram_jaccard_pairs(docs, threshold=0.6)
         return DF.connected_components_star(pairs)
+
+    # ------------------------------------------------------------------
+    # r7 — weighted single-source shortest paths (Bellman-Ford rounds)
+    # over the co-purchase graph: the graph family's most common query
+    # hop-BFS can't answer. Edge weight = GREATEST(1, 11 − LEAST(sup,
+    # 10)): strong co-purchase ties are cheap (w=1 at support ≥ 10),
+    # weak support-2 ties cost 9 — all integer, mirrored in the twin.
+    # ------------------------------------------------------------------
+
+    def _sssp_oracle(max_rounds: int) -> str:
+        """Unrolled full-relaxation twin of ext/graph.py::sssp:
+        d_r(n) = min(d_{r-1}(n), min over in-edges d_{r-1}(u) + w).
+        The Spark side relaxes only the improved-delta frontier each
+        round, which is provably round-for-round identical (an
+        unimproved node re-contributes the same candidates); the
+        round cap is the BFS/k-core always-agree contract."""
+        rounds = []
+        for r in range(1, max_rounds + 1):
+            rounds.append(
+                f"""d{r} AS MATERIALIZED (
+            SELECT n, MIN(d) AS d FROM (
+                SELECT n, d FROM d{r - 1}
+                UNION ALL
+                SELECT es.ed AS n, d{r - 1}.d + es.w AS d
+                FROM d{r - 1} JOIN es ON d{r - 1}.n = es.es
+            ) GROUP BY n
+        )"""
+            )
+        return (
+            """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), ew AS (
+            SELECT a.p AS pa, b.p AS pb,
+                   CAST(GREATEST(1, 11 - LEAST(COUNT(*), 10)) AS BIGINT)
+                       AS w
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), es AS (
+            SELECT pa AS es, pb AS ed, w FROM ew
+            UNION ALL SELECT pb, pa, w FROM ew
+        ), d0 AS MATERIALIZED (
+            SELECT DISTINCT p_partkey AS n, CAST(0 AS BIGINT) AS d
+            FROM part WHERE p_brand = 'Brand#11'
+        ), """
+            + ",\n        ".join(rounds)
+            + f"""
+        SELECT CAST(d AS BIGINT) AS dist,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(n) AS BIGINT) AS sum_node
+        FROM d{max_rounds} GROUP BY 1 ORDER BY 1
+        """
+        )
+
+    @_register(
+        "sssp_copurchase",
+        "north-star (r7: multi-source weighted shortest paths from "
+        "every Brand#11 part over the symmetrized support-weighted "
+        "co-purchase graph — Bellman-Ford delta-frontier relaxation, "
+        "≤6 rounds with exact empty-frontier early stop, reliable "
+        "checkpoints per round — ext/graph.py::sssp; oracle = "
+        "unrolled chained full-relaxation min-agg rounds under the "
+        "BFS-style round-cap always-agree contract)",
+        _sssp_oracle(6),
+    )
+    def q_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        per_order = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("ps")
+        )
+        ew = (
+            per_order.select(F.explode("ps").alias("p"), "ps")
+            .select("p", F.explode("ps").alias("p2"))
+            .filter(F.col("p") < F.col("p2"))
+            .groupBy(F.col("p").alias("pa"), F.col("p2").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= 2)
+            .select(
+                "pa",
+                "pb",
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.lit(11) - F.least(F.col("sup"), F.lit(10).cast("long")),
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        sym = ew.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+        ).unionByName(
+            ew.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+        )
+        srcs = part.filter(F.col("p_brand") == "Brand#11").select(
+            F.col("p_partkey").alias("node")
+        )
+        d = G.sssp(srcs, sym, max_rounds=6)
+        return (
+            d.groupBy(F.col("dist").cast("long").alias("dist"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.sum("node").cast("long").alias("sum_node"),
+            )
+            .orderBy("dist")
+        )

@@ -361,6 +361,110 @@ def bfs_hops(
     )
 
 
+def sssp(
+    sources: DataFrame,
+    edges: DataFrame,
+    max_rounds: int,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Multi-source weighted single-source-shortest-paths (Bellman-
+    Ford rounds): minimum total edge weight from any source node,
+    computed by ≤ ``max_rounds`` synchronous relaxation rounds with
+    early stop at the fixpoint — the weighted generalization of
+    `bfs_hops` and the graph family's most-asked query the hop
+    distance can't answer ("cheapest path", not "fewest hops").
+
+    Per round only the DELTA frontier relaxes — nodes whose distance
+    improved (or first appeared) in the previous round. This is
+    bit-identical per round to full Bellman-Ford relaxation
+    d_r(v) = min(d_{r-1}(v), min over edges (u,v) of d_{r-1}(u)+w):
+    a node unimproved at round r−1 contributed the same candidates at
+    round r−1 already, so re-relaxing it cannot lower anything — the
+    standard delta-stepping observation, and what keeps per-round work
+    proportional to the CHANGING part of the graph instead of the
+    whole distance table at 100 TB. The unrolled full-relaxation
+    chained-CTE oracle therefore agrees round-for-round.
+
+    The ``max_rounds`` cap is part of the SEMANTIC contract (the
+    `k_core`/`bfs_hops` always-agree construction): "≤ max_rounds
+    relaxations, early-stop at the fixpoint (an empty improvement
+    frontier — exact, no signature needed: past it every round is a
+    no-op)". Negative weights are rejected (with a round cap the
+    no-negative-cycle guarantee would otherwise be the caller's
+    problem); lineage is cut per round via `truncate_lineage`, the
+    improvement count materializing the lazy checkpoint — one job per
+    round. Directed edges (pass a symmetrized list for undirected);
+    unreached nodes are absent. Returns (node_col, dist)."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = edges.select(
+        F.col(src_col).alias("__es"),
+        F.col(dst_col).alias("__ed"),
+        F.col(w_col).cast("long").alias("__ew"),
+    ).filter(
+        F.col("__es").isNotNull()
+        & F.col("__ed").isNotNull()
+        & F.col("__ew").isNotNull()
+    )
+    # negative weights: one cheap full-scan agg up front (the edge
+    # list is about to be scanned max_rounds more times anyway)
+    neg = e.agg(F.min("__ew").alias("m")).collect()[0]["m"]
+    if neg is not None and neg < 0:
+        raise ValueError(f"negative edge weight {neg}: sssp requires w >= 0")
+    e = e.persist()
+    dist = (
+        sources.select(F.col(node_col).alias("__n"))
+        .filter(F.col("__n").isNotNull())
+        .distinct()
+        .withColumn("__d", F.lit(0).cast("long"))
+        .transform(truncate_lineage)
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(e, frontier["__n"] == e["__es"])
+            .select(
+                F.col("__ed").alias("__n"),
+                (F.col("__d") + F.col("__ew")).alias("__d"),
+            )
+            .groupBy("__n")
+            .agg(F.min("__d").alias("__cd"))
+        )
+        merged = (
+            dist.join(cand, on="__n", how="full")
+            .select(
+                "__n",
+                F.least(
+                    F.coalesce(F.col("__d"), F.col("__cd")),
+                    F.coalesce(F.col("__cd"), F.col("__d")),
+                ).alias("__nd"),
+                # improved = first seen, or candidate strictly lower
+                (
+                    F.col("__d").isNull()
+                    | (F.col("__cd") < F.col("__d"))
+                ).alias("__impr"),
+            )
+            .withColumnRenamed("__nd", "__d")
+            # lazy truncation: the improvement count below is the
+            # action that materializes it — one job per round
+            .transform(lambda d: truncate_lineage(d, eager=False))
+        )
+        n_improved = (
+            merged.filter(F.col("__impr")).agg(F.count(F.lit(1))).collect()[0][0]
+        )
+        dist = merged.select("__n", "__d")
+        if n_improved == 0:
+            break  # exact fixpoint: no distance changed, no node added
+        frontier = merged.filter(F.col("__impr")).select("__n", "__d")
+    e.unpersist()
+    return dist.select(
+        F.col("__n").alias(node_col), F.col("__d").alias("dist")
+    )
+
+
 def degree_assortativity(
     edges: DataFrame, a_col: str = "a", b_col: str = "b"
 ) -> DataFrame:

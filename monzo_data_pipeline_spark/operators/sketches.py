@@ -277,19 +277,16 @@ def hll_deterministic(
     )
 
 
-def hll_deterministic_by_group(
+def hll_registers_by_group(
     df: DataFrame, key_col: str, group_col: str, m: int = 1024
 ) -> DataFrame:
-    """`hll_deterministic` fanned out per group — the shape a 100 TB
-    rollup actually materializes: one (group, bucket) register table
-    (≤ m rows per group, mergeable by MAX within a group and
-    UNION+MAX across shards/streams), one per-group harmonic fold.
-    Groups are bounded-cardinality dimensions (months, sources); the
-    fact table is touched once. NULL group keys are excluded (a
-    dimension rollup has no NULL lane; the oracle twin mirrors the
-    filter). Output: (group_col, m, buckets_seen, est_distinct) —
-    the ESTIMATE is bit-identical cross-engine, exactly as the
-    global form."""
+    """The grouped deterministic-HLL SKETCH STATE: one (group, bucket,
+    reg) register table — ≤ m rows per group, mergeable by MAX within
+    a group and UNION+MAX across shards/batches/streams
+    (`hll_merge_registers`). Same 62-bit polynomial hash family and
+    pure-integer rho as `hll_deterministic`; NULL keys/groups
+    excluded. This is the table an incremental/streaming variant
+    checkpoints."""
     if m != 1024:
         raise ValueError("alpha constant is hardcoded for m=1024")
     shift = 10  # log2(m)
@@ -304,7 +301,7 @@ def hll_deterministic_by_group(
         h.bitwiseAND(F.lit(m - 1)).cast("int").alias("__b"),
         F.shiftright(h, shift).alias("__w"),
     )
-    regs = (
+    return (
         hashed.withColumn(
             "__rho",
             F.when(
@@ -320,6 +317,27 @@ def hll_deterministic_by_group(
         .groupBy("__g", "__b")
         .agg(F.max("__rho").alias("reg"))
     )
+
+
+def hll_merge_registers(*states: DataFrame) -> DataFrame:
+    """Merge grouped register states by UNION + per-(group, bucket)
+    MAX — commutative, associative, IDEMPOTENT (max absorbs repeats),
+    so any merge tree, batching, or replay yields the identical state:
+    registers(batch A) ⊔ registers(batch B) == registers(A ∪ B)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("__g", "__b").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str, m: int = 1024
+) -> DataFrame:
+    """Finalize grouped register state: the per-group exact-integer
+    harmonic fold and α·m²·2⁶⁴ DIV estimate of `hll_deterministic`.
+    Output: (group_col, m, buckets_seen, est_distinct)."""
+    if m != 1024:
+        raise ValueError("alpha constant is hardcoded for m=1024")
     dec = "decimal(38,0)"
     s = regs.groupBy("__g").agg(
         F.count(F.lit(1)).cast("long").alias("seen"),
@@ -341,6 +359,25 @@ def hll_deterministic_by_group(
             f" * CAST(18446744073709551616 AS DECIMAL(38,0)))"
             f" * 1000000) AS BIGINT)"
         ).alias("est_distinct"),
+    )
+
+
+def hll_deterministic_by_group(
+    df: DataFrame, key_col: str, group_col: str, m: int = 1024
+) -> DataFrame:
+    """`hll_deterministic` fanned out per group — the shape a 100 TB
+    rollup actually materializes: one (group, bucket) register table
+    (≤ m rows per group, mergeable by MAX within a group and
+    UNION+MAX across shards/streams — `hll_registers_by_group` /
+    `hll_merge_registers`), one per-group harmonic fold
+    (`hll_estimate_from_registers`). Groups are bounded-cardinality
+    dimensions (months, sources); the fact table is touched once.
+    NULL group keys are excluded (a dimension rollup has no NULL
+    lane; the oracle twin mirrors the filter). Output: (group_col, m,
+    buckets_seen, est_distinct) — the ESTIMATE is bit-identical
+    cross-engine, exactly as the global form."""
+    return hll_estimate_from_registers(
+        hll_registers_by_group(df, key_col, group_col, m), group_col, m
     )
 
 
@@ -470,9 +507,21 @@ def sketch_quantiles(
     (exponent-bucketed PARTITIONED window — no global sort), so the
     whole plan is: one fact scan → ≤3 810-row cell table → O(k)
     scalars."""
+    return sketch_quantiles_from_cells(
+        quantile_grid_cells(df, value_col), probs_ppm
+    )
+
+
+def sketch_quantiles_from_cells(
+    cells: DataFrame, probs_ppm: list[int]
+) -> DataFrame:
+    """`sketch_quantiles` finalization from a prebuilt/merged (cell,
+    cnt) state table (`quantile_grid_cells` / `merge_grid_cells`) —
+    the read side of incremental/streaming grid maintenance, and the
+    fast path when several extractions share one cell build. n is
+    derived FROM the state (Σcnt == the rows the state absorbed)."""
     from .rankstats import attach_count_below
 
-    cells = quantile_grid_cells(df, value_col)
     pc = cells.select(
         F.col("cell").alias("__x"), F.col("cnt").alias("__c")
     )
@@ -523,16 +572,31 @@ def sketch_quantiles_by_group(
     and its input is the per-group cell table — ≤ ~3 810 rows per
     group BY CONSTRUCTION (the sketch bound), so no task ever sees
     unbounded state no matter how large or skewed the groups are."""
+    return sketch_quantiles_by_group_from_cells(
+        quantile_grid_cells(df, value_col, group_cols),
+        group_cols,
+        probs_ppm,
+    )
+
+
+def sketch_quantiles_by_group_from_cells(
+    cells: DataFrame,
+    group_cols: list[str],
+    probs_ppm: list[int],
+) -> DataFrame:
+    """`sketch_quantiles_by_group` finalization from a prebuilt/merged
+    (group..., cell, cnt) state table — the streaming read side, and
+    the shared-cells fast path. Per-group totals come FROM the state
+    (one agg over ≤3 810 rows per group), not a second fact scan."""
     from pyspark.sql import Window
 
-    cells = quantile_grid_cells(df, value_col, group_cols)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("cell")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    tot = df.filter(F.col(value_col).isNotNull()).groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
+    tot = cells.groupBy(*group_cols).agg(
+        F.sum("cnt").cast("long").alias("__n")
     )
     probs = ", ".join(str(p) for p in sorted(probs_ppm))
     return (

@@ -4414,7 +4414,19 @@ _DRIVER_PREFIX = [
     "anti_join_new_keys",
     "project_cast_stamp",
     "reconciliation_checksums",
-    "scalar_functions",
+    # r7: scalar_functions, lang_id_heuristic, quality_scores,
+    # exact_percentiles, ngram_jaccard_pairs rotated out (scalars stay
+    # exercised via project_cast_stamp/reconciliation_checksums, text
+    # via word_frequencies, exact quantiles via exact_distinct_counts'
+    # family + the grid sketch below, n-gram candidates via
+    # near_dup_clusters/fuzzy_name_pairs/benchmark_contamination) so
+    # every round-6 family gets hard-gate sampling: the deterministic
+    # grid+HLL sketches, grouped HLL, star CC, k-core, subsampled JPEG
+    "approx_aggregates",
+    "hll_monthly_customers",
+    "near_dup_clusters_star",
+    "k_core_copurchase",
+    "jpeg_subsampled_decode_stats",
     "struct_flatten",
     # r6: array_ops + token_stats rotated out (nested/scalar coverage
     # stays via struct_flatten/scalar_functions, text via
@@ -4438,20 +4450,16 @@ _DRIVER_PREFIX = [
     "rollup_spend",
     "pivot_status_by_month",
     "exact_distinct_counts",
-    "exact_percentiles",
     "tumbling_window_agg",
     "sessionization",
     "interval_join_attribution",
     "word_frequencies",
     "hits_customer_supplier",
-    "lang_id_heuristic",
-    "quality_scores",
     "pack_sequences",
     "cosine_topk_bruteforce",
     "ivf_topk",
     "bucketed_near_pairs",
     "random_projection_embed",
-    "ngram_jaccard_pairs",
     "near_dup_clusters",
     "benchmark_contamination",
     "fuzzy_name_pairs",

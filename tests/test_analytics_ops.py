@@ -1448,3 +1448,69 @@ def test_k_core_round_cap_is_semantic(spark):
     assert after2 == set(range(3, 9))
     # and the fixpoint (enough rounds) is empty — a path has no 2-core
     assert G.k_core(e, 2, max_rounds=12).count() == 0
+
+
+def _sssp_dict(spark, sources, edges, rounds):
+    from monzo_data_pipeline_spark.ext import graph as G
+
+    s = spark.createDataFrame([(n,) for n in sources], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    return {r.node: r.dist for r in G.sssp(s, e, max_rounds=rounds).collect()}
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    # 1→2→3 costs 1+1=2; direct 1→3 costs 10: the weighted answer (2)
+    # differs from the hop answer (1 hop) — the case BFS can't express
+    edges = [(1, 2, 1), (2, 3, 1), (1, 3, 10), (3, 4, 5)]
+    out = _sssp_dict(spark, [1], edges, rounds=6)
+    assert out == {1: 0, 2: 1, 3: 2, 4: 7}
+
+
+def test_sssp_multi_source_min_and_unreachable_absent(spark):
+    # sources 1 and 10; node 5 reachable from both — min wins; node 99
+    # is isolated (edge 99→1 is DIRECTED away) and never appears
+    edges = [(1, 5, 7), (10, 5, 3), (99, 1, 1)]
+    out = _sssp_dict(spark, [1, 10], edges, rounds=4)
+    assert out == {1: 0, 10: 0, 5: 3}
+
+
+def test_sssp_round_cap_is_semantic(spark):
+    # chain 1→2→…→6, unit weights: after 2 rounds only nodes within 2
+    # relaxations carry distances (the unrolled-oracle contract);
+    # enough rounds reaches the fixpoint and stops early
+    edges = [(i, i + 1, 1) for i in range(1, 6)]
+    out2 = _sssp_dict(spark, [1], edges, rounds=2)
+    assert out2 == {1: 0, 2: 1, 3: 2}
+    out = _sssp_dict(spark, [1], edges, rounds=20)
+    assert out == {i: i - 1 for i in range(1, 7)}
+
+
+def test_sssp_delta_frontier_matches_full_relaxation(spark):
+    # random-ish graph where a later round LOWERS an already-set
+    # distance (the delta-frontier must re-open it): 1→4 direct w=9,
+    # but 1→2→3→4 costs 3 — node 4 improves at round 3 after being
+    # set at round 1
+    edges = [(1, 4, 9), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)]
+    out = _sssp_dict(spark, [1], edges, rounds=6)
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # python Bellman-Ford mirror over the same rounds
+    import itertools
+
+    dist = {1: 0}
+    for _ in range(6):
+        new = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < new.get(d, 1 << 60):
+                new[d] = dist[s] + w
+        dist = new
+    assert out == dist
+
+
+def test_sssp_rejects_negative_weights(spark):
+    import pytest
+    from monzo_data_pipeline_spark.ext import graph as G
+
+    s = spark.createDataFrame([(1,)], "node long")
+    e = spark.createDataFrame([(1, 2, -3)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="negative"):
+        G.sssp(s, e, max_rounds=3)

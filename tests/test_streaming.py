@@ -498,6 +498,104 @@ def test_stream_double_charge_flags_match_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_grid_state_matches_batch(spark, sf_dir, tmp_path):
+    """r7: incremental quantile-grid maintenance over micro-batches —
+    the persisted merged state must equal the one-shot batch cell
+    table BIT-EXACTLY (mergeable-by-construction, operationally), and
+    the estimates read from it must equal the batch estimates."""
+    from monzo_data_pipeline_spark.operators import sketches as SK
+    from monzo_data_pipeline_spark.streaming import sketches as SSK
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    base = events.select(cents.alias("v"))
+
+    drops = str(tmp_path / "grid_drops")
+    base.repartition(3).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    state_dir = str(tmp_path / "grid_state")
+    q = SSK.stream_grid_state(
+        stream, "v", state_dir, str(tmp_path / "grid_ckpt")
+    )
+    q.awaitTermination(120)
+
+    # multiple micro-batches actually ran (1 file per trigger)
+    import os
+
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) >= 3
+
+    final = SSK.read_latest_state(spark, state_dir)
+    batch_cells = SK.quantile_grid_cells(base, "v")
+    got = sorted((r.cell, r.cnt) for r in final.collect())
+    want = sorted((r.cell, r.cnt) for r in batch_cells.collect())
+    assert got == want  # bit-exact state parity
+
+    probs = [250_000, 500_000, 990_000]
+    got_q = {
+        r.p_ppm: r.est
+        for r in SK.sketch_quantiles_from_cells(final, probs).collect()
+    }
+    want_q = {
+        r.p_ppm: r.est for r in SK.sketch_quantiles(base, "v", probs).collect()
+    }
+    assert got_q == want_q and len(got_q) == 3
+
+
+def test_stream_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """r7: grouped deterministic-HLL register state maintained over
+    micro-batches (UNION+MAX merge) — final registers and estimates
+    must equal the one-shot batch build bit-exactly."""
+    from monzo_data_pipeline_spark.operators import sketches as SK
+    from monzo_data_pipeline_spark.streaming import sketches as SSK
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_custkey",
+    )
+    drops = str(tmp_path / "hll_drops")
+    orders.repartition(4).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    state_dir = str(tmp_path / "hll_state")
+    q = SSK.stream_hll_registers(
+        stream, "o_custkey", "order_month", state_dir,
+        str(tmp_path / "hll_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    final = SSK.read_latest_state(spark, state_dir)
+    want_regs = sorted(
+        (r["__g"], r["__b"], r["reg"])
+        for r in SK.hll_registers_by_group(
+            orders, "o_custkey", "order_month"
+        ).collect()
+    )
+    got_regs = sorted((r["__g"], r["__b"], r["reg"]) for r in final.collect())
+    assert got_regs == want_regs  # bit-exact register parity
+
+    got_est = {
+        r.order_month: (r.buckets_seen, r.est_distinct)
+        for r in SK.hll_estimate_from_registers(
+            final, "order_month"
+        ).collect()
+    }
+    want_est = {
+        r.order_month: (r.buckets_seen, r.est_distinct)
+        for r in SK.hll_deterministic_by_group(
+            orders, "o_custkey", "order_month"
+        ).collect()
+    }
+    assert got_est == want_est and len(got_est) > 10
+
+
 def test_streaming_image_decode_matches_batch(spark, sf_dir, tmp_path):
     """C5 × C6: the REAL image decoder runs unchanged inside a
     Structured Streaming pipeline — mapInPandas stages are
