@@ -2021,3 +2021,75 @@ def register(_register) -> None:
             )
             .orderBy("dist")
         )
+
+    # ------------------------------------------------------------------
+    # r7 — community detection: deterministic synchronous label
+    # propagation (count-DESC, label-ASC tie-break) with an unrolled
+    # chained-CTE twin; completes the graph family's standard set
+    # (CC/PageRank/HITS/triangles/BFS/assortativity/k-core/SSSP +
+    # communities).
+    # ------------------------------------------------------------------
+
+    def _lpa_oracle(rounds: int) -> str:
+        parts = ["l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS l FROM es)"]
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"""c{r} AS (
+            SELECT es.u AS u, l{r - 1}.l AS l, COUNT(*) AS c
+            FROM es JOIN l{r - 1} ON es.v = l{r - 1}.n
+            GROUP BY 1, 2
+        )"""
+            )
+            parts.append(
+                f"""p{r} AS (
+            SELECT u, l FROM (
+                SELECT u, l, ROW_NUMBER() OVER (
+                    PARTITION BY u ORDER BY c DESC, l ASC) AS rn
+                FROM c{r}
+            ) WHERE rn = 1
+        )"""
+            )
+            parts.append(
+                f"""l{r} AS MATERIALIZED (
+            SELECT l{r - 1}.n AS n, COALESCE(p{r}.l, l{r - 1}.l) AS l
+            FROM l{r - 1} LEFT JOIN p{r} ON p{r}.u = l{r - 1}.n
+        )"""
+            )
+        return (
+            "WITH "
+            + _COPURCHASE_E
+            + """, es AS (
+            SELECT pa AS u, pb AS v FROM e
+            UNION ALL SELECT pb, pa FROM e
+        ), """
+            + ",\n        ".join(parts)
+            + f"""
+        SELECT CAST(l AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM l{rounds} GROUP BY 1 ORDER BY 1
+        """
+        )
+
+    @_register(
+        "communities_copurchase",
+        "north-star (r7: label-propagation communities over the "
+        "support-2 co-purchase graph — deterministic synchronous LPA, "
+        "count-DESC/label-ASC tie-break, ≤4 rounds with exact "
+        "zero-change early stop; the round cap is semantic since "
+        "synchronous LPA may oscillate — ext/graph.py::"
+        "label_propagation; oracle = unrolled chained-CTE rounds)",
+        _lpa_oracle(4),
+    )
+    def q_communities_copurchase(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        labels = G.label_propagation(
+            _copurchase_edges(li, "pa", "pb"), rounds=4,
+            a_col="pa", b_col="pb",
+        )
+        return (
+            labels.groupBy(F.col("community").cast("long").alias("community"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .orderBy("community")
+        )

@@ -465,6 +465,98 @@ def sssp(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, the deterministic bulk-synchronous variant) over an
+    undirected simple graph (edges as a<b pairs): every node starts
+    labeled with its own id; each round every node adopts the most
+    frequent label among its NEIGHBORS, ties broken by the SMALLEST
+    label, keeping its current label only when it has no neighbors.
+    Returns (node, community) after ≤ ``rounds`` rounds with early
+    stop when no label changed.
+
+    Determinism contract: the classic algorithm breaks ties randomly
+    and updates asynchronously — neither is reproducible across
+    engines or retries. Synchronous rounds + the (count DESC, label
+    ASC) tie-break make every round a pure function of the previous
+    labeling, so an unrolled chained-CTE twin agrees round-for-round
+    and the result is bit-stable under any partitioning. Synchronous
+    LPA can oscillate on bipartite-ish structures instead of
+    converging — the round cap is therefore part of the SEMANTIC
+    contract (the bfs/k_core/sssp always-agree construction), and the
+    early stop only fires at a true fixpoint (zero changed labels).
+
+    Scale posture: per round one (edge ⋈ labels) join + one
+    (node, label) count agg + one per-node argmax — work ∝ the edge
+    list, state ∝ the node list; the argmax is a plain max of a
+    (cnt, −label) struct (no windows); lineage cut per round via
+    `truncate_lineage`, materialized by the changed-label count (one
+    job per round)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.col(a_col).cast("long").alias("__a"),
+            F.col(b_col).cast("long").alias("__b"),
+        )
+        .filter(
+            F.col("__a").isNotNull()
+            & F.col("__b").isNotNull()
+            & (F.col("__a") < F.col("__b"))
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    ).select(F.col("__a").alias("__u"), F.col("__b").alias("__v"))
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("__u").alias("__n"))
+        .distinct()
+        .withColumn("__l", F.col("__n"))
+        .transform(truncate_lineage)
+    )
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels, sym["__v"] == labels["__n"])
+            .groupBy("__u", "__l")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # deterministic argmax: max of (cnt, −label) == most frequent,
+        # smallest label on ties — no window, plain hash aggregate
+        pick = counts.groupBy("__u").agg(
+            F.max(F.struct(F.col("__c"), (-F.col("__l")).alias("__nl")))
+            .alias("__m")
+        ).select(
+            F.col("__u").alias("__n"), (-F.col("__m.__nl")).alias("__pl")
+        )
+        stepped = (
+            labels.join(pick, on="__n", how="left")
+            .select(
+                "__n",
+                F.coalesce(F.col("__pl"), F.col("__l")).alias("__l"),
+                (F.coalesce(F.col("__pl"), F.col("__l")) != F.col("__l"))
+                .alias("__chg"),
+            )
+            .transform(lambda d: truncate_lineage(d, eager=False))
+        )
+        n_changed = (
+            stepped.filter(F.col("__chg")).agg(F.count(F.lit(1))).collect()[0][0]
+        )
+        labels = stepped.select("__n", "__l")
+        if n_changed == 0:
+            break  # true fixpoint: the next round would be a no-op
+    sym.unpersist()
+    return labels.select(
+        F.col("__n").alias("node"), F.col("__l").alias("community")
+    )
+
+
 def degree_assortativity(
     edges: DataFrame, a_col: str = "a", b_col: str = "b"
 ) -> DataFrame:

@@ -31,7 +31,12 @@ THREE frame types:
 
 Arithmetic coding, hierarchical frames, 12-bit progressive/color,
 and sampling factors above 2 raise ValueError so callers quarantine
-rather than mis-decode.
+rather than mis-decode. This quarantine lane is FROZEN as a decision,
+not a backlog: the supported surface is the complete T.81 Huffman
+matrix (SOF0/SOF1/SOF2 × 4:4:4/4:2:2/4:2:0, 12-bit grayscale SOF1),
+and the rationale — real-world incidence, offline verification
+economics, and the typed-reject contract — is recorded in
+SCALE_DESIGN.md "Round-7 decision: the JPEG supported surface".
 
 Both directions are implemented so the codec can gate itself:
 `decode_jpeg(encode_jpeg(x))` with an all-ones quantization table is

@@ -1506,6 +1506,79 @@ def test_sssp_delta_frontier_matches_full_relaxation(spark):
     assert out == dist
 
 
+def _lpa_mirror(edges, rounds):
+    """Python mirror of the synchronous LPA contract: most frequent
+    neighbor label, ties -> smallest label, keep own if no change."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n in labels:
+            cnt = Counter(labels[v] for v in nbrs[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def _lpa_dict(spark, edges, rounds):
+    from monzo_data_pipeline_spark.ext import graph as G
+
+    e = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r.node: r.community
+        for r in G.label_propagation(e, rounds=rounds).collect()
+    }
+
+
+def test_lpa_two_cliques_bridge(spark):
+    # two K3s joined by one bridge: each clique settles on its own
+    # minimum label (fixpoint within a few rounds)
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    out = _lpa_dict(spark, edges, rounds=8)
+    assert out == _lpa_mirror(edges, 8)
+    # the two triangles end in different communities
+    assert len({out[1], out[4]}) == 2
+
+
+def test_lpa_round_cap_is_semantic_star_oscillates(spark):
+    # star 1-{2,3,4}: synchronous LPA oscillates (center and leaves
+    # swap every round) — rounds=1 and rounds=2 must each match the
+    # mirror exactly, and they differ (this is WHY the cap is part of
+    # the contract)
+    edges = [(1, 2), (1, 3), (1, 4)]
+    out1 = _lpa_dict(spark, edges, rounds=1)
+    out2 = _lpa_dict(spark, edges, rounds=2)
+    assert out1 == _lpa_mirror(edges, 1) == {1: 2, 2: 1, 3: 1, 4: 1}
+    assert out2 == _lpa_mirror(edges, 2) == {1: 1, 2: 2, 3: 2, 4: 2}
+    assert out1 != out2
+
+
+def test_lpa_matches_mirror_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(1, 41))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    for rounds in (1, 3, 6):
+        assert _lpa_dict(spark, edges, rounds) == _lpa_mirror(edges, rounds)
+
+
 def test_sssp_rejects_negative_weights(spark):
     import pytest
     from monzo_data_pipeline_spark.ext import graph as G

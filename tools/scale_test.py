@@ -170,6 +170,10 @@ QUERY_SET = [
     "jpeg_subsampled_decode_stats",
     "jpeg12_decode_stats",
     "k_core_copurchase",
+    # round-7 additions: weighted SSSP (Bellman-Ford delta frontier),
+    # deterministic synchronous label-propagation communities
+    "sssp_copurchase",
+    "communities_copurchase",
 ]
 
 KEY_OFFSET = 100_000_000
