@@ -1,11 +1,16 @@
-"""Graph analytics over DataFrames: fixed-iteration weighted PageRank.
+"""Graph analytics over DataFrames — the standard set: weighted
+PageRank, HITS (in fin/analytics shapes), exact triangles + global
+clustering, multi-source BFS, degree assortativity, k-core peeling,
+weighted SSSP (Bellman-Ford delta frontier), label-propagation
+communities, and Newman modularity. Connected components live with
+the near-dup family (ext/dedup_fuzzy.py).
 
 The reference has no graph operators; this is north-star surface (the
 "entity importance" twin of the near-dup family's connected
 components, ext/dedup_fuzzy.py). The pattern a 100 TB pipeline
 actually uses is: aggregate the raw facts down to the entity-level
 edge list FIRST (a big join + groupBy — the scale-heavy part), then
-iterate PageRank on the entity graph, which is orders of magnitude
+iterate on the entity graph, which is orders of magnitude
 smaller than the fact table.
 
 Determinism contract (what makes it hash-checkable against a DuckDB
@@ -554,6 +559,95 @@ def label_propagation(
     sym.unpersist()
     return labels.select(
         F.col("__n").alias("node"), F.col("__l").alias("community")
+    )
+
+
+def modularity_ppm(
+    edges: DataFrame,
+    labels: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected simple
+    graph (edges as a<b pairs), as an EXACT integer ppm — the
+    evaluation metric for `label_propagation`'s output (detect +
+    evaluate completes the community family).
+
+    Q = Σ_c [L_c/m − (d_c/2m)²] = (4m·L_in − Σ_c d_c²) / (4m²): a
+    ratio of integers (L_in = intra-community edges, d_c = total
+    degree of community c), so like assortativity there is no sqrt or
+    IEEE anywhere — sums ride DECIMAL(38,0) (4m·L_in·10⁶ exceeds
+    int64 past ~50 M edges), the output is the FLOOR'd ppm (pmod
+    emulation: Q can be negative for anti-community partitions).
+    Unlabeled nodes contribute degree mass but no intra edges — the
+    caller labels every node it wants counted (LPA labels every
+    edge-touching node). One degree agg + two label joins + one edge
+    count: node- and edge-proportional, no iteration.
+
+    Output: (n_communities, n_edges, intra_edges, modularity_ppm);
+    m = 0 yields NULL modularity."""
+    e = (
+        edges.select(
+            F.col(a_col).cast("long").alias("__a"),
+            F.col(b_col).cast("long").alias("__b"),
+        )
+        .filter(
+            F.col("__a").isNotNull()
+            & F.col("__b").isNotNull()
+            & (F.col("__a") < F.col("__b"))
+        )
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("__n"), F.col(label_col).alias("__c")
+    ).filter(F.col("__n").isNotNull() & F.col("__c").isNotNull())
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .unionAll(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    dec = "decimal(38,0)"
+    dc2 = (
+        deg.join(lab, on="__n")
+        .groupBy("__c")
+        .agg(F.sum("__d").cast(dec).alias("__dc"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum(F.col("__dc") * F.col("__dc")).alias("__sdc2"),
+        )
+    )
+    la = lab.select(F.col("__n").alias("__a"), F.col("__c").alias("__ca"))
+    lb = lab.select(F.col("__n").alias("__b"), F.col("__c").alias("__cb"))
+    intra = (
+        e.join(la, on="__a")
+        .join(lb, on="__b")
+        .filter(F.col("__ca") == F.col("__cb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        dc2.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(intra))
+        .select(
+            "n_communities",
+            "n_edges",
+            "intra_edges",
+            F.when(
+                F.col("n_edges") > 0,
+                F.expr(
+                    "CAST(((CAST(4 AS DECIMAL(38,0)) * n_edges * intra_edges"
+                    " - `__sdc2`) * 1000000"
+                    " - pmod((CAST(4 AS DECIMAL(38,0)) * n_edges * intra_edges"
+                    "         - `__sdc2`) * 1000000,"
+                    "        CAST(4 AS DECIMAL(38,0)) * n_edges * n_edges))"
+                    " DIV (CAST(4 AS DECIMAL(38,0)) * n_edges * n_edges)"
+                    " AS BIGINT)"
+                ),
+            ).alias("modularity_ppm"),
+        )
     )
 
 

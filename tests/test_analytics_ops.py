@@ -1579,6 +1579,41 @@ def test_lpa_matches_mirror_on_random_graph(spark):
         assert _lpa_dict(spark, edges, rounds) == _lpa_mirror(edges, rounds)
 
 
+def test_modularity_known_values(spark):
+    from monzo_data_pipeline_spark.ext import graph as G
+
+    # two disjoint triangles, each its own community: Q = 1/2 exactly
+    tri2 = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)]
+    e = spark.createDataFrame(tri2, "a long, b long")
+    lab = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node long, community long",
+    )
+    r = G.modularity_ppm(e, lab).collect()[0]
+    assert (r.n_communities, r.n_edges, r.intra_edges) == (2, 6, 6)
+    assert r.modularity_ppm == 500_000
+    # everything in ONE community: Q = 0 exactly
+    lab1 = spark.createDataFrame(
+        [(n, 1) for n in range(1, 7)], "node long, community long"
+    )
+    assert G.modularity_ppm(e, lab1).collect()[0].modularity_ppm == 0
+
+
+def test_modularity_negative_floor(spark):
+    from monzo_data_pipeline_spark.ext import graph as G
+
+    # 4-cycle with alternating labels: every edge crosses, Q = −1/2 —
+    # exercises the pmod floor on a negative numerator
+    cyc = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    e = spark.createDataFrame(cyc, "a long, b long")
+    lab = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 10), (4, 20)], "node long, community long"
+    )
+    r = G.modularity_ppm(e, lab).collect()[0]
+    assert r.intra_edges == 0
+    assert r.modularity_ppm == -500_000
+
+
 def test_sssp_rejects_negative_weights(spark):
     import pytest
     from monzo_data_pipeline_spark.ext import graph as G

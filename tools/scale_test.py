@@ -174,6 +174,7 @@ QUERY_SET = [
     # deterministic synchronous label-propagation communities
     "sssp_copurchase",
     "communities_copurchase",
+    "modularity_copurchase",
 ]
 
 KEY_OFFSET = 100_000_000
