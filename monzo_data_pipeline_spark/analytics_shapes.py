@@ -2166,3 +2166,36 @@ def register(_register) -> None:
         edges = _copurchase_edges(li, "pa", "pb").transform(truncate_lineage)
         labels = G.label_propagation(edges, rounds=4, a_col="pa", b_col="pb")
         return G.modularity_ppm(edges, labels, a_col="pa", b_col="pb")
+
+    # ------------------------------------------------------------------
+    # r7 — Z-order layout audit: the multi-dimensional file-skipping
+    # primitive (Delta OPTIMIZE ZORDER / Iceberg sort orders) as plain
+    # integer DataFrame ops with a shared-expression oracle twin.
+    # ------------------------------------------------------------------
+
+    from .operators.layout import zorder_layout_sql
+
+    _ZORDER_Y = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+    @_register(
+        "zorder_layout_orders",
+        "north-star/A5 (r7: Z-order/Morton layout audit over orders — "
+        "interleave o_custkey × price-cents bits into one clustering "
+        "key, bucket by the top 10 key bits (= the file boundaries "
+        "zorder_sort would write) and report per-bucket min/max of "
+        "BOTH dimensions: the bounded-rectangle property that makes "
+        "min/max file skipping work on either filter column at 100 TB "
+        "— operators/layout.py; Spark and DuckDB share one generated "
+        "bit-interleave expression)",
+        zorder_layout_sql("orders", "o_custkey", _ZORDER_Y),
+    )
+    def q_zorder_layout_orders(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators.layout import zorder_layout_stats
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.expr(_ZORDER_Y).alias("__price_cents"),
+        )
+        return zorder_layout_stats(o, "o_custkey", "__price_cents")

@@ -1622,3 +1622,59 @@ def test_sssp_rejects_negative_weights(spark):
     e = spark.createDataFrame([(1, 2, -3)], "src long, dst long, w long")
     with pytest.raises(ValueError, match="negative"):
         G.sssp(s, e, max_rounds=3)
+
+
+def test_zorder_key_known_interleave(spark):
+    from monzo_data_pipeline_spark.operators.layout import zorder_key_expr
+
+    # x=0b11 at even bit lanes, y=0b01 at odd: z = 0b0111 = 7
+    row = spark.sql(
+        f"SELECT {zorder_key_expr(['x', 'y'])} AS z "
+        "FROM (SELECT CAST(3 AS BIGINT) x, CAST(1 AS BIGINT) y)"
+    ).collect()[0]
+    assert row.z == 7
+    # single dim degenerates to identity on the masked bits
+    row1 = spark.sql(
+        f"SELECT {zorder_key_expr(['x'])} AS z "
+        "FROM (SELECT CAST(12345 AS BIGINT) x)"
+    ).collect()[0]
+    assert row1.z == 12345
+
+
+def test_zorder_dim_floor_mod_negative(spark):
+    from monzo_data_pipeline_spark.operators.layout import (
+        ZORDER_BITS,
+        zorder_dim_expr,
+    )
+
+    row = spark.sql(
+        f"SELECT {zorder_dim_expr('x')} AS d "
+        "FROM (SELECT CAST(-1 AS BIGINT) x)"
+    ).collect()[0]
+    assert row.d == (1 << ZORDER_BITS) - 1
+
+
+def test_zorder_sort_bounds_both_dimensions(spark):
+    from pyspark.sql import functions as F
+
+    from monzo_data_pipeline_spark.operators.layout import zorder_sort
+
+    # 64x64 uniform grid -> 16 z-range files: every file must cover a
+    # small rectangle of BOTH dims; a plain x-sort bounds only x
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    parts = (
+        zorder_sort(grid, ["x", "y"], n_files=16)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("rx"),
+            (F.max("y") - F.min("y")).alias("ry"),
+        )
+        .collect()
+    )
+    assert len(parts) >= 8
+    # bounded rectangles: no file spans more than half of either dim
+    # (an x-only sort would give ry = 63 on every file)
+    assert all(r.rx <= 32 and r.ry <= 32 for r in parts)
