@@ -1,19 +1,21 @@
-"""Z-order (Morton) data layout — multi-dimensional clustering keys.
+"""Z-order (Morton) layout AUDIT — oracle-checkable clustering keys.
 
-At 100 TB the dominant query cost is the scan, and the dominant scan
-saving is FILE SKIPPING on min/max statistics (parquet row groups,
-Delta/Iceberg file stats). A table sorted by one column skips well on
-that column and not at all on any other; interleaving the bits of two
-(or more) columns into one Z-order key and range-partitioning on it
-gives every file a BOUNDED RECTANGLE of both dimensions — the layout
-technique Delta OPTIMIZE ZORDER / Iceberg sort orders implement, here
-as plain DataFrame ops: a generated pure-integer bit-interleave
-expression, `repartitionByRange` + `sortWithinPartitions` on it.
+The layout WRITER lives in `sources/io.py::write_zordered` (min/max-
+or equi-depth-normalized bit interleave → repartitionByRange → per-
+file sort; skip-tested on both columns in tests/test_sources.py).
+This module is its hash-checkable companion: a pure-integer Morton
+key whose arithmetic is IDENTICAL in Spark and DuckDB (one expression
+builder, two dialect spellings — the sketches.py pattern), so the
+layout audit itself sits under the cross-engine correctness gate.
 
-Everything is exact integer shifts, so the key (and the layout-audit
-query proving the bounded-rectangle property) carries a DuckDB oracle
-twin from the SAME expression builder — the sketches.py pattern: one
-construction, two dialect spellings, twins cannot desync.
+`zorder_layout_stats` answers the question a 100 TB table owner asks
+before and after an OPTIMIZE ZORDER: bucketed by prospective file
+boundary (the top key bits), what rectangle of each dimension does
+each file cover? Bounded rectangles on every dimension == min/max
+file skipping works on any filter column; a single-column sort shows
+full-range rows on every other dimension. All exact integer shifts —
+no normalization pass — so the audit is deterministic and carries a
+DuckDB twin built from the same expressions.
 """
 
 from __future__ import annotations
@@ -61,22 +63,6 @@ def zorder_dim_expr(col: str, dialect: str = "spark") -> str:
     via the double-pmod spelling)."""
     m = _MASK + 1
     return f"((({col}) % {m} + {m}) % {m})"
-
-
-def zorder_sort(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
-    """The layout op itself: range-partition + sort by the Morton key
-    of ``cols`` so each output file covers a bounded rectangle of
-    every dimension. Write the result with any file sink; downstream
-    scans filtered on ANY of ``cols`` skip most files on min/max
-    stats. (Plain sort would give this for the first column only.)"""
-    dims = [zorder_dim_expr(c) for c in cols]
-    z = F.expr(zorder_key_expr(dims)).alias("__z")
-    out = df.withColumn("__z", z)
-    return (
-        out.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-    )
 
 
 def zorder_layout_stats(

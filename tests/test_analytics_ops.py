@@ -1654,27 +1654,26 @@ def test_zorder_dim_floor_mod_negative(spark):
     assert row.d == (1 << ZORDER_BITS) - 1
 
 
-def test_zorder_sort_bounds_both_dimensions(spark):
+def test_zorder_layout_stats_bounds_both_dimensions(spark):
     from pyspark.sql import functions as F
 
-    from monzo_data_pipeline_spark.operators.layout import zorder_sort
+    from monzo_data_pipeline_spark.operators.layout import (
+        zorder_layout_stats,
+    )
 
-    # 64x64 uniform grid -> 16 z-range files: every file must cover a
-    # small rectangle of BOTH dims; a plain x-sort bounds only x
+    # 64x64 uniform grid spread over the full 21-bit domain (<<15),
+    # audited at 10 coarse bits: every prospective file bucket must
+    # cover a small rectangle of BOTH dims (an x-sort layout would
+    # show the full y range on every bucket)
     grid = spark.range(64 * 64).select(
-        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+        ((F.col("id") % 64) * 32768).alias("x"),
+        ((F.col("id") / 64).cast("long") * 32768).alias("y"),
     )
-    parts = (
-        zorder_sort(grid, ["x", "y"], n_files=16)
-        .withColumn("p", F.spark_partition_id())
-        .groupBy("p")
-        .agg(
-            (F.max("x") - F.min("x")).alias("rx"),
-            (F.max("y") - F.min("y")).alias("ry"),
-        )
-        .collect()
+    rows = zorder_layout_stats(grid, "x", "y", coarse_bits=10).collect()
+    assert len(rows) >= 8
+    assert sum(r.n for r in rows) == 64 * 64
+    full = 63 * 32768
+    assert all(
+        r.max_x - r.min_x <= full // 2 and r.max_y - r.min_y <= full // 2
+        for r in rows
     )
-    assert len(parts) >= 8
-    # bounded rectangles: no file spans more than half of either dim
-    # (an x-only sort would give ry = 63 on every file)
-    assert all(r.rx <= 32 and r.ry <= 32 for r in parts)
