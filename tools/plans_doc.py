@@ -97,6 +97,11 @@ SHOW = {
     "doc_fingerprints": "portable fingerprint — pure map-side two-base char fold; zero exchanges before the driver fetch",
     "theilsen_balance_spend": "Theil-Sen — binned cell grid, broadcast pair join, weighted median over ≤ a few hundred integer slope keys; CASE-guarded division",
     "jpeg_progressive_decode_stats": "progressive JPEG — synth + decode both MapInPandas, coefficient state per image, zero exchanges",
+    # round 7
+    "sssp_copurchase": "weighted SSSP — final round's plan: delta frontier ⋈ persisted edges, full-outer min merge against the checkpointed distance leaf; per-round work ∝ the improving frontier",
+    "communities_copurchase": "LPA communities — per round edge ⋈ labels, (node,label) count agg, struct-max argmax (no windows); checkpointed edge build under the loop",
+    "modularity_copurchase": "modularity — degree agg + two label joins + edge count off ONE checkpointed edge leaf; DECIMAL ratio scalar, driver-free",
+    "zorder_layout_orders": "Z-order audit — map-side bit-interleave projection in codegen, ONE ≤1024-group exchange, ordered output",
 }
 
 MARKERS = (
