@@ -1677,3 +1677,30 @@ def test_zorder_layout_stats_bounds_both_dimensions(spark):
         r.max_x - r.min_x <= full // 2 and r.max_y - r.min_y <= full // 2
         for r in rows
     )
+
+
+def test_sssp_matches_mirror_on_random_weighted_graphs(spark):
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        nodes = list(range(1, 31))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 9))
+            for _ in range(90)
+        ]
+        edges = [(s, d, w) for s, d, w in edges if s != d]
+        sources = rng.sample(nodes, 2)
+        rounds = rng.choice([2, 4, 8])
+        got = _sssp_dict(spark, sources, edges, rounds)
+        # python synchronous full-relaxation Bellman-Ford, same rounds
+        dist = {s: 0 for s in sources}
+        for _ in range(rounds):
+            new = dict(dist)
+            for s, d, w in edges:
+                if s in dist and dist[s] + w < new.get(d, 1 << 60):
+                    new[d] = dist[s] + w
+            if new == dist:
+                break
+            dist = new
+        assert got == dist, f"trial {trial} rounds {rounds}"
