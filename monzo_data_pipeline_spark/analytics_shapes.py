@@ -1461,14 +1461,7 @@ def register(_register) -> None:
         li = load_table(spark, sf_dir, "lineitem")
         return SK.hll_deterministic(li, "l_orderkey")
 
-    @_register(
-        "hll_monthly_customers",
-        "C7/north-star (GROUPED deterministic HLL: per-month distinct "
-        "ordering customers as one (month, bucket) register table — "
-        "the mergeable-sketch shape a 100 TB rollup materializes; "
-        "estimate bit-identical cross-engine, exactly as the global "
-        "form — operators/sketches.py::hll_deterministic_by_group)",
-        """
+    _HLL_MONTHLY_SQL = """
         WITH k AS (
             SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS g,
                    o_custkey AS v
@@ -1506,7 +1499,16 @@ def register(_register) -> None:
                          * CAST(18446744073709551616 AS HUGEINT))
                         * 1000000) AS BIGINT) AS est_distinct
         FROM s ORDER BY order_month
-        """,
+        """
+
+    @_register(
+        "hll_monthly_customers",
+        "C7/north-star (GROUPED deterministic HLL: per-month distinct "
+        "ordering customers as one (month, bucket) register table — "
+        "the mergeable-sketch shape a 100 TB rollup materializes; "
+        "estimate bit-identical cross-engine, exactly as the global "
+        "form — operators/sketches.py::hll_deterministic_by_group)",
+        _HLL_MONTHLY_SQL,
     )
     def q_hll_monthly_customers(
         spark: SparkSession, sf_dir: str
@@ -1519,6 +1521,39 @@ def register(_register) -> None:
         )
         return SK.hll_deterministic_by_group(
             o, "o_custkey", "order_month"
+        )
+
+    @_register(
+        "hll_merge_monthly",
+        "C7/north-star (r7: the grouped-HLL MERGE LAW under the hash "
+        "gate — registers built independently on the even/odd "
+        "o_orderkey halves, merged by hll_merge_registers (UNION+MAX, "
+        "idempotent), finalized from the MERGED state; oracle = the "
+        "one-shot whole-data grouped HLL, equal because per-(group, "
+        "bucket) MAX over any partitioning of the rows is the same "
+        "register — operators/sketches.py::hll_merge_registers, "
+        "streaming/sketches.py)",
+        _HLL_MONTHLY_SQL,
+    )
+    def q_hll_merge_monthly(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import sketches as SK
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_custkey",
+        )
+        half_a = SK.hll_registers_by_group(
+            o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", "order_month"
+        )
+        half_b = SK.hll_registers_by_group(
+            o.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", "order_month"
+        )
+        merged = SK.hll_merge_registers(half_a, half_b)
+        return SK.hll_estimate_from_registers(merged, "order_month").orderBy(
+            "order_month"
         )
 
     # the Welch variance/SE expressions, written ONCE and shared between
@@ -2166,6 +2201,53 @@ def register(_register) -> None:
         edges = _copurchase_edges(li, "pa", "pb").transform(truncate_lineage)
         labels = G.label_propagation(edges, rounds=4, a_col="pa", b_col="pb")
         return G.modularity_ppm(edges, labels, a_col="pa", b_col="pb")
+
+    # ------------------------------------------------------------------
+    # r7 — the grid-sketch MERGE LAW under the hash gate: build cell
+    # state on two disjoint partition halves, merge (UNION+SUM),
+    # extract quantiles; the oracle is the WHOLE-data grid — equal by
+    # the batching-invariance the warehouse/streaming paths rely on,
+    # so the law itself (not just its unit tests) is oracle-checked.
+    # ------------------------------------------------------------------
+
+    from .operators.sketches import grid_quantile_sql
+
+    @_register(
+        "grid_merge_quantiles",
+        "C7/north-star (r7: partitioned-state quantiles — grid cells "
+        "built independently on the even/odd event_id halves, merged "
+        "by merge_grid_cells (UNION+SUM), finalized from the MERGED "
+        "state; oracle = the one-shot whole-data grid, equal by the "
+        "merge law — the per-batch-state → warehouse-merge → reader-"
+        "finalize shape a 100 TB rollup persists — operators/"
+        "sketches.py::merge_grid_cells, streaming/sketches.py)",
+        f"""
+        WITH q AS (
+            SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL
+        ),{grid_quantile_sql('q', [250_000, 500_000, 750_000, 990_000], 'gq')}
+        SELECT p_ppm, est FROM gq_est ORDER BY p_ppm
+        """,
+    )
+    def q_grid_merge_quantiles(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators.sketches import (
+            merge_grid_cells,
+            quantile_grid_cells,
+            sketch_quantiles_from_cells,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("v"),
+        ).filter(F.col("v").isNotNull())
+        half_a = quantile_grid_cells(ev.filter(F.col("event_id") % 2 == 0), "v")
+        half_b = quantile_grid_cells(ev.filter(F.col("event_id") % 2 == 1), "v")
+        merged = merge_grid_cells(half_a, half_b)
+        return sketch_quantiles_from_cells(
+            merged, [250_000, 500_000, 750_000, 990_000]
+        ).orderBy("p_ppm")
 
     # ------------------------------------------------------------------
     # r7 — Z-order layout audit: the multi-dimensional file-skipping
