@@ -2249,6 +2249,42 @@ def register(_register) -> None:
             merged, [250_000, 500_000, 750_000, 990_000]
         ).orderBy("p_ppm")
 
+    @_register(
+        "bitmap_merge_distinct",
+        "C7-exact/north-star (r7: the EXACT merge law — roaring-bitmap "
+        "distinct states built independently on the even/odd event_id "
+        "halves, merged by bitmap_merge (UNION + bitmap_or_agg, "
+        "idempotent), finalized from the MERGED state; oracle = plain "
+        "COUNT(DISTINCT) over everything, equal because per-(key, "
+        "bucket) bitmap OR over any partitioning covers the same bit "
+        "set — completes the merge-law trio: grid SUM, HLL MAX, "
+        "bitmap OR — operators/sketches.py::bitmap_merge)",
+        """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )
+    def q_bitmap_merge_distinct(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators.sketches import (
+            bitmap_finalize,
+            bitmap_merge,
+            bitmap_state,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        half_a = bitmap_state(
+            ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
+        )
+        half_b = bitmap_state(
+            ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+        )
+        merged = bitmap_merge(half_a, half_b, keys=["event_type"])
+        return bitmap_finalize(merged, ["event_type"]).orderBy("event_type")
+
     # ------------------------------------------------------------------
     # r7 — Z-order layout audit: the multi-dimensional file-skipping
     # primitive (Delta OPTIMIZE ZORDER / Iceberg sort orders) as plain
