@@ -38,6 +38,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from monzo_data_pipeline_spark.operators.sketches import (
+    bitmap_merge,
+    bitmap_state,
     hll_merge_registers,
     hll_registers_by_group,
     merge_grid_cells,
@@ -107,6 +109,36 @@ def stream_grid_state(
             merge_grid_cells(prev, cells) if prev is not None
             else merge_grid_cells(cells)
         )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id:09d}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_bitmap_state(
+    stream: DataFrame,
+    keys: list[str],
+    int_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Maintain EXACT roaring-bitmap distinct state incrementally over
+    a stream (UNION + bitmap_or_agg merge — idempotent like the HLL
+    registers, but exact: the third mergeable-state lane, for when the
+    keys are dense integers and exactness is required). Finalize with
+    `operators.sketches.bitmap_finalize` on `read_latest_state`."""
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        st = bitmap_state(batch, keys, int_col)
+        prev = _read_state(spark, state_dir, below=batch_id)
+        merged = bitmap_merge(prev, st, keys=keys) if prev is not None else st
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id:09d}")
         )

@@ -596,6 +596,44 @@ def test_stream_hll_registers_match_batch(spark, sf_dir, tmp_path):
     assert got_est == want_est and len(got_est) > 10
 
 
+def test_stream_bitmap_state_matches_batch(spark, sf_dir, tmp_path):
+    """r7: exact bitmap distinct state maintained over micro-batches
+    (UNION + bitmap_or_agg) — final counts must equal both the
+    one-shot bitmap build and plain countDistinct."""
+    from monzo_data_pipeline_spark.operators import sketches as SK
+    from monzo_data_pipeline_spark.streaming import sketches as SSK
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    drops = str(tmp_path / "bm_drops")
+    events.repartition(3).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    state_dir = str(tmp_path / "bm_state")
+    q = SSK.stream_bitmap_state(
+        stream, ["event_type"], "user_id", state_dir,
+        str(tmp_path / "bm_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    final = SSK.read_latest_state(spark, state_dir)
+    got = {
+        r.event_type: r.n_distinct
+        for r in SK.bitmap_finalize(final, ["event_type"]).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) >= 3  # exact, not approximate
+
+
 def test_streaming_image_decode_matches_batch(spark, sf_dir, tmp_path):
     """C5 × C6: the REAL image decoder runs unchanged inside a
     Structured Streaming pipeline — mapInPandas stages are
