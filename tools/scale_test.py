@@ -175,6 +175,10 @@ QUERY_SET = [
     "sssp_copurchase",
     "communities_copurchase",
     "modularity_copurchase",
+    "zorder_layout_orders",
+    "grid_merge_quantiles",
+    "hll_merge_monthly",
+    "bitmap_merge_distinct",
 ]
 
 KEY_OFFSET = 100_000_000
