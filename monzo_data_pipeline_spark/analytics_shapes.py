@@ -1545,11 +1545,14 @@ def register(_register) -> None:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
             "o_custkey",
         )
+        # == 0 vs != 0 (not == 1): % truncates toward zero, so negative
+        # keys land on -1 and a ==0/==1 split would drop them from BOTH
+        # halves — the halves must PARTITION the rows for any key domain
         half_a = SK.hll_registers_by_group(
             o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", "order_month"
         )
         half_b = SK.hll_registers_by_group(
-            o.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", "order_month"
+            o.filter(F.col("o_orderkey") % 2 != 0), "o_custkey", "order_month"
         )
         merged = SK.hll_merge_registers(half_a, half_b)
         return SK.hll_estimate_from_registers(merged, "order_month").orderBy(
@@ -2243,7 +2246,7 @@ def register(_register) -> None:
             F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("v"),
         ).filter(F.col("v").isNotNull())
         half_a = quantile_grid_cells(ev.filter(F.col("event_id") % 2 == 0), "v")
-        half_b = quantile_grid_cells(ev.filter(F.col("event_id") % 2 == 1), "v")
+        half_b = quantile_grid_cells(ev.filter(F.col("event_id") % 2 != 0), "v")
         merged = merge_grid_cells(half_a, half_b)
         return sketch_quantiles_from_cells(
             merged, [250_000, 500_000, 750_000, 990_000]
@@ -2280,7 +2283,7 @@ def register(_register) -> None:
             ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
         )
         half_b = bitmap_state(
-            ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+            ev.filter(F.col("event_id") % 2 != 0), ["event_type"], "user_id"
         )
         merged = bitmap_merge(half_a, half_b, keys=["event_type"])
         return bitmap_finalize(merged, ["event_type"]).orderBy("event_type")

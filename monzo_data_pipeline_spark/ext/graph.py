@@ -581,9 +581,10 @@ def modularity_ppm(
     IEEE anywhere — sums ride DECIMAL(38,0) (4m·L_in·10⁶ exceeds
     int64 past ~50 M edges), the output is the FLOOR'd ppm (pmod
     emulation: Q can be negative for anti-community partitions).
-    Unlabeled nodes contribute degree mass but no intra edges — the
-    caller labels every node it wants counted (LPA labels every
-    edge-touching node). One degree agg + two label joins + one edge
+    Unlabeled nodes are EXCLUDED from every community degree sum d_c
+    (deg⋈labels is an inner join) while their edges still count toward
+    m — the caller labels every node it wants counted (LPA labels
+    every edge-touching node, so under LPA output no node is dropped). One degree agg + two label joins + one edge
     count: node- and edge-proportional, no iteration.
 
     Output: (n_communities, n_edges, intra_edges, modularity_ppm);

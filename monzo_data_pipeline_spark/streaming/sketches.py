@@ -32,7 +32,6 @@ so stream==batch parity is structural, not coincidental.
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,21 +48,41 @@ from monzo_data_pipeline_spark.operators.sketches import (
 _VERSION_RE = re.compile(r"^v(\d{9})$")
 
 
-def _latest_version(state_dir: str, below: int | None = None) -> int | None:
+def _version_path(state_dir: str, version: int) -> str:
+    # URI-safe join (state_dir may be s3a://... on a cluster, where
+    # os.path.join would still work but local-FS checks would not).
+    return state_dir.rstrip("/") + f"/v{version:09d}"
+
+
+def _latest_version(
+    spark: SparkSession, state_dir: str, below: int | None = None
+) -> int | None:
     """Highest committed state version (< ``below`` if given). A
     version is committed iff Spark's _SUCCESS marker exists — a
-    partial write from a crashed batch is invisible."""
-    if not os.path.isdir(state_dir):
+    partial write from a crashed batch is invisible.
+
+    Listing goes through the JVM Hadoop FileSystem API (the same FS
+    the `DataFrame.write.parquet` calls below resolve against), so
+    state on s3a/hdfs/abfs is found exactly like state on file:// —
+    a driver-local os.listdir here would silently see an empty dir
+    on any non-local default filesystem and make every batch start
+    from scratch."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return None
     best = None
-    for name in os.listdir(state_dir):
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
         m = _VERSION_RE.match(name)
         if not m:
             continue
         v = int(m.group(1))
         if below is not None and v >= below:
             continue
-        if not os.path.exists(os.path.join(state_dir, name, "_SUCCESS")):
+        success = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        if not fs.exists(success):
             continue
         if best is None or v > best:
             best = v
@@ -73,10 +92,10 @@ def _latest_version(state_dir: str, below: int | None = None) -> int | None:
 def _read_state(
     spark: SparkSession, state_dir: str, below: int | None = None
 ) -> DataFrame | None:
-    v = _latest_version(state_dir, below)
+    v = _latest_version(spark, state_dir, below)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(state_dir, f"v{v:09d}"))
+    return spark.read.parquet(_version_path(state_dir, v))
 
 
 def read_latest_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -110,7 +129,7 @@ def stream_grid_state(
             else merge_grid_cells(cells)
         )
         merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id:09d}")
+            _version_path(state_dir, batch_id)
         )
 
     return (
@@ -140,7 +159,7 @@ def stream_bitmap_state(
         prev = _read_state(spark, state_dir, below=batch_id)
         merged = bitmap_merge(prev, st, keys=keys) if prev is not None else st
         merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id:09d}")
+            _version_path(state_dir, batch_id)
         )
 
     return (
@@ -170,7 +189,7 @@ def stream_hll_registers(
             hll_merge_registers(prev, regs) if prev is not None else regs
         )
         merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id:09d}")
+            _version_path(state_dir, batch_id)
         )
 
     return (

@@ -72,7 +72,7 @@ def test_stateful_running_totals(spark, sf_dir, event_files):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
     # update mode appends one row per (user, trigger); the LAST row per
     # user is the final state
     rows = spark.sql(
@@ -108,7 +108,7 @@ def test_streaming_ingest_to_bronze_idempotent(spark, tmp_path):
         spark.readStream.schema(wire.schema).option("maxFilesPerTrigger", 1).parquet(drops)
     )
     q = stream_wire_to_bronze(stream, wh, "2025-02-05T00:00:00", str(tmp_path / "ckpt1"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
     n1 = wh.read(MED.BRONZE_TX).count()
     assert n1 > 0
 
@@ -117,7 +117,7 @@ def test_streaming_ingest_to_bronze_idempotent(spark, tmp_path):
         spark.readStream.schema(wire.schema).option("maxFilesPerTrigger", 1).parquet(drops)
     )
     q2 = stream_wire_to_bronze(stream2, wh, "2025-03-01T00:00:00", str(tmp_path / "ckpt2"))
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not drain within 120s"
     assert wh.read(MED.BRONZE_TX).count() == n1
 
 
@@ -204,7 +204,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, event_files):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain within 180s"
     stream_pairs = {
         (r.purchase_id, r.click_id, r.gap_seconds)
         for r in spark.sql("SELECT * FROM ssj_test").collect()
@@ -281,7 +281,7 @@ def test_stream_cdc_apply_converges_regardless_of_batch_order(spark, tmp_path):
         stream, target_path, schema, keys=["id"], order_cols=["version"],
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
 
     got = {
         r["id"]: (r["val"], r["version"])
@@ -373,7 +373,7 @@ def test_stream_transition_counts_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain within 180s"
     got = {
         (r.from_type, r.to_type): r.total_n
         for r in spark.sql(
@@ -428,7 +428,7 @@ def test_stateful_state_survives_restart_from_checkpoint(spark, sf_dir, tmp_path
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not drain within 180s"
 
     drop_slice(0)
     drop_slice(1)
@@ -490,7 +490,7 @@ def test_stream_double_charge_flags_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain within 180s"
     got = {
         (r.user_id, r.event_id, r.gap_s)
         for r in spark.sql("SELECT * FROM double_charge_test").collect()
@@ -521,7 +521,7 @@ def test_stream_grid_state_matches_batch(spark, sf_dir, tmp_path):
     q = SSK.stream_grid_state(
         stream, "v", state_dir, str(tmp_path / "grid_ckpt")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
 
     # multiple micro-batches actually ran (1 file per trigger)
     import os
@@ -569,7 +569,7 @@ def test_stream_hll_registers_match_batch(spark, sf_dir, tmp_path):
         stream, "o_custkey", "order_month", state_dir,
         str(tmp_path / "hll_ckpt"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
 
     final = SSK.read_latest_state(spark, state_dir)
     want_regs = sorted(
@@ -618,7 +618,7 @@ def test_stream_bitmap_state_matches_batch(spark, sf_dir, tmp_path):
         stream, ["event_type"], "user_id", state_dir,
         str(tmp_path / "bm_ckpt"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
 
     final = SSK.read_latest_state(spark, state_dir)
     got = {
@@ -663,7 +663,7 @@ def test_streaming_image_decode_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain within 180s"
     got = {
         (r["media_id"], r["pix_sum"])
         for r in spark.sql("SELECT media_id, pix_sum FROM image_stream_test").collect()
