@@ -4432,9 +4432,22 @@ _DRIVER_PREFIX = [
     # stays via struct_flatten/scalar_functions, text via
     # word_frequencies/lang_id/quality_scores) so the round-5 graph +
     # rank-statistics families get hard-gate sampling too
+    # r8: exact_dup_groups, ntile_quartiles, pivot_status_by_month,
+    # bucketed_near_pairs, jpeg_decode_stats rotated out (exact dedup
+    # stays sampled via first_wins_dedup, windows via running_total +
+    # top_n_per_group_salted, rollup/pivot via rollup_spend, ANN
+    # bucketing via ivf_topk + cosine_topk_bruteforce, JPEG via
+    # jpeg_subsampled_decode_stats + image_decode_stats) so every
+    # round-7 family gets hard-gate sampling: delta-frontier SSSP,
+    # LPA communities, the Z-order layout audit, and the grid/bitmap
+    # sketch merge laws
+    "sssp_copurchase",
+    "communities_copurchase",
+    "zorder_layout_orders",
+    "grid_merge_quantiles",
+    "bitmap_merge_distinct",
     "spearman_balance_spend",
     "first_wins_dedup",
-    "exact_dup_groups",
     "fk_star_join",
     "broadcast_enrich_rates",
     "shipping_priority_q3",
@@ -4446,9 +4459,7 @@ _DRIVER_PREFIX = [
     "set_except",
     "top_n_per_group_salted",
     "running_total",
-    "ntile_quartiles",
     "rollup_spend",
-    "pivot_status_by_month",
     "exact_distinct_counts",
     "tumbling_window_agg",
     "sessionization",
@@ -4458,14 +4469,12 @@ _DRIVER_PREFIX = [
     "pack_sequences",
     "cosine_topk_bruteforce",
     "ivf_topk",
-    "bucketed_near_pairs",
     "random_projection_embed",
     "near_dup_clusters",
     "benchmark_contamination",
     "fuzzy_name_pairs",
     "bpe_merge_table",
     "image_decode_stats",
-    "jpeg_decode_stats",
     "video_frame_stats",
     # r4: kmeans_cluster_profile is hash-checked now
     # (kmeans_profile_oracle_sql) — it takes media_resize's slot
