@@ -1,0 +1,139 @@
+"""Session-scoped materialized intermediates — the CROSS-QUERY analog
+of ``operators/rankstats.py::binned_cells`` (which shares one fused
+grid build across the two margins of a single query).
+
+Several registry queries derive from the same BOUNDED intermediate:
+six graph queries rebuild the identical support-2 co-purchase edge
+set from lineitem, ``modularity_copurchase`` re-runs the exact
+4-round LPA labeling ``communities_copurchase`` just produced, and
+the deterministic-sketch family re-derives cell/register state the
+merge laws prove is reusable. Each query must stay a SELF-CONTAINED
+oracle unit (the driver runs any subset, in any order, concurrently),
+so the sharing contract is a build-once/read-many memo:
+
+- ``shared_frame(spark, key, build)`` returns the frame for ``key``,
+  building + materializing it to parquet on first use (per Spark
+  application, per key) and serving a flat parquet scan afterwards.
+- Only BOUNDED artifacts belong here: edge sets, label tables, sketch
+  cells/registers — metadata-sized regardless of fact-table scale
+  (the 100 TB posture: these are exactly the frames a warehouse would
+  persist as materialized views / sketch state, which is why the
+  parquet round-trip is the honest form of the memo — it is the
+  cluster-wide shareable representation, unlike an executor-local
+  cache).
+- Correctness is memo-independent: every builder is deterministic
+  (bit-stable under partitioning), values survive the long/decimal
+  parquet round-trip exactly, and the DuckDB oracle never sees the
+  memo — the cross-engine hash gate would catch any divergence.
+
+Thread-safety: the driver's bench runs queries concurrently; a
+per-key lock makes the first caller build while later callers wait
+and then read (instead of duplicating the build).
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import shutil
+import tempfile
+import threading
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_GLOBAL_LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+_PATHS: dict[tuple[str, str], str] = {}
+_TMP_ROOT: str | None = None
+
+
+def _root() -> str:
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="mdps_shared_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return _TMP_ROOT
+
+
+def shared_frame(
+    spark: SparkSession, key: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the memoized frame for ``key`` (build + write parquet on
+    first use in this Spark application; flat parquet scan after).
+
+    ``key`` must uniquely determine the frame's CONTENT — include the
+    sf_dir/table path for data-derived artifacts. ``build`` must be
+    deterministic; it runs at most once per (application, key)."""
+    app = spark.sparkContext.applicationId
+    k = (app, key)
+    with _GLOBAL_LOCK:
+        klock = _KEY_LOCKS.setdefault(k, threading.Lock())
+    with klock:
+        path = _PATHS.get(k)
+        if path is None:
+            digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+            path = f"{_root()}/{digest}"
+            build().write.mode("overwrite").parquet(path)
+            _PATHS[k] = path
+    return spark.read.parquet(path)
+
+
+def events_value_cells_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-event-type quantile-grid cell state over quantized
+    events.value cents — `mad_robust_outliers_approx` finalizes its
+    per-group medians from it directly, and
+    `equi_depth_histogram_approx` collapses it to the ungrouped state
+    by SUM (the grid merge law). ≤ ~3 810 cells per event type."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.fin import _cents
+    from ..operators.sketches import quantile_grid_cells
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        base = ev.select(
+            "event_type", _cents("value").alias("__v")
+        ).filter(F.col("__v").isNotNull())
+        return quantile_grid_cells(base, "__v", ["event_type"])
+
+    return shared_frame(spark, f"events_value_cells_by_type::{sf_dir}", build)
+
+
+def orders_custkey_monthly_registers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shared per-month deterministic-HLL register state over
+    orders.o_custkey — `hll_monthly_customers` finalizes it per month
+    and `approx_aggregates` collapses it to the global estimate via
+    per-bucket MAX (the HLL merge law; exact because o_orderdate is
+    never NULL, so no counted row lacks a group). ≤ 1 024 registers
+    per month."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.sketches import hll_registers_by_group
+
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_custkey",
+        )
+        return hll_registers_by_group(o, "o_custkey", "order_month")
+
+    return shared_frame(
+        spark, f"orders_custkey_monthly_regs::{sf_dir}", build
+    )
+
+
+def clear_shared() -> None:
+    """Drop every memoized artifact (tests that mutate source tables
+    between runs, or memory-pressure hygiene)."""
+    global _TMP_ROOT
+    with _GLOBAL_LOCK:
+        _KEY_LOCKS.clear()
+        _PATHS.clear()
+        if _TMP_ROOT is not None:
+            shutil.rmtree(_TMP_ROOT, ignore_errors=True)
+            _TMP_ROOT = None

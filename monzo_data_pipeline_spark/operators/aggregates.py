@@ -434,19 +434,34 @@ def equi_depth_histogram_approx(
 # ---------------------------------------------------------------------------
 
 
-def approx_aggregates_sketch(orders: DataFrame) -> DataFrame:
+def approx_aggregates_sketch(
+    orders: DataFrame, custkey_registers: DataFrame | None = None
+) -> DataFrame:
     """approx_aggregates with oracle-checkable estimates: distinct
     customers via the deterministic HLL (±3.3% at m=1024), price
     median/p99 via the deterministic quantile grid (relative error ≤
     2⁻⁵), both in integer cents. One row:
     (approx_customers, approx_median_price_cents, approx_p99_price_cents).
-    """
-    from .fin import _cents
-    from .sketches import hll_deterministic, sketch_quantiles
 
-    hll = hll_deterministic(orders, "o_custkey").select(
-        F.col("est_distinct").alias("approx_customers")
+    ``custkey_registers``: optional prebuilt GROUPED o_custkey
+    register state (`hll_registers_by_group`, e.g. the monthly table
+    `hll_monthly_customers` materializes) — the customer lane then
+    rides the merge law (`hll_estimate_global_from_registers`)
+    instead of re-scanning orders; bit-identical because per-bucket
+    MAX over the groups IS the global register (orders always carry
+    a non-NULL o_orderdate)."""
+    from .fin import _cents
+    from .sketches import (
+        hll_deterministic,
+        hll_estimate_global_from_registers,
+        sketch_quantiles,
     )
+
+    if custkey_registers is not None:
+        hll = hll_estimate_global_from_registers(custkey_registers)
+    else:
+        hll = hll_deterministic(orders, "o_custkey")
+    hll = hll.select(F.col("est_distinct").alias("approx_customers"))
     pr = orders.select(_cents("o_totalprice").alias("__v"))
     qs = sketch_quantiles(pr, "__v", [500_000, 990_000])
     piv = qs.agg(
@@ -461,7 +476,10 @@ def approx_aggregates_sketch(orders: DataFrame) -> DataFrame:
 
 
 def mad_outliers_sketch(
-    df: DataFrame, keys: list[str], value_col: str
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """mad_outliers with deterministic-grid medians — the oracle-
     checkable 100 TB form: per-group median and MAD estimates ride
@@ -469,9 +487,18 @@ def mad_outliers_sketch(
     group over ≤ ~3 810 cells per group BY CONSTRUCTION), outlier
     counting is exact on the quantized cents. Same two-broadcast-back
     plan shape as the GK version; the estimates are bit-stable across
-    engines. Output: (keys..., med_cents, mad_cents, n, n_outliers)."""
+    engines. Output: (keys..., med_cents, mad_cents, n, n_outliers).
+
+    ``cells``: optional prebuilt (keys..., cell, cnt) grid state
+    (`quantile_grid_cells` over the same quantized column) — the
+    median grid then finalizes from shared state instead of
+    re-scanning the fact rows (the deviation grid and the outlier
+    count still need them)."""
     from .fin import _cents
-    from .sketches import sketch_quantiles_by_group
+    from .sketches import (
+        sketch_quantiles_by_group,
+        sketch_quantiles_by_group_from_cells,
+    )
 
     base = df.select(
         *keys, _cents(value_col).alias("__v")
@@ -479,9 +506,14 @@ def mad_outliers_sketch(
     # NOTE: base stays persisted for the returned lazy plan (the rfm
     # pattern) — it feeds two grid builds and the final count; the
     # cache is one long per fact row and Spark reclaims it.
-    med = sketch_quantiles_by_group(base, "__v", keys, [500_000]).select(
-        *keys, F.col("est").alias("med_cents")
-    )
+    if cells is not None:
+        med = sketch_quantiles_by_group_from_cells(
+            cells, keys, [500_000]
+        ).select(*keys, F.col("est").alias("med_cents"))
+    else:
+        med = sketch_quantiles_by_group(
+            base, "__v", keys, [500_000]
+        ).select(*keys, F.col("est").alias("med_cents"))
     j = base.join(F.broadcast(med), keys)
     dev = j.select(
         *keys, F.abs(F.col("__v") - F.col("med_cents")).alias("__d")
@@ -503,23 +535,37 @@ def mad_outliers_sketch(
 
 
 def equi_depth_histogram_sketch(
-    df: DataFrame, value_col: str, n_buckets: int = 20
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 20,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """equi_depth_histogram with deterministic-grid cutpoints — the
     oracle-checkable 100 TB form: cut estimates from the quantile
     grid (bounded mergeable state; depth error ≤ the 2⁻⁵ within-cell
     interpolation), bucketing + per-bucket stats exact on quantized
-    cents. Output: (bucket, n, lo_cents, hi_cents)."""
+    cents. Output: (bucket, n, lo_cents, hi_cents).
+
+    ``cells``: optional prebuilt (cell, cnt) grid state over the same
+    quantized column — cutpoints then finalize from shared state, and
+    only the exact bucketing pass scans the fact rows. A GROUPED cell
+    table collapses to the ungrouped one by SUM (the grid merge law),
+    so pass e.g. the per-event-type state another query materialized."""
     from .fin import _cents
-    from .sketches import sketch_quantiles
+    from .sketches import sketch_quantiles, sketch_quantiles_from_cells
 
     base = df.select(_cents(value_col).alias("__v")).filter(
         F.col("__v").isNotNull()
     ).persist()
     probs = [i * 1_000_000 // n_buckets for i in range(1, n_buckets)]
-    cuts = sketch_quantiles(base, "__v", probs).agg(
-        F.sort_array(F.collect_list("est")).alias("cuts")
-    )
+    if cells is not None:
+        flat = cells.groupBy("cell").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+        qs = sketch_quantiles_from_cells(flat, probs)
+    else:
+        qs = sketch_quantiles(base, "__v", probs)
+    cuts = qs.agg(F.sort_array(F.collect_list("est")).alias("cuts"))
     v = F.col("__v")
     bucketed = base.crossJoin(F.broadcast(cuts)).select(
         F.size(F.filter(F.col("cuts"), lambda q: q < v))

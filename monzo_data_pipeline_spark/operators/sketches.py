@@ -362,6 +362,49 @@ def hll_estimate_from_registers(
     )
 
 
+def hll_estimate_global_from_registers(
+    regs: DataFrame, m: int = 1024
+) -> DataFrame:
+    """Finalize GROUPED register state into the GLOBAL estimate: the
+    merge law in one step — per-bucket MAX over every group collapses
+    the (group, bucket) table to the exact registers the ungrouped
+    `hll_deterministic` would have built over the same rows (the hash
+    is per-key, so a key present in several groups writes the same
+    (bucket, rho) each time and MAX absorbs the repeats), then the
+    identical harmonic fold. PRECONDITION: every row that should be
+    counted carries a non-NULL group key (grouped register builds
+    exclude NULL groups); the cross-engine hash gate covers the
+    registry uses. Output: (m, buckets_seen, est_distinct) — the
+    `hll_deterministic` schema."""
+    if m != 1024:
+        raise ValueError("alpha constant is hardcoded for m=1024")
+    collapsed = regs.groupBy("__b").agg(F.max("reg").alias("reg"))
+    dec = "decimal(38,0)"
+    s = collapsed.agg(
+        F.count(F.lit(1)).cast("long").alias("seen"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 63 - reg)")
+            .cast(dec)
+            * F.lit(2)
+        ).alias("__ssum"),
+    )
+    return s.select(
+        F.lit(m).cast("int").alias("m"),
+        F.coalesce(F.col("seen"), F.lit(0)).alias("buckets_seen"),
+        F.when(
+            F.col("seen") > 0,
+            F.expr(
+                f"CAST(CAST({_HLL_ALPHA_PPM_M1024} AS DECIMAL(38,0))"
+                f" * {m} * {m}"
+                f" * CAST(18446744073709551616 AS DECIMAL(38,0))"
+                f" DIV ((`__ssum` + ({m} - seen)"
+                f" * CAST(18446744073709551616 AS DECIMAL(38,0)))"
+                f" * 1000000) AS BIGINT)"
+            ),
+        ).alias("est_distinct"),
+    )
+
+
 def hll_deterministic_by_group(
     df: DataFrame, key_col: str, group_col: str, m: int = 1024
 ) -> DataFrame:

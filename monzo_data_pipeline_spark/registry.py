@@ -827,7 +827,12 @@ _HLL_CUSTKEY_SQL = """
     """,
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AGG.approx_aggregates_sketch(load_table(spark, sf_dir, "orders"))
+    from .ext.shared import orders_custkey_monthly_registers
+
+    return AGG.approx_aggregates_sketch(
+        load_table(spark, sf_dir, "orders"),
+        custkey_registers=orders_custkey_monthly_registers(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3596,8 +3601,13 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_mad_robust_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.shared import events_value_cells_by_type
+
     return AGG.mad_outliers_sketch(
-        load_table(spark, sf_dir, "events"), ["event_type"], "value"
+        load_table(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        cells=events_value_cells_by_type(spark, sf_dir),
     ).orderBy("event_type")
 
 
@@ -3624,8 +3634,13 @@ def q_mad_robust_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_equi_depth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.shared import events_value_cells_by_type
+
     return AGG.equi_depth_histogram_sketch(
-        load_table(spark, sf_dir, "events"), "value", n_buckets=20
+        load_table(spark, sf_dir, "events"),
+        "value",
+        n_buckets=20,
+        cells=events_value_cells_by_type(spark, sf_dir),
     )
 
 
