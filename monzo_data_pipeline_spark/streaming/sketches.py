@@ -33,6 +33,7 @@ so stream==batch parity is structural, not coincidental.
 from __future__ import annotations
 
 import re
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -111,6 +112,7 @@ def stream_grid_state(
     state_dir: str,
     checkpoint_dir: str,
     group_cols: list[str] | None = None,
+    _fault_hook: Callable[[int], None] | None = None,
 ):
     """Maintain quantile-grid cell state incrementally over a stream.
 
@@ -131,6 +133,12 @@ def stream_grid_state(
         merged.write.mode("overwrite").parquet(
             _version_path(state_dir, batch_id)
         )
+        if _fault_hook is not None:
+            # chaos seam (tests only): runs AFTER the state write,
+            # BEFORE Structured Streaming commits the source offsets —
+            # raising here models a crash in that window, and the hook
+            # may first strip v{b}/_SUCCESS to model a crash mid-commit
+            _fault_hook(batch_id)
 
     return (
         stream.writeStream.foreachBatch(update)
@@ -146,6 +154,7 @@ def stream_bitmap_state(
     int_col: str,
     state_dir: str,
     checkpoint_dir: str,
+    _fault_hook: Callable[[int], None] | None = None,
 ):
     """Maintain EXACT roaring-bitmap distinct state incrementally over
     a stream (UNION + bitmap_or_agg merge — idempotent like the HLL
@@ -161,6 +170,8 @@ def stream_bitmap_state(
         merged.write.mode("overwrite").parquet(
             _version_path(state_dir, batch_id)
         )
+        if _fault_hook is not None:
+            _fault_hook(batch_id)
 
     return (
         stream.writeStream.foreachBatch(update)
@@ -176,6 +187,7 @@ def stream_hll_registers(
     group_col: str,
     state_dir: str,
     checkpoint_dir: str,
+    _fault_hook: Callable[[int], None] | None = None,
 ):
     """Maintain grouped deterministic-HLL register state incrementally
     over a stream (UNION+MAX merge — idempotent, so even accidental
@@ -191,6 +203,8 @@ def stream_hll_registers(
         merged.write.mode("overwrite").parquet(
             _version_path(state_dir, batch_id)
         )
+        if _fault_hook is not None:
+            _fault_hook(batch_id)
 
     return (
         stream.writeStream.foreachBatch(update)
