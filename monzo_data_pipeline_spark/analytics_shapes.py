@@ -2233,6 +2233,181 @@ def register(_register) -> None:
         return G.modularity_ppm(edges, labels, a_col="pa", b_col="pb")
 
     # ------------------------------------------------------------------
+    # r8 — directed SCC: the part-PRECEDENCE graph (pa→pb iff pa
+    # appears at a smaller linenumber than pb in some order, restricted
+    # to support-2 co-purchase pairs so the vertex set matches the rest
+    # of the graph tier). Orderings vary across orders, so mutual edges
+    # and longer cycles are plentiful — the structure SCC exists for.
+    # ------------------------------------------------------------------
+
+    # caps verified to reach the FULL fixpoint (every node assigned)
+    # at all three SFs — measured uncapped rounds: sf0.01 peaks at
+    # fw=bw=16 in the first peel (it has a 325-node SCC) and needs 4
+    # peels; sf0.1 peaks at 5/5 and needs 4; sf0.001 is one dense
+    # 200-node SCC. 20/5 leaves margin on both axes.
+    _SCC_OUTER = 5
+    _SCC_PROP = 20
+
+    def _scc_cte(outer: int, prop: int) -> str:
+        """Unrolled FW-BW coloring twin of ext/graph.py::
+        strongly_connected_components (the _lpa_cte construction):
+        per outer round, ``prop`` chained min-label CTEs (forward
+        coloring), the same-color edge restriction, ``prop`` chained
+        backward-capture CTEs, then assignment and subgraph shrink.
+        Spark's delta frontiers early-stop only at true fixpoints, so
+        the full unroll agrees round-for-round (rounds past a
+        fixpoint are no-ops)."""
+        parts = [
+            """ditems AS (
+            SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p
+            FROM lineitem
+        )""",
+            """se0 AS MATERIALIZED (
+            SELECT DISTINCT a.p AS s, b.p AS d
+            FROM ditems a
+            JOIN ditems b ON a.o = b.o AND a.ln < b.ln AND a.p <> b.p
+            JOIN e ON e.pa = LEAST(a.p, b.p) AND e.pb = GREATEST(a.p, b.p)
+        )""",
+            """sn0 AS MATERIALIZED (
+            SELECT s AS n FROM se0 UNION SELECT d FROM se0
+        )""",
+        ]
+        for o in range(outer):
+            parts.append(f"c{o}_0 AS (SELECT n, n AS c FROM sn{o})")
+            for k in range(1, prop + 1):
+                parts.append(
+                    f"""c{o}_{k} AS MATERIALIZED (
+            SELECT n, MIN(c) AS c FROM (
+                SELECT n, c FROM c{o}_{k - 1}
+                UNION ALL
+                SELECT e.d AS n, cp.c AS c
+                FROM c{o}_{k - 1} cp JOIN se{o} e ON cp.n = e.s
+            ) GROUP BY n
+        )"""
+                )
+            cf = f"c{o}_{prop}"
+            parts.append(
+                f"""ce{o} AS MATERIALIZED (
+            SELECT e.s, e.d FROM se{o} e
+            JOIN {cf} cs ON cs.n = e.s
+            JOIN {cf} cd ON cd.n = e.d
+            WHERE cs.c = cd.c
+        )"""
+            )
+            parts.append(f"b{o}_0 AS (SELECT n FROM {cf} WHERE c = n)")
+            for k in range(1, prop + 1):
+                parts.append(
+                    f"""b{o}_{k} AS MATERIALIZED (
+            SELECT n FROM b{o}_{k - 1}
+            UNION
+            SELECT ce.s AS n
+            FROM b{o}_{k - 1} b JOIN ce{o} ce ON b.n = ce.d
+        )"""
+                )
+            bf = f"b{o}_{prop}"
+            parts.append(
+                f"""a{o} AS MATERIALIZED (
+            SELECT b.n AS n, cf.c AS scc
+            FROM {bf} b JOIN {cf} cf ON cf.n = b.n
+        )"""
+            )
+            if o + 1 < outer:
+                parts.append(
+                    f"""sn{o + 1} AS MATERIALIZED (
+            SELECT n FROM sn{o}
+            WHERE n NOT IN (SELECT n FROM {bf})
+        )"""
+                )
+                parts.append(
+                    f"""se{o + 1} AS MATERIALIZED (
+            SELECT s, d FROM se{o}
+            WHERE s NOT IN (SELECT n FROM {bf})
+              AND d NOT IN (SELECT n FROM {bf})
+        )"""
+                )
+        assigned = "\n            UNION ALL ".join(
+            f"SELECT n, scc FROM a{o}" for o in range(outer)
+        )
+        parts.append(f"asg AS MATERIALIZED ({assigned})")
+        return (
+            "WITH " + _COPURCHASE_E + ",\n        " + ",\n        ".join(parts)
+        )
+
+    def _scc_oracle(outer: int, prop: int) -> str:
+        return (
+            _scc_cte(outer, prop)
+            + """
+        , comp AS (
+            SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
+            FROM asg GROUP BY scc
+        )
+        SELECT scc_size, CAST(COUNT(*) AS BIGINT) AS n_sccs,
+               CAST(SUM(scc) AS BIGINT) AS sum_scc_id
+        FROM comp GROUP BY 1 ORDER BY 1
+        """
+        )
+
+    @_register(
+        "scc_part_precedence",
+        "north-star (r8: strongly connected components of the DIRECTED "
+        "part-precedence graph — FW-BW min-label coloring, ≤3 outer "
+        "peels × ≤8 propagation rounds with exact-fixpoint early stops, "
+        "delta frontiers, reliable checkpoints per round; completes the "
+        "graph family with the directed analog of CC — ext/graph.py::"
+        "strongly_connected_components; oracle = the unrolled chained-"
+        "CTE rounds under the round-cap always-agree contract)",
+        _scc_oracle(_SCC_OUTER, _SCC_PROP),
+    )
+    def q_scc_part_precedence(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_partkey").alias("p"),
+        )
+        # ordered co-occurrence pairs via the collect+explode build
+        # (the _copurchase_sup shape: one shuffle, per-order fan-out
+        # bounded by basket size), then restrict to the shared
+        # support-2 co-purchase pair set
+        per_order = li.groupBy("o").agg(
+            F.collect_list(F.struct("ln", "p")).alias("xs")
+        )
+        occ = (
+            per_order.select(F.explode("xs").alias("a"), "xs")
+            .select("a", F.explode("xs").alias("b"))
+            .filter(
+                (F.col("a.ln") < F.col("b.ln"))
+                & (F.col("a.p") != F.col("b.p"))
+            )
+            .select(F.col("a.p").alias("s"), F.col("b.p").alias("d"))
+        )
+        # restrict FIRST (broadcast semi against the bounded shared
+        # pair set), dedup after: the distinct then runs on the ~6%
+        # of ordered pairs that survive, not the raw fan-out
+        sup = _copurchase_sup_shared(spark, sf_dir)
+        e_dir = occ.join(
+            F.broadcast(sup),
+            (F.least("s", "d") == sup["a"])
+            & (F.greatest("s", "d") == sup["b"]),
+            "left_semi",
+        ).distinct()
+        scc = G.strongly_connected_components(
+            e_dir, _SCC_OUTER, _SCC_PROP, src_col="s", dst_col="d"
+        )
+        comp = scc.groupBy("scc").agg(
+            F.count(F.lit(1)).cast("long").alias("scc_size")
+        )
+        return (
+            comp.groupBy("scc_size")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sccs"),
+                F.sum("scc").cast("long").alias("sum_scc_id"),
+            )
+            .orderBy("scc_size")
+        )
+
+    # ------------------------------------------------------------------
     # r7 — the grid-sketch MERGE LAW under the hash gate: build cell
     # state on two disjoint partition halves, merge (UNION+SUM),
     # extract quantiles; the oracle is the WHOLE-data grid — equal by
@@ -2347,3 +2522,73 @@ def register(_register) -> None:
             F.expr(_ZORDER_Y).alias("__price_cents"),
         )
         return zorder_layout_stats(o, "o_custkey", "__price_cents")
+
+    @_register(
+        "zorder_erasure_layout",
+        "north-star/GDPR (r8: the erasure × layout interaction — "
+        "Z-order-write orders into a scratch warehouse, stat-pruned "
+        "GDPR-erase every o_custkey divisible by 97 with the layout-"
+        "preserving per-file rewrite, then run the Morton layout "
+        "audit on the SURVIVING table; oracle = the same audit over "
+        "the filtered rows, so the gate proves the erasure removed "
+        "exactly the right rows from the clustered table and the "
+        "audit arithmetic survived the round trip; the per-FILE "
+        "physical rectangles are asserted in tests/"
+        "test_erasure_layout.py — pipeline/erasure.py::"
+        "erase_keys_pruned(preserve_layout=True), operators/"
+        "layout.py)",
+        zorder_layout_sql(
+            "(SELECT * FROM orders WHERE o_custkey % 97 <> 0)",
+            "o_custkey",
+            _ZORDER_Y,
+        ),
+    )
+    def q_zorder_erasure_layout(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from .ext.shared import shared_frame
+        from .operators.layout import zorder_layout_stats
+        from .pipeline.erasure import erase_keys_pruned
+        from .pipeline.medallion import Warehouse
+        from .sources.io import write_zordered
+
+        workspaces: list[str] = []
+
+        def build() -> DataFrame:
+            # the side-effecting experiment runs ONCE per session
+            # (shared_frame materializes the audit result); the
+            # scratch warehouse is deleted right after
+            tmp = tempfile.mkdtemp(prefix="mdps_zerase_")
+            workspaces.append(tmp)
+            o = load_table(spark, sf_dir, "orders").select(
+                "o_custkey", F.expr(_ZORDER_Y).alias("__price_cents")
+            )
+            wh = Warehouse(spark, tmp)
+            write_zordered(
+                o,
+                wh.path("orders_z"),
+                "o_custkey",
+                "__price_cents",
+                n_files=16,
+            )
+            ids = (
+                o.filter(F.col("o_custkey") % 97 == 0)
+                .select("o_custkey")
+                .distinct()
+            )
+            erase_keys_pruned(
+                wh, ids, "o_custkey", ["orders_z"], preserve_layout=True
+            )
+            return zorder_layout_stats(
+                wh.read("orders_z"), "o_custkey", "__price_cents"
+            )
+
+        out = shared_frame(
+            spark, f"zorder_erasure_layout::{sf_dir}", build
+        )
+        for ws in workspaces:
+            shutil.rmtree(ws, ignore_errors=True)
+        return out

@@ -801,3 +801,165 @@ def k_core(
     return _deg(e).select(
         F.col("__n").alias("node"), F.col("__d").alias("core_degree")
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    outer_rounds: int,
+    prop_rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph by
+    forward-backward min-label coloring (the FW-BW/coloring family:
+    Orzan 2004; Slota et al. 2014) — the directed analog that
+    completes CC (undirected, ext/dedup_fuzzy.py) / BFS / SSSP:
+    "which entities are in a mutual-reachability cycle", the question
+    reachability alone cannot answer.
+
+    Per OUTER round, on the still-unassigned subgraph:
+
+      1. FORWARD coloring (≤ ``prop_rounds``): color(v) starts as v
+         and each round takes the min over in-neighbors' colors —
+         delta-frontier propagation (only nodes whose color improved
+         re-propagate, the `sssp` observation), early stop at the
+         exact fixpoint. At the fixpoint every node on a min-path
+         from c to v is colored exactly c, so color class c is
+         forward-reachable from its root c WITHIN the class.
+      2. BACKWARD capture (≤ ``prop_rounds``): restrict to edges
+         whose endpoints share a color, then BFS backward from the
+         roots (color(v) == v). A captured node reaches its root
+         through its own color class, and the root reaches it (step
+         1) — mutual reachability, i.e. captured(c) == SCC(c). The
+         frontier shrinks to newly captured nodes each round; early
+         stop when empty.
+      3. Assign captured nodes, drop them (and their edges) from the
+         subgraph; the next outer round exposes the SCCs whose roots
+         were previously shadowed by a smaller upstream color.
+
+    Round caps are part of the SEMANTIC contract (the bfs/k_core/
+    sssp/LPA always-agree construction): every early stop fires only
+    at a true fixpoint where further rounds are no-ops, so an
+    unrolled chained-CTE twin running the FULL cap agrees exactly.
+    Capture is SOUND at any cap (a captured node reaches its root
+    through its color class, and a node only ever holds color c
+    because c's label walked real edges to it — mutual reachability
+    holds even mid-convergence). COMPLETENESS needs the caps to reach
+    the fixpoint: a truncated capture leaves part of an SCC for a
+    later peel, which then labels it under a different root (one true
+    SCC reported as two). The registry query's caps are sized to the
+    measured fixpoint at every gate SF, with margin; callers choosing
+    caps should verify the final round assigns every node.
+
+    Scale posture: per round one frontier⋈edges join + one min/anti
+    agg — work ∝ the frontier × remaining edge set, which shrinks on
+    both axes (captured SCCs leave, colors converge); lineage cut per
+    round via `truncate_lineage`, each materialized by the count that
+    drives the early stop (one job per round). Returns (node, scc):
+    scc is the component's minimum node id."""
+    if outer_rounds < 1 or prop_rounds < 1:
+        raise ValueError("outer_rounds and prop_rounds must be >= 1")
+    e_all = (
+        edges.select(
+            F.col(src_col).cast("long").alias("__s"),
+            F.col(dst_col).cast("long").alias("__d"),
+        )
+        .filter(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & (F.col("__s") != F.col("__d"))
+        )
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    e = e_all
+    nodes = (
+        e.select(F.col("__s").alias("__n"))
+        .unionByName(e.select(F.col("__d").alias("__n")))
+        .distinct()
+    )
+    assigned = None
+    for _ in range(outer_rounds):
+        # -- 1. forward min-label coloring (delta frontier) ----------
+        col = nodes.withColumn("__c", F.col("__n")).transform(
+            truncate_lineage
+        )
+        frontier = col
+        for _r in range(prop_rounds):
+            cand = (
+                frontier.join(e, frontier["__n"] == e["__s"])
+                .select(F.col("__d").alias("__n"), "__c")
+                .groupBy("__n")
+                .agg(F.min("__c").alias("__cc"))
+            )
+            merged = (
+                col.join(cand, on="__n", how="left")
+                .select(
+                    "__n",
+                    F.least(
+                        F.col("__c"), F.coalesce(F.col("__cc"), F.col("__c"))
+                    ).alias("__c"),
+                    (F.col("__cc") < F.col("__c")).alias("__impr"),
+                )
+                .transform(lambda d: truncate_lineage(d, eager=False))
+            )
+            n_improved = (
+                merged.filter(F.col("__impr"))
+                .agg(F.count(F.lit(1)))
+                .collect()[0][0]
+            )
+            frontier = merged.filter(F.col("__impr")).select("__n", "__c")
+            col = merged.select("__n", "__c")
+            if n_improved == 0:
+                break  # exact fixpoint: colors stable
+        # -- 2. backward capture over same-color edges ---------------
+        sc = col.select(
+            F.col("__n").alias("__cn"), F.col("__c").alias("__scol")
+        )
+        ce = (
+            e.join(sc, e["__s"] == sc["__cn"])
+            .select("__s", "__d", F.col("__scol").alias("__sc"))
+            .join(sc, F.col("__d") == sc["__cn"])
+            .filter(F.col("__sc") == F.col("__scol"))
+            .select("__s", "__d")
+            .transform(truncate_lineage)
+        )
+        cap = col.filter(F.col("__c") == F.col("__n")).transform(
+            truncate_lineage
+        )
+        frontier = cap.select("__n")
+        for _r in range(prop_rounds):
+            preds = (
+                frontier.join(ce, frontier["__n"] == ce["__d"])
+                .select(F.col("__s").alias("__n"))
+                .distinct()
+            )
+            new = (
+                preds.join(cap, on="__n", how="left_anti")
+                .join(col, on="__n")
+                .transform(truncate_lineage)
+            )
+            n_new = new.count()
+            if n_new == 0:
+                break  # exact fixpoint: nothing left to capture
+            cap = cap.unionByName(new).transform(truncate_lineage)
+            frontier = new.select("__n")
+        # -- 3. assign and shrink the subgraph ------------------------
+        got = cap.select("__n", F.col("__c").alias("__scc"))
+        assigned = (
+            got if assigned is None else assigned.unionByName(got)
+        ).transform(truncate_lineage)
+        nodes = nodes.join(cap.select("__n"), on="__n", how="left_anti")
+        e = (
+            e.join(cap.select(F.col("__n").alias("__x")),
+                   e["__s"] == F.col("__x"), "left_anti")
+            .join(cap.select(F.col("__n").alias("__x")),
+                  e["__d"] == F.col("__x"), "left_anti")
+            .transform(lambda d: truncate_lineage(d, eager=False))
+        )
+        n_left = nodes.count()
+        if n_left == 0:
+            break  # every node assigned: further rounds are no-ops
+    return assigned.select(
+        F.col("__n").alias("node"), F.col("__scc").alias("scc")
+    )

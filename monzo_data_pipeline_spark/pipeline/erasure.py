@@ -137,12 +137,26 @@ def erase_keys_pruned(
     ids: DataFrame,
     key: str,
     tables: list[str],
+    preserve_layout: bool = False,
 ) -> dict[str, dict]:
     """Stat-pruned erasure: identical result to `erase_keys`, but only
     the part files whose row-group min/max stats can contain an erase
     key are decoded and rewritten — every other file is hardlinked
     into the new snapshot byte-identical. The atomic two-rename swap
     is unchanged, so a crash never leaves a half-scrubbed table.
+
+    ``preserve_layout=True`` rewrites each candidate file
+    INDIVIDUALLY (one file in → one filtered file out) instead of
+    coalescing all candidates into one write: every surviving file's
+    value range is a subset of the file it replaced, so a clustered
+    layout (Z-order, range-sort) KEEPS its min/max skipping power —
+    the default bulk rewrite silently merges the candidates and
+    destroys their clustering, which on a 100 TB OPTIMIZE'd table is
+    a latent full-scan regression no correctness check sees
+    (audited by `zorder_layout_stats` per actual file in
+    tests/test_erasure_layout.py). The per-file loop is bounded by
+    the stat pruning itself: candidates are the few files whose
+    stats admit an erase key, each rewritten by one tiny job.
 
     Returns per table ``{"rows_removed": n, "files_total": t,
     "files_rewritten": r}`` (``rows_removed`` = -1 for tables lacking
@@ -176,9 +190,40 @@ def erase_keys_pruned(
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         hit = spark.read.parquet(*candidates)
-        kept = hit.join(erase_set, key, "left_anti")
-        kept.write.mode("overwrite").parquet(tmp)
-        n_removed = hit.count() - spark.read.parquet(tmp).count()
+        if preserve_layout:
+            os.makedirs(tmp)
+            for i, fpath in enumerate(candidates):
+                one = spark.read.parquet(fpath)
+                sub = f"{tmp}.__rw{i}__"
+                (
+                    one.join(erase_set, key, "left_anti")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(sub)
+                )
+                for j, pname in enumerate(
+                    sorted(
+                        f for f in os.listdir(sub) if f.endswith(".parquet")
+                    )
+                ):
+                    os.replace(
+                        os.path.join(sub, pname),
+                        os.path.join(tmp, f"part-rw{i:05d}-{j}.parquet"),
+                    )
+                shutil.rmtree(sub)
+            kept_files = [
+                os.path.join(tmp, f)
+                for f in os.listdir(tmp)
+                if f.endswith(".parquet")
+            ]
+            n_after = (
+                spark.read.parquet(*kept_files).count() if kept_files else 0
+            )
+        else:
+            kept = hit.join(erase_set, key, "left_anti")
+            kept.write.mode("overwrite").parquet(tmp)
+            n_after = spark.read.parquet(tmp).count()
+        n_removed = hit.count() - n_after
         # carry clean files over byte-identical (hardlink; copy when the
         # temp dir lands on another filesystem — EXDEV)
         for fpath in clean:

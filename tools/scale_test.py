@@ -179,6 +179,10 @@ QUERY_SET = [
     "grid_merge_quantiles",
     "hll_merge_monthly",
     "bitmap_merge_distinct",
+    # round-8 additions: directed SCC (FW-BW coloring), the erasure ×
+    # Z-order layout audit
+    "scc_part_precedence",
+    "zorder_erasure_layout",
 ]
 
 KEY_OFFSET = 100_000_000
