@@ -97,6 +97,15 @@ def attach_count_below(
             )
             .drop("__rs_b", "__rs_off")
         )
+        # materialize ranked BEFORE pb unpersists (cheap: pb is
+        # cached, ranked is distinct-value grain). Without this the
+        # caller's final job re-executed the whole pc subtree — often
+        # a fact scan — because the only job that ran under the cache
+        # was the per-bucket totals collect above: every
+        # attach_count_below caller paid its input scan twice.
+        from monzo_data_pipeline_spark.ext.lineage import truncate_lineage
+
+        ranked = truncate_lineage(ranked)
         return ranked, acc
     finally:
         pb.unpersist()

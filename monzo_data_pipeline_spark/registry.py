@@ -4461,6 +4461,14 @@ _DRIVER_PREFIX = [
     "zorder_layout_orders",
     "grid_merge_quantiles",
     "bitmap_merge_distinct",
+    # r8 (same round, not deferred a generation): directed SCC and
+    # the erasure×layout audit enter the hard gate immediately;
+    # ivf_topk and random_projection_embed rotate out (ANN stays
+    # sampled via cosine_topk_bruteforce + pq_rerank_topk +
+    # kmeans_cluster_profile, JL projection via the pq/kmeans
+    # pipelines that consume its vectors)
+    "scc_part_precedence",
+    "zorder_erasure_layout",
     "spearman_balance_spend",
     "first_wins_dedup",
     "fk_star_join",
@@ -4483,8 +4491,6 @@ _DRIVER_PREFIX = [
     "hits_customer_supplier",
     "pack_sequences",
     "cosine_topk_bruteforce",
-    "ivf_topk",
-    "random_projection_embed",
     "near_dup_clusters",
     "benchmark_contamination",
     "fuzzy_name_pairs",

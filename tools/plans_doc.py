@@ -102,6 +102,9 @@ SHOW = {
     "communities_copurchase": "LPA communities — per round edge ⋈ labels, (node,label) count agg, struct-max argmax (no windows); checkpointed edge build under the loop",
     "modularity_copurchase": "modularity — degree agg + two label joins + edge count off ONE checkpointed edge leaf; DECIMAL ratio scalar, driver-free",
     "zorder_layout_orders": "Z-order audit — map-side bit-interleave projection in codegen, ONE ≤1024-group exchange, ordered output",
+    # round 8
+    "scc_part_precedence": "directed SCC — final peel's plan: frontier ⋈ checkpointed same-color edges, anti+semi shrink; per-round work ∝ frontier × remaining edges, edge build broadcast-semi'd against the shared pair memo before the dedup",
+    "zorder_erasure_layout": "erasure×layout audit — flat scan of the session-memoized audit result (the side-effecting erasure experiment runs once per session; its own plan is write_zordered's range exchange + per-candidate-file rewrites)",
 }
 
 MARKERS = (
