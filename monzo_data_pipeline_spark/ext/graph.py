@@ -881,8 +881,13 @@ def strongly_connected_components(
     assigned = None
     for _ in range(outer_rounds):
         # -- 1. forward min-label coloring (delta frontier) ----------
+        # all truncations in the loop body are LAZY: the early-stop
+        # count (or the next round's count) is the single job that
+        # materializes each checkpoint — eager truncation here was
+        # measured at 3 jobs per backward round on a 5k-edge graph,
+        # pure scheduler overhead
         col = nodes.withColumn("__c", F.col("__n")).transform(
-            truncate_lineage
+            lambda d: truncate_lineage(d, eager=False)
         )
         frontier = col
         for _r in range(prop_rounds):
@@ -903,15 +908,20 @@ def strongly_connected_components(
                 )
                 .transform(lambda d: truncate_lineage(d, eager=False))
             )
-            n_improved = (
-                merged.filter(F.col("__impr"))
-                .agg(F.count(F.lit(1)))
-                .collect()[0][0]
-            )
             frontier = merged.filter(F.col("__impr")).select("__n", "__c")
             col = merged.select("__n", "__c")
-            if n_improved == 0:
-                break  # exact fixpoint: colors stable
+            # stop-check every OTHER round (and at the cap): a round
+            # past the fixpoint is a provable no-op, so the output is
+            # identical — this halves the driver round-trips that
+            # dominate wall time on entity-sized graphs
+            if _r % 2 == 1 or _r == prop_rounds - 1:
+                n_improved = (
+                    merged.filter(F.col("__impr"))
+                    .agg(F.count(F.lit(1)))
+                    .collect()[0][0]
+                )
+                if n_improved == 0:
+                    break  # exact fixpoint: colors stable
         # -- 2. backward capture over same-color edges ---------------
         sc = col.select(
             F.col("__n").alias("__cn"), F.col("__c").alias("__scol")
@@ -922,10 +932,10 @@ def strongly_connected_components(
             .join(sc, F.col("__d") == sc["__cn"])
             .filter(F.col("__sc") == F.col("__scol"))
             .select("__s", "__d")
-            .transform(truncate_lineage)
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
         cap = col.filter(F.col("__c") == F.col("__n")).transform(
-            truncate_lineage
+            lambda d: truncate_lineage(d, eager=False)
         )
         frontier = cap.select("__n")
         for _r in range(prop_rounds):
@@ -937,18 +947,20 @@ def strongly_connected_components(
             new = (
                 preds.join(cap, on="__n", how="left_anti")
                 .join(col, on="__n")
-                .transform(truncate_lineage)
+                .transform(lambda d: truncate_lineage(d, eager=False))
             )
-            n_new = new.count()
-            if n_new == 0:
-                break  # exact fixpoint: nothing left to capture
-            cap = cap.unionByName(new).transform(truncate_lineage)
+            if _r % 2 == 1 or _r == prop_rounds - 1:
+                if new.count() == 0:
+                    break  # exact fixpoint: nothing left to capture
+            cap = cap.unionByName(new).transform(
+                lambda d: truncate_lineage(d, eager=False)
+            )
             frontier = new.select("__n")
         # -- 3. assign and shrink the subgraph ------------------------
         got = cap.select("__n", F.col("__c").alias("__scc"))
         assigned = (
             got if assigned is None else assigned.unionByName(got)
-        ).transform(truncate_lineage)
+        ).transform(lambda d: truncate_lineage(d, eager=False))
         nodes = nodes.join(cap.select("__n"), on="__n", how="left_anti")
         e = (
             e.join(cap.select(F.col("__n").alias("__x")),
