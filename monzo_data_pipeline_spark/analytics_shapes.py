@@ -745,44 +745,22 @@ def register(_register) -> None:
             daily, "event_type", "day", "x"
         ).withColumn("cp_t", F.date_format("cp_t", "yyyy-MM-dd"))
 
-    def _copurchase_sup(li, a_col: str = "a", b_col: str = "b"):
-        """The support-weighted co-purchase part graph (a < b, sup ≥
-        2), built as collect_set per order + map-side pair explosion
-        instead of a distinct + self-join: one shuffle fewer (the r6
-        A/B measured 4.0 → 2.5 s at sf0.1, identical edge set).
-        Per-order fan-out is C(order size, 2) — bounded by the max
-        basket size at any data scale, so the explode never amplifies
-        unboundedly."""
-        per_order = li.groupBy("l_orderkey").agg(
-            F.collect_set("l_partkey").alias("ps")
-        )
-        return (
-            per_order.select(F.explode("ps").alias("p"), "ps")
-            .select("p", F.explode("ps").alias("p2"))
-            .filter(F.col("p") < F.col("p2"))
-            .groupBy(F.col("p").alias(a_col), F.col("p2").alias(b_col))
-            .agg(F.count(F.lit(1)).alias("sup"))
-            .filter(F.col("sup") >= 2)
-        )
-
     def _copurchase_sup_shared(spark: SparkSession, sf_dir: str):
         """Session-scoped (a, b, sup) co-purchase edge memo
-        (ext/shared.py::shared_frame): SEVEN registry queries consume
-        this identical bounded edge set (triangles, BFS,
-        assortativity, k-core, SSSP, LPA communities, modularity) and
-        each previously re-derived it from lineitem (~1–1.5 s each in
-        the sf0.1 suite). Build once per session per sf_dir, serve a
-        flat parquet scan after — the materialized-view posture a
-        100 TB warehouse would take for a graph six workloads share.
-        Queries stay self-contained oracle units: first consumer
-        builds, results are bit-identical either way."""
-        from .ext.shared import shared_frame
+        (ext/shared.py::copurchase_sup — the r6 A/B-measured
+        collect_set + map-side pair-explosion build): SEVEN registry
+        queries consume this identical bounded edge set (triangles,
+        BFS, assortativity, k-core, SSSP, LPA communities,
+        modularity), plus the SCC pair restriction and FBT's top-N
+        view; each previously re-derived it from lineitem (~1–1.5 s
+        each in the sf0.1 suite). Build once per session per sf_dir,
+        serve a flat parquet scan after — the materialized-view
+        posture a 100 TB warehouse would take for a graph this many
+        workloads share. Queries stay self-contained oracle units:
+        first consumer builds, results are bit-identical either way."""
+        from .ext.shared import copurchase_sup
 
-        return shared_frame(
-            spark,
-            f"copurchase_sup::{sf_dir}",
-            lambda: _copurchase_sup(load_table(spark, sf_dir, "lineitem")),
-        )
+        return copurchase_sup(spark, sf_dir)
 
     def _copurchase_shared(
         spark: SparkSession, sf_dir: str, a_col: str = "a", b_col: str = "b"
@@ -1431,21 +1409,18 @@ def register(_register) -> None:
     def q_kendall_tau_balance_spend(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        from .operators import fin as FIN
+        from .ext.shared import balance_spend_cells
         from .operators import rankstats as RS
 
-        cust = load_table(spark, sf_dir, "customer").select(
-            "c_custkey", FIN._cents("c_acctbal").alias("bal_cents")
-        )
-        spend = (
-            load_table(spark, sf_dir, "orders")
-            .groupBy("o_custkey")
-            .agg(F.sum(FIN._cents("o_totalprice")).cast("long").alias(
-                "spend_cents"))
-        )
-        j = cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
+        # the 10×10 grid rides the session memo (theilsen consumes
+        # the identical cells); df is unused on the cells fast path
         return RS.kendall_tau_binned(
-            j, "bal_cents", "spend_cents", "c_custkey", n_bins=10
+            None,
+            "bal_cents",
+            "spend_cents",
+            "c_custkey",
+            n_bins=10,
+            cells=balance_spend_cells(spark, sf_dir),
         )
 
     @_register(
@@ -1780,21 +1755,16 @@ def register(_register) -> None:
     def q_theilsen_balance_spend(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        from .operators import fin as FIN
+        from .ext.shared import balance_spend_cells
         from .operators import rankstats as RS
 
-        cust = load_table(spark, sf_dir, "customer").select(
-            "c_custkey", FIN._cents("c_acctbal").alias("bal_cents")
-        )
-        spend = (
-            load_table(spark, sf_dir, "orders")
-            .groupBy("o_custkey")
-            .agg(F.sum(FIN._cents("o_totalprice")).cast("long").alias(
-                "spend_cents"))
-        )
-        j = cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
         return RS.theilsen_slope_binned(
-            j, "bal_cents", "spend_cents", "c_custkey", n_bins=10
+            None,
+            "bal_cents",
+            "spend_cents",
+            "c_custkey",
+            n_bins=10,
+            cells=balance_spend_cells(spark, sf_dir),
         )
 
     @_register(
@@ -1992,10 +1962,11 @@ def register(_register) -> None:
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
         from .ext import dedup_fuzzy as DF
+        from .ext.shared import ngram_jaccard_pairs_06
 
-        docs = load_table(spark, sf_dir, "documents")
-        pairs = DF.ngram_jaccard_pairs(docs, threshold=0.6)
-        return DF.connected_components_star(pairs)
+        return DF.connected_components_star(
+            ngram_jaccard_pairs_06(spark, sf_dir)
+        )
 
     # ------------------------------------------------------------------
     # r7 — weighted single-source shortest paths (Bellman-Ford rounds)

@@ -79,6 +79,98 @@ def shared_frame(
     return spark.read.parquet(path)
 
 
+def copurchase_sup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared support-weighted co-purchase part graph (a < b, sup =
+    co-occurring orders, kept at sup ≥ 2) — consumed by the seven
+    graph-tier queries (unweighted/weighted edge views), by
+    `scc_part_precedence` (pair restriction), and by
+    `frequently_bought_together` (sup ≥ 3 top-N view). Built as
+    collect_set per order + map-side pair explosion (one shuffle
+    fewer than a distinct+self-join; per-order fan-out bounded by the
+    basket size at any data scale)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        per_order = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("ps")
+        )
+        return (
+            per_order.select(F.explode("ps").alias("p"), "ps")
+            .select("p", F.explode("ps").alias("p2"))
+            .filter(F.col("p") < F.col("p2"))
+            .groupBy(F.col("p").alias("a"), F.col("p2").alias("b"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= 2)
+        )
+
+    return shared_frame(spark, f"copurchase_sup::{sf_dir}", build)
+
+
+def ngram_jaccard_pairs_06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 5-gram Jaccard near-dup pair table over documents at
+    threshold 0.6 — `ngram_jaccard_pairs`, `near_dup_clusters`, and
+    `near_dup_clusters_star` all consume this identical pair set (the
+    two CC variants previously re-ran the full shingle→block→verify
+    pipeline the pair query had just executed). Bounded by
+    construction: near-dup PAIRS, not the shingle table. The jaccard
+    DOUBLE survives the parquet round-trip bit-exactly (IEEE bits are
+    stored, not re-derived)."""
+    from ..catalog import load_table
+    from . import dedup_fuzzy as DF
+
+    return shared_frame(
+        spark,
+        f"ngram_jaccard_pairs_06::{sf_dir}",
+        lambda: DF.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.6
+        ),
+    )
+
+
+def balance_spend_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 10×10 decile cell grid of (customer balance cents,
+    customer spend cents) — `kendall_tau_balance_spend` and
+    `theilsen_balance_spend` run their pair statistics off this
+    IDENTICAL ≤100-row grid (each previously re-ran the
+    customer⋈spend join and the fused two-margin ntile pass); both
+    operators already expose the ``cells=`` fast path."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators import fin as FIN
+    from ..operators import rankstats as RS
+
+    built = []
+
+    def build() -> DataFrame:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", FIN._cents("c_acctbal").alias("bal_cents")
+        )
+        spend = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(FIN._cents("o_totalprice"))
+                .cast("long")
+                .alias("spend_cents")
+            )
+        )
+        j = cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
+        cells = RS.binned_cells(
+            j, "bal_cents", "spend_cents", "c_custkey", n_bins=10
+        )
+        built.append(cells)
+        return cells
+
+    out = shared_frame(spark, f"balance_spend_cells_10::{sf_dir}", build)
+    for c in built:  # binned_cells returns a persisted frame the
+        c.unpersist()  # caller owns; the parquet memo replaces it
+    return out
+
+
 def events_value_cells_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared per-event-type quantile-grid cell state over quantized
     events.value cents — `mad_robust_outliers_approx` finalizes its

@@ -579,7 +579,23 @@ def register(_register) -> None:
         """,
     )
     def q_frequently_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return FIN.frequently_bought_together(load_table(spark, sf_dir, "lineitem"))
+        from .ext.shared import copurchase_sup
+
+        # the sup ≥ 3 top-N view of the shared co-purchase pair memo
+        # (identical pair counts: per-order DISTINCT baskets → one
+        # count per co-occurring order) — FIN.frequently_bought_together
+        # remains the from-scratch operator API
+        sup = copurchase_sup(spark, sf_dir)
+        return (
+            sup.filter(F.col("sup") >= 3)
+            .select(
+                F.col("a").alias("part_a"),
+                F.col("b").alias("part_b"),
+                F.col("sup").alias("n_orders"),
+            )
+            .orderBy(F.desc("n_orders"), "part_a", "part_b")
+            .limit(20)
+        )
 
     @_register(
         "ewma_user_values",

