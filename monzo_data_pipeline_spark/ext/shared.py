@@ -171,6 +171,24 @@ def balance_spend_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def kmeans_assignment_8_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared deterministic Lloyd assignment (k=8, iters=3) over the
+    embeddings table — `kmeans_cluster_profile` and
+    `kmeans_representatives` aggregate this IDENTICAL (vec_id, cell,
+    d2_q) label table (each previously re-ran the 3-iteration
+    trainer). Entity-grain, all-integer columns."""
+    from ..catalog import load_table
+    from . import similarity as SIM
+
+    def build() -> DataFrame:
+        assigned, _ = SIM.kmeans_fit(
+            load_table(spark, sf_dir, "embeddings"), k=8, iters=3
+        )
+        return assigned
+
+    return shared_frame(spark, f"kmeans_assignment_8_3::{sf_dir}", build)
+
+
 def events_value_cells_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared per-event-type quantile-grid cell state over quantized
     events.value cents — `mad_robust_outliers_approx` finalizes its

@@ -433,11 +433,20 @@ def kmeans_fit(
 
 
 def kmeans_cluster_profile(
-    emb: DataFrame, k: int = 8, iters: int = 3
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster profile after a fixed k-means run: size and mean
-    quantized distance-to-centroid (the IVF cell-balance diagnostic)."""
-    assigned, _ = kmeans_fit(emb, k=k, iters=iters)
+    quantized distance-to-centroid (the IVF cell-balance diagnostic).
+
+    ``assigned``: optional precomputed (vec_id, cell, d2_q) assignment
+    (`kmeans_fit`'s first output) — `kmeans_representatives` consumes
+    the IDENTICAL deterministic Lloyd assignment, so a caller can
+    train once and derive both."""
+    if assigned is None:
+        assigned, _ = kmeans_fit(emb, k=k, iters=iters)
     return (
         assigned.groupBy("cell")
         .agg(
@@ -484,13 +493,18 @@ def label_centroids(
 
 
 def kmeans_representatives(
-    emb: DataFrame, k: int = 8, iters: int = 3
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic-dedup representatives: after k-means, keep per cluster
     the vector nearest its centroid (min d2_q, tiebreak low id) — the
     medoid-style summary that replaces a cluster of near-duplicate
-    embeddings with one exemplar. One groupBy over the assignment."""
-    assigned, _ = kmeans_fit(emb, k=k, iters=iters)
+    embeddings with one exemplar. One groupBy over the assignment.
+    ``assigned``: see `kmeans_cluster_profile`."""
+    if assigned is None:
+        assigned, _ = kmeans_fit(emb, k=k, iters=iters)
     return (
         assigned.groupBy("cell")
         .agg(F.min(F.struct(F.col("d2_q"), F.col("vec_id"))).alias("__best"))

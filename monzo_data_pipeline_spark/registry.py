@@ -3699,8 +3699,13 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIM.kmeans_profile_oracle_sql(k=8, iters=3),
 )
 def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.shared import kmeans_assignment_8_3
+
     return SIM.kmeans_cluster_profile(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=3
+        load_table(spark, sf_dir, "embeddings"),
+        k=8,
+        iters=3,
+        assigned=kmeans_assignment_8_3(spark, sf_dir),
     )
 
 
@@ -3713,8 +3718,13 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIM.kmeans_representatives_oracle_sql(k=8, iters=3),
 )
 def q_kmeans_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.shared import kmeans_assignment_8_3
+
     return SIM.kmeans_representatives(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=3
+        load_table(spark, sf_dir, "embeddings"),
+        k=8,
+        iters=3,
+        assigned=kmeans_assignment_8_3(spark, sf_dir),
     )
 
 

@@ -91,6 +91,17 @@ def test_mad_from_shared_cells_matches_scratch(spark, sf_dir):
     assert _rows(scratch) == _rows(fast)
 
 
+def test_kmeans_from_shared_assignment_matches_scratch(spark, sf_dir):
+    from monzo_data_pipeline_spark.ext import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = SH.kmeans_assignment_8_3(spark, sf_dir)
+    for fn in (SIM.kmeans_cluster_profile, SIM.kmeans_representatives):
+        scratch = fn(emb, k=8, iters=3)
+        fast = fn(emb, k=8, iters=3, assigned=assigned)
+        assert _rows(scratch) == _rows(fast)
+
+
 def test_approx_aggregates_from_shared_registers_matches_scratch(
     spark, sf_dir
 ):
