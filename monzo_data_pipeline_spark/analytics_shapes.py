@@ -2563,3 +2563,96 @@ def register(_register) -> None:
         for ws in workspaces:
             shutil.rmtree(ws, ignore_errors=True)
         return out
+
+    # ------------------------------------------------------------------
+    # r8 — KMV / theta sketch: the mergeable distinct state that also
+    # answers INTERSECTION cardinality (HLL cannot without inclusion-
+    # exclusion blow-up). Point estimate, theta intersection, and the
+    # merge law all under the hash gate.
+    # ------------------------------------------------------------------
+
+    from .operators.sketches import (
+        kmv_finalize,
+        kmv_merge,
+        kmv_oracle_sql,
+        kmv_state,
+        theta_intersect,
+        theta_intersect_sql,
+    )
+
+    @_register(
+        "kmv_distinct_parts",
+        "C7/north-star (r8: deterministic KMV/theta distinct estimate "
+        "— k smallest distinct two-base-poly hashes of l_partkey as a "
+        "readable k-row state table, Beyer et al. (k-1)*D/h_(k) "
+        "estimator in pure integer arithmetic; state build = one "
+        "map-side-partial DISTINCT exchange + TakeOrdered(k), estimate "
+        "bit-identical cross-engine — operators/sketches.py::"
+        "kmv_state/kmv_finalize)",
+        kmv_oracle_sql("lineitem", "l_partkey"),
+    )
+    def q_kmv_distinct_parts(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+        return kmv_finalize(kmv_state(li, "l_partkey"))
+
+    @_register(
+        "theta_intersect_customers",
+        "C7/north-star (r8: theta-sketch INTERSECTION — customers who "
+        "placed BOTH a 1-URGENT and a 5-LOW order, estimated from two "
+        "k-row KMV states via the shared uniform sample below theta = "
+        "min(theta_a, theta_b): |A∩B| ~ c*D/theta, Jaccard = the "
+        "in-sample ratio; the set-overlap question HLL union state "
+        "cannot answer, exact when either side is below capacity — "
+        "operators/sketches.py::theta_intersect)",
+        theta_intersect_sql(
+            "(SELECT o_custkey FROM orders"
+            " WHERE o_orderpriority = '1-URGENT')",
+            "(SELECT o_custkey FROM orders"
+            " WHERE o_orderpriority = '5-LOW')",
+            "o_custkey",
+        ),
+    )
+    def q_theta_intersect_customers(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority"
+        )
+        sa = kmv_state(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey"
+        )
+        sb = kmv_state(
+            o.filter(F.col("o_orderpriority") == "5-LOW"), "o_custkey"
+        )
+        return theta_intersect(sa, sb)
+
+    @_register(
+        "kmv_merge_distinct",
+        "C7/north-star (r8: the KMV MERGE LAW under the hash gate — "
+        "states built independently on the even/odd o_orderkey halves "
+        "and merged by kmv_merge (union, distinct, k-smallest); the "
+        "oracle is the one-shot whole-data KMV, equal with EXACT "
+        "equality (not just in distribution): every one of the k "
+        "smallest hashes overall is within the k smallest of its own "
+        "half — completes the merge-law quartet: grid SUM, HLL MAX, "
+        "bitmap OR, KMV k-smallest — operators/sketches.py::kmv_merge)",
+        kmv_oracle_sql("orders", "o_custkey"),
+    )
+    def q_kmv_merge_distinct(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        # == 0 vs != 0, not == 1: % truncates toward zero, so the
+        # halves must partition the rows for any key domain (the
+        # hll_merge_monthly sign lesson)
+        half_a = kmv_state(
+            o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey"
+        )
+        half_b = kmv_state(
+            o.filter(F.col("o_orderkey") % 2 != 0), "o_custkey"
+        )
+        return kmv_finalize(kmv_merge(half_a, half_b))

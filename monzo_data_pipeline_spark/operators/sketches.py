@@ -763,3 +763,246 @@ def merge_grid_cells(*states: DataFrame) -> DataFrame:
         merged = merged.unionByName(s)
     keys = [c for c in merged.columns if c not in ("cnt",)]
     return merged.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — mergeable distinct state that also supports
+# SET-INTERSECTION estimation
+# ---------------------------------------------------------------------------
+# HLL answers "how many distinct" but two HLLs can only be UNIONed —
+# |A ∩ B| falls back to inclusion-exclusion, whose error explodes when
+# the intersection is small relative to the sets. The KMV ("k minimum
+# values") sketch (Bar-Yossef et al. 2002; Beyer et al. 2007 SIGMOD
+# unbiased estimator; productionized as the DataSketches theta sketch)
+# keeps the k SMALLEST distinct hash values instead of registers:
+#
+#   * state     = k smallest distinct h(v) — a k-row TABLE, readable
+#     and engine-portable, not an opaque binary;
+#   * merge     = union ∘ distinct ∘ k-smallest (EXACT: the k smallest
+#     of a union are each within the k smallest of their half, so the
+#     merge law holds with equality, not just in distribution —
+#     order/batching-invariant and idempotent like hll_merge);
+#   * estimate  = (k−1) · D / h_(k) where h_(k) is the k-th smallest
+#     hash and D the hash domain size (the Beyer et al. unbiased
+#     form); fewer than k distinct values ⇒ the state IS the distinct
+#     set and the count is exact;
+#   * intersect = theta combine: θ = min(θ_A, θ_B) with θ_X = h_(k)
+#     of X (or D when X is exact); every retained hash below θ is a
+#     uniform sample of the underlying domain, so
+#     |A ∩ B| ≈ |A∩B ∩ [0,θ)| · D/θ and Jaccard ≈ the in-sample ratio.
+#
+# The hash is the same engine-agnostic two-base 62-bit polynomial the
+# deterministic HLL uses (hll_deterministic above), so states,
+# estimates, AND the intersection arithmetic are bit-identical across
+# Spark and DuckDB — every query built on this is hash-checkable.
+# Plan shape: one map-side-partial DISTINCT aggregate (Spark prunes
+# duplicates before the exchange, so the shuffle carries per-partition
+# distinct hashes only — the same exchange any COUNT(DISTINCT) pays)
+# followed by TakeOrderedAndProject(k) (per-partition top-k, k-row
+# merge). The k-row state is what an incremental warehouse persists
+# per batch; relative error ~ 1/√(k−2) ≈ 6.3% at k=256.
+
+KMV_K = 256
+# h = a·2³¹ + b with a, b ∈ [0, 2³¹−2]: domain ≈ [0, M·2³¹) with
+# M = 2³¹−1. D = M·2³¹ = 4611686016279904256 (< 2⁶³, fits BIGINT).
+_KMV_DOMAIN = 2_147_483_647 * 2_147_483_648
+
+
+def _hash62_int(key_col: str):
+    """The hll_deterministic two-base integer hash as a Column (same
+    spelling, shared by the KMV family; DuckDB twin: kmv_hash_sql)."""
+    x = F.pmod(F.col(key_col).cast("long"), F.lit(_HLL_MOD))
+    return (x * F.lit(2_654_435_761) % F.lit(_HLL_MOD)) * F.lit(
+        2_147_483_648
+    ) + (x * F.lit(40_503) + F.lit(12_345)) % F.lit(_HLL_MOD)
+
+
+def kmv_hash_sql(v: str) -> str:
+    """DuckDB spelling of _hash62_int (the _HLL_MONTHLY_SQL idiom)."""
+    p = f"((({v}) % 2147483647) + 2147483647) % 2147483647"
+    return (
+        f"({p} * 2654435761 % 2147483647) * 2147483648"
+        f" + ({p} * 40503 + 12345) % 2147483647"
+    )
+
+
+def kmv_state(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """KMV state: the k smallest distinct 62-bit hashes of `key_col`
+    (column ``h``). NULL keys are ignored (they carry no identity)."""
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(_hash62_int(key_col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(*states: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge KMV states: union ∘ distinct ∘ k-smallest. EXACTLY equals
+    the state built on the concatenated inputs (see module note), so
+    per-batch states compose across days/partitions/replays."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.distinct().orderBy("h").limit(k)
+
+
+def kmv_finalize(state: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate from a KMV state: exact below k,
+    (k−1)·D DIV h_(k) at capacity (all-integer — DECIMAL(38,0)
+    intermediate, one floor). Output: (k, n_state, kth_hash,
+    est_distinct)."""
+    s = state.agg(
+        F.count(F.lit(1)).cast("long").alias("n_state"),
+        F.max("h").alias("kth_hash"),
+    )
+    return s.select(
+        F.lit(k).cast("int").alias("k"),
+        "n_state",
+        "kth_hash",
+        F.when(F.col("n_state") < k, F.col("n_state"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * {_KMV_DOMAIN}"
+                f" DIV kth_hash AS BIGINT)"
+            )
+        )
+        .alias("est_distinct"),
+    )
+
+
+def theta_intersect(
+    state_a: DataFrame, state_b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Theta combine of two KMV states: intersection / union / Jaccard
+    estimates from the shared uniform sample below θ = min(θ_A, θ_B).
+    Exact (θ = D) whenever both inputs hold fewer than k values. All
+    arithmetic is integer (DECIMAL(38,0) DIV), so the output is
+    hash-checkable cross-engine. The states are k-row tables: the
+    joins below are broadcast-size by construction. Output:
+    (theta_hash, n_union_sample, n_inter_sample, est_union,
+    est_intersect, jaccard_ppm)."""
+    ta = state_a.agg(
+        F.count(F.lit(1)).alias("n_a"), F.max("h").alias("m_a")
+    )
+    tb = state_b.agg(
+        F.count(F.lit(1)).alias("n_b"), F.max("h").alias("m_b")
+    )
+    th = ta.crossJoin(tb).select(
+        F.least(
+            F.when(F.col("n_a") < k, F.lit(_KMV_DOMAIN)).otherwise(
+                F.col("m_a")
+            ),
+            F.when(F.col("n_b") < k, F.lit(_KMV_DOMAIN)).otherwise(
+                F.col("m_b")
+            ),
+        ).alias("theta_hash")
+    )
+
+    def _below(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(th)).filter(
+            F.col("h") < F.col("theta_hash")
+        )
+
+    u = _below(state_a.unionByName(state_b).distinct()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sample")
+    )
+    c = _below(state_a.join(state_b, "h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_inter_sample")
+    )
+    est = (
+        lambda n: F.expr(
+            f"CAST(CAST({n} AS DECIMAL(38,0)) * {_KMV_DOMAIN}"
+            f" DIV theta_hash AS BIGINT)"
+        )
+    )
+    return (
+        u.crossJoin(c)
+        .crossJoin(th)
+        .select(
+            "theta_hash",
+            "n_union_sample",
+            "n_inter_sample",
+            est("n_union_sample").alias("est_union"),
+            est("n_inter_sample").alias("est_intersect"),
+            F.when(
+                F.col("n_union_sample") > 0,
+                F.expr(
+                    "CAST(n_inter_sample * 1000000"
+                    " DIV n_union_sample AS BIGINT)"
+                ),
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def kmv_oracle_sql(src: str, val: str, k: int = KMV_K) -> str:
+    """DuckDB twin of kmv_state ∘ kmv_finalize over `val` from `src`
+    (a table name or parenthesized subquery)."""
+    return f"""
+        WITH hh AS (
+            SELECT DISTINCT {kmv_hash_sql(val)} AS h
+            FROM {src} WHERE {val} IS NOT NULL
+        ), kk AS (
+            SELECT h FROM hh ORDER BY h LIMIT {k}
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_state,
+                   MAX(h) AS kth_hash
+            FROM kk
+        )
+        SELECT CAST({k} AS INT) AS k, n_state, kth_hash,
+               CASE WHEN n_state < {k} THEN n_state
+                    ELSE CAST(CAST({k - 1} AS HUGEINT) * {_KMV_DOMAIN}
+                              // kth_hash AS BIGINT)
+               END AS est_distinct
+        FROM s
+        """
+
+
+def theta_intersect_sql(
+    src_a: str, src_b: str, val: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of kmv_state×2 ∘ theta_intersect."""
+    d = _KMV_DOMAIN
+
+    def half(name: str, src: str) -> str:
+        return f"""
+        {name}_h AS (
+            SELECT DISTINCT {kmv_hash_sql(val)} AS h
+            FROM {src} WHERE {val} IS NOT NULL
+        ), {name}_k AS (
+            SELECT h FROM {name}_h ORDER BY h LIMIT {k}
+        ), {name}_s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS m
+            FROM {name}_k
+        )"""
+
+    return f"""
+        WITH {half('a', src_a)}, {half('b', src_b)},
+        th AS (
+            SELECT LEAST(
+                CASE WHEN a_s.n < {k} THEN {d} ELSE a_s.m END,
+                CASE WHEN b_s.n < {k} THEN {d} ELSE b_s.m END
+            ) AS theta_hash
+            FROM a_s, b_s
+        ), un AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sample
+            FROM (SELECT h FROM a_k UNION SELECT h FROM b_k) u, th
+            WHERE u.h < th.theta_hash
+        ), ic AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_sample
+            FROM a_k JOIN b_k USING (h), th
+            WHERE a_k.h < th.theta_hash
+        )
+        SELECT th.theta_hash, n_union_sample, n_inter_sample,
+               CAST(CAST(n_union_sample AS HUGEINT) * {d}
+                    // theta_hash AS BIGINT) AS est_union,
+               CAST(CAST(n_inter_sample AS HUGEINT) * {d}
+                    // theta_hash AS BIGINT) AS est_intersect,
+               CASE WHEN n_union_sample > 0 THEN
+                 CAST(n_inter_sample * 1000000 // n_union_sample
+                      AS BIGINT)
+               END AS jaccard_ppm
+        FROM th, un, ic
+        """

@@ -95,6 +95,13 @@ def test_pipeline_failure_propagates(spark, tmp_path):
         # equi-depth histogram: cutpoints broadcast; NO global Sort
         # before the bucket agg (ntile's failure shape)
         ("equi_depth_histogram", ["BroadcastNestedLoopJoin"]),
+        # KMV state build: the NOT NULL reaches the scan, the distinct
+        # partial-aggregates map-side, and the k-smallest is a
+        # TakeOrderedAndProject — never a global Sort
+        (
+            "kmv_distinct_parts",
+            ["PushedFilters: [IsNotNull(l_partkey)", "TakeOrderedAndProject"],
+        ),
     ],
 )
 def test_plan_contract(spark, sf_dir, query, markers):
