@@ -12,7 +12,8 @@ micro-batch b
      `hll_registers_by_group`) — one scan of the batch, state ≤
      ~3 810 cells (or ≤ m registers) per group BY CONSTRUCTION;
   2. merges it with the latest persisted state (`merge_grid_cells` =
-     UNION+SUM, `hll_merge_registers` = UNION+MAX);
+     UNION+SUM, `hll_merge_registers` = UNION+MAX, `bitmap_merge` =
+     UNION+OR, `kmv_merge` = union∘distinct∘k-smallest);
   3. writes the merged state to ``state_dir/v{b}``.
 
 Version-per-batch makes recovery idempotent-by-replay: if batch b
@@ -38,10 +39,13 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from monzo_data_pipeline_spark.operators.sketches import (
+    KMV_K,
     bitmap_merge,
     bitmap_state,
     hll_merge_registers,
     hll_registers_by_group,
+    kmv_merge,
+    kmv_state,
     merge_grid_cells,
     quantile_grid_cells,
 )
@@ -200,6 +204,41 @@ def stream_hll_registers(
         merged = (
             hll_merge_registers(prev, regs) if prev is not None else regs
         )
+        merged.write.mode("overwrite").parquet(
+            _version_path(state_dir, batch_id)
+        )
+        if _fault_hook is not None:
+            _fault_hook(batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+def stream_kmv_state(
+    stream: DataFrame,
+    key_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = KMV_K,
+    _fault_hook: Callable[[int], None] | None = None,
+):
+    """Maintain KMV/theta distinct state incrementally over a stream
+    (union ∘ distinct ∘ k-smallest merge — idempotent AND exact as a
+    merge law: the maintained state is bit-identical to the state a
+    batch build over every absorbed row would produce, so the fourth
+    lane's parity is state EQUALITY, not just estimate equality).
+    Finalize with `operators.sketches.kmv_finalize`, or theta-combine
+    two maintained states with `theta_intersect` — the streaming path
+    to "how many users did BOTH things" without storing user sets."""
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        st = kmv_state(batch, key_col, k)
+        prev = _read_state(spark, state_dir, below=batch_id)
+        merged = kmv_merge(prev, st, k=k) if prev is not None else st
         merged.write.mode("overwrite").parquet(
             _version_path(state_dir, batch_id)
         )

@@ -669,3 +669,52 @@ def test_streaming_image_decode_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT media_id, pix_sum FROM image_stream_test").collect()
     }
     assert got == expected
+
+
+def test_stream_kmv_state_matches_batch(spark, sf_dir, tmp_path):
+    """r8: KMV distinct state maintained over micro-batches (union ∘
+    distinct ∘ k-smallest merge) — the merge law is EXACT, so the
+    maintained state must equal the one-shot batch build as a SET, and
+    the finalized estimate row must match bit-exactly. Also theta-
+    combines the maintained state against a batch-built state to prove
+    the streaming path feeds intersection queries unchanged."""
+    from monzo_data_pipeline_spark.operators import sketches as SK
+    from monzo_data_pipeline_spark.streaming import sketches as SSK
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    drops = str(tmp_path / "kmv_drops")
+    orders.repartition(3).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    state_dir = str(tmp_path / "kmv_state")
+    q = SSK.stream_kmv_state(
+        stream, "o_custkey", state_dir, str(tmp_path / "kmv_ckpt")
+    )
+    assert q.awaitTermination(120), "stream did not drain within 120s"
+
+    import os
+
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) >= 3
+
+    final = SSK.read_latest_state(spark, state_dir)
+    want_state = SK.kmv_state(orders, "o_custkey")
+    assert sorted(r.h for r in final.collect()) == sorted(
+        r.h for r in want_state.collect()
+    )
+    assert (
+        SK.kmv_finalize(final).collect()
+        == SK.kmv_finalize(want_state).collect()
+    )
+
+    # the maintained state is a drop-in theta operand
+    other = SK.kmv_state(
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey",
+    )
+    got = SK.theta_intersect(final, other).collect()
+    want = SK.theta_intersect(want_state, other).collect()
+    assert got == want

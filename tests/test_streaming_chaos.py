@@ -182,3 +182,17 @@ def test_bitmap_state_recovers_bit_exact_under_chaos(
         )
 
     _chaos_parity(spark, tmp_path, base, "bitmap", start)
+
+
+def test_kmv_state_recovers_bit_exact_under_chaos(spark, sf_dir, tmp_path):
+    """The k-smallest lane: merge is idempotent AND exact, so both
+    chaos lanes must land on the identical k-row state."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("user_id").filter(F.col("user_id").isNotNull())
+
+    def start(stream, hook, state_dir, ckpt):
+        return SSK.stream_kmv_state(
+            stream, "user_id", state_dir, ckpt, _fault_hook=hook
+        )
+
+    _chaos_parity(spark, tmp_path, base, "kmv", start)
