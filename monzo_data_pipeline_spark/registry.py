@@ -4450,7 +4450,6 @@ _DRIVER_PREFIX = [
     # near_dup_clusters/fuzzy_name_pairs/benchmark_contamination) so
     # every round-6 family gets hard-gate sampling: the deterministic
     # grid+HLL sketches, grouped HLL, star CC, k-core, subsampled JPEG
-    "approx_aggregates",
     "hll_monthly_customers",
     "near_dup_clusters_star",
     "k_core_copurchase",
@@ -4482,6 +4481,15 @@ _DRIVER_PREFIX = [
     # pipelines that consume its vectors)
     "scc_part_precedence",
     "zorder_erasure_layout",
+    # r8 (late-round additions, sampled immediately like SCC above):
+    # the KMV/theta family — merge law + the intersection estimator;
+    # approx_aggregates rotates out (the o_totalprice sketch trio
+    # stays sampled via grid_merge_quantiles + hll_monthly_customers,
+    # which exercise the same grid/HLL machinery) and image_decode_stats
+    # rotates out (images stay via jpeg_subsampled_decode_stats +
+    # media_feature_extract + video_frame_stats)
+    "kmv_merge_distinct",
+    "theta_intersect_customers",
     "spearman_balance_spend",
     "first_wins_dedup",
     "fk_star_join",
@@ -4508,7 +4516,6 @@ _DRIVER_PREFIX = [
     "benchmark_contamination",
     "fuzzy_name_pairs",
     "bpe_merge_table",
-    "image_decode_stats",
     "video_frame_stats",
     # r4: kmeans_cluster_profile is hash-checked now
     # (kmeans_profile_oracle_sql) — it takes media_resize's slot
