@@ -2656,3 +2656,114 @@ def register(_register) -> None:
             o.filter(F.col("o_orderkey") % 2 != 0), "o_custkey"
         )
         return kmv_finalize(kmv_merge(half_a, half_b))
+
+    # ------------------------------------------------------------------
+    # r8 — incremental view maintenance for JOIN views (pipeline/
+    # ivm.py): the insert-only delta rule and the batched fold of a
+    # join-aggregate, both proven against one-shot oracles.
+    # ------------------------------------------------------------------
+
+    from .functions.deterministic import oracle_dsum
+    from .pipeline.ivm import join_view_delta, merge_agg_state
+
+    @_register(
+        "ivm_join_delta",
+        "north-star/A14 (r8: the IVM delta rule itself under the hash "
+        "gate — orders/customer each split into old + delta, Spark "
+        "computes the rows ADDED to the join view as "
+        "dA⋈B_new ∪ A_old⋈dB with both delta sides broadcast (the "
+        "stored relations never shuffle); the oracle computes "
+        "new-join-minus-old-join directly — equal exactly for "
+        "insert-only inner joins — pipeline/ivm.py::join_view_delta)",
+        """
+        SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE (o_orderkey % 5 = 0) OR (c_custkey % 7 = 0)
+        """,
+    )
+    def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            "o_totalprice",
+        )
+        b = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_name"
+        )
+        # == 0 vs != 0: the halves must partition any key domain
+        a_delta = a.filter(F.col("o_orderkey") % 5 == 0)
+        a_old = a.filter(F.col("o_orderkey") % 5 != 0)
+        b_delta = b.filter(F.col("custkey") % 7 == 0)
+        b_old = b.filter(F.col("custkey") % 7 != 0)
+        return join_view_delta(a_old, a_delta, b_old, b_delta, ["custkey"])
+
+    @_register(
+        "ivm_revenue_view",
+        "north-star/B1+B3 (r8: incremental maintenance of the revenue "
+        "join-VIEW — lineitem folded in 3 batches, each batch eager-"
+        "aggregated per order, broadcast-joined to orders, partial-"
+        "aggregated per customer, and merged into DECIMAL view state "
+        "by UNION+SUM (merge_agg_state); the oracle is the one-shot "
+        "3-table join-aggregate, equal bit-exactly because DECIMAL "
+        "sums re-associate over any batching — the never-rescan-"
+        "history shape of a 100 TB materialized view — pipeline/"
+        "ivm.py::merge_agg_state)",
+        f"""
+        SELECT c_custkey, c_name,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)',
+                            'DECIMAL(18,4)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY c_custkey, c_name
+        """,
+    )
+    def q_ivm_revenue_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+            .select("o_orderkey", "o_custkey")
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+
+        state = None
+        for i in range(3):
+            batch = li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i)
+            per_order = batch.groupBy("l_orderkey").agg(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ).alias("rev_dec"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            partial = (
+                F.broadcast(per_order)
+                .join(orders, per_order.l_orderkey == orders.o_orderkey)
+                .groupBy("o_custkey")
+                .agg(
+                    F.sum("rev_dec")
+                    .cast("decimal(28,4)")
+                    .alias("rev_dec"),
+                    F.sum("n_items").alias("n_items"),
+                )
+            )
+            state = merge_agg_state(state, partial, ["o_custkey"])
+
+        return (
+            state.join(
+                F.broadcast(cust),
+                state.o_custkey == cust.c_custkey,
+            )
+            .select(
+                "c_custkey",
+                "c_name",
+                F.col("rev_dec").cast("double").alias("revenue"),
+                "n_items",
+            )
+        )

@@ -1,0 +1,102 @@
+"""Incremental view maintenance for JOIN views — the insert-only
+delta rule, folded through mergeable aggregate state.
+
+`pipeline/incremental.py` maintains SINGLE-TABLE algebraic aggregates
+(the reference's gold layer recomputed-from-all-of-silver each run,
+/root/reference/src/sql/create_gold_layer.sql). But a warehouse's
+expensive views are JOINs and join-aggregates, and at 100 TB
+"recompute the view" rescans the full fact history per batch. For
+append-only relations — exactly the medallion model this pipeline
+uses (bronze/silver only ever receive inserts; corrections arrive as
+new versions handled by the SCD2/upsert operators) — the classic IVM
+delta rule (Blakeley et al. 1986; DBToaster; Materialize) is exact:
+
+    Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+    (B_new = B_old ∪ ΔB; equivalent to the symmetric three-term form
+     ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, with one join fewer)
+
+and an aggregated join view never materializes Δ(A⋈B) at all: the
+delta rows partial-aggregate to per-group state (DECIMAL sums +
+counts — the algebraic decomposition), which merges into the persisted
+view state by UNION + re-SUM, the same fold `incremental.py` proved
+for one table.
+
+Scale shape: both delta joins BROADCAST the delta side, so the big
+relations are never shuffled — per batch the cost is |Δ| × (scan of
+the other side's join column stripe), and with the warehouse's
+stat/bloom manifests the A_old ⋈ ΔB probe prunes to the files whose
+key ranges intersect the delta. The view-state merge is bounded by
+the group-key domain, never by history. Correctness is oracle-gated:
+registry queries `ivm_join_delta` (the delta rule itself — Spark
+computes Δ, DuckDB computes new-join-minus-old-join) and
+`ivm_revenue_view` (a 3-batch incremental fold of the revenue view ==
+the one-shot join-aggregate, bit-exact DECIMAL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .medallion import Warehouse
+
+
+def join_view_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Rows ADDED to the inner-join view A ⋈ B when ΔA and ΔB arrive
+    (insert-only). Exact: new_join − old_join, computed without ever
+    building either join. `on` is the shared equi-join column list.
+
+    Plan: ΔA ⋈ (B_old ∪ ΔB) plus A_old ⋈ ΔB — the delta side of each
+    join broadcasts (deltas are batch-sized by construction), so
+    neither stored relation shuffles."""
+    da = F.broadcast(a_delta) if broadcast_deltas else a_delta
+    db = F.broadcast(b_delta) if broadcast_deltas else b_delta
+    b_new = b_old.unionByName(b_delta)
+    return da.join(b_new, on).unionByName(a_old.join(db, on))
+
+
+def merge_agg_state(
+    state: DataFrame | None, partial: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold one batch's partial aggregate into view state: UNION +
+    per-key SUM of every non-key column (DECIMAL sums and BIGINT
+    counts both merge by addition — the algebraic law
+    `incremental.py` relies on). Returns the new state; pass
+    state=None for the first batch."""
+    merged = partial if state is None else state.unionByName(partial)
+    val_cols = [c for c in merged.columns if c not in keys]
+    sum_schema = dict(merged.dtypes)
+    return merged.groupBy(*keys).agg(
+        *[
+            F.sum(c).cast(sum_schema[c]).alias(c)
+            for c in val_cols
+        ]
+    )
+
+
+def maintain_view_state(
+    wh: Warehouse, table: str, partial: DataFrame, keys: list[str]
+) -> None:
+    """Persisted fold: merge one batch's partial aggregate into the
+    warehouse view-state table (create on first batch). The same
+    overwrite-after-merge shape as incremental.merge_gold_state; wrap
+    in pipeline/atomic.py's transactional commit when the view must
+    move atomically with the facts."""
+    if not wh.exists(table):
+        wh.overwrite(merge_agg_state(None, partial, keys), table)
+        return
+    merged = merge_agg_state(wh.read(table), partial, keys)
+    # state is read and rewritten in one job; persist decouples the
+    # read from the overwrite (the merge_gold_state pattern)
+    merged = merged.persist()
+    try:
+        merged.count()
+        wh.overwrite(merged, table)
+    finally:
+        merged.unpersist()
