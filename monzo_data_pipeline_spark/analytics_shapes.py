@@ -2767,3 +2767,121 @@ def register(_register) -> None:
                 "n_items",
             )
         )
+
+    # ------------------------------------------------------------------
+    # r8 — classical seasonal decomposition (trend / seasonal /
+    # residual) over the monthly revenue series, pure-integer, no
+    # global window (bounded offset self-join on the aggregated frame).
+    # ------------------------------------------------------------------
+
+    @_register(
+        "seasonal_decompose_revenue",
+        "north-star/B1 (r8: classical additive decomposition of the "
+        "monthly revenue series — centered 2x12 moving-average trend "
+        "as a 13-row offset self-join on the AGGREGATED frame (fact "
+        "touched once, no unpartitioned window), per-calendar-month "
+        "mean-deviation seasonal index with sign-safe floor division, "
+        "residual = the rest; all cents/ppm BIGINTs — operators/"
+        "timeseries.py::seasonal_decompose_monthly)",
+        """
+        WITH mth AS (
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS rc
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY 1, 2
+        ), idx AS (
+            SELECT yr, mo, yr * 12 + mo AS i, rc FROM mth
+        ), off(o, w) AS (
+            VALUES (-6,1),(-5,2),(-4,2),(-3,2),(-2,2),(-1,2),(0,2),
+                   (1,2),(2,2),(3,2),(4,2),(5,2),(6,1)
+        ), tr AS (
+            SELECT a.yr, a.mo, a.rc,
+                   CASE WHEN COUNT(*) = 13 THEN
+                     CAST(SUM(CAST(b.rc AS HUGEINT) * o.w) * 1000000
+                          // 24 AS BIGINT)
+                   END AS trend_ppm
+            FROM idx a
+            JOIN off o ON TRUE
+            JOIN idx b ON b.i = a.i + o.o
+            GROUP BY 1, 2, 3
+        ), d AS (
+            SELECT yr, mo, rc, trend_ppm,
+                   rc * 1000000 - trend_ppm AS d_ppm
+            FROM tr
+        ), si0 AS (
+            SELECT mo, SUM(CAST(d_ppm AS HUGEINT)) AS s,
+                   CAST(COUNT(*) AS HUGEINT) AS n
+            FROM d WHERE d_ppm IS NOT NULL GROUP BY 1
+        ), si AS (
+            -- FLOOR division (DuckDB's // truncates toward zero):
+            -- subtract the positive mod first, then divide exactly
+            SELECT mo,
+                   CAST((s - ((s % n) + n) % n) // n AS BIGINT)
+                     AS seasonal_ppm
+            FROM si0
+        )
+        SELECT printf('%04d-%02d', d.yr, d.mo) AS order_month,
+               CAST(d.rc AS BIGINT) AS revenue_cents, d.trend_ppm,
+               si.seasonal_ppm,
+               CAST(d.d_ppm - si.seasonal_ppm AS BIGINT)
+                 AS residual_ppm
+        FROM d LEFT JOIN si USING (mo)
+        """,
+    )
+    def q_seasonal_decompose_revenue(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators.timeseries import seasonal_decompose_monthly
+
+        return seasonal_decompose_monthly(
+            load_table(spark, sf_dir, "orders"),
+            "o_orderdate",
+            "o_totalprice",
+        )
+
+    @_register(
+        "ivm_retraction_view",
+        "north-star/A14+B1 (r8: counting IVM — deletes fold into the "
+        "maintained view as NEGATED partials (multiplicity algebra), "
+        "groups at count 0 leave the view; insert-everything then "
+        "retract-the-%11-keys == the one-shot aggregate over the "
+        "surviving rows, bit-exact DECIMAL — pipeline/ivm.py::"
+        "negate_partial/merge_agg_state)",
+        f"""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               {oracle_dsum('o_totalprice')} AS total_spend
+        FROM orders
+        WHERE o_orderkey % 11 != 0
+        GROUP BY o_custkey
+        """,
+    )
+    def q_ivm_retraction_view(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .pipeline.ivm import negate_partial
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+
+        def partial(df: DataFrame) -> DataFrame:
+            return df.groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(28,2)")
+                .alias("spend_dec"),
+            )
+
+        inserted = partial(o)
+        deleted = negate_partial(
+            partial(o.filter(F.col("o_orderkey") % 11 == 0)),
+            ["o_custkey"],
+        )
+        state = merge_agg_state(inserted, deleted, ["o_custkey"])
+        return state.filter(F.col("n_orders") > 0).select(
+            "o_custkey",
+            "n_orders",
+            F.col("spend_dec").cast("double").alias("total_spend"),
+        )

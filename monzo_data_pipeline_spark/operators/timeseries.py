@@ -371,3 +371,121 @@ def cusum_changepoint(
             ),
         ).alias("strength_ppm"),
     ).orderBy(key_col)
+
+
+def seasonal_decompose_monthly(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a monthly series
+    (trend = the standard centered 2×12 moving average; seasonal =
+    per-calendar-month mean deviation from trend; residual = the
+    rest), in pure integer arithmetic so the output hash-checks
+    cross-engine.
+
+    Construction (everything in cents / ppm-of-a-cent BIGINTs):
+      * the series is the per-(year, month) exact-cents SUM of
+        `value_col` — the decomposition runs on the AGGREGATED frame
+        (≤ 12 rows/year), so at 100 TB the fact table is touched once
+        by an ordinary partial-agg'd groupBy and everything after is
+        broadcast-sized;
+      * trend via the 2×12 MA as one bounded OFFSET SELF-JOIN — a
+        13-row (offset, weight) frame (w=1 at ±6, w=2 within ±5,
+        denominator 24) joined on month-index equality — NOT a global
+        window: the no-unpartitioned-window contract holds and the
+        plan stays shuffle-free after the first agg. Months missing
+        any of their 13 neighbors get NULL trend (the standard edge
+        behavior);
+      * trend_ppm = Σ(w·cents)·10⁶ DIV 24 (positive ⇒ DIV = floor,
+        matching DuckDB's //); detrended d_ppm = cents·10⁶ − trend_ppm;
+      * seasonal_ppm per calendar month = floor(Σ d_ppm / n), spelled
+        sign-safely as (s − pmod(s, n)) DIV n because Spark's DIV
+        truncates toward zero while floor-division is wanted for the
+        (routinely negative) deviations — DuckDB's // already floors;
+      * residual_ppm = d_ppm − seasonal_ppm (NULL where trend is).
+
+    Output: (order_month 'yyyy-MM', revenue_cents, trend_ppm,
+    seasonal_ppm, residual_ppm)."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    m = (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.year(ts_col).alias("__yr"), F.month(ts_col).alias("__mo")
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .withColumn("__idx", F.col("__yr") * 12 + F.col("__mo"))
+    )
+    # m is consumed twice (series + neighbors) and its downstream is
+    # re-planned for the seasonal join: truncate lineage so the fact
+    # scan + agg run ONCE (the attach_count_below lesson)
+    from ..ext.lineage import truncate_lineage
+
+    m = truncate_lineage(m)
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        [(o, 1 if abs(o) == 6 else 2) for o in range(-6, 7)],
+        "__off int, __w int",
+    )
+    a = m.alias("a")
+    b = m.select(
+        F.col("__idx").alias("__bidx"),
+        F.col("revenue_cents").alias("__brc"),
+    ).alias("b")
+    tr = (
+        a.join(F.broadcast(offsets))
+        .join(
+            F.broadcast(b),
+            F.col("__bidx") == F.col("a.__idx") + F.col("__off"),
+        )
+        .groupBy("a.__yr", "a.__mo", "a.revenue_cents")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__brc") * F.col("__w")).alias("__t2"),
+        )
+        .select(
+            F.col("__yr"),
+            F.col("__mo"),
+            F.col("revenue_cents"),
+            F.when(
+                F.col("__n") == 13,
+                F.expr(
+                    "CAST(CAST(__t2 AS DECIMAL(38,0)) * 1000000"
+                    " DIV 24 AS BIGINT)"
+                ),
+            ).alias("trend_ppm"),
+        )
+        .withColumn(
+            "__d_ppm",
+            F.col("revenue_cents") * F.lit(1_000_000)
+            - F.col("trend_ppm"),
+        )
+    )
+    si = (
+        tr.filter(F.col("__d_ppm").isNotNull())
+        .groupBy("__mo")
+        .agg(
+            F.sum("__d_ppm").alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            F.col("__mo"),
+            F.expr(
+                "CAST((__s - pmod(__s, __n)) DIV __n AS BIGINT)"
+            ).alias("seasonal_ppm"),
+        )
+    )
+    return (
+        tr.join(F.broadcast(si), "__mo", "left")
+        .select(
+            F.format_string(
+                "%04d-%02d", F.col("__yr"), F.col("__mo")
+            ).alias("order_month"),
+            "revenue_cents",
+            "trend_ppm",
+            "seasonal_ppm",
+            (F.col("__d_ppm") - F.col("seasonal_ppm")).alias(
+                "residual_ppm"
+            ),
+        )
+    )

@@ -100,3 +100,22 @@ def maintain_view_state(
         wh.overwrite(merged, table)
     finally:
         merged.unpersist()
+
+
+def negate_partial(partial: DataFrame, keys: list[str]) -> DataFrame:
+    """Counting-IVM retraction: a DELETE batch folds into the view
+    state as the NEGATED partial aggregate of the deleted rows (counts
+    and DECIMAL sums both retract by sign flip — DBToaster's
+    multiplicity algebra). After folding, groups whose count reaches 0
+    have fully left the view: finalize with ``filter(count > 0)``.
+    Exact for algebraic aggregates; MIN/MAX do not retract (holistic
+    under deletes) — keep those on recompute or monotonic feeds."""
+    dtypes = dict(partial.dtypes)
+    return partial.select(
+        *keys,
+        *[
+            (-F.col(c)).cast(dtypes[c]).alias(c)
+            for c in partial.columns
+            if c not in keys
+        ],
+    )

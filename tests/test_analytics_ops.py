@@ -1704,3 +1704,45 @@ def test_sssp_matches_mirror_on_random_weighted_graphs(spark):
                 break
             dist = new
         assert got == dist, f"trial {trial} rounds {rounds}"
+
+
+def test_seasonal_decompose_monthly_constructed(spark):
+    """r8: on x_t = 100 + s_{month} (no trend slope, exact 12-period
+    seasonality over whole years), the 2x12 MA trend is the flat 100
+    base, the seasonal index recovers s exactly, and residuals vanish
+    wherever trend is defined; the first/last 6 months have NULL
+    trend (standard edge behavior)."""
+    import datetime
+
+    from monzo_data_pipeline_spark.operators.timeseries import (
+        seasonal_decompose_monthly,
+    )
+
+    s = [0, 12, -12, 24, -24, 6, -6, 18, -18, 3, -3, 0]
+    rows = []
+    for yr in (2020, 2021, 2022, 2023):
+        for mo in range(1, 13):
+            rows.append(
+                (datetime.datetime(yr, mo, 15), float(100 + s[mo - 1]))
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {
+        r.order_month: r
+        for r in seasonal_decompose_monthly(df, "ts", "v").collect()
+    }
+    assert len(out) == 48
+    # edges: 6 NULL-trend months at each end
+    nulls = [m for m, r in out.items() if r.trend_ppm is None]
+    assert sorted(nulls) == (
+        [f"2020-{m:02d}" for m in range(1, 7)]
+        + [f"2023-{m:02d}" for m in range(7, 13)]
+    )
+    for m, r in out.items():
+        mo = int(m[-2:])
+        assert r.revenue_cents == (100 + s[mo - 1]) * 100
+        if r.trend_ppm is not None:
+            # 2x12 MA of an exact-period signal = the flat base
+            assert r.trend_ppm == 100 * 100 * 1_000_000
+            assert r.residual_ppm == 0
+        # seasonal index == the injected pattern (ppm of a cent)
+        assert r.seasonal_ppm == s[mo - 1] * 100 * 1_000_000

@@ -110,3 +110,27 @@ def test_maintain_view_state_persisted(spark, sf_dir, tmp_path):
     got = wh.read("rev_state")
     want = partial(orders)
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_retraction_folds_out_and_drops_empty_groups(spark):
+    from monzo_data_pipeline_spark.pipeline.ivm import negate_partial
+
+    rows = [(1, 10.0), (1, 20.0), (2, 5.0), (3, 7.0)]
+    df = spark.createDataFrame(rows, "k int, v double")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("s"),
+        )
+
+    state = merge_agg_state(None, partial(df), ["k"])
+    # delete one of k=1's rows and ALL of k=2
+    dels = spark.createDataFrame([(1, 20.0), (2, 5.0)], "k int, v double")
+    state = merge_agg_state(state, negate_partial(partial(dels), ["k"]), ["k"])
+    live = {r.k: (r.n, float(r.s)) for r in state.filter("n > 0").collect()}
+    assert live == {1: (1, 10.0), 3: (1, 7.0)}
+    # dtype stable through negation + fold
+    assert dict(state.dtypes)["s"] == "decimal(28,2)"
