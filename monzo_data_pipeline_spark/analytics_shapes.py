@@ -2576,6 +2576,7 @@ def register(_register) -> None:
         kmv_merge,
         kmv_oracle_sql,
         kmv_state,
+        theta_difference_sql,
         theta_intersect,
         theta_intersect_sql,
     )
@@ -2885,3 +2886,35 @@ def register(_register) -> None:
             "n_orders",
             F.col("spend_dec").cast("double").alias("total_spend"),
         )
+
+    @_register(
+        "theta_diff_customers",
+        "C7/north-star (r8: theta A-NOT-B — customers who placed a "
+        "1-URGENT order but NEVER a 5-LOW one, estimated from the "
+        "same two k-row KMV states as the intersection query via the "
+        "uniform sample below theta; the 'did X but never Y' curation "
+        "question (docs in corpus A absent from B) — operators/"
+        "sketches.py::theta_difference)",
+        theta_difference_sql(
+            "(SELECT o_custkey FROM orders"
+            " WHERE o_orderpriority = '1-URGENT')",
+            "(SELECT o_custkey FROM orders"
+            " WHERE o_orderpriority = '5-LOW')",
+            "o_custkey",
+        ),
+    )
+    def q_theta_diff_customers(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators.sketches import theta_difference
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority"
+        )
+        sa = kmv_state(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey"
+        )
+        sb = kmv_state(
+            o.filter(F.col("o_orderpriority") == "5-LOW"), "o_custkey"
+        )
+        return theta_difference(sa, sb)

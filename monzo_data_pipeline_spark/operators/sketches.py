@@ -1006,3 +1006,104 @@ def theta_intersect_sql(
                END AS jaccard_ppm
         FROM th, un, ic
         """
+
+
+def theta_difference(
+    state_a: DataFrame, state_b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Theta A-NOT-B: estimate |A ∖ B| from two KMV states — "did X
+    but never Y", the other set question distinct-count state usually
+    cannot answer. Same sample argument as theta_intersect: below
+    θ = min(θ_A, θ_B) the retained hashes are a uniform sample, so
+    |A∖B| ≈ |{h ∈ A, h ∉ B, h < θ}| · D/θ, exact when both sides are
+    below capacity. Output: (theta_hash, n_a_sample, n_diff_sample,
+    est_a, est_difference)."""
+    ta = state_a.agg(
+        F.count(F.lit(1)).alias("n_a"), F.max("h").alias("m_a")
+    )
+    tb = state_b.agg(
+        F.count(F.lit(1)).alias("n_b"), F.max("h").alias("m_b")
+    )
+    th = ta.crossJoin(tb).select(
+        F.least(
+            F.when(F.col("n_a") < k, F.lit(_KMV_DOMAIN)).otherwise(
+                F.col("m_a")
+            ),
+            F.when(F.col("n_b") < k, F.lit(_KMV_DOMAIN)).otherwise(
+                F.col("m_b")
+            ),
+        ).alias("theta_hash")
+    )
+
+    def _below(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(th)).filter(
+            F.col("h") < F.col("theta_hash")
+        )
+
+    na = _below(state_a).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a_sample")
+    )
+    nd = _below(
+        state_a.join(state_b, "h", "left_anti")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_diff_sample"))
+    est = (
+        lambda n: F.expr(
+            f"CAST(CAST({n} AS DECIMAL(38,0)) * {_KMV_DOMAIN}"
+            f" DIV theta_hash AS BIGINT)"
+        )
+    )
+    return (
+        na.crossJoin(nd)
+        .crossJoin(th)
+        .select(
+            "theta_hash",
+            "n_a_sample",
+            "n_diff_sample",
+            est("n_a_sample").alias("est_a"),
+            est("n_diff_sample").alias("est_difference"),
+        )
+    )
+
+
+def theta_difference_sql(
+    src_a: str, src_b: str, val: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of kmv_state×2 ∘ theta_difference."""
+    d = _KMV_DOMAIN
+
+    def half(name: str, src: str) -> str:
+        return f"""
+        {name}_h AS (
+            SELECT DISTINCT {kmv_hash_sql(val)} AS h
+            FROM {src} WHERE {val} IS NOT NULL
+        ), {name}_k AS (
+            SELECT h FROM {name}_h ORDER BY h LIMIT {k}
+        ), {name}_s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS m
+            FROM {name}_k
+        )"""
+
+    return f"""
+        WITH {half('a', src_a)}, {half('b', src_b)},
+        th AS (
+            SELECT LEAST(
+                CASE WHEN a_s.n < {k} THEN {d} ELSE a_s.m END,
+                CASE WHEN b_s.n < {k} THEN {d} ELSE b_s.m END
+            ) AS theta_hash
+            FROM a_s, b_s
+        ), na AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_a_sample
+            FROM a_k, th WHERE a_k.h < th.theta_hash
+        ), nd AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_diff_sample
+            FROM a_k, th
+            WHERE a_k.h < th.theta_hash
+              AND a_k.h NOT IN (SELECT h FROM b_k)
+        )
+        SELECT th.theta_hash, n_a_sample, n_diff_sample,
+               CAST(CAST(n_a_sample AS HUGEINT) * {d}
+                    // theta_hash AS BIGINT) AS est_a,
+               CAST(CAST(n_diff_sample AS HUGEINT) * {d}
+                    // theta_hash AS BIGINT) AS est_difference
+        FROM th, na, nd
+        """

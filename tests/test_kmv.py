@@ -120,3 +120,34 @@ def test_kmv_small_k_merge_law(spark, k):
     assert sorted(r.h for r in merged.collect()) == sorted(
         r.h for r in whole.collect()
     )
+
+
+def test_theta_difference_exact_below_capacity(spark):
+    from monzo_data_pipeline_spark.operators.sketches import (
+        theta_difference,
+    )
+
+    a = _ids(spark, range(0, 150))
+    b = _ids(spark, range(100, 250))
+    out = theta_difference(
+        kmv_state(a, "v"), kmv_state(b, "v")
+    ).collect()[0]
+    assert out.est_a == 150
+    assert out.est_difference == 100  # 0..99
+    # identical sets → empty difference; empty A → zero rows out
+    same = theta_difference(kmv_state(a, "v"), kmv_state(a, "v"))
+    assert same.collect()[0].est_difference == 0
+
+
+def test_theta_difference_estimate_at_capacity(spark):
+    from monzo_data_pipeline_spark.operators.sketches import (
+        theta_difference,
+    )
+
+    a = _ids(spark, range(0, 12_000))
+    b = _ids(spark, range(6_000, 18_000))
+    out = theta_difference(
+        kmv_state(a, "v"), kmv_state(b, "v")
+    ).collect()[0]
+    assert abs(out.est_a - 12_000) / 12_000 < 0.3
+    assert abs(out.est_difference - 6_000) / 6_000 < 0.4
