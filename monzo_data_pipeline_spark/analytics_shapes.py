@@ -2743,8 +2743,12 @@ def register(_register) -> None:
                 ).alias("rev_dec"),
                 F.count(F.lit(1)).alias("n_items"),
             )
+            # no forced broadcast: a real delta batch is small and
+            # AQE broadcasts it; a backfill-sized batch (the x100
+            # sweep's shape — each 'batch' grows with the table)
+            # shuffle-joins instead of forcing a huge broadcast
             partial = (
-                F.broadcast(per_order)
+                per_order
                 .join(orders, per_order.l_orderkey == orders.o_orderkey)
                 .groupBy("o_custkey")
                 .agg(
