@@ -105,6 +105,11 @@ SHOW = {
     # round 8
     "scc_part_precedence": "directed SCC — final peel's plan: frontier ⋈ checkpointed same-color edges, anti+semi shrink; per-round work ∝ frontier × remaining edges, edge build broadcast-semi'd against the shared pair memo before the dedup",
     "zorder_erasure_layout": "erasure×layout audit — flat scan of the session-memoized audit result (the side-effecting erasure experiment runs once per session; its own plan is write_zordered's range exchange + per-candidate-file rewrites)",
+    "kmv_distinct_parts": "KMV sketch — pushed NOT-NULL, map-side partial DISTINCT before the exchange, TakeOrderedAndProject(k); never a global sort, state 256 rows",
+    "theta_intersect_customers": "theta intersection — two KMV state builds (each partial-distinct + TakeOrdered), then broadcast-sized joins of the 256-row states; the big scans never join each other",
+    "ivm_join_delta": "IVM delta rule — two joins with the delta side broadcast; the stored relations are scanned but never shuffled",
+    "ivm_revenue_view": "IVM agg view — per batch: eager per-order agg, join to orders (AQE picks broadcast for batch-sized deltas), per-customer partial state; fold = UNION + re-SUM on the bounded key domain",
+    "seasonal_decompose_revenue": "seasonal decomposition — fact scanned once into the monthly agg; trend/seasonal/residual are broadcast joins on the ≤80-row series (offset self-join, NO unpartitioned window)",
 }
 
 MARKERS = (
