@@ -718,3 +718,52 @@ def test_stream_kmv_state_matches_batch(spark, sf_dir, tmp_path):
     got = SK.theta_intersect(final, other).collect()
     want = SK.theta_intersect(want_state, other).collect()
     assert got == want
+
+
+def test_stream_view_state_matches_batch(spark, sf_dir, tmp_path):
+    """r8: the IVM fold under Structured Streaming — a revenue view
+    (per-custkey DECIMAL spend + order count, orders enriched inside
+    the partial) maintained over micro-batches must equal the one-shot
+    batch aggregate bit-exactly (DECIMAL sums re-associate over any
+    batching)."""
+    from monzo_data_pipeline_spark.streaming import sketches as SSK
+    from monzo_data_pipeline_spark.streaming.views import stream_view_state
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+    )
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.sum("__p").cast("decimal(28,2)").alias("spend_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    drops = str(tmp_path / "view_drops")
+    orders.repartition(4).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    state_dir = str(tmp_path / "view_state")
+    q = stream_view_state(
+        stream, partial, ["o_custkey"], state_dir,
+        str(tmp_path / "view_ckpt"),
+    )
+    assert q.awaitTermination(120), "stream did not drain within 120s"
+
+    import os
+
+    assert len([d for d in os.listdir(state_dir) if d.startswith("v")]) >= 4
+
+    got = {
+        r.o_custkey: (str(r.spend_dec), r.n_orders)
+        for r in SSK.read_latest_state(spark, state_dir).collect()
+    }
+    want = {
+        r.o_custkey: (str(r.spend_dec), r.n_orders)
+        for r in partial(orders).collect()
+    }
+    assert got == want

@@ -196,3 +196,29 @@ def test_kmv_state_recovers_bit_exact_under_chaos(spark, sf_dir, tmp_path):
         )
 
     _chaos_parity(spark, tmp_path, base, "kmv", start)
+
+
+def test_view_state_recovers_bit_exact_under_chaos(spark, sf_dir, tmp_path):
+    """The IVM SUM fold — like the grid lane, NOT idempotent, so this
+    is the lane where recovery merging a replayed batch into its own
+    prior output would silently double-count."""
+    from monzo_data_pipeline_spark.streaming.views import stream_view_state
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("event_type", "user_id").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("s"),
+        )
+
+    def start(stream, hook, state_dir, ckpt):
+        return stream_view_state(
+            stream, partial, ["event_type"], state_dir, ckpt,
+            _fault_hook=hook,
+        )
+
+    _chaos_parity(spark, tmp_path, base, "view", start)
