@@ -767,3 +767,61 @@ def test_stream_view_state_matches_batch(spark, sf_dir, tmp_path):
         for r in partial(orders).collect()
     }
     assert got == want
+
+
+def test_stream_view_state_with_retractions_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """r8: counting-IVM deletes over a stream — batches carry an op
+    multiplicity (+1 insert / −1 delete); the maintained state after
+    the deletes equals the batch aggregate over the surviving rows,
+    and fully-deleted groups sit at count 0 (filtered at finalize)."""
+    from monzo_data_pipeline_spark.streaming import sketches as SSK
+    from monzo_data_pipeline_spark.streaming.views import stream_view_state
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+    )
+    inserts = orders.withColumn("op", F.lit(1))
+    deletes = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "op", F.lit(-1)
+    )
+    base = inserts.unionByName(deletes)
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.sum(F.col("__p") * F.col("op"))
+            .cast("decimal(28,2)")
+            .alias("spend_dec"),
+            F.sum("op").cast("bigint").alias("n_orders"),
+        )
+
+    drops = str(tmp_path / "retract_drops")
+    base.repartition(4).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    state_dir = str(tmp_path / "retract_state")
+    q = stream_view_state(
+        stream, partial, ["o_custkey"], state_dir,
+        str(tmp_path / "retract_ckpt"),
+    )
+    assert q.awaitTermination(120), "stream did not drain within 120s"
+
+    survivors = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "op", F.lit(1)
+    )
+    got = {
+        r.o_custkey: (str(r.spend_dec), r.n_orders)
+        for r in SSK.read_latest_state(spark, state_dir)
+        .filter("n_orders > 0")
+        .collect()
+    }
+    want = {
+        r.o_custkey: (str(r.spend_dec), r.n_orders)
+        for r in partial(survivors).collect()
+    }
+    assert got == want
