@@ -4513,7 +4513,13 @@ _DRIVER_PREFIX = [
     "pack_sequences",
     "cosine_topk_bruteforce",
     "near_dup_clusters",
-    "benchmark_contamination",
+    # r8 (late additions, sampled immediately): the IVM fold law and
+    # the seasonal decomposition; benchmark_contamination rotates out
+    # (near-dup/contamination machinery stays sampled via
+    # near_dup_clusters, near_dup_clusters_star, fuzzy_name_pairs) and
+    # kmeans_cluster_profile rotates out (ANN/clustering stays via
+    # cosine_topk_bruteforce + pq_rerank_topk)
+    "ivm_revenue_view",
     "fuzzy_name_pairs",
     "bpe_merge_table",
     "video_frame_stats",
@@ -4521,7 +4527,7 @@ _DRIVER_PREFIX = [
     # (kmeans_profile_oracle_sql) — it takes media_resize's slot
     # (image_resize semantics stay covered via image_decode_stats +
     # media_feature_extract, both real-codec paths)
-    "kmeans_cluster_profile",
+    "seasonal_decompose_revenue",
     "media_feature_extract",
     "table_profile",
 ]
