@@ -2922,3 +2922,57 @@ def register(_register) -> None:
             o.filter(F.col("o_orderpriority") == "5-LOW"), "o_custkey"
         )
         return theta_difference(sa, sb)
+
+    # ------------------------------------------------------------------
+    # r8 — as-of join gains merge_asof parity: direction="forward" and
+    # a match tolerance, same one-window plan.
+    # ------------------------------------------------------------------
+
+    @_register(
+        "asof_forward_tolerance",
+        "custom operator (r8: FORWARD as-of with tolerance — for each "
+        "click the EARLIEST purchase at-or-after it by the same user, "
+        "kept only within 1 hour (attribution semantics: 'did a "
+        "purchase follow this click promptly'); same union + one-"
+        "window plan as the backward form, traversal reversed, "
+        "matched-ts distance test after the fill — operators/"
+        "joins.py::asof_join(direction='forward', tolerance=...); "
+        "oracle = DuckDB native forward ASOF + interval filter)",
+        """
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT clicks.ts, clicks.user_id, clicks.event_id,
+               CASE WHEN purchases.ts <= clicks.ts + INTERVAL 1 HOUR
+                    THEN purchases.value END AS next_purchase_value
+        FROM clicks
+        ASOF LEFT JOIN purchases
+          ON clicks.user_id = purchases.user_id
+         AND clicks.ts <= purchases.ts
+        """,
+    )
+    def q_asof_forward_tolerance(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import joins as JN
+
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("next_purchase_value")
+        )
+        return JN.asof_join(
+            clicks,
+            purchases,
+            ts_col="ts",
+            by=["user_id"],
+            right_vals=["next_purchase_value"],
+            direction="forward",
+            tolerance=F.expr("INTERVAL 1 HOUR"),
+        )

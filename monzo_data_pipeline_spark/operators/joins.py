@@ -42,12 +42,22 @@ def asof_join(
     ts_col: str,
     by: list[str],
     right_vals: list[str],
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     right.ts <= left.ts, per `by` key. (The reference's latest-snapshot
     read, query_sqlite_db.ipynb cell 4, is the degenerate single-key
     form; Spark has no native ASOF operator, so this is the classic
     union + running-last-value composition.)
+
+    ``direction`` (pandas merge_asof parity, r8): "backward" (default)
+    matches the latest right row at-or-before each left row;
+    "forward" matches the EARLIEST right row at-or-after it — same
+    one-window plan with the traversal order reversed. ``tolerance``
+    (a Column, e.g. ``F.expr("INTERVAL 1 HOUR")``) bounds how far the
+    match may sit from the left timestamp: beyond it the row keeps
+    left-join semantics with NULL right values.
 
     Plan shape: tag both sides, union (zero-shuffle), ONE window
     shuffle on the `by` key ordered by (ts, side) — right rows sort
@@ -57,6 +67,8 @@ def asof_join(
     shuffle of |L|+|R| rows — no range-explosion, no per-row probe; at
     100 TB both sides partition by the key and AQE splits skewed keys.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     l_tag = left.select(
         *by,
         F.col(ts_col).alias("__ts"),
@@ -75,18 +87,45 @@ def asof_join(
             if c not in by and c != ts_col
         ],
     )
+    carry = list(right_vals)
+    if tolerance is not None:
+        # carry the MATCHED right timestamp so the distance test can
+        # run after the fill (one extra window column, no extra pass)
+        l_tag = l_tag.withColumn(
+            "__r___mts", F.lit(None).cast(dict(right.dtypes)[ts_col])
+        )
+        r_tag = r_tag.withColumn("__r___mts", F.col("__ts"))
+        carry = carry + ["__mts"]
+    ts_order = (
+        F.col("__ts").asc()
+        if direction == "backward"
+        else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(ts_order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r_tag.unionByName(l_tag).select(
         "*",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in right_vals
+            for c in carry
         ],
     )
+    if tolerance is not None:
+        in_tol = (
+            F.col("__mts") >= F.col("__ts") - tolerance
+            if direction == "backward"
+            else F.col("__mts") <= F.col("__ts") + tolerance
+        )
+        filled = filled.select(
+            *[c for c in filled.columns if c not in right_vals],
+            *[
+                F.when(in_tol, F.col(c)).alias(c)
+                for c in right_vals
+            ],
+        )
     keep = (
         by
         + [c for c in left.columns if c not in by and c != ts_col]

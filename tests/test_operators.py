@@ -426,3 +426,63 @@ def test_equi_depth_histogram_balanced(spark):
     assert [r.bucket for r in rows] == [0, 1, 2, 3]
     assert [r.n for r in rows] == [25, 25, 25, 25]
     assert rows[0].lo == 1.0 and rows[-1].hi == 100.0
+
+
+def test_asof_join_direction_and_tolerance(spark):
+    """r8: merge_asof parity — forward direction and the tolerance
+    window, constructed so every lane is exercised: equal-ts match,
+    out-of-tolerance NULL, no-candidate NULL."""
+    import datetime as dt
+
+    from monzo_data_pipeline_spark.operators import joins as JN
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, ts(0), "a"), (1, ts(100), "b"), (2, ts(0), "c")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(30), 20.0), (1, ts(300), 30.0)],
+        "k int, ts timestamp, v double",
+    )
+
+    fwd = {
+        r.tag: r.v
+        for r in JN.asof_join(
+            left, right, "ts", ["k"], ["v"], direction="forward"
+        ).collect()
+    }
+    # equal ts matches forward; t=100 → next is t=300; k=2 → none
+    assert fwd == {"a": 10.0, "b": 30.0, "c": None}
+
+    fwd_tol = {
+        r.tag: r.v
+        for r in JN.asof_join(
+            left, right, "ts", ["k"], ["v"],
+            direction="forward", tolerance=F.expr("INTERVAL 1 HOUR"),
+        ).collect()
+    }
+    # t=100's next match (t=300) is 200 min away → NULLed by tolerance
+    assert fwd_tol == {"a": 10.0, "b": None, "c": None}
+
+    back_tol = {
+        r.tag: r.v
+        for r in JN.asof_join(
+            left, right, "ts", ["k"], ["v"],
+            direction="backward", tolerance=F.expr("INTERVAL 1 HOUR"),
+        ).collect()
+    }
+    # t=100 looks back to t=30 (70 min > 60) → NULL; t=0 matches t=0
+    assert back_tol == {"a": 10.0, "b": None, "c": None}
+
+    back = {
+        r.tag: r.v
+        for r in JN.asof_join(
+            left, right, "ts", ["k"], ["v"]
+        ).collect()
+    }
+    assert back == {"a": 10.0, "b": 20.0, "c": None}
