@@ -2976,3 +2976,69 @@ def register(_register) -> None:
             direction="forward",
             tolerance=F.expr("INTERVAL 1 HOUR"),
         )
+
+    @_register(
+        "asof_nearest_join",
+        "custom operator (r8: NEAREST as-of — the purchase closest in "
+        "time to each click (either side), within 2 hours, ties to "
+        "the earlier row; both fills ride ONE key exchange (two "
+        "in-partition sort orders) — operators/joins.py::asof_join("
+        "direction='nearest'); oracle = backward + forward DuckDB "
+        "ASOF joins recombined by the same distance rule)",
+        """
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), b AS (
+            SELECT c.user_id, c.ts, c.event_id,
+                   p.ts AS bts, p.value AS bv
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        ), f AS (
+            SELECT c.user_id, c.ts, c.event_id,
+                   p.ts AS fts, p.value AS fv
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
+        ), j AS (
+            SELECT b.user_id, b.ts, b.event_id, b.bts, b.bv, f.fts, f.fv,
+                   (b.bts IS NOT NULL
+                    AND b.bts >= b.ts - INTERVAL 2 HOUR) AS b_ok,
+                   (f.fts IS NOT NULL
+                    AND f.fts <= b.ts + INTERVAL 2 HOUR) AS f_ok
+            FROM b JOIN f ON b.user_id = f.user_id AND b.ts = f.ts
+                         AND b.event_id = f.event_id
+        )
+        SELECT ts, user_id, event_id,
+               CASE
+                 WHEN b_ok AND (NOT f_ok OR (ts - bts) <= (fts - ts))
+                   THEN bv
+                 WHEN f_ok THEN fv
+               END AS nearest_purchase_value
+        FROM j
+        """,
+    )
+    def q_asof_nearest_join(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators import joins as JN
+
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts",
+            F.col("value").alias("nearest_purchase_value"),
+        )
+        return JN.asof_join(
+            clicks,
+            purchases,
+            ts_col="ts",
+            by=["user_id"],
+            right_vals=["nearest_purchase_value"],
+            direction="nearest",
+            tolerance=F.expr("INTERVAL 2 HOURS"),
+        )

@@ -54,10 +54,15 @@ def asof_join(
     ``direction`` (pandas merge_asof parity, r8): "backward" (default)
     matches the latest right row at-or-before each left row;
     "forward" matches the EARLIEST right row at-or-after it — same
-    one-window plan with the traversal order reversed. ``tolerance``
-    (a Column, e.g. ``F.expr("INTERVAL 1 HOUR")``) bounds how far the
-    match may sit from the left timestamp: beyond it the row keeps
-    left-join semantics with NULL right values.
+    one-window plan with the traversal order reversed; "nearest"
+    takes whichever of the two sits closer in time (ties → backward,
+    the earlier row) — BOTH fills run over the SAME key exchange (two
+    Window sort orders, one hash partitioning: one shuffle, two
+    in-partition sorts). ``tolerance`` (a Column, e.g.
+    ``F.expr("INTERVAL 1 HOUR")``) bounds how far the match may sit
+    from the left timestamp: beyond it the row keeps left-join
+    semantics with NULL right values; under "nearest" each candidate
+    side is tolerance-tested before the choice.
 
     Plan shape: tag both sides, union (zero-shuffle), ONE window
     shuffle on the `by` key ordered by (ts, side) — right rows sort
@@ -67,8 +72,10 @@ def asof_join(
     shuffle of |L|+|R| rows — no range-explosion, no per-row probe; at
     100 TB both sides partition by the key and AQE splits skewed keys.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     l_tag = left.select(
         *by,
         F.col(ts_col).alias("__ts"),
@@ -88,41 +95,87 @@ def asof_join(
         ],
     )
     carry = list(right_vals)
-    if tolerance is not None:
-        # carry the MATCHED right timestamp so the distance test can
-        # run after the fill (one extra window column, no extra pass)
+    if tolerance is not None or direction == "nearest":
+        # carry the MATCHED right timestamp so the distance test (and
+        # the nearest choice) can run after the fill — one extra
+        # window column, no extra pass
         l_tag = l_tag.withColumn(
             "__r___mts", F.lit(None).cast(dict(right.dtypes)[ts_col])
         )
         r_tag = r_tag.withColumn("__r___mts", F.col("__ts"))
         carry = carry + ["__mts"]
-    ts_order = (
-        F.col("__ts").asc()
-        if direction == "backward"
-        else F.col("__ts").desc()
-    )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(ts_order, F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = r_tag.unionByName(l_tag).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in carry
-        ],
-    )
-    if tolerance is not None:
-        in_tol = (
-            F.col("__mts") >= F.col("__ts") - tolerance
-            if direction == "backward"
-            else F.col("__mts") <= F.col("__ts") + tolerance
+
+    def _window(d: str) -> Window:
+        ts_order = (
+            F.col("__ts").asc() if d == "backward" else F.col("__ts").desc()
+        )
+        return (
+            Window.partitionBy(*by)
+            .orderBy(ts_order, F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    def _in_tol(d: str, mts: str):
+        if tolerance is None:
+            return F.lit(True)
+        return (
+            F.col(mts) >= F.col("__ts") - tolerance
+            if d == "backward"
+            else F.col(mts) <= F.col("__ts") + tolerance
+        )
+
+    unioned = r_tag.unionByName(l_tag)
+    if direction != "nearest":
+        w = _window(direction)
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+                for c in carry
+            ],
+        )
+        if tolerance is not None:
+            in_tol = _in_tol(direction, "__mts")
+            filled = filled.select(
+                *[c for c in filled.columns if c not in right_vals],
+                *[
+                    F.when(in_tol, F.col(c)).alias(c)
+                    for c in right_vals
+                ],
+            )
+    else:
+        wb, wf = _window("backward"), _window("forward")
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+                for c in carry
+            ],
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+                for c in carry
+            ],
+        )
+        b_ok = F.col("__b___mts").isNotNull() & _in_tol(
+            "backward", "__b___mts"
+        )
+        f_ok = F.col("__f___mts").isNotNull() & _in_tol(
+            "forward", "__f___mts"
+        )
+        # nearest: both valid → smaller distance wins, ties → backward
+        use_b = b_ok & (
+            ~f_ok
+            | (
+                F.col("__ts") - F.col("__b___mts")
+                <= F.col("__f___mts") - F.col("__ts")
+            )
         )
         filled = filled.select(
-            *[c for c in filled.columns if c not in right_vals],
+            *[c for c in filled.columns],
             *[
-                F.when(in_tol, F.col(c)).alias(c)
+                F.when(use_b, F.col(f"__b_{c}"))
+                .otherwise(F.when(f_ok, F.col(f"__f_{c}")))
+                .alias(c)
                 for c in right_vals
             ],
         )

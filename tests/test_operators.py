@@ -486,3 +486,52 @@ def test_asof_join_direction_and_tolerance(spark):
         ).collect()
     }
     assert back == {"a": 10.0, "b": 20.0, "c": None}
+
+
+def test_asof_join_nearest(spark):
+    """r8: direction='nearest' — smaller time distance wins, ties go
+    backward, tolerance prunes each side before the choice."""
+    import datetime as dt
+
+    from monzo_data_pipeline_spark.operators import joins as JN
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [
+            (1, ts(10), "near_back"),   # back@0 (10 away) vs fwd@100 (90)
+            (1, ts(95), "near_fwd"),    # back@0 (95) vs fwd@100 (5)
+            (1, ts(50), "tie"),         # back@0 (50) vs fwd@100 (50) → back
+            (2, ts(0), "none"),
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(100), 2.0)],
+        "k int, ts timestamp, v double",
+    )
+    near = {
+        r.tag: r.v
+        for r in JN.asof_join(
+            left, right, "ts", ["k"], ["v"], direction="nearest"
+        ).collect()
+    }
+    assert near == {
+        "near_back": 1.0, "near_fwd": 2.0, "tie": 1.0, "none": None,
+    }
+    near_tol = {
+        r.tag: r.v
+        for r in JN.asof_join(
+            left, right, "ts", ["k"], ["v"],
+            direction="nearest",
+            tolerance=F.expr("INTERVAL 30 MINUTES"),
+        ).collect()
+    }
+    # tie row: both candidates 50 min away > 30 → NULL; near_back's
+    # backward match is 10 min (ok); near_fwd's forward is 5 min (ok)
+    assert near_tol == {
+        "near_back": 1.0, "near_fwd": 2.0, "tie": None, "none": None,
+    }
