@@ -2598,6 +2598,29 @@ def register(_register) -> None:
         li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
         return kmv_finalize(kmv_state(li, "l_partkey"))
 
+
+    def _kmv_priority_state(
+        spark: SparkSession, sf_dir: str, prio: str
+    ) -> DataFrame:
+        """Session-memoized KMV state of the o_custkeys at one order
+        priority — a 256-row bounded artifact consumed by BOTH theta
+        queries (intersection + difference), the shared-intermediate
+        pattern (ext/shared.py): each query stays a self-contained
+        oracle unit, the state builds once per session."""
+        from .ext.shared import shared_frame
+
+        def build() -> DataFrame:
+            o = load_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_orderpriority"
+            )
+            return kmv_state(
+                o.filter(F.col("o_orderpriority") == prio), "o_custkey"
+            )
+
+        return shared_frame(
+            spark, f"kmv_prio_state::{sf_dir}::{prio}", build
+        )
+
     @_register(
         "theta_intersect_customers",
         "C7/north-star (r8: theta-sketch INTERSECTION — customers who "
@@ -2618,15 +2641,8 @@ def register(_register) -> None:
     def q_theta_intersect_customers(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        o = load_table(spark, sf_dir, "orders").select(
-            "o_custkey", "o_orderpriority"
-        )
-        sa = kmv_state(
-            o.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey"
-        )
-        sb = kmv_state(
-            o.filter(F.col("o_orderpriority") == "5-LOW"), "o_custkey"
-        )
+        sa = _kmv_priority_state(spark, sf_dir, "1-URGENT")
+        sb = _kmv_priority_state(spark, sf_dir, "5-LOW")
         return theta_intersect(sa, sb)
 
     @_register(
@@ -2912,15 +2928,8 @@ def register(_register) -> None:
     ) -> DataFrame:
         from .operators.sketches import theta_difference
 
-        o = load_table(spark, sf_dir, "orders").select(
-            "o_custkey", "o_orderpriority"
-        )
-        sa = kmv_state(
-            o.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey"
-        )
-        sb = kmv_state(
-            o.filter(F.col("o_orderpriority") == "5-LOW"), "o_custkey"
-        )
+        sa = _kmv_priority_state(spark, sf_dir, "1-URGENT")
+        sb = _kmv_priority_state(spark, sf_dir, "5-LOW")
         return theta_difference(sa, sb)
 
     # ------------------------------------------------------------------

@@ -110,3 +110,34 @@ def test_approx_aggregates_from_shared_registers_matches_scratch(
     scratch = AGG.approx_aggregates_sketch(o)
     fast = AGG.approx_aggregates_sketch(o, custkey_registers=regs)
     assert _rows(scratch) == _rows(fast)
+
+
+def test_theta_queries_from_shared_kmv_state_match_scratch(spark, sf_dir):
+    """r8: the memoized per-priority KMV states feeding BOTH theta
+    queries are bit-identical to from-scratch builds, so intersection
+    and difference results are too."""
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.operators.sketches import (
+        kmv_state,
+        theta_difference,
+        theta_intersect,
+    )
+    from monzo_data_pipeline_spark.registry import queries
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    sa = kmv_state(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey"
+    )
+    sb = kmv_state(
+        o.filter(F.col("o_orderpriority") == "5-LOW"), "o_custkey"
+    )
+    q = queries()
+    assert _rows(q["theta_intersect_customers"](spark, sf_dir)) == _rows(
+        theta_intersect(sa, sb)
+    )
+    assert _rows(q["theta_diff_customers"](spark, sf_dir)) == _rows(
+        theta_difference(sa, sb)
+    )
