@@ -4495,7 +4495,10 @@ _DRIVER_PREFIX = [
     "fk_star_join",
     "broadcast_enrich_rates",
     "shipping_priority_q3",
-    "asof_join",
+    # r8: the nearest-direction as-of (newest code in the family)
+    # replaces the backward twin in the hard gate; backward stays
+    # green in the full gate and is a sub-plan of nearest anyway
+    "asof_nearest_join",
     # r4: pq_rerank_topk is hash-checked now (pq_rerank_oracle_sql), so
     # the PQ compression family returns to the prefix; ivf_topk below
     # keeps the IVF family covered.
