@@ -110,6 +110,7 @@ SHOW = {
     "ivm_join_delta": "IVM delta rule — two joins with the delta side broadcast; the stored relations are scanned but never shuffled",
     "ivm_revenue_view": "IVM agg view — per batch: eager per-order agg, join to orders (AQE picks broadcast for batch-sized deltas), per-customer partial state; fold = UNION + re-SUM on the bounded key domain",
     "seasonal_decompose_revenue": "seasonal decomposition — fact scanned once into the monthly agg; trend/seasonal/residual are broadcast joins on the ≤80-row series (offset self-join, NO unpartitioned window)",
+    "asof_nearest_join": "nearest as-of — BOTH directional fills over ONE hash exchange on user_id (two in-partition Sort + Window pairs, no second shuffle); distance choice is row-local",
 }
 
 MARKERS = (
