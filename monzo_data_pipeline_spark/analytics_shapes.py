@@ -3051,3 +3051,76 @@ def register(_register) -> None:
             direction="nearest",
             tolerance=F.expr("INTERVAL 2 HOURS"),
         )
+
+    # ------------------------------------------------------------------
+    # r8 — persisted IVF index: the assignment as a cell-partitioned
+    # warehouse artifact; searches prune to one partition via DPP and
+    # return bit-identical results to the fresh ivf_topk path.
+    # ------------------------------------------------------------------
+
+    from .registry import _QDOT
+
+    @_register(
+        "ivf_index_search",
+        "C3 scale path (r8: IVF index as a PERSISTED artifact — the "
+        "assignment table written partitionBy(cell) into a scratch "
+        "warehouse once per session (build-once/search-many: the "
+        "partition layout IS the inverted-list structure), searched "
+        "by broadcasting the 1-row query onto the partition column so "
+        "dynamic partition pruning reduces the file scan to the one "
+        "probed cell directory (plan-tested); results bit-identical "
+        "to the fresh ivf_topk subplan, same oracle — ext/"
+        "ann_index.py)",
+        f"""
+        WITH centroids AS (
+            SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+            WHERE vec_id < 16
+        ), scored AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   {_QDOT.format(a='e.embedding', b='c.cvec')} AS score
+            FROM embeddings e CROSS JOIN centroids c
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY score DESC, cell ASC)
+                       AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT cell AS q_cell, embedding AS qvec FROM assigned
+            WHERE vec_id = 0
+        )
+        SELECT a.vec_id, a.cell,
+               CAST({_QDOT.format(a='a.embedding', b='q.qvec')} AS BIGINT)
+                 AS dot_q
+        FROM assigned a CROSS JOIN q
+        WHERE a.cell = q.q_cell AND a.vec_id <> 0
+        ORDER BY dot_q DESC, a.vec_id ASC
+        LIMIT 5
+        """,
+    )
+    def q_ivf_index_search(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from .ext.ann_index import build_ivf_index, search_ivf_index
+        from .ext.shared import shared_frame
+        from .pipeline.medallion import Warehouse
+
+        workspaces: list[str] = []
+
+        def build() -> DataFrame:
+            tmp = tempfile.mkdtemp(prefix="mdps_annidx_")
+            workspaces.append(tmp)
+            wh = Warehouse(spark, tmp)
+            build_ivf_index(
+                wh, load_table(spark, sf_dir, "embeddings")
+            )
+            return search_ivf_index(spark, wh, query_id=0, k=5)
+
+        out = shared_frame(spark, f"ivf_index_search::{sf_dir}", build)
+        for ws in workspaces:
+            shutil.rmtree(ws, ignore_errors=True)
+        return out
