@@ -3124,3 +3124,79 @@ def register(_register) -> None:
         for ws in workspaces:
             shutil.rmtree(ws, ignore_errors=True)
         return out
+
+    @_register(
+        "ivf_index_multiprobe",
+        "C3 scale path (r8: multi-probe search on the PERSISTED index "
+        "— the centroid vectors live in the index (its first K rows, "
+        "the builder's rule), the query ranks them as a K-row "
+        "broadcast and DPP prunes the partitioned scan to the top-3 "
+        "cell directories; bit-identical to the fresh "
+        "ivf_topk_multiprobe subplan, same oracle — ext/ann_index.py::"
+        "search_ivf_index_multiprobe)",
+        f"""
+        WITH centroids AS (
+            SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+            WHERE vec_id < 16
+        ), scored AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   {_QDOT.format(a='e.embedding', b='c.cvec')} AS score
+            FROM embeddings e CROSS JOIN centroids c
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY score DESC, cell ASC)
+                       AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+        ), probe AS (
+            SELECT cell FROM (
+                SELECT c.cell, {_QDOT.format(a='c.cvec', b='q.qvec')} AS s
+                FROM centroids c CROSS JOIN q
+            ) ORDER BY s DESC, cell ASC LIMIT 3
+        )
+        SELECT a.vec_id, a.cell,
+               CAST({_QDOT.format(a='a.embedding', b='q.qvec')} AS BIGINT)
+                 AS dot_q
+        FROM assigned a
+        JOIN probe p ON a.cell = p.cell
+        CROSS JOIN q
+        WHERE a.vec_id <> 0
+        ORDER BY dot_q DESC, a.vec_id ASC
+        LIMIT 5
+        """,
+    )
+    def q_ivf_index_multiprobe(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from .ext.ann_index import (
+            build_ivf_index,
+            search_ivf_index_multiprobe,
+        )
+        from .ext.shared import shared_frame
+        from .pipeline.medallion import Warehouse
+
+        workspaces: list[str] = []
+
+        def build() -> DataFrame:
+            tmp = tempfile.mkdtemp(prefix="mdps_annidx_mp_")
+            workspaces.append(tmp)
+            wh = Warehouse(spark, tmp)
+            build_ivf_index(
+                wh, load_table(spark, sf_dir, "embeddings")
+            )
+            return search_ivf_index_multiprobe(
+                spark, wh, query_id=0, k=5, n_probe=3
+            )
+
+        out = shared_frame(
+            spark, f"ivf_index_multiprobe::{sf_dir}", build
+        )
+        for ws in workspaces:
+            shutil.rmtree(ws, ignore_errors=True)
+        return out

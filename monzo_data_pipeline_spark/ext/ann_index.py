@@ -86,3 +86,52 @@ def search_ivf_index(
         .orderBy(F.desc("dot_q"), F.asc(id_col))
         .limit(k)
     )
+
+
+def search_ivf_index_multiprobe(
+    spark: SparkSession,
+    wh: Warehouse,
+    table: str = "ivf_index",
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe search on the persisted index: rank the centroids
+    against the query (the centroid VECTORS live in the index — they
+    are its first n_centroids rows, same rule as the builder) and scan
+    the top `n_probe` cell directories. DPP prunes the partitioned
+    scan to those n_probe directories; everything query-side is a
+    ≤K-row broadcast. Bit-identical to the fresh
+    `similarity.ivf_topk_multiprobe` subplan."""
+    assigned = spark.read.parquet(wh.path(table))
+    qvec = assigned.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    centroids = assigned.filter(F.col(id_col) < n_centroids)
+    probe = (
+        centroids.crossJoin(F.broadcast(qvec))
+        .select(
+            F.col(id_col).alias("__pcell"),
+            quantized_dot(vec_col, "__qvec").alias("__s"),
+        )
+        .orderBy(F.desc("__s"), F.asc("__pcell"))
+        .limit(n_probe)
+        .select("__pcell")
+    )
+    return (
+        assigned.join(
+            F.broadcast(probe), F.col("cell") == F.col("__pcell")
+        )
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            id_col,
+            F.col("cell").cast("bigint").alias("cell"),
+            quantized_dot(vec_col, "__qvec").alias("dot_q"),
+        )
+        .orderBy(F.desc("dot_q"), F.asc(id_col))
+        .limit(k)
+    )

@@ -68,3 +68,31 @@ def test_index_is_an_artifact_not_a_subplan(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_multiprobe_index_search_equals_fresh_path(spark, sf_dir, tmp_path):
+    from monzo_data_pipeline_spark.ext.ann_index import (
+        search_ivf_index_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivf_index(wh, emb)
+    for qid, probes in ((0, 3), (57, 1), (200, 5)):
+        got = search_ivf_index_multiprobe(
+            spark, wh, query_id=qid, k=5, n_probe=probes
+        )
+        want = SIM.ivf_topk_multiprobe(
+            emb, query_id=qid, n_centroids=16, k=5, n_probe=probes
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+    # single-probe multiprobe == the plain index search (same cell)
+    got1 = search_ivf_index_multiprobe(
+        spark, wh, query_id=0, k=5, n_probe=1
+    )
+    want1 = search_ivf_index(spark, wh, query_id=0, k=5)
+    assert [tuple(r) for r in got1.collect()] == [
+        tuple(r) for r in want1.collect()
+    ]
