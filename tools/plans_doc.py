@@ -111,6 +111,7 @@ SHOW = {
     "ivm_revenue_view": "IVM agg view — per batch: eager per-order agg, join to orders (AQE picks broadcast for batch-sized deltas), per-customer partial state; fold = UNION + re-SUM on the bounded key domain",
     "seasonal_decompose_revenue": "seasonal decomposition — fact scanned once into the monthly agg; trend/seasonal/residual are broadcast joins on the ≤80-row series (offset self-join, NO unpartitioned window)",
     "asof_nearest_join": "nearest as-of — BOTH directional fills over ONE hash exchange on user_id (two in-partition Sort + Window pairs, no second shuffle); distance choice is row-local",
+    "ivf_index_search": "persisted IVF index probe — suite-side this is the flat memo scan; the underlying search plan (tests/test_ann_index.py) shows dynamicpruning on the cell-partitioned scan: the probe reads ONE cell directory, search flat at 100x data (SCALING.md)",
 }
 
 MARKERS = (
