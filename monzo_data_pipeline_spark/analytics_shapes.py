@@ -2517,27 +2517,22 @@ def register(_register) -> None:
     def q_zorder_erasure_layout(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        import shutil
-        import tempfile
-
-        from .ext.shared import shared_frame
+        from .ext.shared import shared_artifact
         from .operators.layout import zorder_layout_stats
         from .pipeline.erasure import erase_keys_pruned
         from .pipeline.medallion import Warehouse
         from .sources.io import write_zordered
 
-        workspaces: list[str] = []
-
-        def build() -> DataFrame:
-            # the side-effecting experiment runs ONCE per session
-            # (shared_frame materializes the audit result); the
-            # scratch warehouse is deleted right after
-            tmp = tempfile.mkdtemp(prefix="mdps_zerase_")
-            workspaces.append(tmp)
+        def build(path: str) -> None:
+            # the side-effecting write+erase runs ONCE per session
+            # (shared_artifact memoizes the POST-ERASURE warehouse —
+            # the artifact, not the audit answer); the Morton layout
+            # audit below runs on every call, so suite timings
+            # measure the real audit over the surviving table
             o = load_table(spark, sf_dir, "orders").select(
                 "o_custkey", F.expr(_ZORDER_Y).alias("__price_cents")
             )
-            wh = Warehouse(spark, tmp)
+            wh = Warehouse(spark, path)
             write_zordered(
                 o,
                 wh.path("orders_z"),
@@ -2553,16 +2548,14 @@ def register(_register) -> None:
             erase_keys_pruned(
                 wh, ids, "o_custkey", ["orders_z"], preserve_layout=True
             )
-            return zorder_layout_stats(
-                wh.read("orders_z"), "o_custkey", "__price_cents"
-            )
 
-        out = shared_frame(
-            spark, f"zorder_erasure_layout::{sf_dir}", build
+        ws = shared_artifact(
+            spark, f"zorder_erasure_warehouse::{sf_dir}", build
         )
-        for ws in workspaces:
-            shutil.rmtree(ws, ignore_errors=True)
-        return out
+        wh = Warehouse(spark, ws)
+        return zorder_layout_stats(
+            wh.read("orders_z"), "o_custkey", "__price_cents"
+        )
 
     # ------------------------------------------------------------------
     # r8 — KMV / theta sketch: the mergeable distinct state that also
@@ -2628,7 +2621,7 @@ def register(_register) -> None:
         "k-row KMV states via the shared uniform sample below theta = "
         "min(theta_a, theta_b): |A∩B| ~ c*D/theta, Jaccard = the "
         "in-sample ratio; the set-overlap question HLL union state "
-        "cannot answer, exact when either side is below capacity — "
+        "cannot answer, exact when both sides are below capacity — "
         "operators/sketches.py::theta_intersect)",
         theta_intersect_sql(
             "(SELECT o_custkey FROM orders"
@@ -2828,8 +2821,10 @@ def register(_register) -> None:
             JOIN idx b ON b.i = a.i + o.o
             GROUP BY 1, 2, 3
         ), d AS (
+            -- detrend in HUGEINT (rc * 1e6 wraps BIGINT once a month
+            -- tops ~9.2e12 cents), mirroring the Spark DECIMAL(38,0)
             SELECT yr, mo, rc, trend_ppm,
-                   rc * 1000000 - trend_ppm AS d_ppm
+                   CAST(rc AS HUGEINT) * 1000000 - trend_ppm AS d_ppm
             FROM tr
         ), si0 AS (
             SELECT mo, SUM(CAST(d_ppm AS HUGEINT)) AS s,
@@ -3060,17 +3055,39 @@ def register(_register) -> None:
 
     from .registry import _QDOT
 
+    def _ivf_index_workspace(spark: SparkSession, sf_dir: str) -> str:
+        """Build the cell-partitioned IVF index ONCE per session into
+        a memoized scratch warehouse and return its path (r9: the
+        memo holds the index ARTIFACT, never a search answer — every
+        registry call runs the real DPP-pruned probe against it, so
+        suite timings measure the search, per the build-once/
+        search-many serving contract of ext/ann_index.py)."""
+        from .ext.ann_index import build_ivf_index
+        from .ext.shared import shared_artifact
+        from .pipeline.medallion import Warehouse
+
+        def build(path: str) -> None:
+            build_ivf_index(
+                Warehouse(spark, path),
+                load_table(spark, sf_dir, "embeddings"),
+            )
+
+        return shared_artifact(
+            spark, f"ivf_index_workspace::{sf_dir}", build
+        )
+
     @_register(
         "ivf_index_search",
-        "C3 scale path (r8: IVF index as a PERSISTED artifact — the "
-        "assignment table written partitionBy(cell) into a scratch "
-        "warehouse once per session (build-once/search-many: the "
-        "partition layout IS the inverted-list structure), searched "
-        "by broadcasting the 1-row query onto the partition column so "
-        "dynamic partition pruning reduces the file scan to the one "
-        "probed cell directory (plan-tested); results bit-identical "
-        "to the fresh ivf_topk subplan, same oracle — ext/"
-        "ann_index.py)",
+        "C3 scale path (r8/r9: IVF index as a PERSISTED artifact — "
+        "the assignment table written partitionBy(cell) into a "
+        "session-memoized scratch warehouse once (build-once/search-"
+        "many: the partition layout IS the inverted-list structure; "
+        "the memo holds the INDEX, not any answer), and every call "
+        "runs the real search: the 1-row query broadcast onto the "
+        "partition column lets dynamic partition pruning reduce the "
+        "file scan to the one probed cell directory (plan-tested); "
+        "results bit-identical to the fresh ivf_topk subplan, same "
+        "oracle — ext/ann_index.py)",
         f"""
         WITH centroids AS (
             SELECT vec_id AS cell, embedding AS cvec FROM embeddings
@@ -3102,34 +3119,18 @@ def register(_register) -> None:
     def q_ivf_index_search(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        import shutil
-        import tempfile
-
-        from .ext.ann_index import build_ivf_index, search_ivf_index
-        from .ext.shared import shared_frame
+        from .ext.ann_index import search_ivf_index
         from .pipeline.medallion import Warehouse
 
-        workspaces: list[str] = []
-
-        def build() -> DataFrame:
-            tmp = tempfile.mkdtemp(prefix="mdps_annidx_")
-            workspaces.append(tmp)
-            wh = Warehouse(spark, tmp)
-            build_ivf_index(
-                wh, load_table(spark, sf_dir, "embeddings")
-            )
-            return search_ivf_index(spark, wh, query_id=0, k=5)
-
-        out = shared_frame(spark, f"ivf_index_search::{sf_dir}", build)
-        for ws in workspaces:
-            shutil.rmtree(ws, ignore_errors=True)
-        return out
+        wh = Warehouse(spark, _ivf_index_workspace(spark, sf_dir))
+        return search_ivf_index(spark, wh, query_id=0, k=5)
 
     @_register(
         "ivf_index_multiprobe",
-        "C3 scale path (r8: multi-probe search on the PERSISTED index "
-        "— the centroid vectors live in the index (its first K rows, "
-        "the builder's rule), the query ranks them as a K-row "
+        "C3 scale path (r8/r9: multi-probe search on the PERSISTED "
+        "index — the centroid vectors live in the index (its first K "
+        "rows, the builder's rule; the session memo holds the INDEX "
+        "artifact, not any answer), every call ranks them as a K-row "
         "broadcast and DPP prunes the partitioned scan to the top-3 "
         "cell directories; bit-identical to the fresh "
         "ivf_topk_multiprobe subplan, same oracle — ext/ann_index.py::"
@@ -3171,32 +3172,10 @@ def register(_register) -> None:
     def q_ivf_index_multiprobe(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        import shutil
-        import tempfile
-
-        from .ext.ann_index import (
-            build_ivf_index,
-            search_ivf_index_multiprobe,
-        )
-        from .ext.shared import shared_frame
+        from .ext.ann_index import search_ivf_index_multiprobe
         from .pipeline.medallion import Warehouse
 
-        workspaces: list[str] = []
-
-        def build() -> DataFrame:
-            tmp = tempfile.mkdtemp(prefix="mdps_annidx_mp_")
-            workspaces.append(tmp)
-            wh = Warehouse(spark, tmp)
-            build_ivf_index(
-                wh, load_table(spark, sf_dir, "embeddings")
-            )
-            return search_ivf_index_multiprobe(
-                spark, wh, query_id=0, k=5, n_probe=3
-            )
-
-        out = shared_frame(
-            spark, f"ivf_index_multiprobe::{sf_dir}", build
+        wh = Warehouse(spark, _ivf_index_workspace(spark, sf_dir))
+        return search_ivf_index_multiprobe(
+            spark, wh, query_id=0, k=5, n_probe=3
         )
-        for ws in workspaces:
-            shutil.rmtree(ws, ignore_errors=True)
-        return out

@@ -51,6 +51,25 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         wh.path(table)
     )
+    # persist the builder's parameters next to the index: the
+    # centroid set is DEFINED by n_centroids (vec_id < K is only the
+    # centroid rule under the builder's K), so a search must read K
+    # from the artifact, never guess it
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(int(n_centroids),)], "n_centroids int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        wh.path(table + "__meta")
+    )
+
+
+def _index_n_centroids(
+    spark: SparkSession, wh: Warehouse, table: str
+) -> int:
+    """The builder's n_centroids, read from the index's metadata
+    table (written by build_ivf_index)."""
+    meta = spark.read.parquet(wh.path(table + "__meta"))
+    return int(meta.head()["n_centroids"])
 
 
 def search_ivf_index(
@@ -95,7 +114,7 @@ def search_ivf_index_multiprobe(
     query_id: int = 0,
     k: int = 5,
     n_probe: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -105,7 +124,21 @@ def search_ivf_index_multiprobe(
     the top `n_probe` cell directories. DPP prunes the partitioned
     scan to those n_probe directories; everything query-side is a
     ≤K-row broadcast. Bit-identical to the fresh
-    `similarity.ivf_topk_multiprobe` subplan."""
+    `similarity.ivf_topk_multiprobe` subplan.
+
+    `n_centroids` defaults to the value persisted by the BUILDER
+    (the index's metadata table) — `vec_id < K` is only the centroid
+    rule under the builder's K, so a caller-supplied K that differs
+    would silently rank non-centroid rows as centroids and probe
+    wrong cells; an explicit value is checked against the metadata."""
+    built_k = _index_n_centroids(spark, wh, table)
+    if n_centroids is None:
+        n_centroids = built_k
+    elif n_centroids != built_k:
+        raise ValueError(
+            f"index {table!r} was built with n_centroids={built_k}, "
+            f"search asked for {n_centroids}"
+        )
     assigned = spark.read.parquet(wh.path(table))
     qvec = assigned.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qvec")

@@ -79,6 +79,35 @@ def shared_frame(
     return spark.read.parquet(path)
 
 
+def shared_artifact(
+    spark: SparkSession, key: str, build: Callable[[str], None]
+) -> str:
+    """Memoize a side-effecting BUILD step that populates a durable
+    on-disk artifact (an IVF index, a scratch warehouse) and return
+    the artifact's root path.
+
+    Unlike ``shared_frame``, what is memoized is the ARTIFACT, never
+    a query answer: callers run their (timed) query against the
+    returned path on EVERY call, so the plan that executes suite-side
+    is the real probe (DPP-pruned cell scan, layout audit), not a
+    flat scan of a cached result. ``build(path)`` populates the
+    directory; it runs at most once per (application, key). The path
+    lives under the session temp root and is removed at interpreter
+    exit — the build-once/serve-many lifetime of a warehouse index."""
+    app = spark.sparkContext.applicationId
+    k = (app, "artifact::" + key)
+    with _GLOBAL_LOCK:
+        klock = _KEY_LOCKS.setdefault(k, threading.Lock())
+    with klock:
+        path = _PATHS.get(k)
+        if path is None:
+            digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+            path = f"{_root()}/art_{digest}"
+            build(path)
+            _PATHS[k] = path
+    return path
+
+
 def copurchase_sup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared support-weighted co-purchase part graph (a < b, sup =
     co-occurring orders, kept at sup ≥ 2) — consumed by the seven

@@ -396,7 +396,9 @@ def seasonal_decompose_monthly(
         any of their 13 neighbors get NULL trend (the standard edge
         behavior);
       * trend_ppm = Σ(w·cents)·10⁶ DIV 24 (positive ⇒ DIV = floor,
-        matching DuckDB's //); detrended d_ppm = cents·10⁶ − trend_ppm;
+        matching DuckDB's //); detrended d_ppm = cents·10⁶ − trend_ppm,
+        computed in DECIMAL(38,0) like the trend (cents·10⁶ wraps
+        BIGINT once a month exceeds ~9.2e12 cents);
       * seasonal_ppm per calendar month = floor(Σ d_ppm / n), spelled
         sign-safely as (s − pmod(s, n)) DIV n because Spark's DIV
         truncates toward zero while floor-division is wanted for the
@@ -456,8 +458,12 @@ def seasonal_decompose_monthly(
             ).alias("trend_ppm"),
         )
         .withColumn(
+            # detrend in DECIMAL(38,0): cents*1e6 wraps BIGINT once a
+            # month tops ~9.2e12 cents, well inside the 100 TB design
+            # envelope (the trend path already guards this magnitude)
             "__d_ppm",
-            F.col("revenue_cents") * F.lit(1_000_000)
+            F.col("revenue_cents").cast("decimal(38,0)")
+            * F.lit(1_000_000)
             - F.col("trend_ppm"),
         )
     )
@@ -484,8 +490,8 @@ def seasonal_decompose_monthly(
             "revenue_cents",
             "trend_ppm",
             "seasonal_ppm",
-            (F.col("__d_ppm") - F.col("seasonal_ppm")).alias(
-                "residual_ppm"
-            ),
+            (F.col("__d_ppm") - F.col("seasonal_ppm"))
+            .cast("long")
+            .alias("residual_ppm"),
         )
     )

@@ -84,22 +84,40 @@ def maintain_view_state(
     wh: Warehouse, table: str, partial: DataFrame, keys: list[str]
 ) -> None:
     """Persisted fold: merge one batch's partial aggregate into the
-    warehouse view-state table (create on first batch). The same
-    overwrite-after-merge shape as incremental.merge_gold_state; wrap
-    in pipeline/atomic.py's transactional commit when the view must
-    move atomically with the facts."""
+    warehouse view-state table (create on first batch). The merged
+    state is fully materialized to a STAGING path first — the write
+    job reads the live files, so no executor loss or cache eviction
+    can ever recompute against a half-deleted source (the
+    read-modify-overwrite hazard of persist()+count()+overwrite) —
+    then swapped in with two metadata renames. The swap window is
+    rename-only (no data job inside it); for exactly-once across a
+    driver crash inside the window, use the streaming lane's
+    versioned-dir scheme (streaming/sketches.py) or wrap in
+    pipeline/atomic.py's transactional commit."""
     if not wh.exists(table):
         wh.overwrite(merge_agg_state(None, partial, keys), table)
         return
     merged = merge_agg_state(wh.read(table), partial, keys)
-    # state is read and rewritten in one job; persist decouples the
-    # read from the overwrite (the merge_gold_state pattern)
-    merged = merged.persist()
-    try:
-        merged.count()
-        wh.overwrite(merged, table)
-    finally:
-        merged.unpersist()
+    spark = merged.sparkSession
+    live = wh.path(table).rstrip("/")
+    stage, retired = live + ".__stage__", live + ".__retired__"
+    merged.write.mode("overwrite").parquet(stage)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(live).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs.delete(_p(retired), True)
+    if not fs.rename(_p(live), _p(retired)):
+        raise IOError(f"could not retire live state at {live}")
+    if not fs.rename(_p(stage), _p(live)):
+        # put the old state back rather than leave the view headless
+        fs.rename(_p(retired), _p(live))
+        raise IOError(f"could not promote staged state to {live}")
+    fs.delete(_p(retired), True)
 
 
 def negate_partial(partial: DataFrame, keys: list[str]) -> DataFrame:

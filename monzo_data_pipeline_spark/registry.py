@@ -4489,7 +4489,25 @@ _DRIVER_PREFIX = [
     # rotates out (images stay via jpeg_subsampled_decode_stats +
     # media_feature_extract + video_frame_stats)
     "kmv_merge_distinct",
-    "theta_intersect_customers",
+    # r9 rotation: the r8 families the hard gate had not yet sampled
+    # enter immediately — the KMV point estimator, the theta
+    # A-NOT-B difference (replacing the intersection twin: same
+    # state machinery, newest estimator), the persisted-IVF real
+    # probe (now that the memo holds the ARTIFACT, the gate times
+    # and checks the true DPP search), the IVM delta rule + counting
+    # retractions, and the forward/tolerance as-of. Rotated out,
+    # each with its family still sampled: theta_intersect_customers
+    # (→ theta_diff), word_frequencies (text via bpe_merge_table),
+    # running_total (windows via top_n_per_group_salted),
+    # set_except (setops machinery trivial + full-gate green),
+    # exact_distinct_counts (distinct via hll/kmv entries),
+    # table_profile (wide aggs via reconciliation_checksums)
+    "kmv_distinct_parts",
+    "theta_diff_customers",
+    "ivf_index_search",
+    "ivm_join_delta",
+    "ivm_retraction_view",
+    "asof_forward_tolerance",
     "spearman_balance_spend",
     "first_wins_dedup",
     "fk_star_join",
@@ -4503,15 +4521,11 @@ _DRIVER_PREFIX = [
     # the PQ compression family returns to the prefix; ivf_topk below
     # keeps the IVF family covered.
     "pq_rerank_topk",
-    "set_except",
     "top_n_per_group_salted",
-    "running_total",
     "rollup_spend",
-    "exact_distinct_counts",
     "tumbling_window_agg",
     "sessionization",
     "interval_join_attribution",
-    "word_frequencies",
     "hits_customer_supplier",
     "pack_sequences",
     "cosine_topk_bruteforce",
@@ -4532,7 +4546,6 @@ _DRIVER_PREFIX = [
     # media_feature_extract, both real-codec paths)
     "seasonal_decompose_revenue",
     "media_feature_extract",
-    "table_profile",
 ]
 
 

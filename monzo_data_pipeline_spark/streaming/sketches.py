@@ -217,6 +217,7 @@ def stream_hll_registers(
         .start()
     )
 
+
 def stream_kmv_state(
     stream: DataFrame,
     key_col: str,

@@ -96,3 +96,38 @@ def test_multiprobe_index_search_equals_fresh_path(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in got1.collect()] == [
         tuple(r) for r in want1.collect()
     ]
+
+
+def test_multiprobe_reads_n_centroids_from_index_metadata(
+    spark, sf_dir, tmp_path
+):
+    """The builder's K is persisted with the index; a default search
+    picks it up, and a mismatched explicit K is an error instead of a
+    silent wrong-cell probe (vec_id < K is only the centroid rule
+    under the builder's K)."""
+    import pytest
+
+    from monzo_data_pipeline_spark.ext.ann_index import (
+        search_ivf_index_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivf_index(wh, emb, n_centroids=8)
+    got = search_ivf_index_multiprobe(
+        spark, wh, query_id=3, k=4, n_probe=2
+    )
+    want = SIM.ivf_topk_multiprobe(
+        emb, query_id=3, n_centroids=8, k=4, n_probe=2
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # explicit-but-matching K is accepted
+    search_ivf_index_multiprobe(
+        spark, wh, query_id=3, k=4, n_probe=2, n_centroids=8
+    ).collect()
+    with pytest.raises(ValueError, match="built with n_centroids=8"):
+        search_ivf_index_multiprobe(
+            spark, wh, query_id=3, k=4, n_probe=2, n_centroids=16
+        )

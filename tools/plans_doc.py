@@ -104,14 +104,14 @@ SHOW = {
     "zorder_layout_orders": "Z-order audit — map-side bit-interleave projection in codegen, ONE ≤1024-group exchange, ordered output",
     # round 8
     "scc_part_precedence": "directed SCC — final peel's plan: frontier ⋈ checkpointed same-color edges, anti+semi shrink; per-round work ∝ frontier × remaining edges, edge build broadcast-semi'd against the shared pair memo before the dedup",
-    "zorder_erasure_layout": "erasure×layout audit — flat scan of the session-memoized audit result (the side-effecting erasure experiment runs once per session; its own plan is write_zordered's range exchange + per-candidate-file rewrites)",
+    "zorder_erasure_layout": "erasure×layout audit — r9: the memo holds the POST-ERASURE WAREHOUSE artifact (write+erase once per session); every call runs the real Morton audit over the surviving clustered table: map-side bit-interleave, ONE ≤1024-group exchange",
     "kmv_distinct_parts": "KMV sketch — pushed NOT-NULL, map-side partial DISTINCT before the exchange, TakeOrderedAndProject(k); never a global sort, state 256 rows",
     "theta_intersect_customers": "theta intersection — two KMV state builds (each partial-distinct + TakeOrdered), then broadcast-sized joins of the 256-row states; the big scans never join each other",
     "ivm_join_delta": "IVM delta rule — two joins with the delta side broadcast; the stored relations are scanned but never shuffled",
     "ivm_revenue_view": "IVM agg view — per batch: eager per-order agg, join to orders (AQE picks broadcast for batch-sized deltas), per-customer partial state; fold = UNION + re-SUM on the bounded key domain",
     "seasonal_decompose_revenue": "seasonal decomposition — fact scanned once into the monthly agg; trend/seasonal/residual are broadcast joins on the ≤80-row series (offset self-join, NO unpartitioned window)",
     "asof_nearest_join": "nearest as-of — BOTH directional fills over ONE hash exchange on user_id (two in-partition Sort + Window pairs, no second shuffle); distance choice is row-local",
-    "ivf_index_search": "persisted IVF index probe — suite-side this is the flat memo scan; the underlying search plan (tests/test_ann_index.py) shows dynamicpruning on the cell-partitioned scan: the probe reads ONE cell directory, search flat at 100x data (SCALING.md)",
+    "ivf_index_search": "persisted IVF index probe — r9: the memo holds the INDEX artifact only; every call runs the real search: dynamicpruning expression on the cell-partitioned scan, the probe reads ONE cell directory, search flat at 100x data (SCALING.md)",
 }
 
 MARKERS = (
