@@ -65,11 +65,36 @@ def _free_state(spark) -> None:
                 shutil.rmtree(os.path.join(d, sub), ignore_errors=True)
 
 
+def _contention_canary() -> dict:
+    """Host-contention sample: /proc/loadavg plus a fixed 1-second
+    single-thread spin calibration (iterations of a tiny fixed loop
+    completed in 1 s of wall time). Recorded before and after the
+    suite so a reader can normalize suite numbers across hosts/loads
+    — this round's three concurrent-wall measurements of identical
+    code spanned 39-102 s purely from neighbor load."""
+    with open("/proc/loadavg") as f:
+        load1, load5, load15 = (float(x) for x in f.read().split()[:3])
+    t0 = time.time()
+    n = 0
+    x = 0
+    while time.time() - t0 < 1.0:
+        for _ in range(10_000):
+            x = (x * 1103515245 + 12345) % 2_147_483_648
+        n += 1
+    return {
+        "loadavg_1m": load1,
+        "loadavg_5m": load5,
+        "loadavg_15m": load15,
+        "spin_kiters_per_sec": n * 10,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    canary_before = _contention_canary()
     spark = get_spark("bench")
 
     # untimed warmup: codegen, JIT, parquet footer + file-listing caches
@@ -138,6 +163,15 @@ def main() -> None:
             "judge measured on the heavy tier"
         ),
         "sequential_seconds": round(sum(per_query.values()), 3),
+        "contention_canary": {
+            "before": canary_before,
+            "after": _contention_canary(),
+            "note": (
+                "loadavg + 1s single-thread spin calibration sampled "
+                "before/after the suite; compare spin_kiters_per_sec "
+                "across runs to normalize for neighbor load"
+            ),
+        },
     }
     with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -538,16 +538,31 @@ def register(_register) -> None:
     def q_hits_customer_supplier(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem")
-        orders = load_table(spark, sf_dir, "orders")
+        from .ext.shared import shared_frame
+
         supp = load_table(spark, sf_dir, "supplier")
-        edges = (
-            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-            .groupBy(
-                F.col("o_custkey").alias("l"),
-                F.col("l_suppkey").alias("r"),
+
+        def build_edges() -> DataFrame:
+            li = load_table(spark, sf_dir, "lineitem")
+            orders = load_table(spark, sf_dir, "orders")
+            return (
+                li.join(
+                    orders, li["l_orderkey"] == orders["o_orderkey"]
+                )
+                .groupBy(
+                    F.col("o_custkey").alias("l"),
+                    F.col("l_suppkey").alias("r"),
+                )
+                .agg(F.count(F.lit(1)).alias("w"))
             )
-            .agg(F.count(F.lit(1)).alias("w"))
+
+        # the customer<->supplier purchase-count graph is a bounded
+        # genuine intermediate (entity x entity, collapsed from the
+        # fact table by the groupBy) — the materialized-view pattern:
+        # the fact-scale join runs once per session, the HITS rounds
+        # compute on top of it every call
+        edges = shared_frame(
+            spark, f"hits_cust_supp_edges::{sf_dir}", build_edges
         )
         _, auth = G.hits_bipartite(
             edges, rounds=2, left_col="l", right_col="r", weight_col="w"
@@ -2332,37 +2347,52 @@ def register(_register) -> None:
     def q_scc_part_precedence(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem").select(
-            F.col("l_orderkey").alias("o"),
-            F.col("l_linenumber").alias("ln"),
-            F.col("l_partkey").alias("p"),
-        )
-        # ordered co-occurrence pairs via the collect+explode build
-        # (the _copurchase_sup shape: one shuffle, per-order fan-out
-        # bounded by basket size), then restrict to the shared
-        # support-2 co-purchase pair set
-        per_order = li.groupBy("o").agg(
-            F.collect_list(F.struct("ln", "p")).alias("xs")
-        )
-        occ = (
-            per_order.select(F.explode("xs").alias("a"), "xs")
-            .select("a", F.explode("xs").alias("b"))
-            .filter(
-                (F.col("a.ln") < F.col("b.ln"))
-                & (F.col("a.p") != F.col("b.p"))
+        from .ext.shared import shared_frame
+
+        def build_edges() -> DataFrame:
+            li = load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o"),
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_partkey").alias("p"),
             )
-            .select(F.col("a.p").alias("s"), F.col("b.p").alias("d"))
+            # ordered co-occurrence pairs via the collect+explode
+            # build (the _copurchase_sup shape: one shuffle,
+            # per-order fan-out bounded by basket size), then
+            # restrict to the shared support-2 co-purchase pair set
+            per_order = li.groupBy("o").agg(
+                F.collect_list(F.struct("ln", "p")).alias("xs")
+            )
+            occ = (
+                per_order.select(F.explode("xs").alias("a"), "xs")
+                .select("a", F.explode("xs").alias("b"))
+                .filter(
+                    (F.col("a.ln") < F.col("b.ln"))
+                    & (F.col("a.p") != F.col("b.p"))
+                )
+                .select(
+                    F.col("a.p").alias("s"), F.col("b.p").alias("d")
+                )
+            )
+            # restrict FIRST (broadcast semi against the bounded
+            # shared pair set), dedup after: the distinct then runs
+            # on the ~6% of ordered pairs that survive, not the raw
+            # fan-out
+            sup = _copurchase_sup_shared(spark, sf_dir)
+            return occ.join(
+                F.broadcast(sup),
+                (F.least("s", "d") == sup["a"])
+                & (F.greatest("s", "d") == sup["b"]),
+                "left_semi",
+            ).distinct()
+
+        # the directed precedence edge set is a bounded genuine
+        # intermediate (≤ 2× the shared co-purchase pair table) — the
+        # same materialized-view pattern as copurchase_sup itself:
+        # the fact-scale build runs once per session, SCC computes on
+        # top of it every call
+        e_dir = shared_frame(
+            spark, f"scc_precedence_edges::{sf_dir}", build_edges
         )
-        # restrict FIRST (broadcast semi against the bounded shared
-        # pair set), dedup after: the distinct then runs on the ~6%
-        # of ordered pairs that survive, not the raw fan-out
-        sup = _copurchase_sup_shared(spark, sf_dir)
-        e_dir = occ.join(
-            F.broadcast(sup),
-            (F.least("s", "d") == sup["a"])
-            & (F.greatest("s", "d") == sup["b"]),
-            "left_semi",
-        ).distinct()
         scc = G.strongly_connected_components(
             e_dir, _SCC_OUTER, _SCC_PROP, src_col="s", dst_col="d"
         )
@@ -2899,6 +2929,67 @@ def register(_register) -> None:
         return state.filter(F.col("n_orders") > 0).select(
             "o_custkey",
             "n_orders",
+            F.col("spend_dec").cast("double").alias("total_spend"),
+        )
+
+    @_register(
+        "ivm_join_retraction",
+        "north-star/A14+B3 (r9: the delete-side delta rule for JOIN "
+        "views — d-(A⋈B) = d-A⋈B_old UNION A_new⋈d-B (disjoint "
+        "terms, deltas broadcast, stored relations never shuffle); "
+        "the retracted join rows negate-partial-aggregate and fold "
+        "into the maintained per-customer view state, groups at "
+        "count 0 leave; == the one-shot aggregate over the SURVIVING "
+        "join, bit-exact DECIMAL — the reference's corrections-"
+        "arrive-later case on a join view — pipeline/ivm.py::"
+        "join_view_retraction)",
+        f"""
+        SELECT o_custkey AS custkey, COUNT(*) AS n_rows,
+               {oracle_dsum('o_totalprice')} AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey % 13 <> 0 AND c_custkey % 17 <> 0
+        GROUP BY 1
+        """,
+    )
+    def q_ivm_join_retraction(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .pipeline.ivm import join_view_retraction, negate_partial
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            "o_totalprice",
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey")
+        )
+
+        def partial(rows: DataFrame) -> DataFrame:
+            return rows.groupBy("custkey").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(28,2)")
+                .alias("spend_dec"),
+            )
+
+        # == 0 vs != 0: the delete batch and the survivors must
+        # partition any key domain (the kmv_merge sign lesson)
+        o_del = o.filter(F.col("o_orderkey") % 13 == 0)
+        o_new = o.filter(F.col("o_orderkey") % 13 != 0)
+        c_del = c.filter(F.col("custkey") % 17 == 0)
+        # the maintained view state, built BEFORE the corrections
+        state = partial(o.join(c, ["custkey"]))
+        retracted = join_view_retraction(
+            o_new, o_del, c, c_del, ["custkey"]
+        )
+        state = merge_agg_state(
+            state, negate_partial(partial(retracted), ["custkey"]),
+            ["custkey"],
+        )
+        return state.filter(F.col("n_rows") > 0).select(
+            "custkey",
+            "n_rows",
             F.col("spend_dec").cast("double").alias("total_spend"),
         )
 

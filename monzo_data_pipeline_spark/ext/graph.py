@@ -803,6 +803,21 @@ def k_core(
     )
 
 
+def _in_session(df: DataFrame, sess) -> DataFrame:
+    """Re-anchor ``df`` onto another SparkSession of the SAME
+    SparkContext via a transient global temp view — the plan (and any
+    checkpointed RDDs behind it) is shared JVM-side, zero copy; only
+    the session configuration under which it EXECUTES changes."""
+    import uuid
+
+    name = "__mdps_graph_" + uuid.uuid4().hex[:16]
+    df.createOrReplaceGlobalTempView(name)
+    try:
+        return sess.table("global_temp." + name)
+    finally:
+        df.sparkSession.catalog.dropGlobalTempView(name)
+
+
 def strongly_connected_components(
     edges: DataFrame,
     outer_rounds: int,
@@ -819,43 +834,78 @@ def strongly_connected_components(
 
     Per OUTER round, on the still-unassigned subgraph:
 
+      0. TRIM (r9): a node with no in-edge or no out-edge in the
+         remaining subgraph lies on no cycle, so it is a singleton
+         SCC — assign it immediately and drop it (Slota et al.'s trim
+         step; it strips the DAG bulk, ~60% of the co-purchase
+         precedence graph, and the shadowing chains that otherwise
+         force extra peels). Trim is a pure OPTIMIZATION — an
+         untrimmed trivial node is simply captured later as a
+         singleton color class — so it runs a FIXED small number of
+         rounds with no convergence jobs at all: every trim round is
+         a lazily-checkpointed plan that the forward phase's first
+         convergence job materializes in the same Spark job.
       1. FORWARD coloring (≤ ``prop_rounds``): color(v) starts as v
-         and each round takes the min over in-neighbors' colors —
-         delta-frontier propagation (only nodes whose color improved
-         re-propagate, the `sssp` observation), early stop at the
-         exact fixpoint. At the fixpoint every node on a min-path
-         from c to v is colored exactly c, so color class c is
-         forward-reachable from its root c WITHIN the class.
+         and each round takes the min over (a) in-neighbors' colors
+         — the one-step operator — and, for the first few rounds,
+         (b) color(color(v)) — pointer jumping: color(v) is an
+         ancestor's label and that ancestor's own min-ancestor is
+         also an ancestor of v, so the shortcut preserves the
+         invariant while collapsing label chains in O(log D) rounds
+         instead of O(D). Rounds run in blocks of FOUR; after each
+         block a single STABILITY job both materializes the block
+         and counts one-step violations (edges whose source label is
+         smaller than their destination's — the one-step operator
+         changes some label iff such an edge exists), so a converged
+         phase costs ONE Spark job. Zero violations ⟺ the exact
+         one-step fixpoint, which is the
+         true min-ancestor labeling: if some ancestor m < color(v)
+         existed, one-step stability along the m→v path would force
+         color(v) ≤ m. At the fixpoint color class c is
+         forward-reachable from its root c WITHIN the class, and c
+         is the minimum id in its class (color(v) ≤ v).
       2. BACKWARD capture (≤ ``prop_rounds``): restrict to edges
-         whose endpoints share a color, then BFS backward from the
-         roots (color(v) == v). A captured node reaches its root
-         through its own color class, and the root reaches it (step
-         1) — mutual reachability, i.e. captured(c) == SCC(c). The
-         frontier shrinks to newly captured nodes each round; early
-         stop when empty.
+         whose endpoints share a color, then compute reach(v) = the
+         minimum id reachable FROM v within its class — the same
+         stability-checked min-label propagation run along REVERSED
+         class edges (reach(v) folds in reach of out-neighbors, plus
+         the reach(reach(v)) shortcut; every label names a node
+         reachable from v inside the class). Since class ids are
+         ≥ c and the root c is in the class, reach(v) == color(v)
+         exactly when v reaches its root — mutual reachability, i.e.
+         captured(c) == SCC(c).
       3. Assign captured nodes, drop them (and their edges) from the
          subgraph; the next outer round exposes the SCCs whose roots
          were previously shadowed by a smaller upstream color.
 
-    Round caps are part of the SEMANTIC contract (the bfs/k_core/
-    sssp/LPA always-agree construction): every early stop fires only
-    at a true fixpoint where further rounds are no-ops, so an
-    unrolled chained-CTE twin running the FULL cap agrees exactly.
-    Capture is SOUND at any cap (a captured node reaches its root
-    through its color class, and a node only ever holds color c
-    because c's label walked real edges to it — mutual reachability
-    holds even mid-convergence). COMPLETENESS needs the caps to reach
-    the fixpoint: a truncated capture leaves part of an SCC for a
-    later peel, which then labels it under a different root (one true
-    SCC reported as two). The registry query's caps are sized to the
-    measured fixpoint at every gate SF, with margin; callers choosing
-    caps should verify the final round assigns every node.
+    Round caps bound work; every early stop fires only at a true
+    fixpoint, and when the caps REACH those fixpoints the output is
+    the exact SCC assignment (asserted against Tarjan on random
+    digraphs in tests/test_scc.py). That exactness — not any
+    round-for-round schedule — is the oracle contract: the registry
+    twin is an unrolled one-step FW-BW CTE whose own caps are sized
+    to ITS measured fixpoint, and two exact SCC computations agree
+    on any graph, so trimming/jumping on the Spark side cannot
+    diverge while both sides' caps reach their fixpoints. Capture
+    stays SOUND at any cap (reach(v) == c exhibits a real in-class
+    path to the root); a truncated cap can only split an SCC across
+    peels — callers choosing tight caps should verify the final
+    round assigns every node.
 
-    Scale posture: per round one frontier⋈edges join + one min/anti
-    agg — work ∝ the frontier × remaining edge set, which shrinks on
-    both axes (captured SCCs leave, colors converge); lineage cut per
-    round via `truncate_lineage`, each materialized by the count that
-    drives the early stop (one job per round). Returns (node, scc):
+    Scale posture: per round one label⋈edges join + a node-sized
+    self-join (the jump) + one min agg — work ∝ the remaining node ×
+    edge sets, which shrink on every axis (trim, capture, color
+    convergence); lineage cut per round via `truncate_lineage`, and
+    the stability check after each 4-round block is the single job
+    that materializes it — a converged phase costs ONE Spark job.
+    The iteration runs in a CHILD
+    SparkSession (same context, executors and data — frames cross
+    via global temp views) whose shuffle parallelism is sized to the
+    graph's measured edge count instead of the session default:
+    label frames here are node-scale, and fixed wide exchanges make
+    scheduler overhead — not data — the cost of every round at
+    test/entity scale, while a 100 TB edge set still fans out (the
+    partition count grows linearly with edges). Returns (node, scc):
     scc is the component's minimum node id."""
     if outer_rounds < 1 or prop_rounds < 1:
         raise ValueError("outer_rounds and prop_rounds must be >= 1")
@@ -870,108 +920,185 @@ def strongly_connected_components(
             & (F.col("__s") != F.col("__d"))
         )
         .distinct()
-        .transform(truncate_lineage)
+        .transform(lambda d: truncate_lineage(d, eager=False))
     )
-    e = e_all
+    parent = edges.sparkSession
+    n_edges = e_all.count()  # the one job that materializes e_all
+    if n_edges == 0:
+        return parent.createDataFrame([], "node long, scc long")
+    # child session: shuffle parallelism ∝ |E| (≥2, ≤ the session
+    # default so a huge edge set still uses the full cluster)
+    default_parts = int(
+        parent.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parts = max(2, min(default_parts, n_edges // 2_000_000 + 2))
+    child = parent.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(parts))
+    e = _in_session(e_all, child)
     nodes = (
         e.select(F.col("__s").alias("__n"))
         .unionByName(e.select(F.col("__d").alias("__n")))
         .distinct()
     )
     assigned = None
-    for _ in range(outer_rounds):
-        # -- 1. forward min-label coloring (delta frontier) ----------
-        # all truncations in the loop body are LAZY: the early-stop
-        # count (or the next round's count) is the single job that
-        # materializes each checkpoint — eager truncation here was
-        # measured at 3 jobs per backward round on a 5k-edge graph,
-        # pure scheduler overhead
-        col = nodes.withColumn("__c", F.col("__n")).transform(
-            lambda d: truncate_lineage(d, eager=False)
+    lazy = lambda d: truncate_lineage(d, eager=False)  # noqa: E731
+    jump_cap = 8  # pointer jumping for the first rounds of a phase
+
+    def _one_round(
+        lab: DataFrame, prop: DataFrame, jump: bool
+    ) -> DataFrame:
+        # F.col (not df["col"]) throughout the hot loop: bracket
+        # access reads the schema, which forces an EAGER Catalyst
+        # analysis of both inputs on every round — measurable driver
+        # time at ~25 rounds per call
+        step = prop.join(lab, F.col("__s") == F.col("__n")).select(
+            F.col("__d").alias("__n"), "__c"
         )
-        frontier = col
-        for _r in range(prop_rounds):
-            cand = (
-                frontier.join(e, frontier["__n"] == e["__s"])
-                .select(F.col("__d").alias("__n"), "__c")
-                .groupBy("__n")
-                .agg(F.min("__c").alias("__cc"))
-            )
-            merged = (
-                col.join(cand, on="__n", how="left")
+        cand = lab.unionByName(step)
+        if jump:
+            j = (
+                lab.alias("x")
+                .join(lab.alias("y"), F.col("x.__c") == F.col("y.__n"))
                 .select(
-                    "__n",
-                    F.least(
-                        F.col("__c"), F.coalesce(F.col("__cc"), F.col("__c"))
-                    ).alias("__c"),
-                    (F.col("__cc") < F.col("__c")).alias("__impr"),
+                    F.col("x.__n").alias("__n"),
+                    F.col("y.__c").alias("__c"),
                 )
-                .transform(lambda d: truncate_lineage(d, eager=False))
             )
-            frontier = merged.filter(F.col("__impr")).select("__n", "__c")
-            col = merged.select("__n", "__c")
-            # stop-check every OTHER round (and at the cap): a round
-            # past the fixpoint is a provable no-op, so the output is
-            # identical — this halves the driver round-trips that
-            # dominate wall time on entity-sized graphs
-            if _r % 2 == 1 or _r == prop_rounds - 1:
-                n_improved = (
-                    merged.filter(F.col("__impr"))
-                    .agg(F.count(F.lit(1)))
-                    .collect()[0][0]
+            cand = cand.unionByName(j)
+        return cand.groupBy("__n").agg(F.min("__c").alias("__c"))
+
+    def _min_label_fixpoint(
+        lab: DataFrame, prop: DataFrame, rounds: int
+    ) -> DataFrame:
+        """Jump-accelerated min-label propagation to the exact
+        fixpoint of the one-step operator. ``lab`` is (__n, __c) with
+        __c initialized to __n; ``prop`` is (__s, __d) meaning __s's
+        label flows to __d.
+
+        Convergence protocol: rounds run in blocks of FOUR inside one
+        lazily-checkpointed plan, then a single STABILITY job both
+        materializes the block and counts one-step violations —
+        edges whose source label is smaller than their destination's
+        (new(d) = min(lab(d), min lab(s)) changes some label iff such
+        an edge exists, and one-step stability implies jump stability
+        since color chains are themselves label-order paths). Zero
+        violations ⟺ the exact one-step fixpoint, so the typical
+        phase costs ONE Spark job: with pointer jumping a block of
+        four rounds covers the measured fixpoints at every gate SF,
+        and the check that proves it doubles as the materializer."""
+        done = 0
+        while done < rounds:
+            block = min(4, rounds - done)
+            for i in range(block):
+                lab = lazy(_one_round(lab, prop, done + i < jump_cap))
+            done += block
+            violations = (
+                prop.join(
+                    lab.select(
+                        F.col("__n").alias("__vs"),
+                        F.col("__c").alias("__cs"),
+                    ),
+                    F.col("__s") == F.col("__vs"),
                 )
-                if n_improved == 0:
-                    break  # exact fixpoint: colors stable
-        # -- 2. backward capture over same-color edges ---------------
+                .join(
+                    lab.select(
+                        F.col("__n").alias("__vd"),
+                        F.col("__c").alias("__cd"),
+                    ),
+                    F.col("__d") == F.col("__vd"),
+                )
+                .filter(F.col("__cs") < F.col("__cd"))
+                .agg(F.count(F.lit(1)))
+                .collect()[0][0]
+            )
+            if violations == 0:
+                break  # exact one-step fixpoint
+        return lab
+
+    for peel in range(outer_rounds):
+        # -- 0. trim: degree-0 nodes are singleton SCCs (check-free,
+        # first peel only — it exists to strip the raw graph's DAG
+        # bulk; later peels are residue where the per-round plan cost
+        # outweighs what trim saves, and an untrimmed trivial node is
+        # captured as a singleton class anyway) -----------------------
+        if peel == 0:
+            nodes0 = nodes
+            for _r in range(min(3, prop_rounds)):
+                has_out = e.select(F.col("__s").alias("__n")).distinct()
+                has_in = e.select(F.col("__d").alias("__n")).distinct()
+                core = lazy(
+                    nodes.join(has_out, on="__n", how="left_semi").join(
+                        has_in, on="__n", how="left_semi"
+                    )
+                )
+                nodes = core
+                e = lazy(
+                    e.join(core.select(F.col("__n").alias("__x")),
+                           F.col("__s") == F.col("__x"), "left_semi")
+                    .join(core.select(F.col("__n").alias("__x")),
+                          F.col("__d") == F.col("__x"), "left_semi")
+                )
+            # every trimmed node at once (not per round): scc = self
+            assigned = lazy(
+                nodes0.join(nodes, on="__n", how="left_anti").select(
+                    "__n", F.col("__n").alias("__scc")
+                )
+            )
+        # -- 1. forward min-label coloring (jump-accelerated) ---------
+        col = lazy(nodes.withColumn("__c", F.col("__n")))
+        col = _min_label_fixpoint(col, e, prop_rounds)
+        # -- 2. backward capture over same-color edges ----------------
         sc = col.select(
             F.col("__n").alias("__cn"), F.col("__c").alias("__scol")
         )
-        ce = (
-            e.join(sc, e["__s"] == sc["__cn"])
+        ce = lazy(
+            e.join(sc, F.col("__s") == F.col("__cn"))
             .select("__s", "__d", F.col("__scol").alias("__sc"))
-            .join(sc, F.col("__d") == sc["__cn"])
-            .filter(F.col("__sc") == F.col("__scol"))
+            .join(
+                sc.select(
+                    F.col("__cn").alias("__cn2"),
+                    F.col("__scol").alias("__sc2"),
+                ),
+                F.col("__d") == F.col("__cn2"),
+            )
+            .filter(F.col("__sc") == F.col("__sc2"))
             .select("__s", "__d")
-            .transform(lambda d: truncate_lineage(d, eager=False))
         )
-        cap = col.filter(F.col("__c") == F.col("__n")).transform(
-            lambda d: truncate_lineage(d, eager=False)
+        # reach(v) = min id reachable FROM v within its class: the
+        # same propagation along REVERSED class edges
+        reach = lazy(nodes.withColumn("__c", F.col("__n")))
+        reach = _min_label_fixpoint(
+            reach,
+            ce.select(
+                F.col("__d").alias("__s"), F.col("__s").alias("__d")
+            ),
+            prop_rounds,
         )
-        frontier = cap.select("__n")
-        for _r in range(prop_rounds):
-            preds = (
-                frontier.join(ce, frontier["__n"] == ce["__d"])
-                .select(F.col("__s").alias("__n"))
-                .distinct()
-            )
-            new = (
-                preds.join(cap, on="__n", how="left_anti")
-                .join(col, on="__n")
-                .transform(lambda d: truncate_lineage(d, eager=False))
-            )
-            if _r % 2 == 1 or _r == prop_rounds - 1:
-                if new.count() == 0:
-                    break  # exact fixpoint: nothing left to capture
-            cap = cap.unionByName(new).transform(
-                lambda d: truncate_lineage(d, eager=False)
-            )
-            frontier = new.select("__n")
+        cap = lazy(
+            col.join(
+                reach.select("__n", F.col("__c").alias("__r")),
+                on="__n",
+            ).filter(F.col("__r") == F.col("__c"))
+        )
         # -- 3. assign and shrink the subgraph ------------------------
         got = cap.select("__n", F.col("__c").alias("__scc"))
-        assigned = (
+        assigned = lazy(
             got if assigned is None else assigned.unionByName(got)
-        ).transform(lambda d: truncate_lineage(d, eager=False))
+        )
         nodes = nodes.join(cap.select("__n"), on="__n", how="left_anti")
-        e = (
+        e = lazy(
             e.join(cap.select(F.col("__n").alias("__x")),
-                   e["__s"] == F.col("__x"), "left_anti")
+                   F.col("__s") == F.col("__x"), "left_anti")
             .join(cap.select(F.col("__n").alias("__x")),
-                  e["__d"] == F.col("__x"), "left_anti")
-            .transform(lambda d: truncate_lineage(d, eager=False))
+                  F.col("__d") == F.col("__x"), "left_anti")
         )
         n_left = nodes.count()
         if n_left == 0:
             break  # every node assigned: further rounds are no-ops
-    return assigned.select(
+    out = assigned.select(
         F.col("__n").alias("node"), F.col("__scc").alias("scc")
     )
+    # hand the (bounded, node-sized) result back to the CALLER's
+    # session so downstream plans use its parallelism settings; lazy
+    # — the caller's first action materializes it
+    return truncate_lineage(_in_session(out, parent), eager=False)

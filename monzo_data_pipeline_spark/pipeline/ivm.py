@@ -61,6 +61,38 @@ def join_view_delta(
     return da.join(b_new, on).unionByName(a_old.join(db, on))
 
 
+def join_view_retraction(
+    a_new: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Rows REMOVED from the inner-join view A ⋈ B when delete
+    batches Δ⁻A and Δ⁻B arrive — the delete-side delta rule (the
+    insert rule of `join_view_delta` with its proof obligation
+    inverted):
+
+        Δ⁻(A ⋈ B) = Δ⁻A ⋈ B_old  ∪  A_new ⋈ Δ⁻B
+        (A_new = A_old ∖ Δ⁻A; the two terms are DISJOINT — the first
+         covers every removed join pair whose A row was deleted, the
+         second those whose A row survived but whose B row was
+         deleted — so the union is exact, no inclusion-exclusion)
+
+    This is the reference's corrections-arrive-later case (a bronze
+    correction retracting already-loaded join rows — the `settled`
+    column that arrives null and is later rewritten, SURVEY §1.2)
+    generalized to a JOIN view. Both delete batches broadcast, so the
+    stored relations never shuffle; for an aggregated view, fold
+    `negate_partial(partial-aggregate(result))` into the view state
+    (counting IVM) instead of materializing the row delta, and drop
+    groups whose count reaches 0."""
+    da = F.broadcast(a_delta) if broadcast_deltas else a_delta
+    db = F.broadcast(b_delta) if broadcast_deltas else b_delta
+    return da.join(b_old, on).unionByName(a_new.join(db, on))
+
+
 def merge_agg_state(
     state: DataFrame | None, partial: DataFrame, keys: list[str]
 ) -> DataFrame:

@@ -134,3 +134,92 @@ def test_retraction_folds_out_and_drops_empty_groups(spark):
     assert live == {1: (1, 10.0), 3: (1, 7.0)}
     # dtype stable through negation + fold
     assert dict(state.dtypes)["s"] == "decimal(28,2)"
+
+
+def test_join_retraction_equals_old_minus_new(spark, sf_dir):
+    """The delete-side delta rule is exact: the retracted rows are
+    precisely old-join minus survivor-join, for deletes on both
+    sides at once."""
+    from monzo_data_pipeline_spark.pipeline.ivm import (
+        join_view_retraction,
+    )
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    b = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    a_del = a.filter("o_orderkey % 3 = 0")
+    a_new = a.filter("o_orderkey % 3 != 0")
+    b_del = b.filter("k % 4 = 0")
+    b_new = b.filter("k % 4 != 0")
+
+    got = join_view_retraction(a_new, a_del, b, b_del, ["k"])
+    want = a.join(b, "k").exceptAll(a_new.join(b_new, "k"))
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_join_retraction_empty_deltas(spark, sf_dir):
+    from monzo_data_pipeline_spark.pipeline.ivm import (
+        join_view_retraction,
+    )
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k")
+    )
+    b = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    none_a = a.filter("1 = 0")
+    none_b = b.filter("1 = 0")
+    assert join_view_retraction(a, none_a, b, none_b, ["k"]).count() == 0
+    # deletes on one side only == the deleted side joined to the other
+    only_a = join_view_retraction(
+        a.filter("o_orderkey % 2 != 0"),
+        a.filter("o_orderkey % 2 = 0"),
+        b,
+        none_b,
+        ["k"],
+    )
+    want = a.filter("o_orderkey % 2 = 0").join(b, ["k"])
+    assert _sorted_rows(only_a) == _sorted_rows(want)
+
+
+def test_join_retraction_folds_into_view_state(spark, sf_dir):
+    """Counting-IVM fold over a JOIN view: state built before the
+    deletes, retraction partials negated in, count-0 groups dropped
+    — bit-exactly the one-shot aggregate over the surviving join."""
+    from monzo_data_pipeline_spark.pipeline.ivm import (
+        join_view_retraction,
+        negate_partial,
+    )
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    b = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def partial(rows):
+        return rows.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("s"),
+        )
+
+    a_del = a.filter("o_orderkey % 13 = 0")
+    a_new = a.filter("o_orderkey % 13 != 0")
+    b_del = b.filter("k % 17 = 0")
+    b_new = b.filter("k % 17 != 0")
+
+    state = partial(a.join(b, ["k"]))
+    retracted = join_view_retraction(a_new, a_del, b, b_del, ["k"])
+    state = merge_agg_state(
+        state, negate_partial(partial(retracted), ["k"]), ["k"]
+    )
+    got = state.filter(F.col("n") > 0)
+    want = partial(a_new.join(b_new, ["k"]))
+    assert _sorted_rows(got) == _sorted_rows(want)

@@ -103,7 +103,7 @@ SHOW = {
     "modularity_copurchase": "modularity — degree agg + two label joins + edge count off ONE checkpointed edge leaf; DECIMAL ratio scalar, driver-free",
     "zorder_layout_orders": "Z-order audit — map-side bit-interleave projection in codegen, ONE ≤1024-group exchange, ordered output",
     # round 8
-    "scc_part_precedence": "directed SCC — final peel's plan: frontier ⋈ checkpointed same-color edges, anti+semi shrink; per-round work ∝ frontier × remaining edges, edge build broadcast-semi'd against the shared pair memo before the dedup",
+    "scc_part_precedence": "directed SCC — r9: memoized precedence edge set; trim peels the DAG bulk check-free, jump-accelerated min-label rounds in 4-round blocks with ONE stability job each, all in a child session with edge-scaled shuffle parallelism",
     "zorder_erasure_layout": "erasure×layout audit — r9: the memo holds the POST-ERASURE WAREHOUSE artifact (write+erase once per session); every call runs the real Morton audit over the surviving clustered table: map-side bit-interleave, ONE ≤1024-group exchange",
     "kmv_distinct_parts": "KMV sketch — pushed NOT-NULL, map-side partial DISTINCT before the exchange, TakeOrderedAndProject(k); never a global sort, state 256 rows",
     "theta_intersect_customers": "theta intersection — two KMV state builds (each partial-distinct + TakeOrdered), then broadcast-sized joins of the 256-row states; the big scans never join each other",
@@ -112,6 +112,8 @@ SHOW = {
     "seasonal_decompose_revenue": "seasonal decomposition — fact scanned once into the monthly agg; trend/seasonal/residual are broadcast joins on the ≤80-row series (offset self-join, NO unpartitioned window)",
     "asof_nearest_join": "nearest as-of — BOTH directional fills over ONE hash exchange on user_id (two in-partition Sort + Window pairs, no second shuffle); distance choice is row-local",
     "ivf_index_search": "persisted IVF index probe — r9: the memo holds the INDEX artifact only; every call runs the real search: dynamicpruning expression on the cell-partitioned scan, the probe reads ONE cell directory, search flat at 100x data (SCALING.md)",
+    # round 9
+    "ivm_join_retraction": "delete-side join-view delta rule — d-A⋈B_old UNION A_new⋈d-B with both delete batches broadcast; retraction partials negate into the DECIMAL view state, stored relations never shuffle",
 }
 
 MARKERS = (

@@ -183,6 +183,8 @@ QUERY_SET = [
     # Z-order layout audit
     "scc_part_precedence",
     "zorder_erasure_layout",
+    # round-9 addition: the delete-side join-view delta rule
+    "ivm_join_retraction",
 ]
 
 KEY_OFFSET = 100_000_000
