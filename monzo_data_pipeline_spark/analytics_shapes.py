@@ -128,6 +128,96 @@ def register(_register) -> None:
             .orderBy(F.desc("rank_q"), "n_name")
         )
 
+    _PPR_ROUND = """
+    p{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(n.is_seed * 150000000
+                    + COALESCE(c.inw, 0) * 85 // 100 AS BIGINT)
+                 AS rank_q
+        FROM p0n n
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(r.rank_q * e.w // o.outw) AS inw
+            FROM p{j} r
+            JOIN e ON r.node = e.src
+            JOIN outw o ON e.src = o.src
+            GROUP BY 1
+        ) c USING (node)
+    )"""
+
+    @_register(
+        "ppr_trade_graph",
+        "north-star (r9: PERSONALIZED PageRank over the nation trade "
+        "graph — teleport mass returns to the EUROPE seed set, so "
+        "ranks read as importance relative to European buyers; same "
+        "integer fixed-point rounds and edge-build plan as "
+        "pagerank_trade_graph — ext/graph.py::personalized_pagerank; "
+        "oracle = chained AS MATERIALIZED CTE rounds with the "
+        "seed-conditional teleport)",
+        """
+    WITH e AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ), outw AS MATERIALIZED (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY 1
+    ), p0n AS MATERIALIZED (
+        SELECT n_nationkey AS node,
+               CASE WHEN r_name = 'EUROPE' THEN 1 ELSE 0 END AS is_seed
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ), p0 AS MATERIALIZED (
+        SELECT node, CAST(is_seed AS BIGINT) * 1000000000 AS rank_q
+        FROM p0n
+    ),"""
+        + ",".join(
+            _PPR_ROUND.format(i=i, j=i - 1) for i in range(1, 4)
+        )
+        + """
+    SELECT n_name, rank_q
+    FROM p3 JOIN nation ON node = n_nationkey
+    ORDER BY rank_q DESC, n_name
+    """,
+    )
+    def q_ppr_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        supp = load_table(spark, sf_dir, "supplier")
+        nation = load_table(spark, sf_dir, "nation")
+        region = load_table(spark, sf_dir, "region")
+        edges = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+            .groupBy(
+                F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        nodes = nation.select(F.col("n_nationkey").alias("node"))
+        seeds = (
+            nation.join(
+                F.broadcast(region),
+                nation["n_regionkey"] == region["r_regionkey"],
+            )
+            .filter(F.col("r_name") == "EUROPE")
+            .select(F.col("n_nationkey").alias("node"))
+        )
+        ranks = G.personalized_pagerank(nodes, edges, seeds, iters=3)
+        return (
+            ranks.join(
+                F.broadcast(nation),
+                ranks["node"] == nation["n_nationkey"],
+            )
+            .select("n_name", "rank_q")
+            .orderBy(F.desc("rank_q"), "n_name")
+        )
+
     @_register(
         "skyline_parts",
         "north-star (2-D Pareto frontier, min price / max size: "
@@ -2698,6 +2788,191 @@ def register(_register) -> None:
         return kmv_finalize(kmv_merge(half_a, half_b))
 
     # ------------------------------------------------------------------
+    # r9 — deterministic count-min sketch: the "how often does key k
+    # occur" companion to HLL's "how many distinct", with bounded d·w
+    # counter state, an exact merge law (counter addition), and the
+    # MIN-over-rows point estimate — all on the engine-agnostic
+    # Carter-Wegman hash family so the state itself hash-checks.
+    # ------------------------------------------------------------------
+
+    from .operators.sketches import (
+        cms_det_oracle_sql,
+        cms_estimate_det,
+        cms_merge,
+        cms_state_det,
+    )
+
+    @_register(
+        "cms_heavy_parts",
+        "C7/north-star (r9: deterministic count-min sketch — d=4 "
+        "Carter-Wegman row hashes over the 2^31-1 prime into w=512 "
+        "cells, state = bounded d*w counter table built by ONE "
+        "map-side-combinable hash aggregate regardless of input "
+        "size; estimate = MIN over the probe key's d cells, "
+        "guaranteed >= true count; probes = the true top-10 parts, "
+        "output carries true vs estimated count so the gate checks "
+        "the estimator end to end — operators/sketches.py::"
+        "cms_state_det/cms_estimate_det)",
+        cms_det_oracle_sql(
+            "lineitem",
+            "l_partkey",
+            "SELECT l_partkey AS k FROM lineitem GROUP BY 1 "
+            "ORDER BY COUNT(*) DESC, l_partkey ASC LIMIT 10",
+        ),
+    )
+    def q_cms_heavy_parts(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+        probes = (
+            li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("true_count"))
+            .orderBy(F.desc("true_count"), F.asc("l_partkey"))
+            .limit(10)
+        )
+        est = cms_estimate_det(
+            cms_state_det(li, "l_partkey"),
+            probes.select(F.col("l_partkey").alias("k")),
+            "k",
+        )
+        return (
+            est.join(
+                F.broadcast(
+                    probes.select(
+                        F.col("l_partkey").alias("k"), "true_count"
+                    )
+                ),
+                "k",
+            )
+            .select("k", "true_count", "est_count")
+            .orderBy("k")
+        )
+
+    @_register(
+        "cms_merge_counts",
+        "C7/north-star (r9: the count-min MERGE LAW under the hash "
+        "gate — states built independently on the even/odd o_orderkey "
+        "halves, merged by counter addition (UNION+SUM; exact state "
+        "equality, the per-batch-state -> warehouse-merge shape), "
+        "then probed for the true top-5 customers; oracle = the "
+        "whole-data sketch, equal by the law — operators/"
+        "sketches.py::cms_merge)",
+        cms_det_oracle_sql(
+            "orders",
+            "o_custkey",
+            "SELECT o_custkey AS k FROM orders GROUP BY 1 "
+            "ORDER BY COUNT(*) DESC, o_custkey ASC LIMIT 5",
+        ),
+    )
+    def q_cms_merge_counts(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        probes = (
+            o.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("true_count"))
+            .orderBy(F.desc("true_count"), F.asc("o_custkey"))
+            .limit(5)
+        )
+        # == 0 vs != 0: the halves must partition any key domain
+        half_a = cms_state_det(
+            o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey"
+        )
+        half_b = cms_state_det(
+            o.filter(F.col("o_orderkey") % 2 != 0), "o_custkey"
+        )
+        est = cms_estimate_det(
+            cms_merge(half_a, half_b),
+            probes.select(F.col("o_custkey").alias("k")),
+            "k",
+        )
+        return (
+            est.join(
+                F.broadcast(
+                    probes.select(
+                        F.col("o_custkey").alias("k"), "true_count"
+                    )
+                ),
+                "k",
+            )
+            .select("k", "true_count", "est_count")
+            .orderBy("k")
+        )
+
+    @_register(
+        "bloom_join_prune",
+        "C7/north-star (r9: deterministic Bloom filter as the "
+        "join-prune side channel — k=4 Carter-Wegman bits over "
+        "m=65536 into a bounded 1024-word BIT_OR state built on the "
+        "BUILDING-segment customers, probed by every order key with "
+        "a broadcast of the state; no false negatives by "
+        "construction, and the output carries true-match vs "
+        "bloom-pass vs false-positive counts so the gate checks the "
+        "membership semantics end to end — operators/sketches.py::"
+        "bloom_state/bloom_probe)",
+        f"""
+        WITH h(r, a, b) AS (
+            SELECT 0, 506952114, 12345 UNION ALL
+            SELECT 1, 40503, 98765 UNION ALL
+            SELECT 2, 1103515245, 54321 UNION ALL
+            SELECT 3, 69069, 777777777
+        ), cust AS (
+            SELECT c_custkey AS x FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ), bits AS (
+            SELECT DISTINCT
+                   ((x % 2147483647) * a + b) % 2147483647 % 65536
+                     AS pos
+            FROM cust CROSS JOIN h
+        ), keys AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+        ), kpos AS (
+            SELECT k, ((k % 2147483647) * a + b) % 2147483647 % 65536
+                     AS pos
+            FROM keys CROSS JOIN h
+        ), kpass AS (
+            SELECT k FROM kpos LEFT JOIN bits USING (pos)
+            GROUP BY k HAVING COUNT(bits.pos) = 4
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_custkey IN (SELECT x FROM cust)) AS n_true,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_custkey IN (SELECT k FROM kpass)) AS n_pass,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_custkey IN (SELECT k FROM kpass)
+               AND o_custkey NOT IN (SELECT x FROM cust))
+              AS n_false_pos
+        """,
+    )
+    def q_bloom_join_prune(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators.sketches import bloom_probe, bloom_state
+
+        cust = load_table(spark, sf_dir, "customer")
+        orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+        build = cust.filter(
+            F.col("c_mktsegment") == "BUILDING"
+        ).select("c_custkey")
+        state = bloom_state(build, "c_custkey")
+        passed = bloom_probe(state, orders, "o_custkey")
+        n_true = orders.join(
+            F.broadcast(build),
+            orders["o_custkey"] == build["c_custkey"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_true"))
+        n_pass = passed.agg(F.count(F.lit(1)).alias("n_pass"))
+        n_fp = passed.join(
+            F.broadcast(build),
+            passed["o_custkey"] == build["c_custkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_false_pos"))
+        return n_true.crossJoin(n_pass).crossJoin(n_fp)
+
+    # ------------------------------------------------------------------
     # r8 — incremental view maintenance for JOIN views (pipeline/
     # ivm.py): the insert-only delta rule and the batched fold of a
     # join-aggregate, both proven against one-shot oracles.
@@ -2882,6 +3157,70 @@ def register(_register) -> None:
         from .operators.timeseries import seasonal_decompose_monthly
 
         return seasonal_decompose_monthly(
+            load_table(spark, sf_dir, "orders"),
+            "o_orderdate",
+            "o_totalprice",
+        )
+
+    @_register(
+        "holt_forecast_revenue",
+        "north-star/B1 (r9: Holt's linear-trend double exponential "
+        "smoothing over the monthly revenue series with the h-step "
+        "forecast — alpha=beta=1/2 so every smoothing step is an "
+        "exact integer FLOOR halving (arithmetic shift / //: floor "
+        "on both engines even for negative trends); fact touched "
+        "once by the monthly agg, the recurrence is ONE F.aggregate "
+        "fold over the bounded sorted month array (the ewma idiom "
+        "with a struct accumulator), oracle = a recursive-CTE twin "
+        "of the same recurrence — operators/timeseries.py::"
+        "holt_linear_forecast)",
+        """
+        WITH RECURSIVE mth AS (
+            -- CAST the SUM back: DuckDB SUM(BIGINT) -> HUGEINT would
+            -- propagate through the recursion into the output dtypes
+            SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS y
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY 1
+        ), s AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY idx) AS t, y FROM mth
+        ), hw(t, l, b) AS (
+            -- FLOOR halving (DuckDB // truncates toward zero; the
+            -- trend goes negative): x//2 spelled (x - pmod(x,2))//2
+            SELECT 1, y, CAST(0 AS BIGINT) FROM s WHERE t = 1
+            UNION ALL
+            SELECT hw.t + 1,
+                   CASE WHEN hw.t = 1 THEN s.y
+                        ELSE ((s.y + hw.l + hw.b)
+                              - (((s.y + hw.l + hw.b) % 2) + 2) % 2)
+                             // 2 END,
+                   CASE WHEN hw.t = 1 THEN s.y - hw.l
+                        ELSE ((((s.y + hw.l + hw.b)
+                                - (((s.y + hw.l + hw.b) % 2) + 2) % 2)
+                               // 2 - hw.l + hw.b)
+                              - ((((s.y + hw.l + hw.b)
+                                   - (((s.y + hw.l + hw.b) % 2) + 2)
+                                     % 2) // 2 - hw.l + hw.b) % 2 + 2)
+                                % 2) // 2 END
+            FROM hw JOIN s ON s.t = hw.t + 1
+        ), fin AS (
+            SELECT l, b FROM hw ORDER BY t DESC LIMIT 1
+        )
+        SELECT CAST(h AS INT) AS h, CAST(l AS BIGINT) AS level_cents,
+               CAST(b AS BIGINT) AS trend_cents,
+               CAST(l + h * b AS BIGINT) AS forecast_cents
+        FROM fin CROSS JOIN (VALUES (1), (2), (3)) AS hs(h)
+        ORDER BY h
+        """,
+    )
+    def q_holt_forecast_revenue(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators.timeseries import holt_linear_forecast
+
+        return holt_linear_forecast(
             load_table(spark, sf_dir, "orders"),
             "o_orderdate",
             "o_totalprice",

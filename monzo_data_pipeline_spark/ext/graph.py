@@ -116,6 +116,94 @@ def pagerank(
     return ranks.select(F.col("__node").alias(node_col), "rank_q")
 
 
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Personalized PageRank (r9): the teleport mass returns to the
+    SEED set instead of spreading uniformly — "importance relative to
+    these entities", the recommendation/attribution variant of
+    `pagerank` (same integer fixed-point determinism contract, same
+    per-round plan: one join + one partial-agg'd groupBy on the
+    entity graph).
+
+    rank₀(v) = SCALE·[v ∈ S]; per round
+    rank(v) = (1−d)·SCALE·[v ∈ S] + d·Σ_{u→v} rank(u)·w/out(u),
+    every product/division exact integer (rank·w DIV out, ·d DIV
+    100). Unnormalized (masses are comparable within one run, which
+    is what ranking needs); dangling mass dropped as in `pagerank`.
+    `seeds` is one column of node ids (deduplicated here)."""
+    base_seed = (100 - damping_pct) * RANK_SCALE // 100
+    edges = edges.filter(F.col(weight_col) > 0)
+    out = edges.groupBy(src_col).agg(F.sum(weight_col).alias("__out"))
+    e = edges.join(out, src_col).select(
+        F.col(src_col).alias("__src"),
+        F.col(dst_col).alias("__dst"),
+        F.col(weight_col).alias("__w"),
+        "__out",
+    )
+    e = e.persist()
+    sd = seeds.select(
+        F.col(seeds.columns[0]).alias("__node")
+    ).distinct()
+    marked = (
+        nodes.select(F.col(node_col).alias("__node"))
+        .join(
+            F.broadcast(sd.withColumn("__is_seed", F.lit(1))),
+            "__node",
+            "left",
+        )
+        .select(
+            "__node",
+            F.coalesce(F.col("__is_seed"), F.lit(0)).alias("__is_seed"),
+        )
+        .persist()
+    )
+    ranks = marked.select(
+        "__node",
+        (F.col("__is_seed").cast("long") * F.lit(RANK_SCALE)).alias(
+            "rank_q"
+        ),
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, ranks["__node"] == e["__src"])
+            .select(
+                "__dst",
+                F.expr("rank_q * __w DIV __out").alias("__c"),
+            )
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            marked.join(
+                contrib, F.col("__node") == F.col("__dst"), "left"
+            )
+            .select(
+                "__node",
+                (
+                    F.col("__is_seed").cast("long") * F.lit(base_seed)
+                    + F.expr(
+                        f"coalesce(__in, 0L) * {damping_pct} DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_q"),
+            )
+        )
+        ranks = truncate_lineage(ranks)
+    e.unpersist()
+    marked.unpersist()
+    return ranks.select(F.col("__node").alias(node_col), "rank_q")
+
+
 # HITS fixed-point scale: 10^6 keeps every Σ score·w under 2^63 for
 # in-degrees ≤ ~10^6 edges of weight ≤ ~10^6 each
 HITS_SCALE = 1_000_000

@@ -180,6 +180,253 @@ def cms_estimate(
     )
 
 
+# --- deterministic count-min (oracle-checkable) -----------------------------
+
+# Carter-Wegman row hashes h_r(x) = (x·A_r + B_r) mod P, cell = h mod w
+# — fixed literal (A, B) pairs over the same 2³¹−1 prime as the HLL/KMV
+# family, so the SKETCH STATE ITSELF is bit-identical across engines
+# (the xxhash64 variant above is Spark-internal). x < P and A < 2³¹
+# keep x·A + B < 2⁶² — exact in int64 on both engines.
+_CMS_P = 2_147_483_647
+_CMS_ROWS = (
+    (506_952_114, 12_345),
+    (40_503, 98_765),
+    (1_103_515_245, 54_321),
+    (69_069, 777_777_777),
+)
+CMS_DET_WIDTH = 512
+
+
+def cms_state_det(
+    df: DataFrame, key_col: str, width: int = CMS_DET_WIDTH
+) -> DataFrame:
+    """Count-min state `(row, cell) -> cnt` on the engine-agnostic
+    Carter-Wegman hash family — the deterministic twin of `cms_state`
+    (same d·w bounded-counter shape, merge law, and MIN estimator;
+    see the xxhash64 variant's module comment for the accuracy
+    bounds: ε = e/w of total count, δ = e^−d). Integer keys only
+    (the hll_deterministic contract); NULLs excluded. One shuffle of
+    at most d·w groups — map-side partials do nearly all the work at
+    any scale."""
+    x = F.pmod(F.col(key_col).cast("long"), F.lit(_CMS_P))
+    base = df.filter(F.col(key_col).isNotNull()).select(x.alias("__x"))
+    parts = []
+    for r, (a, b) in enumerate(_CMS_ROWS):
+        parts.append(
+            base.select(
+                F.lit(r).cast("int").alias("row"),
+                F.pmod(
+                    (F.col("__x") * F.lit(a) + F.lit(b)) % F.lit(_CMS_P),
+                    F.lit(width),
+                )
+                .cast("int")
+                .alias("cell"),
+            )
+        )
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    return allrows.groupBy("row", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate_det(
+    state: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int = CMS_DET_WIDTH,
+) -> DataFrame:
+    """Frequency estimate for every probe key: re-hash into the d
+    cells, broadcast-join the (≤ d·w row) state, MIN across rows.
+    Guaranteed estimate ≥ true count (cells only over-count)."""
+    x = F.pmod(F.col(key_col).cast("long"), F.lit(_CMS_P))
+    cells = []
+    for r, (a, b) in enumerate(_CMS_ROWS):
+        cells.append(
+            probes.select(
+                F.col(key_col),
+                F.lit(r).cast("int").alias("row"),
+                F.pmod(
+                    (x * F.lit(a) + F.lit(b)) % F.lit(_CMS_P),
+                    F.lit(width),
+                )
+                .cast("int")
+                .alias("cell"),
+            )
+        )
+    probe_cells = cells[0]
+    for c in cells[1:]:
+        probe_cells = probe_cells.unionByName(c)
+    return (
+        probe_cells.join(F.broadcast(state), ["row", "cell"], "left")
+        .fillna({"cnt": 0})
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def cms_det_oracle_sql(
+    src: str, key_expr: str, probe_sql: str, width: int = CMS_DET_WIDTH
+) -> str:
+    """DuckDB twin of cms_state_det + cms_estimate_det over `src`:
+    `probe_sql` must yield (k) probe keys; returns per-probe
+    (key, true_cnt, est_cnt)."""
+    hashes = " UNION ALL ".join(
+        f"SELECT {r} AS row, {a} AS a, {b} AS b"
+        for r, (a, b) in enumerate(_CMS_ROWS)
+    )
+    return f"""
+        WITH h(row, a, b) AS ({hashes}),
+        keys AS (
+            SELECT CAST({key_expr} AS BIGINT) % {_CMS_P} AS x
+            FROM {src} WHERE {key_expr} IS NOT NULL
+        ),
+        state AS (
+            SELECT row, (x * a + b) % {_CMS_P} % {width} AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM keys CROSS JOIN h GROUP BY 1, 2
+        ),
+        probes AS ({probe_sql}),
+        pc AS (
+            SELECT p.k, h.row,
+                   ((CAST(p.k AS BIGINT) % {_CMS_P}) * a + b)
+                     % {_CMS_P} % {width} AS cell
+            FROM probes p CROSS JOIN h
+        ),
+        est AS (
+            SELECT pc.k, MIN(COALESCE(s.cnt, 0)) AS est_count
+            FROM pc LEFT JOIN state s
+              ON pc.row = s.row AND pc.cell = s.cell
+            GROUP BY 1
+        ),
+        tru AS (
+            SELECT {key_expr} AS k, CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM {src} WHERE {key_expr} IS NOT NULL GROUP BY 1
+        )
+        SELECT est.k, tru.true_count, est.est_count
+        FROM est JOIN tru ON est.k = tru.k
+        ORDER BY est.k
+    """
+
+
+# --- deterministic Bloom filter (oracle-checkable) ---------------------------
+
+BLOOM_M_BITS = 65_536  # 1024 64-bit words of bounded state
+BLOOM_K = 4
+
+
+def bloom_state(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom filter over integer keys as an inspectable (word, bits)
+    table — the MEMBERSHIP sketch that completes the family (HLL =
+    how many distinct, CMS = how often, KMV/theta = set overlap,
+    bloom = "might this key be present"), and the classic join-prune
+    side-channel: ship the ≤ m/64-row state to the fact side and skip
+    rows whose key cannot be in the build set.
+
+    Same Carter-Wegman rows as the deterministic CMS, so the STATE is
+    bit-identical cross-engine; bit k of word w via shiftleft(1, bit)
+    + BIT_OR aggregation (int64 two's-complement shifts agree across
+    engines, including bit 63). False-positive rate ≈
+    (1 − e^(−k·n/m))^k — size m ≳ 10·k·n for ~1%; merge = per-word
+    OR (union of the key sets, exact)."""
+    x = F.pmod(F.col(key_col).cast("long"), F.lit(_CMS_P))
+    base = df.filter(F.col(key_col).isNotNull()).select(x.alias("__x"))
+    parts = []
+    for a, b in _CMS_ROWS[:k]:
+        pos = F.pmod(
+            (F.col("__x") * F.lit(a) + F.lit(b)) % F.lit(_CMS_P),
+            F.lit(m_bits),
+        )
+        parts.append(
+            base.select(pos.alias("__pos")).select(
+                F.expr("__pos DIV 64").alias("word"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(__pos % 64 AS INT))"
+                ).alias("__bit"),
+            )
+        )
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    return allrows.groupBy("word").agg(
+        F.bit_or("__bit").alias("bits")
+    )
+
+
+def bloom_merge(*states: DataFrame) -> DataFrame:
+    """Merge filters by per-word OR — exactly the union of key sets."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    state: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Filter `df` to rows whose key MIGHT be in the build set (every
+    one of the k bits set — no false negatives): re-hash each key,
+    broadcast-join the bounded state, AND over the k probes. The
+    semi-join reduction a 100 TB scan applies before an expensive
+    join."""
+    x = F.pmod(F.col(key_col).cast("long"), F.lit(_CMS_P))
+    probes = []
+    for r, (a, b) in enumerate(_CMS_ROWS[:k]):
+        pos = F.pmod(
+            (x * F.lit(a) + F.lit(b)) % F.lit(_CMS_P), F.lit(m_bits)
+        )
+        probes.append(
+            df.select(
+                F.col(key_col).alias("__k"), pos.alias("__pos")
+            )
+            .select(
+                "__k",
+                F.expr("__pos DIV 64").alias("word"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(__pos % 64 AS INT))"
+                ).alias("__bit"),
+            )
+            .distinct()
+        )
+    allp = probes[0]
+    for p in probes[1:]:
+        allp = allp.unionByName(p)
+    passing = (
+        allp.join(F.broadcast(state), "word", "left")
+        .select(
+            "__k",
+            (
+                F.coalesce(F.col("bits"), F.lit(0))
+                .bitwiseAND(F.col("__bit"))
+                != 0
+            )
+            .cast("int")
+            .alias("__hit"),
+        )
+        .groupBy("__k")
+        .agg((F.sum("__hit") == F.lit(k)).alias("__pass"))
+        .filter(F.col("__pass"))
+        .select(F.col("__k"))
+    )
+    return df.join(
+        F.broadcast(passing),
+        F.col(key_col) == passing["__k"],
+        "left_semi",
+    )
+
+
 # --- deterministic HyperLogLog (oracle-checkable) ---------------------------
 
 _HLL_MOD = 2_147_483_647

@@ -495,3 +495,97 @@ def seasonal_decompose_monthly(
             .alias("residual_ppm"),
         )
     )
+
+
+def holt_linear_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    horizons: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (double smoothing)
+    over the monthly series of `value_col`, with the h-step-ahead
+    forecast — the trend-aware companion to the EWMA fold and the
+    forecasting half of `seasonal_decompose_monthly`.
+
+    alpha = beta = 1/2 so every smoothing step is an exact integer
+    FLOOR halving (arithmetic shift on Spark, // in the oracle —
+    floor on both engines even when the trend goes negative), making
+    level/trend/forecast bit-identical cross-engine:
+
+        l_t = floor((y_t + l_{t-1} + b_{t-1}) / 2)
+        b_t = floor((l_t - l_{t-1} + b_{t-1}) / 2)
+        init l_2 = y_2, b_2 = y_2 - y_1 (recurrence from t = 3;
+        a length-1 series forecasts flat at y_1)
+        forecast(h) = l_T + h * b_T
+
+    Scale shape: the fact table is touched ONCE by the partial-agg'd
+    monthly groupBy (the seasonal_decompose contract); the recurrence
+    is inherently sequential, so it runs as ONE `F.aggregate` fold
+    over the bounded sorted month array (≤ 12 rows/year — the
+    ewma_user_values idiom with a struct accumulator), never a
+    driver loop or a window. Output: one row per horizon
+    (h, level_cents, trend_cents, forecast_cents)."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    m = (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.year(ts_col).alias("__yr"), F.month(ts_col).alias("__mo")
+        )
+        .agg(F.sum(cents).alias("__y"))
+        .select(
+            (F.col("__yr") * 12 + F.col("__mo")).alias("__idx"), "__y"
+        )
+    )
+    series = m.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__idx"), F.col("__y")))
+        ).alias("__s")
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("i"),
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+    )
+
+    def step(acc, e):
+        y = e["__y"]
+        first = acc["i"] == 0
+        second = acc["i"] == 1
+        l_new = F.shiftright(y + acc["l"] + acc["b"], 1)
+        b_new = F.shiftright(l_new - acc["l"] + acc["b"], 1)
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(first | second, y).otherwise(l_new).alias("l"),
+            F.when(first, F.lit(0).cast("long"))
+            .when(second, y - acc["l"])
+            .otherwise(b_new)
+            .alias("b"),
+        )
+
+    fitted = series.select(
+        F.aggregate(F.col("__s"), init, step).alias("__f")
+    ).select(
+        F.col("__f.i").alias("__n"),
+        F.col("__f.l").alias("level_cents"),
+        F.col("__f.b").alias("trend_cents"),
+    )
+    hs = F.explode(
+        F.array(*[F.lit(int(h)) for h in horizons])
+    ).alias("h")
+    return (
+        fitted.filter(F.col("__n") > 0)
+        .select("level_cents", "trend_cents", hs)
+        .select(
+            F.col("h").cast("int").alias("h"),
+            "level_cents",
+            "trend_cents",
+            (
+                F.col("level_cents")
+                + F.col("h") * F.col("trend_cents")
+            ).alias("forecast_cents"),
+        )
+        .orderBy("h")
+    )

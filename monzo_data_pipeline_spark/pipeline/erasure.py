@@ -314,6 +314,117 @@ def l_diversity_audit(
     )
 
 
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int | None = None,
+) -> DataFrame:
+    """Distribution-disclosure audit (t-closeness, Li et al. 2007):
+    the distance between each quasi-identifier class's SENSITIVE
+    distribution and the GLOBAL one — even an l-diverse class leaks
+    when its distribution is skewed (all-but-one member low-income).
+    For an ordered sensitive attribute the distance is the Earth
+    Mover's Distance with the ordered ground metric:
+
+        EMD = (1/(m−1)) · Σ_i |Σ_{j≤i} (p_j − q_j)|
+
+    computed EXACTLY in integers: with class cumulative counts c_i
+    (of N_c rows) and global cumulative counts g_i (of N rows),
+    emd_ppm = 10⁶·Σ_i |c_i·N − g_i·N_c| DIV ((m−1)·N_c·N), all in
+    DECIMAL(38,0) — no floats, so the audit hash-checks cross-engine.
+
+    `sensitive_col` must be integer-ordered (bucket continuous values
+    first). Returns every class with (quasi…, class_size, emd_ppm),
+    filtered to emd_ppm > t_ppm when `t_ppm` is given.
+
+    Scale shape: one groupBy on (quasi, sensitive) is the only
+    fact-scale operation; everything after runs on the bounded
+    C·m class×domain grid (cumulative sums via bounded m² triangular
+    self-joins — no unpartitioned window, the ntile_quartiles
+    contract)."""
+    v = F.col(sensitive_col).cast("long").alias("__v")
+    cls = df.filter(F.col(sensitive_col).isNotNull()).groupBy(
+        *quasi_cols, v
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    cls = cls.persist()
+    # global per-value counts + domain (bounded m rows)
+    gl = cls.groupBy("__v").agg(F.sum("__n").alias("__gn"))
+    # global cumulative via the bounded triangular self-join
+    gl2 = gl.select(
+        F.col("__v").alias("__v2"), F.col("__gn").alias("__gn2")
+    )
+    gcum = (
+        gl.join(F.broadcast(gl2), F.col("__v2") <= F.col("__v"))
+        .groupBy("__v")
+        .agg(F.sum("__gn2").alias("__g"))
+    )
+    n_total = gl.agg(
+        F.sum("__gn").alias("__N"), F.count(F.lit(1)).alias("__m")
+    )
+    # class totals
+    totals = cls.groupBy(*quasi_cols).agg(
+        F.sum("__n").alias("class_size")
+    )
+    # class cumulative at EVERY domain value: triangular join
+    # class-counts ⋈ domain, then re-anchored on the FULL class ×
+    # domain grid — a class with no mass at or below a domain value
+    # has cumulative 0 there, and that cell still contributes
+    # |0·N − g_i·N_c| to the EMD (dropping it undercounts one-sided
+    # classes; caught by the hand-computed two-class unit test)
+    ccum = (
+        cls.join(
+            F.broadcast(gl.select(F.col("__v").alias("__dv"))),
+            F.col("__v") <= F.col("__dv"),
+        )
+        .groupBy(*quasi_cols, "__dv")
+        .agg(F.sum("__n").alias("__c"))
+    )
+    grid = totals.crossJoin(
+        F.broadcast(gl.select(F.col("__v").alias("__dv")))
+    )
+    ccum_full = grid.join(
+        ccum, [*quasi_cols, "__dv"], "left"
+    ).fillna({"__c": 0})
+    dec = "decimal(38,0)"
+    diff = (
+        ccum_full.join(
+            F.broadcast(gcum.select(F.col("__v").alias("__dv"), "__g")),
+            "__dv",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            *quasi_cols,
+            "class_size",
+            "__N",
+            "__m",
+            F.abs(
+                F.col("__c").cast(dec) * F.col("__N")
+                - F.col("__g").cast(dec) * F.col("class_size")
+            ).alias("__d"),
+        )
+    )
+    out = (
+        diff.groupBy(*quasi_cols, "class_size", "__N", "__m")
+        .agg(F.sum("__d").alias("__sd"))
+        .select(
+            *quasi_cols,
+            "class_size",
+            F.expr(
+                # m == 1: one sensitive value everywhere — every
+                # class trivially matches the global distribution
+                "CASE WHEN __m <= 1 THEN CAST(0 AS BIGINT) ELSE "
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * __sd"
+                " DIV ((__m - 1) * CAST(class_size AS DECIMAL(38,0))"
+                " * __N) AS BIGINT) END"
+            ).alias("emd_ppm"),
+        )
+    )
+    if t_ppm is not None:
+        out = out.filter(F.col("emd_ppm") > t_ppm)
+    return out
+
+
 def erase_keys_atomic_pruned(
     wh, ids: DataFrame, key: str, tables: list[str]
 ) -> dict[str, dict]:

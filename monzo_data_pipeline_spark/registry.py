@@ -4270,6 +4270,80 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t_closeness_audit",
+    "north-star/GDPR (r9: t-closeness distribution-disclosure audit — "
+    "per quasi class, the ordered-ground-metric Earth Mover's Distance "
+    "between the class's sensitive distribution and the global one, "
+    "EXACT in integers: emd_ppm = 1e6*sum_i|c_i*N - g_i*N_c| DIV "
+    "((m-1)*N_c*N) in DECIMAL(38,0); catches the skewed-but-diverse "
+    "class k-anonymity and l-diversity both pass — one fact-scale agg, "
+    "then bounded C*m grid math with triangular self-joins, no "
+    "unpartitioned window — pipeline/erasure.py::t_closeness_audit)",
+    """
+    WITH cls AS (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2, 3
+    ), gl AS (
+        SELECT v, SUM(n) AS gn FROM cls GROUP BY 1
+    ), gcum AS (
+        SELECT v, SUM(gn) OVER (ORDER BY v) AS g FROM gl
+    ), tot AS (
+        SELECT o_orderpriority, o_orderstatus, SUM(n) AS class_size
+        FROM cls GROUP BY 1, 2
+    ), nm AS (
+        SELECT SUM(gn) AS N, COUNT(*) AS m FROM gl
+    ), ccum AS (
+        SELECT c.o_orderpriority, c.o_orderstatus, d.v AS dv,
+               SUM(c.n) AS c
+        FROM cls c JOIN gl d ON c.v <= d.v
+        GROUP BY 1, 2, 3
+    ), grid AS (
+        -- full class x domain grid: a class with no mass at or below
+        -- a value has cumulative 0 there and still contributes
+        SELECT t.o_orderpriority, t.o_orderstatus, t.class_size,
+               g.v AS dv
+        FROM tot t CROSS JOIN gl g
+    ), diff AS (
+        SELECT gr.o_orderpriority, gr.o_orderstatus, gr.class_size,
+               nm.N, nm.m,
+               ABS(CAST(COALESCE(cc.c, 0) AS HUGEINT) * nm.N
+                   - CAST(g.g AS HUGEINT) * gr.class_size) AS d
+        FROM grid gr
+        LEFT JOIN ccum cc
+          ON gr.o_orderpriority = cc.o_orderpriority
+         AND gr.o_orderstatus = cc.o_orderstatus AND gr.dv = cc.dv
+        JOIN gcum g ON gr.dv = g.v
+        CROSS JOIN nm
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(class_size AS BIGINT) AS class_size,
+           CASE WHEN m <= 1 THEN 0 ELSE
+             CAST(CAST(1000000 AS HUGEINT) * SUM(d)
+                  // ((m - 1) * CAST(class_size AS HUGEINT) * N)
+                  AS BIGINT) END AS emd_ppm
+    FROM diff
+    GROUP BY o_orderpriority, o_orderstatus, class_size, N, m
+    ORDER BY 1, 2
+    """,
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.erasure import t_closeness_audit
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / 25000)
+        .cast("long")
+        .alias("price_band"),
+    )
+    return t_closeness_audit(
+        o, ["o_orderpriority", "o_orderstatus"], "price_band"
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+@_register(
     "reversal_matching",
     "north-star/fin (payment-reversal reconciliation screen: earliest "
     "same-user same-amount reversal within the window; blocked equi-join "

@@ -1746,3 +1746,81 @@ def test_seasonal_decompose_monthly_constructed(spark):
             assert r.residual_ppm == 0
         # seasonal index == the injected pattern (ppm of a cent)
         assert r.seasonal_ppm == s[mo - 1] * 100 * 1_000_000
+
+
+# --- Holt linear-trend forecast (r9) -----------------------------------------
+
+
+def test_holt_forecast_hand_computed(spark):
+    """y = [10, 20, 30] cents: init l2=20, b2=10; t=3: l=30, b=10 ->
+    forecast(h) = 30 + 10h."""
+    from monzo_data_pipeline_spark.operators.timeseries import (
+        holt_linear_forecast,
+    )
+
+    df = spark.createDataFrame(
+        [("2020-01-15", 0.10), ("2020-02-15", 0.20), ("2020-03-15", 0.30)],
+        "d string, v double",
+    ).selectExpr("CAST(d AS TIMESTAMP) AS ts", "v")
+    got = {
+        r.h: (r.level_cents, r.trend_cents, r.forecast_cents)
+        for r in holt_linear_forecast(df, "ts", "v").collect()
+    }
+    assert got == {1: (30, 10, 40), 2: (30, 10, 50), 3: (30, 10, 60)}
+
+
+def test_holt_forecast_negative_trend_floor(spark):
+    """Decreasing series: the trend is negative and every halving must
+    FLOOR (the arithmetic-shift semantics), not truncate toward 0."""
+    from monzo_data_pipeline_spark.operators.timeseries import (
+        holt_linear_forecast,
+    )
+
+    df = spark.createDataFrame(
+        [("2020-01-15", 0.30), ("2020-02-15", 0.20), ("2020-03-15", 0.10)],
+        "d string, v double",
+    ).selectExpr("CAST(d AS TIMESTAMP) AS ts", "v")
+    got = {
+        r.h: (r.level_cents, r.trend_cents, r.forecast_cents)
+        for r in holt_linear_forecast(df, "ts", "v").collect()
+    }
+    # l2=20, b2=-10; t=3: l=floor(20/2)=10, b=floor(-20/2)=-10
+    assert got == {1: (10, -10, 0), 2: (10, -10, -10), 3: (10, -10, -20)}
+
+
+def test_holt_forecast_short_series(spark):
+    from monzo_data_pipeline_spark.operators.timeseries import (
+        holt_linear_forecast,
+    )
+
+    one = spark.createDataFrame(
+        [("2020-01-15", 0.10)], "d string, v double"
+    ).selectExpr("CAST(d AS TIMESTAMP) AS ts", "v")
+    got = {
+        r.h: r.forecast_cents
+        for r in holt_linear_forecast(one, "ts", "v").collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 10}  # flat at y1, b=0
+    empty = one.filter("1 = 0")
+    assert holt_linear_forecast(empty, "ts", "v").count() == 0
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    """3-cycle with seed {1}: teleport mass returns only to the seed;
+    hand-unrolled 3 integer fixed-point rounds."""
+    from monzo_data_pipeline_spark.ext.graph import (
+        personalized_pagerank,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.rank_q
+        for r in personalized_pagerank(
+            nodes, edges, seeds, iters=3
+        ).collect()
+    }
+    assert got == {1: 764125000, 2: 127500000, 3: 108375000}

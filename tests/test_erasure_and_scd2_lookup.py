@@ -245,3 +245,61 @@ def test_erase_keys_pruned_tolerates_null_and_mixed_keys(spark, tmp_path):
     # incomparable type mix: every file degrades to candidate, no crash
     cand2, clean2 = _files_that_may_contain(path, "user_id", [None, "not-an-int"])
     assert len(cand2) == 1 and clean2 == []
+
+
+# --- t-closeness (r9) --------------------------------------------------------
+
+
+def test_t_closeness_known_emd(spark):
+    """Hand-computed EMD: class A all-0, class B all-1, global 50/50
+    over an ordered {0,1} domain -> both classes at EMD 0.5
+    (500000 ppm)."""
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.pipeline.erasure import (
+        t_closeness_audit,
+    )
+
+    rows = [("A", 0)] * 4 + [("B", 1)] * 4
+    df = spark.createDataFrame(rows, "q string, v long")
+    got = {
+        r.q: (r.class_size, r.emd_ppm)
+        for r in t_closeness_audit(df, ["q"], "v").collect()
+    }
+    assert got == {"A": (4, 500000), "B": (4, 500000)}
+    # threshold filter keeps only violators
+    assert (
+        t_closeness_audit(df, ["q"], "v", t_ppm=600000).count() == 0
+    )
+    assert (
+        t_closeness_audit(df, ["q"], "v", t_ppm=400000).count() == 2
+    )
+
+
+def test_t_closeness_uniform_and_degenerate(spark):
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.pipeline.erasure import (
+        t_closeness_audit,
+    )
+
+    # every class mirrors the global distribution -> EMD 0
+    rows = [(q, v) for q in ("A", "B") for v in (0, 1, 2, 3)]
+    df = spark.createDataFrame(rows, "q string, v long")
+    out = t_closeness_audit(df, ["q"], "v").collect()
+    assert all(r.emd_ppm == 0 for r in out)
+    # single sensitive value (m == 1): defined as 0, no div-by-zero
+    df1 = spark.createDataFrame(
+        [("A", 7), ("B", 7)], "q string, v long"
+    )
+    out1 = t_closeness_audit(df1, ["q"], "v").collect()
+    assert all(r.emd_ppm == 0 for r in out1)
+    # NULL sensitive values are excluded
+    df2 = spark.createDataFrame(
+        [("A", 0), ("A", None), ("B", 1)], "q string, v long"
+    )
+    got = {
+        r.q: r.class_size
+        for r in t_closeness_audit(df2, ["q"], "v").collect()
+    }
+    assert got == {"A": 1, "B": 1}

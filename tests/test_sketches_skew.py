@@ -328,3 +328,138 @@ def test_exact_ntile_multi_rejects_fractional_value_columns(spark):
     df = spark.createDataFrame([(1.5, 1)], "v double, id bigint")
     with _pt.raises(TypeError, match="integer-typed"):
         exact_ntile_multi(df, [(4, "v", "id", "nt")])
+
+
+# --- deterministic count-min (r9) -------------------------------------------
+
+
+def test_cms_det_estimate_dominates_true_counts(spark, sf_dir):
+    """CMS point estimates are guaranteed >= the true count for EVERY
+    key (cells only over-count), and exact for the heavy keys at this
+    width/cardinality."""
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.catalog import load_table
+    from monzo_data_pipeline_spark.operators.sketches import (
+        cms_estimate_det,
+        cms_state_det,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    state = cms_state_det(li, "l_partkey")
+    true = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    est = cms_estimate_det(state, true.select("k"), "k")
+    joined = est.join(true, "k")
+    assert joined.filter(F.col("est_count") < F.col("t")).count() == 0
+    # total state is bounded: at most d*w counter rows
+    assert state.count() <= 4 * 512
+
+
+def test_cms_det_merge_law_state_equality(spark, sf_dir):
+    """Counter addition merges state EXACTLY: half+half == one-shot,
+    row-for-row."""
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.catalog import load_table
+    from monzo_data_pipeline_spark.operators.sketches import (
+        cms_merge,
+        cms_state_det,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    whole = cms_state_det(o, "o_custkey")
+    merged = cms_merge(
+        cms_state_det(o.filter("o_orderkey % 2 = 0"), "o_custkey"),
+        cms_state_det(o.filter("o_orderkey % 2 != 0"), "o_custkey"),
+    )
+    a = sorted(tuple(r) for r in whole.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b
+
+
+def test_cms_det_nulls_and_missing_probe(spark):
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.operators.sketches import (
+        cms_estimate_det,
+        cms_state_det,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,)], "k long"
+    )
+    state = cms_state_det(df, "k")
+    # NULL keys are excluded from the state
+    assert state.agg(F.sum("cnt")).collect()[0][0] == 3 * 4
+    probes = spark.createDataFrame([(1,), (99,)], "k long")
+    got = {
+        r.k: r.est_count
+        for r in cms_estimate_det(state, probes, "k").collect()
+    }
+    assert got[1] >= 2
+    # a never-seen key can only collide upward from 0
+    assert got[99] >= 0
+
+
+# --- deterministic Bloom filter (r9) -----------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_state(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.catalog import load_table
+    from monzo_data_pipeline_spark.operators.sketches import (
+        bloom_probe,
+        bloom_state,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    state = bloom_state(cust, "c_custkey")
+    assert state.count() <= 65536 // 64
+    # every inserted key passes its own filter
+    passed = bloom_probe(state, cust, "c_custkey")
+    assert passed.count() == cust.count()
+
+
+def test_bloom_merge_is_union(spark):
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.operators.sketches import (
+        bloom_merge,
+        bloom_state,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    b = spark.createDataFrame(
+        [(i,) for i in range(100, 200)], "k long"
+    )
+    both = a.unionByName(b)
+    merged = bloom_merge(
+        bloom_state(a, "k"), bloom_state(b, "k")
+    )
+    whole = bloom_state(both, "k")
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )
+
+
+def test_bloom_false_positive_rate_sane(spark):
+    from monzo_data_pipeline_spark.operators.sketches import (
+        bloom_probe,
+        bloom_state,
+    )
+
+    build = spark.createDataFrame(
+        [(i,) for i in range(2000)], "k long"
+    )
+    probe = spark.createDataFrame(
+        [(i,) for i in range(1_000_000, 1_010_000)], "k long"
+    )
+    state = bloom_state(build, "k")
+    fp = bloom_probe(state, probe, "k").count()
+    # n=2000, m=65536, k=4 -> fp ~ (1-e^-0.122)^4 ~ 0.02%; allow 10x
+    assert fp <= 25

@@ -114,6 +114,11 @@ SHOW = {
     "ivf_index_search": "persisted IVF index probe — r9: the memo holds the INDEX artifact only; every call runs the real search: dynamicpruning expression on the cell-partitioned scan, the probe reads ONE cell directory, search flat at 100x data (SCALING.md)",
     # round 9
     "ivm_join_retraction": "delete-side join-view delta rule — d-A⋈B_old UNION A_new⋈d-B with both delete batches broadcast; retraction partials negate into the DECIMAL view state, stored relations never shuffle",
+    "cms_heavy_parts": "deterministic count-min — ONE map-side-combinable d*w-group aggregate builds the state; probes broadcast-join the bounded state, MIN over d cells",
+    "bloom_join_prune": "Bloom join prune — bounded 1024-word BIT_OR state broadcast onto the fact probe; all-k-bits semi filter, no fact shuffle",
+    "t_closeness_audit": "t-closeness — one fact-scale (quasi, sensitive) agg, then bounded C*m grid EMD via triangular self-joins; no unpartitioned window",
+    "holt_forecast_revenue": "Holt forecast — fact touched once by the monthly agg; the recurrence is one F.aggregate struct fold over the bounded month array",
+    "ppr_trade_graph": "personalized PageRank — fact-scale 4-way join builds edges once; per round one join + one partial-agg'd groupBy, teleport to the broadcast seed set",
 }
 
 MARKERS = (

@@ -183,8 +183,15 @@ QUERY_SET = [
     # Z-order layout audit
     "scc_part_precedence",
     "zorder_erasure_layout",
-    # round-9 addition: the delete-side join-view delta rule
+    # round-9 additions: the delete-side join-view delta rule, the
+    # CMS/Bloom sketch completions, t-closeness, Holt forecast, PPR
     "ivm_join_retraction",
+    "cms_heavy_parts",
+    "cms_merge_counts",
+    "bloom_join_prune",
+    "t_closeness_audit",
+    "holt_forecast_revenue",
+    "ppr_trade_graph",
 ]
 
 KEY_OFFSET = 100_000_000
