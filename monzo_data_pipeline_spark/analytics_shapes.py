@@ -2901,6 +2901,96 @@ def register(_register) -> None:
             .orderBy("k")
         )
 
+    def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple:
+        """Bucket orders + lineitem by orderkey into catalog tables
+        ONCE per session (shared_artifact holds the table FILES; the
+        table names carry the artifact digest so concurrent sf_dirs
+        never collide) — the pay-distribution-once-at-write-time
+        side of the bucketed-join contract."""
+        import hashlib as _hl
+
+        from .ext.shared import shared_artifact
+        from .sources.io import write_bucketed_table
+
+        digest = _hl.sha256(
+            f"bucketed_pair::{sf_dir}".encode()
+        ).hexdigest()[:12]
+        t_orders = f"r9_bkt_orders_{digest}"
+        t_lineitem = f"r9_bkt_lineitem_{digest}"
+
+        def build(path: str) -> None:
+            write_bucketed_table(
+                load_table(spark, sf_dir, "orders").select(
+                    "o_orderkey", "o_orderpriority"
+                ),
+                t_orders,
+                "o_orderkey",
+                16,
+                location=path + "/orders",
+            )
+            write_bucketed_table(
+                load_table(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_extendedprice"
+                ),
+                t_lineitem,
+                "l_orderkey",
+                16,
+                location=path + "/lineitem",
+            )
+
+        # the memo is per-application and saveAsTable registers in the
+        # application-shared external catalog, so memo-hit == tables
+        # visible to every session of this application
+        shared_artifact(spark, f"bucketed_pair::{sf_dir}", build)
+        return t_orders, t_lineitem
+
+    @_register(
+        "bucketed_colocated_join",
+        "north-star/B3 (r9: BUCKETED co-located join — orders and "
+        "lineitem written bucketBy(16, orderkey) + bucket-sorted as "
+        "catalog tables once per session (the pay-the-shuffle-once "
+        "lakehouse pattern), then joined WITHOUT any shuffle "
+        "exchange on either side (plan-contract-tested: zero "
+        "Exchange under the SortMergeJoin); at 100 TB this is the "
+        "difference between re-shuffling the fact table per join and "
+        "reading it pre-distributed — sources/io.py::"
+        "write_bucketed_table)",
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+    def q_bucketed_colocated_join(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        t_orders, t_lineitem = _bucketed_pair(spark, sf_dir)
+        o = spark.table(t_orders)
+        li = spark.table(t_lineitem)
+        # merge hint: at test SF AQE would broadcast the orders side
+        # and bypass the bucketing; the hint pins the plan to the
+        # both-sides-large regime the operator exists for — bucketed
+        # SortMergeJoin with ZERO shuffle exchanges (plan-tested)
+        return (
+            o.join(
+                li.hint("merge"),
+                o["o_orderkey"] == li["l_orderkey"],
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * 100 + F.lit(0.5)
+                    ).cast("long")
+                ).alias("revenue_cents"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
     @_register(
         "bloom_join_prune",
         "C7/north-star (r9: deterministic Bloom filter as the "

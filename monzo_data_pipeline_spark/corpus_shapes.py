@@ -317,3 +317,106 @@ def register(_register) -> None:
     def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return CP.source_vocab_jaccard(docs)
+
+    _SCORE_CTE = rf"""
+        d AS (
+            SELECT doc_id, lang, {_TOKS} AS toks
+            FROM documents WHERE trim(text) <> ''
+        ), w AS (
+            SELECT doc_id, lang,
+                   CAST(COALESCE(list_sum(
+                     list_transform(
+                       list_transform(toks, t -> {_fold_sql('t')}),
+                       h -> ((h % 4096) * 1103515245 + 12345) % 2001
+                            - 1000)
+                   ), 0) AS BIGINT) AS score
+            FROM d
+        )"""
+
+    @_register(
+        "score_calibration_bins",
+        "C4/north-star (r9: classifier CALIBRATION table — the hashed "
+        "quality scores binned into 10 equal-width bands over the "
+        "observed range, per band the count, mean score (milli) and "
+        "positive-label rate (ppm) against the lang=='en' label; the "
+        "reliability-diagram/ECE input a labeling pipeline checks "
+        "before trusting an accept threshold; all floor'd fixed-point "
+        "integers, one fact agg after a 1-row min/max broadcast — "
+        "pipeline/quality.py::calibration_bins)",
+        f"""
+        WITH {_SCORE_CTE}, j AS (
+            SELECT score, CAST(lang = 'en' AS BIGINT) AS y FROM w
+        ), rng AS (
+            SELECT MIN(score) AS lo, MAX(score) AS hi FROM j
+        ), b AS (
+            SELECT (score - lo) * 10 // (hi - lo + 1) AS bin, score, y
+            FROM j CROSS JOIN rng
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(score) AS HUGEINT) * 1000 // COUNT(*)
+                    AS BIGINT) AS mean_score_milli,
+               CAST(CAST(SUM(y) AS HUGEINT) * 1000000 // COUNT(*)
+                    AS BIGINT) AS pos_rate_ppm
+        FROM b GROUP BY bin ORDER BY bin
+        """,
+    )
+    def q_score_calibration_bins(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .pipeline.quality import calibration_bins
+
+        docs = load_table(spark, sf_dir, "documents")
+        scored = CP.hashed_quality_scores(docs, n_buckets=4096)
+        labeled = scored.join(
+            docs.select("doc_id", (F.col("lang") == "en").alias("y")),
+            "doc_id",
+        )
+        return calibration_bins(labeled, "score", "y", n_bins=10)
+
+    @_register(
+        "cohens_kappa_labels",
+        "C4/north-star (r9: Cohen's kappa between the hashed quality "
+        "classifier's accept flag and the lang=='en' heuristic label "
+        "— the inter-annotator agreement gate a labeling pipeline "
+        "runs; kappa = (po - pe)/(1 - pe) multiplied through by N^2 "
+        "so the ppm output is one DIV of exact DECIMAL(38,0) "
+        "products; single contingency aggregate — pipeline/"
+        "quality.py::cohens_kappa)",
+        f"""
+        WITH {_SCORE_CTE}, j AS (
+            SELECT CAST(score >= 0 AS BIGINT) AS a,
+                   CAST(lang = 'en' AS BIGINT) AS b
+            FROM w
+        ), s AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS N,
+                   CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS po,
+                   CAST(SUM(a) AS HUGEINT) AS ra1,
+                   CAST(SUM(b) AS HUGEINT) AS rb1
+            FROM j
+        )
+        SELECT CAST(N AS BIGINT) AS n,
+               CAST(po * 1000000 // N AS BIGINT) AS po_ppm,
+               CAST((ra1 * rb1 + (N - ra1) * (N - rb1)) * 1000000
+                    // (N * N) AS BIGINT) AS pe_ppm,
+               CASE WHEN N * N = ra1 * rb1 + (N - ra1) * (N - rb1)
+                    THEN NULL ELSE
+                 CAST((po * N - (ra1 * rb1 + (N - ra1) * (N - rb1)))
+                      * 1000000
+                      // (N * N - (ra1 * rb1 + (N - ra1) * (N - rb1)))
+                      AS BIGINT) END AS kappa_ppm
+        FROM s
+        """,
+    )
+    def q_cohens_kappa_labels(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .pipeline.quality import cohens_kappa
+
+        docs = load_table(spark, sf_dir, "documents")
+        scored = CP.hashed_quality_scores(docs, n_buckets=4096)
+        labeled = scored.join(
+            docs.select("doc_id", (F.col("lang") == "en").alias("y")),
+            "doc_id",
+        )
+        return cohens_kappa(labeled, "accept", "y")

@@ -374,3 +374,131 @@ def chi_square_independence(
             "cramers_v_ppm"
         ),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability / calibration table for a classifier (r9): bin the
+    integer scores into `n_bins` equal-width bands over the observed
+    [min, max] range and report, per band, the row count, the mean
+    score (milli-units) and the positive-label rate (ppm) — the
+    binned curve an ECE / reliability diagram reads, and the label-QA
+    step a training-data pipeline runs on its quality classifier
+    before trusting its accept threshold.
+
+    All integer arithmetic: band = (score − lo)·B DIV (hi − lo + 1)
+    (equal-width, clamp-free by construction since score ≤ hi), mean
+    and rate as floor'd fixed-point DIVs — hash-checkable
+    cross-engine. One fact-scale aggregate after a 1-row min/max
+    broadcast; output bounded by n_bins."""
+    rng = df.agg(
+        F.min(F.col(score_col).cast("long")).alias("__lo"),
+        F.max(F.col(score_col).cast("long")).alias("__hi"),
+    )
+    binned = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(
+                f"(CAST({score_col} AS BIGINT) - __lo) * {n_bins}"
+                " DIV (__hi - __lo + 1)"
+            ).alias("bin"),
+            F.col(score_col).cast("long").alias("__s"),
+            F.col(label_col).cast("boolean").cast("long").alias("__y"),
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__s").alias("__ss"),
+            F.sum("__y").alias("__pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr(
+                "CAST(CAST(__ss AS DECIMAL(38,0)) * 1000"
+                " DIV n AS BIGINT)"
+            ).alias("mean_score_milli"),
+            F.expr(
+                "CAST(CAST(__pos AS DECIMAL(38,0)) * 1000000"
+                " DIV n AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two (boolean-like) labelers — the
+    inter-annotator / model-vs-heuristic agreement statistic a
+    labeling pipeline gates label quality on, exact in integers:
+
+        kappa = (p_o − p_e) / (1 − p_e)
+              = (po·N − Σ_k ra_k·rb_k) / (N² − Σ_k ra_k·rb_k)
+
+    with po the agreement count and ra/rb the per-class marginals —
+    multiplied through by N² so the ppm output is one floor DIV of
+    exact DECIMAL(38,0) products. One aggregate over the 2×2 (or
+    k×k) contingency; output is a single row (n, po_ppm, pe_ppm,
+    kappa_ppm; kappa NULL when pe == 1, the degenerate
+    single-class case)."""
+    pairs = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .select(
+            F.col(a_col).cast("boolean").cast("long").alias("__a"),
+            F.col(b_col).cast("boolean").cast("long").alias("__b"),
+        )
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    dec = "decimal(38,0)"
+    stats = pairs.agg(
+        F.sum("__n").alias("__N"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))).alias(
+            "__po"
+        ),
+        # Σ_k ra_k·rb_k from the contingency cells: Σ_k (Σ_j n_kj)·(Σ_i n_ik)
+        # expands to Σ over cell pairs; compute the marginals instead
+        # via two conditional sums per class (boolean domain: k ∈ {0,1})
+        F.sum(F.when(F.col("__a") == 1, F.col("__n"))).alias("__ra1"),
+        F.sum(F.when(F.col("__b") == 1, F.col("__n"))).alias("__rb1"),
+    )
+    return stats.select(
+        F.col("__N").alias("n"),
+        F.expr(
+            "CAST(CAST(coalesce(__po, 0) AS DECIMAL(38,0)) * 1000000"
+            " DIV __N AS BIGINT)"
+        ).alias("po_ppm"),
+        F.expr(
+            "CAST((CAST(coalesce(__ra1,0) AS DECIMAL(38,0))"
+            " * coalesce(__rb1,0)"
+            " + CAST(__N - coalesce(__ra1,0) AS DECIMAL(38,0))"
+            " * (__N - coalesce(__rb1,0))) * 1000000"
+            " DIV (CAST(__N AS DECIMAL(38,0)) * __N) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            "CASE WHEN CAST(__N AS DECIMAL(38,0)) * __N"
+            " = CAST(coalesce(__ra1,0) AS DECIMAL(38,0))"
+            "   * coalesce(__rb1,0)"
+            "   + CAST(__N - coalesce(__ra1,0) AS DECIMAL(38,0))"
+            "   * (__N - coalesce(__rb1,0)) THEN NULL ELSE "
+            "CAST((CAST(coalesce(__po, 0) AS DECIMAL(38,0)) * __N"
+            "  - (CAST(coalesce(__ra1,0) AS DECIMAL(38,0))"
+            "     * coalesce(__rb1,0)"
+            "     + CAST(__N - coalesce(__ra1,0) AS DECIMAL(38,0))"
+            "     * (__N - coalesce(__rb1,0)))) * 1000000"
+            " DIV (CAST(__N AS DECIMAL(38,0)) * __N"
+            "  - (CAST(coalesce(__ra1,0) AS DECIMAL(38,0))"
+            "     * coalesce(__rb1,0)"
+            "     + CAST(__N - coalesce(__ra1,0) AS DECIMAL(38,0))"
+            "     * (__N - coalesce(__rb1,0)))) AS BIGINT) END"
+        ).alias("kappa_ppm"),
+    )

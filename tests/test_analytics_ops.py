@@ -1824,3 +1824,50 @@ def test_personalized_pagerank_hand_computed(spark):
         ).collect()
     }
     assert got == {1: 764125000, 2: 127500000, 3: 108375000}
+
+
+def test_calibration_bins_hand_computed(spark):
+    """Scores 0..9 with labels = (score >= 5): two clean bands when
+    n_bins=2 — low band 0% positive, high band 100%."""
+    from monzo_data_pipeline_spark.pipeline.quality import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(s, s >= 5) for s in range(10)], "score long, y boolean"
+    )
+    got = {
+        r.bin: (r.n, r.mean_score_milli, r.pos_rate_ppm)
+        for r in calibration_bins(df, "score", "y", n_bins=2).collect()
+    }
+    assert got == {0: (5, 2000, 0), 1: (5, 7000, 1000000)}
+
+
+def test_cohens_kappa_known_values(spark):
+    from monzo_data_pipeline_spark.pipeline.quality import cohens_kappa
+
+    # perfect agreement -> kappa 1
+    df = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 3, "a boolean, b boolean"
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.po_ppm, r.kappa_ppm) == (6, 1000000, 1000000)
+    # independence-ish: a alternates, b constant -> pe == po, kappa NULL
+    # (single-class b makes pe == max); use the textbook 2x2 instead:
+    # po = 0.6, marginals a1=0.5, b1=0.5 -> pe = 0.5, kappa = 0.2
+    df2 = spark.createDataFrame(
+        [(True, True)] * 3
+        + [(False, False)] * 3
+        + [(True, False)] * 2
+        + [(False, True)] * 2,
+        "a boolean, b boolean",
+    )
+    r2 = cohens_kappa(df2, "a", "b").collect()[0]
+    assert (r2.n, r2.po_ppm, r2.pe_ppm, r2.kappa_ppm) == (
+        10, 600000, 500000, 200000,
+    )
+    # degenerate: both constant -> pe == 1, kappa NULL
+    df3 = spark.createDataFrame(
+        [(True, True)] * 4, "a boolean, b boolean"
+    )
+    assert cohens_kappa(df3, "a", "b").collect()[0].kappa_ppm is None

@@ -119,6 +119,9 @@ SHOW = {
     "t_closeness_audit": "t-closeness — one fact-scale (quasi, sensitive) agg, then bounded C*m grid EMD via triangular self-joins; no unpartitioned window",
     "holt_forecast_revenue": "Holt forecast — fact touched once by the monthly agg; the recurrence is one F.aggregate struct fold over the bounded month array",
     "ppr_trade_graph": "personalized PageRank — fact-scale 4-way join builds edges once; per round one join + one partial-agg'd groupBy, teleport to the broadcast seed set",
+    "bucketed_colocated_join": "bucketed co-located join — both sides bucketBy(16, orderkey) catalog tables; SortMergeJoin with ZERO shuffle exchanges (pay the distribution once at write time)",
+    "score_calibration_bins": "calibration table — per-doc score map-side, 1-row min/max broadcast, ONE 10-group aggregate",
+    "cohens_kappa_labels": "Cohen's kappa — one contingency aggregate; the kappa expression is driver-free scalar algebra on the agg row",
 }
 
 MARKERS = (

@@ -192,6 +192,9 @@ QUERY_SET = [
     "t_closeness_audit",
     "holt_forecast_revenue",
     "ppr_trade_graph",
+    "bucketed_colocated_join",
+    "score_calibration_bins",
+    "cohens_kappa_labels",
 ]
 
 KEY_OFFSET = 100_000_000
