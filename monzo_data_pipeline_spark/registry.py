@@ -4542,10 +4542,8 @@ _DRIVER_PREFIX = [
     # round-7 family gets hard-gate sampling: delta-frontier SSSP,
     # LPA communities, the Z-order layout audit, and the grid/bitmap
     # sketch merge laws
-    "sssp_copurchase",
     "communities_copurchase",
     "zorder_layout_orders",
-    "grid_merge_quantiles",
     "bitmap_merge_distinct",
     # r8 (same round, not deferred a generation): directed SCC and
     # the erasure×layout audit enter the hard gate immediately;
@@ -4582,10 +4580,31 @@ _DRIVER_PREFIX = [
     "ivm_join_delta",
     "ivm_retraction_view",
     "asof_forward_tolerance",
+    # r9 NEW families sampled immediately (the r8-late-addition
+    # pattern — no one-round lag): the delete-side join-view delta
+    # rule, the deterministic count-min and Bloom sketches, the
+    # t-closeness privacy audit, the Holt forecast fold, and the
+    # bucketed co-located join. Rotated out, each recorded green in
+    # CORRECTNESS_r08 with its family still sampled:
+    # sssp_copurchase (graph via scc/communities/k_core/hits),
+    # grid_merge_quantiles (merge laws via kmv_merge+bitmap_merge),
+    # cosine_topk_bruteforce (ANN via ivf_index_search +
+    # pq_rerank_topk), tumbling_window_agg (streaming twins via
+    # sessionization), broadcast_enrich_rates (broadcast joins via
+    # fk_star_join + bucketed_colocated_join),
+    # interval_join_attribution (time joins via the asof pair).
+    # Full-gate-only this round: cms_merge_counts, ppr_trade_graph,
+    # score_calibration_bins, cohens_kappa_labels (same machinery as
+    # their sampled siblings).
+    "ivm_join_retraction",
+    "cms_heavy_parts",
+    "bloom_join_prune",
+    "t_closeness_audit",
+    "holt_forecast_revenue",
+    "bucketed_colocated_join",
     "spearman_balance_spend",
     "first_wins_dedup",
     "fk_star_join",
-    "broadcast_enrich_rates",
     "shipping_priority_q3",
     # r8: the nearest-direction as-of (newest code in the family)
     # replaces the backward twin in the hard gate; backward stays
@@ -4597,12 +4616,9 @@ _DRIVER_PREFIX = [
     "pq_rerank_topk",
     "top_n_per_group_salted",
     "rollup_spend",
-    "tumbling_window_agg",
     "sessionization",
-    "interval_join_attribution",
     "hits_customer_supplier",
     "pack_sequences",
-    "cosine_topk_bruteforce",
     "near_dup_clusters",
     # r8 (late additions, sampled immediately): the IVM fold law and
     # the seasonal decomposition; benchmark_contamination rotates out
