@@ -2992,6 +2992,52 @@ def register(_register) -> None:
         )
 
     @_register(
+        "shard_rebalance_audit",
+        "north-star/A5 (r9: the resharding-cost audit — exact key "
+        "movement under modulo vs rendezvous/HRW placement when the "
+        "shard count grows 8 -> 9: modulo moves ~N/(N+1) of all keys "
+        "(a full-cluster rewrite), HRW moves only the keys the new "
+        "shard's score wins (~1/(N+1)) — the consistent-placement "
+        "property every 100 TB repartition decision rests on, "
+        "computed exactly over the distinct key set with the shared "
+        "Carter-Wegman scores and an integer argmax tie-break — "
+        "operators/layout.py::shard_rebalance_audit)",
+        f"""
+        WITH keys AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k
+            FROM orders WHERE o_custkey IS NOT NULL
+        ), sc AS (
+            SELECT k, s,
+                   ((k % 2147483647 * 1103515245 + s * 40503 + 12345)
+                    % 2147483647 * 69069 + 1) % 2147483647 AS score
+            FROM keys CROSS JOIN (
+                SELECT UNNEST(range(0, 9)) AS s
+            )
+        ), pl AS (
+            SELECT k,
+                   arg_max(s, score * 1024 - s)
+                     FILTER (WHERE s < 8) AS old_hrw,
+                   arg_max(s, score * 1024 - s) AS new_hrw
+            FROM sc GROUP BY k
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN k % 8 <> k % 9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS moved_modulo,
+               CAST(SUM(CASE WHEN old_hrw <> new_hrw THEN 1 ELSE 0 END)
+                    AS BIGINT) AS moved_hrw
+        FROM pl
+        """,
+    )
+    def q_shard_rebalance_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .operators.layout import shard_rebalance_audit
+
+        return shard_rebalance_audit(
+            load_table(spark, sf_dir, "orders"), "o_custkey", 8, 9
+        )
+
+    @_register(
         "bloom_join_prune",
         "C7/north-star (r9: deterministic Bloom filter as the "
         "join-prune side channel — k=4 Carter-Wegman bits over "

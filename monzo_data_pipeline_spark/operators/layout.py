@@ -118,3 +118,86 @@ def zorder_layout_sql(
     WHERE ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL
     GROUP BY 1 ORDER BY 1
     """
+
+
+# --- shard rebalance audit (r9) ----------------------------------------------
+
+# Rendezvous (HRW) weights: per (key, shard) score from the same
+# Carter-Wegman family as the deterministic sketches; a key lives on
+# the argmax-score shard, so adding a shard steals only the keys whose
+# new shard wins — the ~1/(N+1) movement bound consistent placement
+# exists for (Thaler & Ravishankar 1998).
+_HRW_P = 2_147_483_647
+_HRW_A = 1_103_515_245
+_HRW_B = 40_503
+
+
+def _hrw_score(key_expr: str, shard: str) -> str:
+    """Engine-shared HRW score SQL: mix key and shard id through two
+    multiplicative rounds mod the 2³¹−1 prime (exact in int64:
+    operands < 2³¹, products < 2⁶²)."""
+    return (
+        f"((({key_expr}) % {_HRW_P} * {_HRW_A} + ({shard}) * {_HRW_B}"
+        f" + 12345) % {_HRW_P} * 69069 + 1) % {_HRW_P}"
+    )
+
+
+def shard_rebalance_audit(
+    df, key_col: str, n_shards: int, n_shards_new: int
+):
+    """How many keys MOVE when the shard count changes — the
+    data-layout question behind every repartition/resharding decision
+    at 100 TB: modulo placement (`key % N`) moves ~N/(N+1) of all
+    keys on N→N+1 (a full-cluster rewrite), rendezvous/HRW placement
+    moves only the keys the NEW shard wins (~1/(N+1)). Both
+    placements are computed exactly for the table's distinct keys and
+    compared; output is one row (n_keys, moved_modulo, moved_hrw).
+
+    HRW per key = argmax over shards of the CW score (ties broken by
+    lower shard id — deterministic); the argmax over the OLD shard
+    set is unchanged by adding shards unless a new shard's score
+    wins, which is what makes the movement minimal. Plan: distinct
+    keys × (n_shards_new) scores — a bounded explode, one aggregate;
+    no shuffle beyond the distinct."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        df.select(F.col(key_col).cast("long").alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+    )
+    shards = F.explode(
+        F.sequence(F.lit(0), F.lit(n_shards_new - 1))
+    ).alias("__s")
+    scored = keys.select("__k", shards).select(
+        "__k",
+        "__s",
+        F.expr(_hrw_score("__k", "__s")).alias("__score"),
+    )
+
+    def argmax(limit_col: str):
+        # max_by with a deterministic integer tie-break (max score,
+        # then LOWER shard id): maximize score·1024 − shard — unique
+        # per (score, shard) for shard counts ≤ 1024, identical
+        # arithmetic in the DuckDB twin's arg_max
+        return F.expr(
+            f"max_by(__s, __score * 1024 - __s)"
+            f" FILTER (WHERE __s < {limit_col})"
+        )
+
+    placed = scored.groupBy("__k").agg(
+        argmax(str(n_shards)).alias("__old_hrw"),
+        argmax(str(n_shards_new)).alias("__new_hrw"),
+    )
+    return placed.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            (
+                F.pmod(F.col("__k"), F.lit(n_shards))
+                != F.pmod(F.col("__k"), F.lit(n_shards_new))
+            ).cast("long")
+        ).alias("moved_modulo"),
+        F.sum(
+            (F.col("__old_hrw") != F.col("__new_hrw")).cast("long")
+        ).alias("moved_hrw"),
+    )

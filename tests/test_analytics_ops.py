@@ -1871,3 +1871,26 @@ def test_cohens_kappa_known_values(spark):
         [(True, True)] * 4, "a boolean, b boolean"
     )
     assert cohens_kappa(df3, "a", "b").collect()[0].kappa_ppm is None
+
+
+def test_shard_rebalance_hrw_minimal_movement(spark):
+    """Adding one shard under rendezvous placement moves ~1/(N+1) of
+    keys; modulo moves ~N/(N+1). Also: HRW movement is exactly the
+    keys the NEW shard wins (keys never move between OLD shards)."""
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.operators.layout import (
+        shard_rebalance_audit,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "k long")
+    r = shard_rebalance_audit(df, "k", 8, 9).collect()[0]
+    assert r.n_keys == 4000
+    # modulo: ~8/9 of keys move (allow wide slack for the exact count)
+    assert r.moved_modulo > r.n_keys * 7 // 10
+    # HRW: ~1/9 move; strictly minimal vs modulo
+    assert r.moved_hrw < r.n_keys // 5
+    assert r.moved_hrw < r.moved_modulo
+    # same shard count -> nothing moves under either scheme
+    r0 = shard_rebalance_audit(df, "k", 8, 8).collect()[0]
+    assert (r0.moved_modulo, r0.moved_hrw) == (0, 0)

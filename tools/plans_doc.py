@@ -122,6 +122,7 @@ SHOW = {
     "bucketed_colocated_join": "bucketed co-located join — both sides bucketBy(16, orderkey) catalog tables; SortMergeJoin with ZERO shuffle exchanges (pay the distribution once at write time)",
     "score_calibration_bins": "calibration table — per-doc score map-side, 1-row min/max broadcast, ONE 10-group aggregate",
     "cohens_kappa_labels": "Cohen's kappa — one contingency aggregate; the kappa expression is driver-free scalar algebra on the agg row",
+    "shard_rebalance_audit": "resharding audit — distinct keys x bounded shard explode, one max_by aggregate per key; movement counts in one final agg",
 }
 
 MARKERS = (

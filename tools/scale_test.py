@@ -195,6 +195,7 @@ QUERY_SET = [
     "bucketed_colocated_join",
     "score_calibration_bins",
     "cohens_kappa_labels",
+    "shard_rebalance_audit",
 ]
 
 KEY_OFFSET = 100_000_000
