@@ -3008,7 +3008,8 @@ def register(_register) -> None:
             FROM orders WHERE o_custkey IS NOT NULL
         ), sc AS (
             SELECT k, s,
-                   ((k % 2147483647 * 1103515245 + s * 40503 + 12345)
+                   ((((k % 2147483647 + 2147483647) % 2147483647)
+                     * 1103515245 + s * 40503 + 12345)
                     % 2147483647 * 69069 + 1) % 2147483647 AS score
             FROM keys CROSS JOIN (
                 SELECT UNNEST(range(0, 9)) AS s
@@ -3021,7 +3022,9 @@ def register(_register) -> None:
             FROM sc GROUP BY k
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-               CAST(SUM(CASE WHEN k % 8 <> k % 9 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN ((k % 8) + 8) % 8
+                              <> ((k % 9) + 9) % 9
+                         THEN 1 ELSE 0 END)
                     AS BIGINT) AS moved_modulo,
                CAST(SUM(CASE WHEN old_hrw <> new_hrw THEN 1 ELSE 0 END)
                     AS BIGINT) AS moved_hrw
@@ -3059,14 +3062,15 @@ def register(_register) -> None:
             WHERE c_mktsegment = 'BUILDING'
         ), bits AS (
             SELECT DISTINCT
-                   ((x % 2147483647) * a + b) % 2147483647 % 65536
-                     AS pos
+                   ((((x % 2147483647) + 2147483647) % 2147483647)
+                    * a + b) % 2147483647 % 65536 AS pos
             FROM cust CROSS JOIN h
         ), keys AS (
             SELECT DISTINCT o_custkey AS k FROM orders
         ), kpos AS (
-            SELECT k, ((k % 2147483647) * a + b) % 2147483647 % 65536
-                     AS pos
+            SELECT k,
+                   ((((k % 2147483647) + 2147483647) % 2147483647)
+                    * a + b) % 2147483647 % 65536 AS pos
             FROM keys CROSS JOIN h
         ), kpass AS (
             SELECT k FROM kpos LEFT JOIN bits USING (pos)

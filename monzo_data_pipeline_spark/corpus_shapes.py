@@ -346,6 +346,7 @@ def register(_register) -> None:
         f"""
         WITH {_SCORE_CTE}, j AS (
             SELECT score, CAST(lang = 'en' AS BIGINT) AS y FROM w
+            WHERE score IS NOT NULL AND lang IS NOT NULL
         ), rng AS (
             SELECT MIN(score) AS lo, MAX(score) AS hi FROM j
         ), b AS (

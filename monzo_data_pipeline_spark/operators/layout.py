@@ -135,9 +135,14 @@ _HRW_B = 40_503
 def _hrw_score(key_expr: str, shard: str) -> str:
     """Engine-shared HRW score SQL: mix key and shard id through two
     multiplicative rounds mod the 2³¹−1 prime (exact in int64:
-    operands < 2³¹, products < 2⁶²)."""
+    operands < 2³¹, products < 2⁶²). The key is folded with the
+    pmod-equivalent ((x % P + P) % P) so NEGATIVE keys score
+    identically in Spark and DuckDB — both engines' bare `%` is
+    sign-preserving (r10 fix); the outer rounds then stay
+    non-negative by construction."""
+    k = f"((({key_expr}) % {_HRW_P} + {_HRW_P}) % {_HRW_P})"
     return (
-        f"((({key_expr}) % {_HRW_P} * {_HRW_A} + ({shard}) * {_HRW_B}"
+        f"(({k} * {_HRW_A} + ({shard}) * {_HRW_B}"
         f" + 12345) % {_HRW_P} * 69069 + 1) % {_HRW_P}"
     )
 
@@ -166,8 +171,13 @@ def shard_rebalance_audit(
         .filter(F.col("__k").isNotNull())
         .distinct()
     )
+    # score over the UNION of both shard sets so the audit is correct
+    # in both directions: on a shrink (n_shards_new < n_shards) the
+    # OLD argmax still needs every old shard's score; each argmax
+    # below restricts to its own shard count via FILTER (r10 fix)
+    n_shards_max = max(n_shards, n_shards_new)
     shards = F.explode(
-        F.sequence(F.lit(0), F.lit(n_shards_new - 1))
+        F.sequence(F.lit(0), F.lit(n_shards_max - 1))
     ).alias("__s")
     scored = keys.select("__k", shards).select(
         "__k",

@@ -279,7 +279,8 @@ def cms_det_oracle_sql(
     return f"""
         WITH h(row, a, b) AS ({hashes}),
         keys AS (
-            SELECT CAST({key_expr} AS BIGINT) % {_CMS_P} AS x
+            SELECT ((CAST({key_expr} AS BIGINT) % {_CMS_P})
+                    + {_CMS_P}) % {_CMS_P} AS x
             FROM {src} WHERE {key_expr} IS NOT NULL
         ),
         state AS (
@@ -290,8 +291,9 @@ def cms_det_oracle_sql(
         probes AS ({probe_sql}),
         pc AS (
             SELECT p.k, h.row,
-                   ((CAST(p.k AS BIGINT) % {_CMS_P}) * a + b)
-                     % {_CMS_P} % {width} AS cell
+                   ((((CAST(p.k AS BIGINT) % {_CMS_P}) + {_CMS_P})
+                     % {_CMS_P} * a + b)
+                     % {_CMS_P}) % {width} AS cell
             FROM probes p CROSS JOIN h
         ),
         est AS (

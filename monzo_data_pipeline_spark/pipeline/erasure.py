@@ -343,11 +343,16 @@ def t_closeness_audit(
     C·m class×domain grid (cumulative sums via bounded m² triangular
     self-joins — no unpartitioned window, the ntile_quartiles
     contract)."""
+    from ..ext.lineage import truncate_lineage
+
     v = F.col(sensitive_col).cast("long").alias("__v")
     cls = df.filter(F.col(sensitive_col).isNotNull()).groupBy(
         *quasi_cols, v
     ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    cls = cls.persist()
+    # lazy checkpoint, not persist(): the C·m grid is re-read four
+    # times below, and a checkpoint leaves no cached blocks pinned
+    # for the rest of the session after the audit materializes (r10)
+    cls = truncate_lineage(cls, eager=False)
     # global per-value counts + domain (bounded m rows)
     gl = cls.groupBy("__v").agg(F.sum("__n").alias("__gn"))
     # global cumulative via the bounded triangular self-join

@@ -122,25 +122,43 @@ def maintain_view_state(
     can ever recompute against a half-deleted source (the
     read-modify-overwrite hazard of persist()+count()+overwrite) —
     then swapped in with two metadata renames. The swap window is
-    rename-only (no data job inside it); for exactly-once across a
-    driver crash inside the window, use the streaming lane's
-    versioned-dir scheme (streaming/sketches.py) or wrap in
-    pipeline/atomic.py's transactional commit."""
-    if not wh.exists(table):
-        wh.overwrite(merge_agg_state(None, partial, keys), table)
-        return
-    merged = merge_agg_state(wh.read(table), partial, keys)
-    spark = merged.sparkSession
+    rename-only (no data job inside it) and CRASH-RECOVERABLE: if a
+    driver died between the retire and promote renames, the next call
+    finds the live path missing with `.__retired__` present and
+    renames the full history back before merging — the partial batch
+    is re-applied, never mistaken for the first batch (r10 fix). For
+    exactly-once across a driver crash inside the window, use the
+    streaming lane's versioned-dir scheme (streaming/sketches.py) or
+    wrap in pipeline/atomic.py's transactional commit."""
+    spark = partial.sparkSession
     live = wh.path(table).rstrip("/")
     stage, retired = live + ".__stage__", live + ".__retired__"
-    merged.write.mode("overwrite").parquet(stage)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(live).getFileSystem(
+    jvm0 = spark._jvm
+    fs0 = jvm0.org.apache.hadoop.fs.Path(live).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
+    if not wh.exists(table):
+        if fs0.exists(jvm0.org.apache.hadoop.fs.Path(retired)):
+            # crashed mid-swap: restore the retired full history
+            # instead of silently re-initializing from one partial
+            if not fs0.rename(
+                jvm0.org.apache.hadoop.fs.Path(retired),
+                jvm0.org.apache.hadoop.fs.Path(live),
+            ):
+                raise IOError(
+                    f"found retired view state at {retired} but the "
+                    f"live path {live} is missing and the recovery "
+                    "rename failed — refusing to re-initialize"
+                )
+        else:
+            wh.overwrite(merge_agg_state(None, partial, keys), table)
+            return
+    merged = merge_agg_state(wh.read(table), partial, keys)
+    merged.write.mode("overwrite").parquet(stage)
+    fs = fs0
 
     def _p(s: str):
-        return jvm.org.apache.hadoop.fs.Path(s)
+        return jvm0.org.apache.hadoop.fs.Path(s)
 
     fs.delete(_p(retired), True)
     if not fs.rename(_p(live), _p(retired)):

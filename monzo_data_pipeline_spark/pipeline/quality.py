@@ -395,15 +395,18 @@ def calibration_bins(
     and rate as floor'd fixed-point DIVs — hash-checkable
     cross-engine. One fact-scale aggregate after a 1-row min/max
     broadcast; output bounded by n_bins."""
-    rng = df.agg(
+    # range and bins read the SAME null-filtered frame: a null-label
+    # row must not widen [lo, hi] while being excluded from every
+    # band (r10 fix; the oracle twin mirrors the filter)
+    scored = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    rng = scored.agg(
         F.min(F.col(score_col).cast("long")).alias("__lo"),
         F.max(F.col(score_col).cast("long")).alias("__hi"),
     )
     binned = (
-        df.filter(
-            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-        )
-        .crossJoin(F.broadcast(rng))
+        scored.crossJoin(F.broadcast(rng))
         .select(
             F.expr(
                 f"(CAST({score_col} AS BIGINT) - __lo) * {n_bins}"

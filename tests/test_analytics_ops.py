@@ -1843,6 +1843,28 @@ def test_calibration_bins_hand_computed(spark):
     assert got == {0: (5, 2000, 0), 1: (5, 7000, 1000000)}
 
 
+def test_calibration_bins_null_labels_dont_widen_range(spark):
+    """r10: a row with a NULL label (or score) is excluded from the
+    bands AND from the [lo, hi] range — before the fix an outlier
+    score riding on a null label stretched the bins while its row was
+    filtered out, shifting every band edge."""
+    from monzo_data_pipeline_spark.pipeline.quality import (
+        calibration_bins,
+    )
+
+    base = [(s, s >= 5) for s in range(10)]
+    df = spark.createDataFrame(
+        base + [(1_000_000, None), (None, True)],
+        "score long, y boolean",
+    )
+    got = {
+        r.bin: (r.n, r.mean_score_milli, r.pos_rate_ppm)
+        for r in calibration_bins(df, "score", "y", n_bins=2).collect()
+    }
+    # identical to the clean-frame result: the null rows are invisible
+    assert got == {0: (5, 2000, 0), 1: (5, 7000, 1000000)}
+
+
 def test_cohens_kappa_known_values(spark):
     from monzo_data_pipeline_spark.pipeline.quality import cohens_kappa
 
@@ -1894,3 +1916,30 @@ def test_shard_rebalance_hrw_minimal_movement(spark):
     # same shard count -> nothing moves under either scheme
     r0 = shard_rebalance_audit(df, "k", 8, 8).collect()[0]
     assert (r0.moved_modulo, r0.moved_hrw) == (0, 0)
+
+
+def test_shard_rebalance_shrink_direction(spark):
+    """Shrinking the shard count (r10 fix): the OLD argmax must be
+    computed over the FULL old shard set, not a truncated one.
+    Symmetry check: HRW movement on N->M equals movement on M->N
+    (the placement pair is the same set of keys whose argmax differs),
+    and every key on a removed shard must move."""
+    from monzo_data_pipeline_spark.operators.layout import (
+        shard_rebalance_audit,
+    )
+
+    # negative keys included: the r10 pmod-fold in _hrw_score must
+    # place them deterministically (engine-shared, non-negative)
+    df = spark.createDataFrame(
+        [(i,) for i in range(-500, 1500)], "k long"
+    )
+    grow = shard_rebalance_audit(df, "k", 8, 9).collect()[0]
+    shrink = shard_rebalance_audit(df, "k", 9, 8).collect()[0]
+    assert shrink.n_keys == 2000
+    # before the fix the shrink direction reported moved_hrw == 0
+    assert shrink.moved_hrw > 0
+    # grow/shrink between the same two shard counts move the SAME keys
+    assert shrink.moved_hrw == grow.moved_hrw
+    assert shrink.moved_modulo == grow.moved_modulo
+    # HRW still strictly minimal vs modulo in the shrink direction
+    assert shrink.moved_hrw < shrink.moved_modulo

@@ -112,6 +112,39 @@ def test_maintain_view_state_persisted(spark, sf_dir, tmp_path):
     assert _sorted_rows(got) == _sorted_rows(want)
 
 
+def test_maintain_view_state_recovers_mid_swap_crash(
+    spark, sf_dir, tmp_path
+):
+    """r10: simulate a driver crash between the retire rename and the
+    promote rename (live path gone, full history in .__retired__).
+    The next maintain_view_state call must restore the history and
+    fold the batch into it — NOT re-initialize from the partial."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.sum("v").cast("decimal(28,2)").alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    b0 = orders.filter(F.pmod(F.col("o_custkey"), F.lit(2)) == 0)
+    b1 = orders.filter(F.pmod(F.col("o_custkey"), F.lit(2)) == 1)
+    maintain_view_state(wh, "rev_state", partial(b0), ["o_custkey"])
+    # crash mid-swap: live renamed to .__retired__, promote never ran
+    live = wh.path("rev_state").rstrip("/")
+    os.rename(live, live + ".__retired__")
+    maintain_view_state(wh, "rev_state", partial(b1), ["o_custkey"])
+    got = wh.read("rev_state")
+    want = partial(orders)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
 def test_retraction_folds_out_and_drops_empty_groups(spark):
     from monzo_data_pipeline_spark.pipeline.ivm import negate_partial
 

@@ -405,6 +405,48 @@ def test_cms_det_nulls_and_missing_probe(spark):
     assert got[99] >= 0
 
 
+def test_cms_det_negative_keys_cross_engine(spark, tmp_path):
+    """r10: NEGATIVE integer keys hash to the same cells in both
+    engines — Spark uses pmod (non-negative) while bare SQL `%` is
+    sign-preserving, so the oracle twin folds with ((x%P)+P)%P.
+    Before the fix the two engines placed negative keys in different
+    cells (gate-invisible because TPC-H keys are positive)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.operators.sketches import (
+        cms_det_oracle_sql,
+        cms_estimate_det,
+        cms_state_det,
+    )
+
+    rows = [(k,) for k in range(-200, 50)] + [(-7,)] * 9 + [(None,)]
+    df = spark.createDataFrame(rows, "k long")
+    pq = str(tmp_path / "neg_keys.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+
+    probes = spark.createDataFrame(
+        [(-7,), (-200,), (-1,), (49,)], "k long"
+    )
+    est = cms_estimate_det(cms_state_det(df, "k"), probes, "k")
+    spark_got = {r.k: r.est_count for r in est.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW src AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    sql = cms_det_oracle_sql(
+        "src",
+        "k",
+        "SELECT UNNEST([-7, -200, -1, 49]) AS k",
+    )
+    duck_got = {
+        k: est for k, _t, est in con.execute(sql).fetchall()
+    }
+    assert spark_got == duck_got
+    assert spark_got[-7] >= 10
+
+
 # --- deterministic Bloom filter (r9) -----------------------------------------
 
 
