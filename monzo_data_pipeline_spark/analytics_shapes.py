@@ -3749,3 +3749,72 @@ def register(_register) -> None:
         return search_ivf_index_multiprobe(
             spark, wh, query_id=0, k=5, n_probe=3
         )
+
+    # ------------------------------------------------------------------
+    # r10 — IVF-PQ composite persisted index (FAISS IVFADC): one
+    # cell-partitioned artifact carrying PQ codes + full vectors; a
+    # search is DPP-pruned probe -> ADC over codes -> exact rerank.
+    # ------------------------------------------------------------------
+
+    def _ivfpq_index_workspace(spark: SparkSession, sf_dir: str) -> str:
+        """Build the composite index ONCE per session (the memo holds
+        the ARTIFACT — codes, cells, codebooks, metadata — never an
+        answer; every registry call runs the real probe+ADC+rerank
+        against the returned path)."""
+        from .ext.ann_index import build_ivfpq_index
+        from .ext.shared import shared_artifact
+        from .pipeline.medallion import Warehouse
+
+        def build(path: str) -> None:
+            build_ivfpq_index(
+                Warehouse(spark, path),
+                load_table(spark, sf_dir, "embeddings"),
+                n_centroids=16,
+                m=8,
+                ksub=8,
+                iters=2,
+            )
+
+        return shared_artifact(
+            spark, f"ivfpq_index_workspace::{sf_dir}", build
+        )
+
+    from .ext.similarity import pq_rerank_oracle_sql as _pq_osql
+
+    @_register(
+        "ivfpq_index_search",
+        "C3 scale path (r10: IVF-PQ COMPOSITE persisted index — the "
+        "actual 100 TB ANN shape (FAISS IVFADC): PQ codes keyed by "
+        "IVF cell in ONE partitionBy(cell) artifact with the m×ksub "
+        "codebook and builder params persisted beside it; a search "
+        "ranks the K in-index centroids, DPP-prunes the scan to the "
+        "top-n_probe cell directories, ADC-scores candidates from "
+        "codes alone via a driver-built integer lookup literal, and "
+        "exact-reranks only the k·oversample shortlist — bit-"
+        "identical to pq_adc_rerank_topk restricted to the probed "
+        "cells, same trainer and tie-breaks; oracle = the PQ Lloyd "
+        "unroll with the quantized-dot IVF restriction threaded "
+        "through ADC/shortlist/rerank — ext/ann_index.py::"
+        "build_ivfpq_index/search_ivfpq_index)",
+        _pq_osql(
+            m=8,
+            ksub=8,
+            iters=2,
+            dim=64,
+            query_id=0,
+            k=10,
+            oversample=5,
+            n_centroids=16,
+            n_probe=3,
+        ),
+    )
+    def q_ivfpq_index_search(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from .ext.ann_index import search_ivfpq_index
+        from .pipeline.medallion import Warehouse
+
+        wh = Warehouse(spark, _ivfpq_index_workspace(spark, sf_dir))
+        return search_ivfpq_index(
+            spark, wh, query_id=0, k=10, n_probe=3, oversample=5
+        )

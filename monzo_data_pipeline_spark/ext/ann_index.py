@@ -168,3 +168,174 @@ def search_ivf_index_multiprobe(
         .orderBy(F.desc("dot_q"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- IVF-PQ composite index (r10) -------------------------------------------
+#
+# The production ANN shape (FAISS IVFADC, Jégou et al. 2011): the
+# inverted-file layout bounds WHICH rows a search reads (DPP-pruned
+# cell directories), product quantization bounds HOW MUCH is read per
+# row (m one-byte codes instead of d floats), and the exact re-rank
+# touches only the shortlist's full-precision vectors. Both halves
+# exist separately in this engine (build_ivf_index above;
+# similarity.pq_fit/pq_encode/pq_adc_rerank_topk); the composite keys
+# the PQ codes BY the IVF cell so one partitioned artifact serves the
+# whole query: probe -> ADC -> rerank.
+
+
+def build_ivfpq_index(
+    wh: Warehouse,
+    emb: DataFrame,
+    table: str = "ivfpq_index",
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composite index: every vector carries its IVF
+    cell (partition column — the inverted list), its PQ codes (the
+    compressed representation ADC scans), and its full-precision
+    vector (the rerank payload; at 100 TB this column moves to a
+    cold id-keyed store and only the shortlist is fetched).
+
+    Three artifacts: the cell-partitioned index table, the m×ksub
+    codebook table (bounded — the search reads it driver-side to
+    build the ADC lookup), and the builder-parameter metadata
+    (n_centroids/m/ksub are all part of the index's identity; a
+    search must read them from the artifact, never guess)."""
+    from .similarity import pq_encode, pq_fit
+
+    cbs = pq_fit(
+        emb, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(emb, cbs, id_col=id_col, vec_col=vec_col)
+    centroids = emb.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.join(codes, id_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(wh.path(table))
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(int(s), int(c), [float(x) for x in v]) for s, c, v in cbs],
+        "sub int, cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        wh.path(table + "__codebook")
+    )
+    spark.createDataFrame(
+        [(int(n_centroids), int(m), int(ksub))],
+        "n_centroids int, m int, ksub int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        wh.path(table + "__meta")
+    )
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    wh: Warehouse,
+    table: str = "ivfpq_index",
+    query_id: int = 0,
+    k: int = 10,
+    n_probe: int = 3,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search against the persisted composite index:
+
+      1. rank the K centroids (the index's first K rows, the
+         builder's rule read from metadata) against the query and
+         keep the top ``n_probe`` cells;
+      2. DPP-pruned scan of ONLY those cell directories; per
+         candidate row the ADC cost is m table lookups over its
+         codes (the lookup table is built driver-side from the one
+         collected query vector and the bounded codebook table, and
+         ships as an integer literal — no join, no float math);
+      3. exact quantized re-rank of the k·oversample shortlist
+         against full-precision vectors.
+
+    Returns (id, cell, d2_q) — bit-identical to
+    ``similarity.pq_adc_rerank_topk`` restricted to the probed cells
+    (same trainer, same ADC table, same tie-breaks; asserted in
+    tests/test_ann_index.py and by the registry oracle twin)."""
+    import math
+
+    from .similarity import QUANT, quantized_dist_sq, quantized_dot
+
+    meta = spark.read.parquet(wh.path(table + "__meta")).head()
+    n_centroids, m, ksub = (
+        int(meta["n_centroids"]), int(meta["m"]), int(meta["ksub"])
+    )
+    cb_rows = spark.read.parquet(wh.path(table + "__codebook")).collect()
+    cb = {(r["sub"], r["cell"]): list(r["centroid"]) for r in cb_rows}
+    dsub = len(next(iter(cb.values())))
+
+    assigned = spark.read.parquet(wh.path(table))
+    qrow = assigned.filter(F.col(id_col) == query_id).select(
+        vec_col
+    ).head()
+    if qrow is None:
+        raise ValueError(
+            f"search_ivfpq_index: query_id {query_id} not in index"
+        )
+    qv = [int(math.floor(float(x) * QUANT)) for x in qrow[vec_col]]
+    # ADC lookup table: exact integer d² from the query's subvectors
+    # to every sub-centroid — m·ksub·dsub driver-side multiplies,
+    # corpus-independent (the pq_adc_topk table, cell-restricted scan)
+    tbl = [
+        [
+            sum(
+                (qv[s * dsub + i] - int(math.floor(float(x) * QUANT)))
+                ** 2
+                for i, x in enumerate(cb[(s, c)])
+            )
+            for c in range(ksub)
+        ]
+        for s in range(m)
+    ]
+    tbl_sql = "array({})".format(
+        ",".join(
+            "array({})".format(",".join(f"{d}L" for d in row))
+            for row in tbl
+        )
+    )
+
+    qvec = assigned.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    centroids = assigned.filter(F.col(id_col) < n_centroids)
+    probe = (
+        centroids.crossJoin(F.broadcast(qvec))
+        .select(
+            F.col(id_col).alias("__pcell"),
+            quantized_dot(vec_col, "__qvec").alias("__s"),
+        )
+        .orderBy(F.desc("__s"), F.asc("__pcell"))
+        .limit(n_probe)
+        .select("__pcell")
+    )
+    cand = assigned.join(
+        F.broadcast(probe), F.col("cell") == F.col("__pcell")
+    ).filter(F.col(id_col) != query_id)
+    adc = F.expr(
+        "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
+        f"(c, s) -> {tbl_sql}[s][c]), 0L, (a, v) -> a + v)"
+    )
+    short = (
+        cand.select(id_col, adc.alias("__adc"))
+        .orderBy(F.asc("__adc"), F.asc(id_col))
+        .limit(k * oversample)
+        .select(id_col)
+    )
+    return (
+        cand.join(F.broadcast(short), id_col)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            id_col,
+            F.col("cell").cast("bigint").alias("cell"),
+            quantized_dist_sq(vec_col, "__qvec").alias("d2_q"),
+        )
+        .orderBy(F.asc("d2_q"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1045,6 +1045,8 @@ def pq_rerank_oracle_sql(
     query_id: int = 0,
     k: int = 10,
     oversample: int = 5,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
 ) -> str:
     """DuckDB twin of ``pq_fit → pq_encode → pq_adc_rerank_topk`` —
     the kmeans_profile_oracle_sql technique with an extra `sub` key:
@@ -1055,9 +1057,18 @@ def pq_rerank_oracle_sql(
     quantize/distances, decimal-sum→double-divide means, widen float →
     double before the decimal cast, empty cells keep their centroid),
     plus: the ADC table is exact integer arithmetic on both engines,
-    and both shortlist and final top-k tiebreak on vec_id."""
+    and both shortlist and final top-k tiebreak on vec_id.
+
+    With ``n_centroids``/``n_probe`` set, the twin models the r10
+    IVF-PQ COMPOSITE (ext/ann_index.py::search_ivfpq_index): the
+    quantized-dot IVF assignment (first-K-ids centroid rule, ties to
+    the lower cell) restricts ADC, shortlist and rerank to the
+    query's top-n_probe cells, and the output carries the member's
+    cell — bit-identical to pq_adc_rerank_topk restricted to the
+    probed cells."""
     dsub = dim // m
     shortlist = k * oversample
+    ivf = n_centroids is not None
     parts = [
         f"""
     WITH emb_q AS MATERIALIZED (
@@ -1121,6 +1132,45 @@ def pq_rerank_oracle_sql(
           ON nw.sub = p.sub AND nw.cell = p.cell
     )"""
             )
+    if ivf:
+        parts.append(
+            f""", ivf_cent AS MATERIALIZED (
+        SELECT vec_id AS cell, qv AS cq FROM emb_q
+        WHERE vec_id < {n_centroids}
+    ), ivf_assigned AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_sum(list_transform(
+                                  list_zip(e.qv, c.cq),
+                                  p -> p[1] * p[2])) DESC,
+                                c.cell ASC) AS rn
+            FROM emb_q e CROSS JOIN ivf_cent c
+        ) WHERE rn = 1
+    ), ivf_probe AS MATERIALIZED (
+        SELECT cell FROM (
+            SELECT c.cell,
+                   list_sum(list_transform(list_zip(c.cq, q.qv),
+                     p -> p[1] * p[2])) AS s
+            FROM ivf_cent c
+            CROSS JOIN (SELECT qv FROM emb_q
+                        WHERE vec_id = {query_id}) q
+        ) ORDER BY s DESC, cell ASC LIMIT {n_probe}
+    ), ivf_members AS MATERIALIZED (
+        SELECT a.vec_id, a.cell
+        FROM ivf_assigned a JOIN ivf_probe p ON a.cell = p.cell
+    )"""
+        )
+    member_clause = (
+        f" AND a.vec_id IN (SELECT vec_id FROM ivf_members)"
+        if ivf
+        else ""
+    )
+    cell_select = "mem.cell, " if ivf else ""
+    cell_join = (
+        " JOIN ivf_members mem ON mem.vec_id = e.vec_id" if ivf else ""
+    )
     parts.append(
         f""", qsubs AS MATERIALIZED (
         SELECT sub, qsv FROM subs WHERE vec_id = {query_id}
@@ -1136,17 +1186,17 @@ def pq_rerank_oracle_sql(
         SELECT a.vec_id, SUM(t.dist) AS adc_d2_q
         FROM pa{iters + 1} a
         JOIN adc_tbl t ON t.sub = a.sub AND t.cell = a.cell
-        WHERE a.vec_id <> {query_id}
+        WHERE a.vec_id <> {query_id}{member_clause}
         GROUP BY a.vec_id
     ), short AS MATERIALIZED (
         SELECT vec_id FROM adc
         ORDER BY adc_d2_q ASC, vec_id ASC LIMIT {shortlist}
     )
-    SELECT e.vec_id,
+    SELECT e.vec_id, {cell_select}
            CAST(list_sum(list_transform(list_zip(e.qv, q.qv),
                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2_q
     FROM emb_q e
-    JOIN short s ON s.vec_id = e.vec_id
+    JOIN short s ON s.vec_id = e.vec_id{cell_join}
     CROSS JOIN (SELECT qv FROM emb_q WHERE vec_id = {query_id}) q
     ORDER BY d2_q ASC, e.vec_id ASC
     LIMIT {k}

@@ -131,3 +131,137 @@ def test_multiprobe_reads_n_centroids_from_index_metadata(
         search_ivf_index_multiprobe(
             spark, wh, query_id=3, k=4, n_probe=2, n_centroids=16
         )
+
+
+# --- IVF-PQ composite index (r10) --------------------------------------------
+
+
+def test_ivfpq_search_equals_pq_rerank_on_probed_cells(
+    spark, sf_dir, tmp_path
+):
+    """The composite search is bit-identical to pq_adc_rerank_topk
+    RESTRICTED to the probed cells: same trainer (full-corpus pq_fit),
+    same ADC table, same tie-breaks — the only difference is the IVF
+    candidate cut, which the fresh path reproduces by feeding the
+    probed cells' members (plus the query row) into the PQ chain."""
+    from monzo_data_pipeline_spark.ext.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivfpq_index(wh, emb, n_centroids=16, m=8, ksub=8, iters=2)
+
+    for qid, n_probe in ((0, 3), (57, 1), (123, 2)):
+        got = search_ivfpq_index(
+            spark, wh, query_id=qid, k=10, n_probe=n_probe, oversample=5
+        )
+        # fresh path: rank centroids, take members of probed cells
+        centroids = emb.filter(F.col("vec_id") < 16)
+        assigned = SIM.ivf_assign(emb, centroids)
+        qvec = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("__qvec")
+        )
+        probe = (
+            centroids.crossJoin(F.broadcast(qvec))
+            .select(
+                F.col("vec_id").alias("__pcell"),
+                SIM.quantized_dot("embedding", "__qvec").alias("__s"),
+            )
+            .orderBy(F.desc("__s"), F.asc("__pcell"))
+            .limit(n_probe)
+        )
+        member_ids = (
+            assigned.join(
+                F.broadcast(probe.select("__pcell")),
+                F.col("cell") == F.col("__pcell"),
+            )
+            .select("vec_id")
+            .unionByName(
+                emb.filter(F.col("vec_id") == qid).select("vec_id")
+            )
+            .distinct()
+        )
+        restricted = emb.join(F.broadcast(member_ids), "vec_id")
+        cbs = SIM.pq_fit(emb, m=8, ksub=8, iters=2)  # FULL-corpus fit
+        want = SIM.pq_adc_rerank_topk(
+            restricted, cbs, query_id=qid, k=10, oversample=5
+        )
+        got_rows = [(r.vec_id, r.d2_q) for r in got.collect()]
+        want_rows = [tuple(r) for r in want.collect()]
+        assert got_rows == want_rows
+        # the cell column matches the IVF assignment
+        cell_of = {
+            r.vec_id: r.cell
+            for r in assigned.join(
+                F.broadcast(got.select("vec_id")), "vec_id"
+            ).collect()
+        }
+        for r in got.collect():
+            assert cell_of[r.vec_id] == r.cell
+
+
+def test_ivfpq_search_prunes_partitions(spark, sf_dir, tmp_path):
+    """DPP proof for the composite: the probe appears as dynamic
+    pruning in the executed plan, and the files the probed-cell
+    filter touches are a strict subset of the index's files."""
+    from monzo_data_pipeline_spark.ext.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivfpq_index(wh, emb)
+    got = search_ivfpq_index(spark, wh, query_id=0, k=10, n_probe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    index = spark.read.parquet(wh.path("ivfpq_index"))
+    probed = (
+        index.filter(F.col("vec_id").isin([r.vec_id for r in got.collect()]))
+        .select("cell")
+        .distinct()
+    )
+    probed_cells = [r.cell for r in probed.collect()]
+    files = (
+        index.filter(F.col("cell").isin(probed_cells))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    all_files = (
+        index.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert 0 < files < all_files
+
+
+def test_ivfpq_index_carries_codes_and_metadata(spark, sf_dir, tmp_path):
+    """The artifact is self-describing: codes length == meta.m, code
+    values < meta.ksub, codebook has m*ksub rows, and a fresh
+    Warehouse handle (no builder lineage) can search it."""
+    from monzo_data_pipeline_spark.ext.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "wh")
+    build_ivfpq_index(
+        Warehouse(spark, root), emb, n_centroids=8, m=4, ksub=16, iters=1
+    )
+    wh2 = Warehouse(spark, root)
+    meta = spark.read.parquet(wh2.path("ivfpq_index__meta")).head()
+    assert (meta.n_centroids, meta.m, meta.ksub) == (8, 4, 16)
+    cb = spark.read.parquet(wh2.path("ivfpq_index__codebook"))
+    assert cb.count() == 4 * 16
+    index = spark.read.parquet(wh2.path("ivfpq_index"))
+    bad = index.filter(
+        (F.size("codes") != 4)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+    got = search_ivfpq_index(spark, wh2, query_id=5, k=3, n_probe=2)
+    assert got.count() == 3
+    assert [t for _, t in got.dtypes] == ["bigint", "bigint", "bigint"]
