@@ -681,6 +681,26 @@ def register(_register) -> None:
         return TX.bigram_rarity_scores(load_table(spark, sf_dir, "documents"))
 
     @_register(
+        "lm_perplexity_scores",
+        "C4/north-star (r10: the CCNet/KenLM corpus quality filter — "
+        "an add-1-smoothed bigram LM trained on the corpus scores "
+        "every document's cross-entropy in bits-per-bigram, ENTIRELY "
+        "in exact fixed point: integer part of each −log₂P from "
+        "bit-length strings, fractional 16 bits from the "
+        "shift-and-square Q29 mantissa recurrence — no libm, so the "
+        "scores hash-check cross-engine; the 16-round recurrence "
+        "runs on the vocabulary-sized model table, never the fact "
+        "table — functions/text.py::lm_perplexity_scores)",
+        TX.lm_perplexity_oracle_sql(add_k=1),
+    )
+    def q_lm_perplexity_scores(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        return TX.lm_perplexity_scores(
+            load_table(spark, sf_dir, "documents"), add_k=1
+        )
+
+    @_register(
         "oov_rates",
         "C4/north-star (tokenizer-coverage filter: ppm of tokens outside "
         "the deterministic top-K corpus vocabulary)",

@@ -670,3 +670,202 @@ def oov_rate(
             "SUM(CAST(1 - in_vocab AS BIGINT)) * 1000000 DIV COUNT(1)"
         ).alias("oov_ppm"),
     )
+
+
+# --- n-gram LM perplexity (r10) ----------------------------------------------
+
+LM_FRAC_BITS = 16  # fixed-point fractional bits of the log2 costs
+
+
+def _log2_q16_sql(n_expr: str, d_expr: str) -> str:
+    """Spark SQL for floor-ish(2¹⁶·log₂(n/d)) with n ≥ d ≥ 1, in PURE
+    int64/decimal arithmetic — no libm:
+
+      * integer part e: bit-length difference via length(bin(x))
+        (exact — a string length, not a float log), minus one when
+        d·2^e0 overshoots n;
+      * fractional part: the classic shift-and-square bit recurrence
+        on a Q29 fixed-point mantissa x ∈ [2^29, 2^30): square
+        (x² < 2^60, inside int64), renormalize, emit one bit — 16
+        rounds; each truncation is a deterministic floor, so every
+        engine that runs the same recurrence gets the same bits.
+
+    Deterministic-not-exact: each round floors at 29 fractional
+    bits, so the result can sit a few ulps (≈2⁻¹³ bits) below the
+    true log — identically on every engine, which is the contract
+    that matters for the cross-engine hash gate."""
+    e0 = f"(length(bin({n_expr})) - length(bin({d_expr})))"
+    e = (
+        f"({e0} - (CASE WHEN shiftleft({d_expr}, CAST({e0} AS INT))"
+        f" > {n_expr} THEN 1 ELSE 0 END))"
+    )
+    x0 = (
+        f"CAST(CAST({n_expr} AS DECIMAL(38,0)) * 536870912"
+        f" DIV (CAST({d_expr} AS DECIMAL(38,0))"
+        f" * CAST(shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+        f" AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    frac = (
+        f"aggregate(sequence(1, {LM_FRAC_BITS}), "
+        f"struct({x0} AS x, CAST(0 AS BIGINT) AS acc), "
+        "(s, j) -> struct("
+        "CASE WHEN shiftright(s.x * s.x, 29) >= 1073741824 "
+        "THEN shiftright(shiftright(s.x * s.x, 29), 1) "
+        "ELSE shiftright(s.x * s.x, 29) END AS x, "
+        "s.acc * 2 + CASE WHEN shiftright(s.x * s.x, 29) >= 1073741824 "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS acc)"
+        ").acc"
+    )
+    return f"(CAST({e} AS BIGINT) * 65536 + {frac})"
+
+
+def lm_perplexity_scores(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: int = 1,
+) -> DataFrame:
+    """Bigram-LM document scoring — the CCNet/KenLM corpus quality
+    filter: train an add-k-smoothed bigram model on the corpus and
+    score every document by its cross-entropy under that model,
+
+        P(b | a) = (c(a,b) + k) / (c(a) + k·V)
+        xent     = −(1/n) Σ log₂ P  (bits per bigram)
+
+    entirely in exact fixed point (Q16 bits; see _log2_q16_sql — the
+    engine's no-libm discipline), so the scores carry a DuckDB oracle
+    twin. Perplexity = 2^xent is monotone in xent; filters threshold
+    the log domain directly (as CCNet does), so no exp is ever taken.
+
+    Output per doc: (id, n_bigrams, nll_q16, xent_q16) — total and
+    per-bigram cost in 2⁻¹⁶-bit units; high xent = the model finds
+    the doc surprising (line noise, boilerplate soup), low = fluent
+    under the corpus's own statistics.
+
+    Plan shape: the expensive frames are one fact-scale bigram
+    explode and one (a,b) count; the 16-round log recurrence runs on
+    the DISTINCT-bigram model table (vocabulary-sized, broadcast back
+    onto the doc bigrams), never on the fact table. Docs with < 2
+    tokens have no bigram and are excluded (same in the oracle)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    d = documents.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = (
+        d.select(id_col, F.explode(adjacent_pairs("toks")).alias("p"))
+        .select(id_col, "p.a", "p.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    c_ab = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = (
+        pairs.select("a")
+        .unionByName(pairs.select(F.col("b").alias("a")))
+        .agg(F.count_distinct("a").cast("long").alias("__V"))
+    )
+    model = (
+        c_ab.join(c_a, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            (F.col("c_a") + F.lit(add_k) * F.col("__V")).alias("__n"),
+            (F.col("c_ab") + F.lit(add_k)).alias("__d"),
+        )
+        .select(
+            "a",
+            "b",
+            F.expr(_log2_q16_sql("__n", "__d")).alias("cost_q16"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(model), ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("cost_q16").cast("long").alias("nll_q16"),
+            F.expr("SUM(cost_q16) DIV COUNT(1)")
+            .cast("long")
+            .alias("xent_q16"),
+        )
+    )
+
+
+def lm_perplexity_oracle_sql(add_k: int = 1) -> str:
+    """DuckDB twin of lm_perplexity_scores over `documents`: the same
+    tokenization as the bigram_rarity oracle, the same add-k model,
+    and the 16-round shift-and-square log recurrence UNROLLED as
+    chained CTEs (the pq_rerank_oracle_sql technique) — bit-for-bit
+    the arithmetic of _log2_q16_sql (DuckDB `x << e`/`>>`/HUGEINT
+    stand in for Spark shiftleft/shiftright/DECIMAL(38,0))."""
+    steps = []
+    for i in range(1, LM_FRAC_BITS + 1):
+        steps.append(
+            f""", s{i} AS (
+            SELECT a, b, e,
+                   CASE WHEN ((x * x) >> 29) >= 1073741824
+                        THEN ((x * x) >> 29) >> 1
+                        ELSE ((x * x) >> 29) END AS x,
+                   acc * 2 + CASE WHEN ((x * x) >> 29) >= 1073741824
+                                  THEN 1 ELSE 0 END AS acc
+            FROM s{i - 1}
+        )"""
+        )
+    return (
+        r"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+        ), p AS (
+            SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+            FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i
+            WHERE toks[i] <> '' AND toks[i+1] <> ''
+        ), c AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM p GROUP BY a, b
+        ), ca AS (
+            SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c GROUP BY a
+        ), v AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz
+            FROM (SELECT a AS w FROM p UNION ALL SELECT b AS w FROM p)
+        ), mdl AS (
+"""
+        + f"""            SELECT c.a, c.b,
+                   c_a + {add_k} * v.vsz AS n,
+                   c_ab + {add_k} AS d
+            FROM c JOIN ca USING (a) CROSS JOIN v
+        ), me AS (
+            SELECT a, b, n, d,
+                   (length(bin(n)) - length(bin(d)))
+                   - CASE WHEN (d << (length(bin(n)) - length(bin(d))))
+                               > n
+                          THEN 1 ELSE 0 END AS e
+            FROM mdl
+        ), s0 AS (
+            SELECT a, b, e,
+                   CAST(CAST(n AS HUGEINT) * 536870912
+                        // (CAST(d AS HUGEINT)
+                            * (CAST(1 AS BIGINT) << e))
+                        AS BIGINT) AS x,
+                   CAST(0 AS BIGINT) AS acc
+            FROM me
+        )"""
+        + "".join(steps)
+        + f""", cost AS (
+            SELECT a, b,
+                   CAST(e AS BIGINT) * 65536 + acc AS cost_q16
+            FROM s{LM_FRAC_BITS}
+        )
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(cost_q16) AS BIGINT) AS nll_q16,
+               CAST(CAST(SUM(cost_q16) AS BIGINT) // COUNT(*)
+                    AS BIGINT) AS xent_q16
+        FROM p JOIN cost USING (a, b)
+        GROUP BY p.doc_id ORDER BY p.doc_id
+        """
+    )

@@ -413,3 +413,73 @@ def test_reversal_matching_picks_earliest_within_window(spark):
     assert set(out) == {1}
     assert out[1].reversal_id == 2 and out[1].amt == 10
     assert out[1].gap_s == 3600
+
+
+class TestLmPerplexity:
+    def test_log2_q16_matches_float_log(self, spark):
+        """The Q16 fixed-point log₂ tracks math.log2 to within the
+        recurrence's truncation bound (each of the 16 rounds floors
+        at 29 fractional bits → total deficit < a few ulps of 2⁻¹⁶)
+        and never overshoots the true log."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from monzo_data_pipeline_spark.functions.text import (
+            _log2_q16_sql,
+        )
+
+        cases = [
+            (1, 1), (2, 1), (8, 1), (3, 2), (7, 3), (1000, 7),
+            (1048576, 1), (999999937, 12345), (5, 5), (6, 4),
+        ]
+        df = spark.createDataFrame(cases, "n long, d long").select(
+            "n", "d", F.expr(_log2_q16_sql("n", "d")).alias("q")
+        )
+        for r in df.collect():
+            true_bits = math.log2(r.n / r.d)
+            got_bits = r.q / 65536.0
+            assert got_bits <= true_bits + 1e-9
+            assert true_bits - got_bits < 4 / 65536.0, (r.n, r.d)
+        # exact powers of two are exact in fixed point
+        exact = {
+            (1, 1): 0, (2, 1): 65536, (8, 1): 3 * 65536,
+            (1048576, 1): 20 * 65536, (5, 5): 0,
+        }
+        got = {(r.n, r.d): r.q for r in df.collect()}
+        for k, v in exact.items():
+            assert got[k] == v
+
+    def test_fluent_scores_below_noise(self, spark):
+        """A doc made of the corpus's dominant construction must get
+        lower cross-entropy than a doc of one-off bigrams."""
+        from monzo_data_pipeline_spark.functions import text as TX
+
+        common = "the cat sat on the mat " * 5
+        docs = _docs(
+            spark, [common, common, common, "zyx qwv jjk pqr elm"]
+        )
+        out = {
+            r["doc_id"]: r["xent_q16"]
+            for r in TX.lm_perplexity_scores(docs).collect()
+        }
+        assert out[0] == out[1] == out[2]
+        assert out[0] < out[3]
+
+    def test_hand_computed_two_doc_model(self, spark):
+        """Tiny corpus, add-1 model checked by hand: docs 'a b' and
+        'a b' → c(a,b)=2, c(a·)=2, V=2 → P(b|a) = 3/4; cost/bigram =
+        log₂(4/3); both docs score identically with n_bigrams=1."""
+        import math
+
+        from monzo_data_pipeline_spark.functions import text as TX
+
+        docs = _docs(spark, ["a b", "a b"])
+        rows = TX.lm_perplexity_scores(docs).collect()
+        assert len(rows) == 2
+        want_bits = math.log2(4 / 3)
+        for r in rows:
+            assert r.n_bigrams == 1
+            assert r.nll_q16 == r.xent_q16
+            assert abs(r.xent_q16 / 65536.0 - want_bits) < 4 / 65536.0
+            assert r.xent_q16 / 65536.0 <= want_bits
