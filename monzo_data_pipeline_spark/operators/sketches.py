@@ -1356,3 +1356,153 @@ def theta_difference_sql(
                     // theta_hash AS BIGINT) AS est_difference
         FROM th, na, nd
         """
+
+
+# --- weighted reservoir sampling, A-ES (r10) ---------------------------------
+#
+# Efraimidis & Spirakis 2006 (algorithm A-ES): give every item the
+# priority u^(1/w) with u ~ Uniform(0,1) and keep the top-n — the
+# selection probability is then proportional to weight, and the
+# n-row priority state is MERGEABLE: top-n(A ∪ B) ==
+# top-n(top-n(A) ∪ top-n(B)), the same bottom-k law as KMV (the
+# priority is a pure function of (key, weight), so partial states
+# from batches/partitions/replays compose exactly).
+#
+# Engine-shared determinism: u is hash-derived (the KMV 62-bit
+# integer hash, u ≈ (h+1)/D), and the ordering key is the exact
+# fixed-point −log₂(u)/w: minimizing cost/w == maximizing u^(1/w).
+# cost is the Q16 shift-and-square log (functions/text.py::
+# _log2_q16_sql — no libm), and the division by w is one integer
+# DIV at Q20, so both engines materialize the identical priority
+# column and the identical sample.
+
+ARES_PRIORITY_SCALE = 1_048_576  # Q20: priority = cost_q16·2²⁰ DIV w
+
+
+def _ares_priority(key_col: str, weight_col: str):
+    """priority_q = (−log₂ u)·2³⁶ DIV w as an exact integer Column:
+    u = (h+1)/D from the KMV hash (never 0), cost_q16 =
+    log₂(D/(h+1)) ∈ [0, 62·2¹⁶]; · 2²⁰ stays < 2⁴³ — no overflow."""
+    from ..functions.text import _log2_q16_sql
+
+    h1 = _hash62_int(key_col) + F.lit(1)
+    cost = F.expr(
+        _log2_q16_sql(str(_KMV_DOMAIN), "__h1")
+    )
+    return h1, cost
+
+
+def weighted_sample_ares(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int = 100,
+) -> DataFrame:
+    """A-ES state: the n highest-priority (key, weight) rows, with
+    the priority materialized so states merge. Preconditions: keys
+    identify rows (duplicate keys collapse to one candidate — their
+    priority is identical by construction), integer weights ≥ 1
+    (NULL/non-positive rows are excluded — zero weight means never
+    sample). Output: (key, weight, priority_q), priority ASC = most
+    preferred first; ties broken on key for a total order."""
+    base = (
+        df.select(
+            F.col(key_col).cast("long").alias("__k"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+        .filter(F.col("__k").isNotNull() & (F.col("__w") >= 1))
+        .distinct()
+    )
+    h1, cost = _ares_priority("__k", "__w")
+    scored = base.withColumn("__h1", h1).select(
+        "__k",
+        "__w",
+        (cost * F.lit(ARES_PRIORITY_SCALE)).alias("__c"),
+    )
+    return (
+        scored.select(
+            F.col("__k").alias("key"),
+            F.col("__w").alias("weight"),
+            F.expr("__c DIV __w").alias("priority_q"),
+        )
+        .orderBy(F.asc("priority_q"), F.asc("key"))
+        .limit(n)
+    )
+
+
+def ares_merge(*states: DataFrame, n: int = 100) -> DataFrame:
+    """Merge A-ES states: union ∘ distinct ∘ top-n. EXACTLY equals
+    the state built on the concatenated inputs (the KMV bottom-k
+    law; distinct collapses keys seen by several partials — their
+    rows are identical because the priority is a pure function of
+    (key, weight))."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.distinct()
+        .orderBy(F.asc("priority_q"), F.asc("key"))
+        .limit(n)
+    )
+
+
+def ares_oracle_sql(
+    src: str, key_expr: str, weight_expr: str, n: int = 100
+) -> str:
+    """DuckDB twin of weighted_sample_ares over `src`: the KMV hash
+    (kmv_hash_sql), the 16-round Q16 log recurrence unrolled as
+    chained CTEs (the lm_perplexity_oracle_sql technique), one Q20
+    integer division by the weight, same (priority, key) order."""
+    steps = []
+    for i in range(1, 17):
+        steps.append(
+            f""", s{i} AS (
+            SELECT k, w,
+                   CASE WHEN ((x * x) >> 29) >= 1073741824
+                        THEN ((x * x) >> 29) >> 1
+                        ELSE ((x * x) >> 29) END AS x,
+                   acc * 2 + CASE WHEN ((x * x) >> 29) >= 1073741824
+                                  THEN 1 ELSE 0 END AS acc,
+                   e
+            FROM s{i - 1}
+        )"""
+        )
+    d = _KMV_DOMAIN
+    return (
+        f"""
+        WITH base AS (
+            SELECT DISTINCT CAST({key_expr} AS BIGINT) AS k,
+                   CAST({weight_expr} AS BIGINT) AS w
+            FROM {src}
+            WHERE {key_expr} IS NOT NULL
+              AND CAST({weight_expr} AS BIGINT) >= 1
+        ), hh AS (
+            SELECT k, w, {kmv_hash_sql('k')} + 1 AS h1 FROM base
+        ), me AS (
+            SELECT k, w, h1,
+                   (length(bin({d})) - length(bin(h1)))
+                   - CASE WHEN (h1 << (length(bin({d}))
+                                       - length(bin(h1)))) > {d}
+                          THEN 1 ELSE 0 END AS e
+            FROM hh
+        ), s0 AS (
+            SELECT k, w,
+                   CAST(CAST({d} AS HUGEINT) * 536870912
+                        // (CAST(h1 AS HUGEINT)
+                            * (CAST(1 AS BIGINT) << e))
+                        AS BIGINT) AS x,
+                   CAST(0 AS BIGINT) AS acc,
+                   e
+            FROM me
+        )"""
+        + "".join(steps)
+        + f"""
+        SELECT k AS key, w AS weight,
+               CAST((CAST(e AS BIGINT) * 65536 + acc)
+                    * {ARES_PRIORITY_SCALE} // w AS BIGINT)
+                 AS priority_q
+        FROM s16
+        ORDER BY priority_q ASC, key ASC
+        LIMIT {n}
+        """
+    )

@@ -37,6 +37,7 @@ from .operators import geo as GEO
 from .operators import joins as JN
 from .operators import projection as PJ
 from .operators import setops as SO
+from .operators import sketches as SK
 from .operators import timeseries as TS
 from .operators import windows as WN
 
@@ -2763,6 +2764,34 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.col("rank_in_group").cast("int").alias("rank_in_group"),
     )
+
+
+@_register(
+    "weighted_sample_ares",
+    "north-star sampling (r10: A-ES weighted reservoir sampling — "
+    "Efraimidis-Spirakis priorities u^(1/w) realized LOG-DOMAIN in "
+    "exact fixed point: u hash-derived from the KMV 62-bit family, "
+    "priority = −log₂(u)·2³⁶ DIV w via the Q16 shift-and-square "
+    "recurrence, top-100 by (priority, key) — the weight-"
+    "proportional sampler training-data mixtures need, with the KMV "
+    "bottom-k MERGE LAW (states from batches compose exactly; "
+    "law-tested in tests/test_sketches_skew.py) — "
+    "operators/sketches.py::weighted_sample_ares)",
+    SK.ares_oracle_sql(
+        "orders",
+        "o_orderkey",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)",
+        n=100,
+    ),
+)
+def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("w_cents"),
+    )
+    return SK.weighted_sample_ares(o, "o_orderkey", "w_cents", n=100)
 
 
 @_register(

@@ -505,3 +505,72 @@ def test_bloom_false_positive_rate_sane(spark):
     fp = bloom_probe(state, probe, "k").count()
     # n=2000, m=65536, k=4 -> fp ~ (1-e^-0.122)^4 ~ 0.02%; allow 10x
     assert fp <= 25
+
+
+# --- A-ES weighted reservoir sampling (r10) ----------------------------------
+
+
+def test_ares_merge_law_state_equality(spark, sf_dir):
+    """merge(state(A), state(B)) == state(A ∪ B), row-for-row — the
+    KMV bottom-k law: the priority is a pure function of (key,
+    weight), so partial states compose exactly. Checked on a
+    disjoint split AND an overlapping split."""
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.catalog import load_table
+    from monzo_data_pipeline_spark.operators.sketches import (
+        ares_merge,
+        weighted_sample_ares,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    whole = weighted_sample_ares(o, "o_orderkey", "w", n=64)
+    for pred_a, pred_b in [
+        ("o_orderkey % 2 = 0", "o_orderkey % 2 != 0"),   # disjoint
+        ("o_orderkey % 3 != 0", "o_orderkey % 3 != 1"),  # overlapping
+    ]:
+        merged = ares_merge(
+            weighted_sample_ares(o.filter(pred_a), "o_orderkey", "w", n=64),
+            weighted_sample_ares(o.filter(pred_b), "o_orderkey", "w", n=64),
+            n=64,
+        )
+        a = [tuple(r) for r in whole.collect()]
+        b = [tuple(r) for r in merged.collect()]
+        assert a == b
+
+
+def test_ares_selection_tracks_weight(spark):
+    """Weight-proportionality smoke: with two weight classes (1 vs
+    100) over 2000 keys, the heavy class must dominate the sample
+    far beyond its 50% population share."""
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.operators.sketches import (
+        weighted_sample_ares,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100 if i % 2 == 0 else 1) for i in range(2000)],
+        "k long, w long",
+    )
+    got = weighted_sample_ares(df, "k", "w", n=100)
+    heavy = got.filter(F.col("key") % 2 == 0).count()
+    assert heavy > 80  # expected ≈ 99; far above the 50% base rate
+
+
+def test_ares_excludes_null_and_nonpositive_weights(spark):
+    from monzo_data_pipeline_spark.operators.sketches import (
+        weighted_sample_ares,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (None, 9), (5, 1)],
+        "k long, w long",
+    )
+    got = weighted_sample_ares(df, "k", "w", n=10).collect()
+    assert sorted(r.key for r in got) == [1, 5]
