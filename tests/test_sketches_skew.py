@@ -574,3 +574,58 @@ def test_ares_excludes_null_and_nonpositive_weights(spark):
     )
     got = weighted_sample_ares(df, "k", "w", n=10).collect()
     assert sorted(r.key for r in got) == [1, 5]
+
+
+def test_aqe_skew_join_split_fires(spark, tmp_path):
+    """r10 plan contract: on a deliberately hot-keyed SortMergeJoin,
+    AQE's skew-join optimization must actually split the hot
+    partition (the executed plan's SMJ carries skew=true) and the
+    result must equal the skew-off run. Thresholds are lowered to
+    make the local shuffle sizes trip the same detector a 100 TB
+    cluster trips at its defaults (256 MB / factor 5)."""
+    import pyspark.sql.functions as F
+
+    # key 0: 400k rows; 200 cold keys: 2k rows each
+    hot = spark.range(0, 400_000).select(
+        F.lit(0).alias("k"), (F.col("id") % 997).alias("v")
+    )
+    cold = spark.range(0, 400_000).select(
+        (F.col("id") % 200 + 1).alias("k"), (F.col("id") % 997).alias("v")
+    )
+    big_path = str(tmp_path / "skew_big")
+    dim_path = str(tmp_path / "skew_dim")
+    hot.unionByName(cold).write.parquet(big_path)
+    spark.range(0, 201).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+    ).write.parquet(dim_path)
+    big, dim = spark.read.parquet(big_path), spark.read.parquet(dim_path)
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        j = big.join(dim, "k").selectExpr("sum(v * w) AS s")
+        got = j.collect()[0][0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        j2 = big.join(dim, "k").selectExpr("sum(v * w) AS s")
+        want = j2.collect()[0][0]
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2
+        assert got == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
