@@ -825,3 +825,102 @@ def test_stream_view_state_with_retractions_matches_batch(
         for r in partial(survivors).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_state_evicts_at_watermark(spark, tmp_path):
+    """r10: the interval join's CLEANUP contract, asserted — not just
+    documented. Two properties over explicitly-sequenced
+    micro-batches of hour-spaced click/purchase pairs:
+
+      1. bounded state: the symmetric-hash-join state store REMOVES
+         rows as the watermark passes them (numRowsRemoved > 0) and
+         the resident row count PLATEAUS far below the total rows
+         fed — on an unbounded stream this is the difference between
+         finite memory and an OOM at 100 TB/day;
+      2. late-beyond-watermark input is dropped: a click+purchase
+         pair whose event time sits hours below the watermark
+         produces NO join row, even though the pair would match.
+    """
+    from datetime import datetime, timedelta
+
+    from monzo_data_pipeline_spark.streaming import joins as SJ
+
+    drops = str(tmp_path / "ssj_evict")
+    schema = (
+        "ts timestamp, user_id long, event_id long, value double,"
+        " event_type string"
+    )
+    base = datetime(2024, 1, 1, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(drops)
+
+    def pair_at(hour, eid):
+        t = base + timedelta(hours=hour)
+        return [
+            (t, 1, eid, 1.0, "click"),
+            (t + timedelta(minutes=5), 1, eid + 1, 9.0, "purchase"),
+        ]
+
+    write_batch(pair_at(0, 100))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    out = SJ.attribute_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        max_gap_seconds=600,
+        watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_evict")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+
+    state_totals, state_removed = [], []
+
+    def snap_state():
+        prog = q.lastProgress
+        ops = prog["stateOperators"] if prog else []
+        assert ops, "no state operator in progress"
+        state_totals.append(sum(o["numRowsTotal"] for o in ops))
+        state_removed.append(sum(o["numRowsRemoved"] for o in ops))
+
+    n_batches = 8
+    for h in range(1, n_batches):
+        write_batch(pair_at(h, 100 + 10 * h))
+        q.processAllAvailable()
+        snap_state()
+
+    # 1a. eviction actually happened
+    assert sum(state_removed) > 0
+    # 1b. plateau: the last batches hold no more state than the early
+    # ones once the watermark is in steady advance — resident rows
+    # must NOT grow with stream length
+    assert state_totals[-1] <= max(state_totals[:3])
+    # and resident state is a small fraction of everything ever fed
+    assert state_totals[-1] < 2 * n_batches  # fed 2 rows/batch
+
+    # 2. a pair 6+ hours below the watermark joins nowhere
+    write_batch(pair_at(1, 900))  # watermark is ~hour 7 − 30 min
+    q.processAllAvailable()
+    # push one more on-time batch so any (wrong) result would flush
+    write_batch(pair_at(n_batches, 100 + 10 * n_batches))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj_evict").collect()
+    }
+    assert (901, 900) not in got  # late pair dropped at the watermark
+    # every on-time pair from the main sequence did join
+    for h in range(0, n_batches - 1):
+        assert (100 + 10 * h + 1, 100 + 10 * h) in got
