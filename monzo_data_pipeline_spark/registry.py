@@ -4556,8 +4556,6 @@ _DRIVER_PREFIX = [
     "hll_monthly_customers",
     "near_dup_clusters_star",
     "k_core_copurchase",
-    "jpeg_subsampled_decode_stats",
-    "struct_flatten",
     # r6: array_ops + token_stats rotated out (nested/scalar coverage
     # stays via struct_flatten/scalar_functions, text via
     # word_frequencies/lang_id/quality_scores) so the round-5 graph +
@@ -4589,7 +4587,6 @@ _DRIVER_PREFIX = [
     # which exercise the same grid/HLL machinery) and image_decode_stats
     # rotates out (images stay via jpeg_subsampled_decode_stats +
     # media_feature_extract + video_frame_stats)
-    "kmv_merge_distinct",
     # r9 rotation: the r8 families the hard gate had not yet sampled
     # enter immediately — the KMV point estimator, the theta
     # A-NOT-B difference (replacing the intersection twin: same
@@ -4604,7 +4601,6 @@ _DRIVER_PREFIX = [
     # exact_distinct_counts (distinct via hll/kmv entries),
     # table_profile (wide aggs via reconciliation_checksums)
     "kmv_distinct_parts",
-    "theta_diff_customers",
     "ivf_index_search",
     "ivm_join_delta",
     "ivm_retraction_view",
@@ -4626,7 +4622,31 @@ _DRIVER_PREFIX = [
     # score_calibration_bins, cohens_kappa_labels (same machinery as
     # their sampled siblings).
     "ivm_join_retraction",
-    "cms_heavy_parts",
+    # r10 rotation: the five r9 families the hard gate had not yet
+    # sampled enter now (cms_merge_counts, cohens_kappa_labels,
+    # ppr_trade_graph, score_calibration_bins, shard_rebalance_audit)
+    # plus the three r10 NEW families sampled immediately (the
+    # IVF-PQ composite index search, the Q16 bigram-LM perplexity
+    # scores, and the A-ES weighted reservoir sample). Rotated out,
+    # each green in CORRECTNESS_r09 with its family still sampled:
+    # cms_heavy_parts (CMS via cms_merge_counts), kmv_merge_distinct
+    # (KMV via kmv_distinct_parts, merge laws via
+    # bitmap_merge_distinct), pq_rerank_topk (PQ/ADC via
+    # ivfpq_index_search, which composes it with the IVF probe),
+    # struct_flatten (projection via project_cast_stamp),
+    # asof_nearest_join (as-of via asof_forward_tolerance),
+    # theta_diff_customers (theta states via kmv_distinct_parts),
+    # fuzzy_name_pairs (near-dup via near_dup_clusters +
+    # near_dup_clusters_star), jpeg_subsampled_decode_stats (media
+    # via video_frame_stats + media_feature_extract).
+    "cms_merge_counts",
+    "cohens_kappa_labels",
+    "ppr_trade_graph",
+    "score_calibration_bins",
+    "shard_rebalance_audit",
+    "ivfpq_index_search",
+    "lm_perplexity_scores",
+    "weighted_sample_ares",
     "bloom_join_prune",
     "t_closeness_audit",
     "holt_forecast_revenue",
@@ -4638,11 +4658,9 @@ _DRIVER_PREFIX = [
     # r8: the nearest-direction as-of (newest code in the family)
     # replaces the backward twin in the hard gate; backward stays
     # green in the full gate and is a sub-plan of nearest anyway
-    "asof_nearest_join",
     # r4: pq_rerank_topk is hash-checked now (pq_rerank_oracle_sql), so
     # the PQ compression family returns to the prefix; ivf_topk below
     # keeps the IVF family covered.
-    "pq_rerank_topk",
     "top_n_per_group_salted",
     "rollup_spend",
     "sessionization",
@@ -4656,7 +4674,6 @@ _DRIVER_PREFIX = [
     # kmeans_cluster_profile rotates out (ANN/clustering stays via
     # cosine_topk_bruteforce + pq_rerank_topk)
     "ivm_revenue_view",
-    "fuzzy_name_pairs",
     "bpe_merge_table",
     "video_frame_stats",
     # r4: kmeans_cluster_profile is hash-checked now
