@@ -1203,3 +1203,94 @@ def pq_rerank_oracle_sql(
     """
     )
     return "".join(parts)
+
+
+# --- ANN quality evaluation (r10) --------------------------------------------
+
+
+def ann_recall_eval(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the multi-probe IVF path against exact brute force
+    — the evaluation every ANN deployment runs before trusting its
+    index (probe count and centroid count are RECALL knobs; this is
+    the dial readout). For each query id: exact top-k by quantized
+    dot over the whole corpus, approximate top-k over the probed
+    cells only, recall_ppm = |exact ∩ approx|·10⁶ DIV k.
+
+    Scale shape: the query set is a bounded broadcast; the corpus is
+    scanned once for the exact side (per-query window over broadcast-
+    joined scores — the knn_join plan) and once for the assignment;
+    the approximate side touches only probed-cell members. Both sides
+    deterministic (integer dots, id tie-breaks), so the recall table
+    itself hash-checks cross-engine."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col(id_col) != F.col("qid")
+    ).select(
+        "qid", id_col, quantized_dot(vec_col, "__qvec").alias("__d")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("__d"), F.asc(id_col)
+    )
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", id_col)
+    )
+    centroids = emb.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            F.col(id_col).alias("cell"),
+            quantized_dot(vec_col, "__qvec").alias("__s"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("__s"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select("qid", "cell")
+    )
+    approx = (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col(id_col) != F.col("qid"))
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", id_col, quantized_dot(vec_col, "__qvec").alias("__d")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", F.col(id_col), F.lit(1).alias("__hit"))
+    )
+    return (
+        exact.join(F.broadcast(approx), ["qid", id_col], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "n_hit",
+            F.expr("n_hit * 1000000 DIV n_exact").alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )

@@ -701,6 +701,25 @@ def register(_register) -> None:
         )
 
     @_register(
+        "lm_kl_drift",
+        "C4/north-star (r10: corpus DRIFT between the en and non-en "
+        "document slices as the two-directional KL divergence of "
+        "their add-1 bigram LMs over a shared union vocabulary — the "
+        "distribution-shift gate a pipeline runs when a new source "
+        "lands, in Q16 bits/bigram; both models' costs run through "
+        "one Q16 log recurrence on the union-bigram model table, "
+        "fact touched once, DECIMAL(38,0) accumulation — "
+        "functions/text.py::lm_bigram_kl)",
+        TX.lm_kl_oracle_sql("lang = 'en'", add_k=1),
+    )
+    def q_lm_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return TX.lm_bigram_kl(
+            load_table(spark, sf_dir, "documents"),
+            F.col("lang") == "en",
+            add_k=1,
+        )
+
+    @_register(
         "oov_rates",
         "C4/north-star (tokenizer-coverage filter: ppm of tokens outside "
         "the deterministic top-K corpus vocabulary)",

@@ -869,3 +869,194 @@ def lm_perplexity_oracle_sql(add_k: int = 1) -> str:
         GROUP BY p.doc_id ORDER BY p.doc_id
         """
     )
+
+
+def lm_bigram_kl(
+    documents: DataFrame,
+    group_expr,
+    text_col: str = "text",
+    add_k: int = 1,
+) -> DataFrame:
+    """Corpus drift between two document slices as the KL divergence
+    of their add-k bigram LMs (both directions) — the distribution-
+    shift gate a training-data pipeline runs when a new source lands:
+    "does source B speak the same language as source A", in bits per
+    bigram rather than a scalarless score.
+
+        KL(A‖B) = (1/N_A) Σ_ab c_A(ab)·(cost_B(ab) − cost_A(ab))
+
+    with cost_M the Q16 −log₂P under model M (the lm_perplexity
+    machinery) evaluated on the UNION bigram space with a SHARED
+    vocabulary (V = distinct tokens over both slices), so Q always
+    covers P's support and KL is finite. All exact fixed point —
+    products accumulate in DECIMAL(38,0), one DIV; deterministic
+    cross-engine (4-ulp Q16 truncation means a mathematically ~0 KL
+    can land a hair under 0 — identically on both engines).
+
+    ``group_expr``: boolean Column splitting docs into slice A (true)
+    and B (false). Output: one row (n_bigrams_a, n_bigrams_b,
+    vocab_union, kl_ab_q16, kl_ba_q16).
+
+    Plan: one fact-scale bigram explode; everything after runs on the
+    union-bigram model table (vocabulary-sized), where both models'
+    costs are computed side by side — the 16-round recurrence never
+    touches the fact table."""
+    toks = tokens(F.lower(F.col(text_col)))
+    d = documents.select(
+        group_expr.cast("boolean").alias("__g"), toks.alias("toks")
+    ).filter(F.col("__g").isNotNull() & (F.size("toks") >= 2))
+    pairs = (
+        d.select("__g", F.explode(adjacent_pairs("toks")).alias("p"))
+        .select("__g", "p.a", "p.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    cab = pairs.groupBy("__g", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    # union model table: both slices' bigram and first-token counts
+    wide = (
+        cab.groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("__g"), F.col("c_ab"))).alias("ca_ab"),
+            F.sum(F.when(~F.col("__g"), F.col("c_ab"))).alias("cb_ab"),
+        )
+        .fillna({"ca_ab": 0, "cb_ab": 0})
+    )
+    firsts = wide.groupBy("a").agg(
+        F.sum("ca_ab").alias("ca_a"), F.sum("cb_ab").alias("cb_a")
+    )
+    vocab = (
+        pairs.select("a")
+        .unionByName(pairs.select(F.col("b").alias("a")))
+        .agg(F.count_distinct("a").cast("long").alias("__V"))
+    )
+    model = (
+        wide.join(firsts, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            "ca_ab",
+            "cb_ab",
+            (F.col("ca_a") + F.lit(add_k) * F.col("__V")).alias("__na"),
+            (F.col("ca_ab") + F.lit(add_k)).alias("__da"),
+            (F.col("cb_a") + F.lit(add_k) * F.col("__V")).alias("__nb"),
+            (F.col("cb_ab") + F.lit(add_k)).alias("__db"),
+            "__V",
+        )
+        .select(
+            "ca_ab",
+            "cb_ab",
+            "__V",
+            F.expr(_log2_q16_sql("__na", "__da")).alias("__cost_a"),
+            F.expr(_log2_q16_sql("__nb", "__db")).alias("__cost_b"),
+        )
+    )
+    dec = "decimal(38,0)"
+    return model.agg(
+        F.sum("ca_ab").cast("long").alias("n_bigrams_a"),
+        F.sum("cb_ab").cast("long").alias("n_bigrams_b"),
+        F.first("__V").alias("vocab_union"),
+        F.expr(
+            f"CAST(SUM(CAST(ca_ab AS {dec})"
+            f" * (__cost_b - __cost_a))"
+            " DIV SUM(ca_ab) AS BIGINT)"
+        ).alias("kl_ab_q16"),
+        F.expr(
+            f"CAST(SUM(CAST(cb_ab AS {dec})"
+            f" * (__cost_a - __cost_b))"
+            " DIV SUM(cb_ab) AS BIGINT)"
+        ).alias("kl_ba_q16"),
+    )
+
+
+def lm_kl_oracle_sql(group_sql: str, add_k: int = 1) -> str:
+    """DuckDB twin of lm_bigram_kl: `group_sql` is the boolean slice
+    expression over `documents`; ONE 16-round recurrence chain runs
+    over the stacked (model, bigram) rows — both models' costs in the
+    same unroll, re-pivoted for the weighted sums."""
+    steps = []
+    for i in range(1, LM_FRAC_BITS + 1):
+        steps.append(
+            f""", s{i} AS (
+            SELECT m, a, b, e,
+                   CASE WHEN ((x * x) >> 29) >= 1073741824
+                        THEN ((x * x) >> 29) >> 1
+                        ELSE ((x * x) >> 29) END AS x,
+                   acc * 2 + CASE WHEN ((x * x) >> 29) >= 1073741824
+                                  THEN 1 ELSE 0 END AS acc
+            FROM s{i - 1}
+        )"""
+        )
+    return (
+        rf"""
+        WITH t AS (
+            SELECT CAST(({group_sql}) AS BOOLEAN) AS g,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents
+            WHERE ({group_sql}) IS NOT NULL
+              AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+        ), p AS (
+            SELECT g, toks[i] AS a, toks[i+1] AS b
+            FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i
+            WHERE toks[i] <> '' AND toks[i+1] <> ''
+        ), wide AS (
+            SELECT a, b,
+                   CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ca_ab,
+                   CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT)
+                       AS cb_ab
+            FROM p GROUP BY a, b
+        ), firsts AS (
+            SELECT a, CAST(SUM(ca_ab) AS BIGINT) AS ca_a,
+                   CAST(SUM(cb_ab) AS BIGINT) AS cb_a
+            FROM wide GROUP BY a
+        ), v AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz
+            FROM (SELECT a AS w FROM p UNION ALL SELECT b AS w FROM p)
+        ), stacked AS (
+            SELECT 'A' AS m, w.a, w.b,
+                   f.ca_a + {add_k} * v.vsz AS n, w.ca_ab + {add_k} AS d
+            FROM wide w JOIN firsts f USING (a) CROSS JOIN v
+            UNION ALL
+            SELECT 'B' AS m, w.a, w.b,
+                   f.cb_a + {add_k} * v.vsz AS n, w.cb_ab + {add_k} AS d
+            FROM wide w JOIN firsts f USING (a) CROSS JOIN v
+        ), me AS (
+            SELECT m, a, b, n, d,
+                   (length(bin(n)) - length(bin(d)))
+                   - CASE WHEN (d << (length(bin(n)) - length(bin(d))))
+                               > n
+                          THEN 1 ELSE 0 END AS e
+            FROM stacked
+        ), s0 AS (
+            SELECT m, a, b, e,
+                   CAST(CAST(n AS HUGEINT) * 536870912
+                        // (CAST(d AS HUGEINT)
+                            * (CAST(1 AS BIGINT) << e))
+                        AS BIGINT) AS x,
+                   CAST(0 AS BIGINT) AS acc
+            FROM me
+        )"""
+        + "".join(steps)
+        + f""", cost AS (
+            SELECT m, a, b,
+                   CAST(e AS BIGINT) * 65536 + acc AS c
+            FROM s{LM_FRAC_BITS}
+        ), piv AS (
+            SELECT w.ca_ab, w.cb_ab,
+                   ca.c AS cost_a, cb.c AS cost_b
+            FROM wide w
+            JOIN cost ca ON ca.m = 'A' AND ca.a = w.a AND ca.b = w.b
+            JOIN cost cb ON cb.m = 'B' AND cb.a = w.a AND cb.b = w.b
+        )
+        SELECT CAST(SUM(ca_ab) AS BIGINT) AS n_bigrams_a,
+               CAST(SUM(cb_ab) AS BIGINT) AS n_bigrams_b,
+               (SELECT vsz FROM v) AS vocab_union,
+               CAST(SUM(CAST(ca_ab AS HUGEINT) * (cost_b - cost_a))
+                    // SUM(ca_ab) AS BIGINT) AS kl_ab_q16,
+               CAST(SUM(CAST(cb_ab AS HUGEINT) * (cost_a - cost_b))
+                    // SUM(cb_ab) AS BIGINT) AS kl_ba_q16
+        FROM piv
+        """
+    )

@@ -2255,6 +2255,86 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, query_id=0, n_centroids=16, k=5)
 
 
+_ANN_EVAL_QIDS = [0, 7, 57, 123, 200]
+
+
+@_register(
+    "ann_recall_at_k",
+    "C3/north-star (r10: the ANN EVALUATION every index deployment "
+    "runs before trusting its probe settings — recall@10 of the "
+    "3-probe IVF path vs exact brute force per query, "
+    "|exact ∩ approx|·10⁶ DIV k; both sides deterministic integer "
+    "dots with id tie-breaks, so the recall table itself "
+    "hash-checks — ext/similarity.py::ann_recall_eval)",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id IN ({", ".join(str(i) for i in _ANN_EVAL_QIDS)})
+    ), sc AS (
+        SELECT q.qid, e.vec_id,
+               {_QDOT.format(a='e.embedding', b='q.qv')} AS d
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    ), exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d DESC, vec_id ASC) AS rn
+            FROM sc
+        ) WHERE rn <= 10
+    ), cent AS (
+        SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+        WHERE vec_id < 16
+    ), asg AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_QDOT.format(a='e.embedding', b='c.cvec')}
+                                DESC, c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT qid, cell FROM (
+            SELECT q.qid, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_QDOT.format(a='c.cvec', b='q.qv')}
+                                DESC, c.cell ASC) AS rn
+            FROM cent c CROSS JOIN q
+        ) WHERE rn <= 3
+    ), approx AS (
+        SELECT qid, vec_id FROM (
+            SELECT p.qid, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY {_QDOT.format(a='e.embedding', b='q.qv')}
+                                DESC, a.vec_id ASC) AS rn
+            FROM asg a
+            JOIN probe p ON a.cell = p.cell
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN q ON q.qid = p.qid
+            WHERE a.vec_id <> p.qid
+        ) WHERE rn <= 10
+    )
+    SELECT ex.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM exact ex
+    LEFT JOIN approx ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+    GROUP BY ex.qid ORDER BY ex.qid
+    """,
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_recall_eval(
+        emb, _ANN_EVAL_QIDS, k=10, n_centroids=16, n_probe=3
+    )
+
+
 @_register(
     "ivf_topk_multiprobe",
     "C3 scale path (multi-probe IVF: rank cells for the query, probe top-3 — "

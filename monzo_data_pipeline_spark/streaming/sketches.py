@@ -252,3 +252,50 @@ def stream_kmv_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ares_sample(
+    stream: DataFrame,
+    key_col: str,
+    weight_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    n: int = 100,
+    _fault_hook: Callable[[int], None] | None = None,
+):
+    """Maintain an A-ES weighted reservoir incrementally over a
+    stream (r10) — the fifth state lane: per micro-batch build the
+    batch's n-row priority state (`weighted_sample_ares`), merge with
+    the latest persisted state (`ares_merge` = union ∘ distinct ∘
+    top-n — the KMV bottom-k law, idempotent AND exact, so the
+    maintained reservoir is bit-identical to the one a batch build
+    over every absorbed row would produce), write to the versioned
+    `_SUCCESS`-gated dir. Recovery is idempotent-by-replay like the
+    KMV lane: a retried batch recomputes v{b} from v{b-1} and the
+    same rows; distinct absorbs the duplicate-key overlap.
+
+    This is the streaming form of weight-proportional training-data
+    sampling: the reservoir a mixture pipeline reads at any moment is
+    a valid A-ES sample of everything the stream has carried."""
+    from monzo_data_pipeline_spark.operators.sketches import (
+        ares_merge,
+        weighted_sample_ares,
+    )
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        st = weighted_sample_ares(batch, key_col, weight_col, n=n)
+        prev = _read_state(spark, state_dir, below=batch_id)
+        merged = ares_merge(prev, st, n=n) if prev is not None else st
+        merged.write.mode("overwrite").parquet(
+            _version_path(state_dir, batch_id)
+        )
+        if _fault_hook is not None:
+            _fault_hook(batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -166,3 +166,70 @@ def test_shard_postings_rows_bounded_by_doc_range(spark, sf_dir):
 
     too_big = sharded.filter(F.size("postings") > 25).count()
     assert too_big == 0
+
+
+# --- ANN recall evaluation (r10) ---------------------------------------------
+
+
+def test_ann_recall_eval_bounds_and_exact_probe(spark, sf_dir):
+    """recall_ppm in [0, 10^6] for every query; probing ALL cells
+    makes the IVF path exhaustive, so recall must be exactly 10^6."""
+    import pyspark.sql.functions as F
+
+    from monzo_data_pipeline_spark.catalog import load_table
+    from monzo_data_pipeline_spark.ext.similarity import ann_recall_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 7, 57]
+    part = ann_recall_eval(emb, qids, k=5, n_centroids=16, n_probe=3)
+    rows = part.collect()
+    assert [r.qid for r in rows] == sorted(qids)
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_hit <= 5
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_exact
+
+    full = ann_recall_eval(emb, qids, k=5, n_centroids=16, n_probe=16)
+    assert all(r.recall_ppm == 1_000_000 for r in full.collect())
+    # more probes never lower recall (monotone knob)
+    part1 = {
+        r.qid: r.recall_ppm
+        for r in ann_recall_eval(
+            emb, qids, k=5, n_centroids=16, n_probe=1
+        ).collect()
+    }
+    part3 = {r.qid: r.recall_ppm for r in rows}
+    for qid in qids:
+        assert part1[qid] <= part3[qid]
+
+
+def test_ann_recall_eval_matches_multiprobe_singleton(spark, sf_dir):
+    """For one query id the approx side must agree with the existing
+    ivf_topk_multiprobe operator (same probe rule, same tie-breaks):
+    recall computed here == recall computed from its output."""
+    from monzo_data_pipeline_spark.catalog import load_table
+    from monzo_data_pipeline_spark.ext import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qid, k, n_probe = 123, 7, 2
+    got = SIM.ann_recall_eval(
+        emb, [qid], k=k, n_centroids=16, n_probe=n_probe
+    ).collect()[0]
+    approx_ids = {
+        r.vec_id
+        for r in SIM.ivf_topk_multiprobe(
+            emb, query_id=qid, n_centroids=16, k=k, n_probe=n_probe
+        ).collect()
+    }
+    exact_ids = {
+        r.vec_id
+        for r in SIM.knn_join(
+            emb,
+            emb.filter(f"vec_id = {qid}").selectExpr(
+                "vec_id AS query_id", "embedding"
+            ),
+            k=k,
+        ).collect()
+    }
+    assert got.n_hit == len(exact_ids & approx_ids)

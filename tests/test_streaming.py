@@ -924,3 +924,47 @@ def test_stream_stream_join_state_evicts_at_watermark(spark, tmp_path):
     # every on-time pair from the main sequence did join
     for h in range(0, n_batches - 1):
         assert (100 + 10 * h + 1, 100 + 10 * h) in got
+
+
+def test_stream_ares_sample_matches_batch(spark, sf_dir, tmp_path):
+    """r10: A-ES weighted reservoir maintained over micro-batches
+    (union ∘ distinct ∘ top-n merge — the KMV bottom-k law is EXACT),
+    so the maintained reservoir must equal the one-shot batch build
+    row-for-row: same keys, same weights, same priorities."""
+    from monzo_data_pipeline_spark.operators import sketches as SK
+    from monzo_data_pipeline_spark.streaming import sketches as SSK
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    drops = str(tmp_path / "ares_drops")
+    orders.repartition(3).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    state_dir = str(tmp_path / "ares_state")
+    q = SSK.stream_ares_sample(
+        stream,
+        "o_orderkey",
+        "w",
+        state_dir,
+        str(tmp_path / "ares_ckpt"),
+        n=64,
+    )
+    assert q.awaitTermination(120), "stream did not drain within 120s"
+
+    import os
+
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) >= 3
+
+    final = SSK.read_latest_state(spark, state_dir)
+    want = SK.weighted_sample_ares(orders, "o_orderkey", "w", n=64)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, want.collect())
+    )

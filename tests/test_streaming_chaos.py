@@ -222,3 +222,27 @@ def test_view_state_recovers_bit_exact_under_chaos(spark, sf_dir, tmp_path):
         )
 
     _chaos_parity(spark, tmp_path, base, "view", start)
+
+
+def test_ares_sample_recovers_bit_exact_under_chaos(
+    spark, sf_dir, tmp_path
+):
+    """r10, the weighted-reservoir lane: like KMV the merge is
+    idempotent AND exact (priorities are pure functions of (key,
+    weight)), so both chaos lanes must land on the identical n-row
+    reservoir."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("user_id", "event_id").filter(
+        F.col("user_id").isNotNull()
+    ).select(
+        "event_id",
+        (F.pmod(F.col("user_id"), F.lit(50)) + 1).alias("w"),
+    )
+
+    def start(stream, hook, state_dir, ckpt):
+        return SSK.stream_ares_sample(
+            stream, "event_id", "w", state_dir, ckpt, n=32,
+            _fault_hook=hook,
+        )
+
+    _chaos_parity(spark, tmp_path, base, "ares", start)
