@@ -483,3 +483,45 @@ class TestLmPerplexity:
             assert r.nll_q16 == r.xent_q16
             assert abs(r.xent_q16 / 65536.0 - want_bits) < 4 / 65536.0
             assert r.xent_q16 / 65536.0 <= want_bits
+
+
+class TestLmKlDrift:
+    def test_identical_slices_near_zero_and_skew_positive(self, spark):
+        from pyspark.sql import functions as F
+
+        from monzo_data_pipeline_spark.functions import text as TX
+
+        same = ["the cat sat on the mat", "the dog sat on the rug"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(same * 4)],
+            "doc_id long, text string",
+        )
+        r = TX.lm_bigram_kl(df, F.col("doc_id") < 4).collect()[0]
+        # both slices carry identical text -> identical models ->
+        # KL exactly 0 in both directions (costs cancel term-by-term)
+        assert r.kl_ab_q16 == 0 and r.kl_ba_q16 == 0
+        assert r.n_bigrams_a == r.n_bigrams_b
+
+        df2 = spark.createDataFrame(
+            [(0, "aa bb aa bb aa bb aa bb"), (1, "cc dd cc dd cc dd")],
+            "doc_id long, text string",
+        )
+        r2 = TX.lm_bigram_kl(df2, F.col("doc_id") == 0).collect()[0]
+        # disjoint vocabularies: each model finds the other slice's
+        # bigrams maximally surprising -> strongly positive both ways
+        assert r2.kl_ab_q16 > 65536  # > 1 bit/bigram
+        assert r2.kl_ba_q16 > 65536
+
+    def test_kl_zero_when_group_constant_excluded(self, spark):
+        """Docs whose group expression is NULL are excluded."""
+        from pyspark.sql import functions as F
+
+        from monzo_data_pipeline_spark.functions import text as TX
+
+        df = spark.createDataFrame(
+            [(0, "a b a b"), (1, "a b a b"), (2, None)],
+            "doc_id long, text string",
+        )
+        grp = F.when(F.col("text").isNotNull(), F.col("doc_id") == 0)
+        r = TX.lm_bigram_kl(df, grp).collect()[0]
+        assert r.kl_ab_q16 == 0 and r.kl_ba_q16 == 0
