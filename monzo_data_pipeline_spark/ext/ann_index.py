@@ -339,3 +339,58 @@ def search_ivfpq_index(
         .orderBy(F.asc("d2_q"), F.asc(id_col))
         .limit(k)
     )
+
+
+def append_ivfpq_index(
+    wh: Warehouse,
+    new_emb: DataFrame,
+    table: str = "ivfpq_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Absorb NEW vectors into an existing composite index without a
+    rebuild — the maintenance path that keeps a serving index live at
+    100 TB: quantizers are FROZEN (the persisted centroid set and PQ
+    codebooks define the index's geometry; retraining them would
+    silently re-shape every existing cell), new vectors are assigned
+    and encoded under them, and the rows land as an APPEND into the
+    same cell-partitioned layout — existing files are never touched,
+    searches see old+new immediately with unchanged plans (DPP still
+    prunes to probed cells).
+
+    Equivalence contract (tested): append(half B) onto build(half A)
+    ≡ encoding A∪B under A's frozen quantizers — bit-identical search
+    results. NOT equivalent to build(A∪B), whose quantizers train on
+    more data; periodic re-build (re-train + rewrite) is the
+    compaction analog, run when drift between the frozen quantizers
+    and the data warrants it (`ann_recall_eval` is the dial)."""
+    spark = new_emb.sparkSession
+    meta = spark.read.parquet(wh.path(table + "__meta")).head()
+    n_centroids = int(meta["n_centroids"])
+    cb_rows = spark.read.parquet(wh.path(table + "__codebook")).collect()
+    cbs = [
+        (int(r["sub"]), int(r["cell"]), list(r["centroid"]))
+        for r in cb_rows
+    ]
+    from .similarity import pq_encode
+
+    index = spark.read.parquet(wh.path(table))
+    centroids = index.filter(F.col(id_col) < n_centroids).select(
+        id_col, vec_col
+    )
+    dup = new_emb.join(
+        index.select(id_col), id_col, "left_semi"
+    ).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"append_ivfpq_index: id {dup[0][id_col]} already in the "
+            "index (ids are the rerank fetch key — duplicates would "
+            "double-count in every search)"
+        )
+    assigned = ivf_assign(
+        new_emb, centroids, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(new_emb, cbs, id_col=id_col, vec_col=vec_col)
+    assigned.join(codes, id_col).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(wh.path(table))

@@ -265,3 +265,83 @@ def test_ivfpq_index_carries_codes_and_metadata(spark, sf_dir, tmp_path):
     got = search_ivfpq_index(spark, wh2, query_id=5, k=3, n_probe=2)
     assert got.count() == 3
     assert [t for _, t in got.dtypes] == ["bigint", "bigint", "bigint"]
+
+
+def test_ivfpq_append_equals_frozen_quantizer_build(
+    spark, sf_dir, tmp_path
+):
+    """Incremental maintenance: build on half A, append half B —
+    searches must be bit-identical to an index whose rows are A∪B
+    encoded under A's FROZEN quantizers. Existing data files are
+    untouched by the append (inode-level check), and duplicate ids
+    are rejected."""
+    import os
+
+    import pytest
+
+    from monzo_data_pipeline_spark.ext.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    root = str(tmp_path / "wh_inc")
+    wh = Warehouse(spark, root)
+    build_ivfpq_index(wh, half_a, n_centroids=8, m=8, ksub=8, iters=1)
+
+    files_before = {
+        (f, os.stat(os.path.join(dp, f)).st_ino)
+        for dp, _, fs in os.walk(wh.path("ivfpq_index"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    append_ivfpq_index(wh, half_b)
+    files_after = {
+        (f, os.stat(os.path.join(dp, f)).st_ino)
+        for dp, _, fs in os.walk(wh.path("ivfpq_index"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before < files_after  # strictly grew, nothing replaced
+
+    # reference: A's quantizers, A∪B rows, in one build — emulate by
+    # building on half A then appending B into a COPY is this same
+    # path; instead check against a scratch index built by hand with
+    # A's artifacts
+    from monzo_data_pipeline_spark.ext import similarity as SIM
+
+    cb_rows = spark.read.parquet(
+        wh.path("ivfpq_index__codebook")
+    ).collect()
+    cbs = [
+        (int(r["sub"]), int(r["cell"]), list(r["centroid"]))
+        for r in cb_rows
+    ]
+    centroids = half_a.filter(F.col("vec_id") < 8)
+    want_assigned = SIM.ivf_assign(emb, centroids)
+    want_codes = SIM.pq_encode(emb, cbs)
+    root2 = str(tmp_path / "wh_ref")
+    wh2 = Warehouse(spark, root2)
+    want_assigned.join(want_codes, "vec_id").write.partitionBy(
+        "cell"
+    ).parquet(wh2.path("ivfpq_index"))
+    for aux in ("__meta", "__codebook"):
+        spark.read.parquet(wh.path("ivfpq_index" + aux)).write.parquet(
+            wh2.path("ivfpq_index" + aux)
+        )
+
+    for qid in (1, 57, 123):  # odd ids live in the appended half
+        got = search_ivfpq_index(
+            spark, wh, query_id=qid, k=8, n_probe=2
+        ).collect()
+        want = search_ivfpq_index(
+            spark, wh2, query_id=qid, k=8, n_probe=2
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    with pytest.raises(ValueError, match="already in the index"):
+        append_ivfpq_index(wh, half_b.limit(3))
