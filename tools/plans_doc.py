@@ -123,6 +123,11 @@ SHOW = {
     "score_calibration_bins": "calibration table — per-doc score map-side, 1-row min/max broadcast, ONE 10-group aggregate",
     "cohens_kappa_labels": "Cohen's kappa — one contingency aggregate; the kappa expression is driver-free scalar algebra on the agg row",
     "shard_rebalance_audit": "resharding audit — distinct keys x bounded shard explode, one max_by aggregate per key; movement counts in one final agg",
+    "ivfpq_index_search": "IVF-PQ composite probe — r10: dynamicpruning on the cell-partitioned scan (reads the 3 probed cell dirs only; flat at 100x data, SCALING.md); ADC over codes via the driver-built integer lookup literal, exact rerank on the broadcast k*oversample shortlist",
+    "lm_perplexity_scores": "bigram-LM perplexity — ONE fact-scale bigram explode + (a,b) count; the 16-round Q16 log recurrence runs on the vocabulary-sized model table, broadcast back onto the doc bigrams",
+    "lm_kl_drift": "corpus KL drift — union-bigram model table computed once, BOTH models' Q16 costs side by side; fact touched once, one final DECIMAL agg",
+    "weighted_sample_ares": "A-ES weighted reservoir — one distinct exchange, per-key bounded Q16 priority arithmetic, TakeOrderedAndProject(n); never a global sort",
+    "ann_recall_at_k": "ANN recall eval — broadcast query set; exact side = one corpus scan + per-query window, approx side = probed-cell members only; recall = one bounded agg",
 }
 
 MARKERS = (
