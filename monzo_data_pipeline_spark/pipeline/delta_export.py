@@ -246,3 +246,46 @@ def read_delta_table(
     return spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, p) for p in live]
     )
+
+
+def import_delta_table(
+    wh: AtomicWarehouse,
+    table_dir: str,
+    table: str,
+    version: int | None = None,
+) -> int:
+    """The reverse direction: materialize an EXTERNAL Delta table's
+    snapshot (any engine's `_delta_log` + parquet files, replayed by
+    the spec-only reader) into the warehouse as one transactional
+    commit — the import half of the interop loop. The snapshot's live
+    files are staged through `append_parquet_dir` (copied, never
+    linked: the source table keeps writing; its next commits must not
+    share inodes with our immutable snapshot) and become visible
+    atomically; returns the number of files imported.
+
+    A re-import OVERWRITES the warehouse table to the new snapshot
+    (imports are snapshot-consistent mirrors, not merges — the
+    incremental form would replay add/remove actions since the last
+    imported version; at 100 TB that is the change-data-capture lane,
+    and this full-snapshot form is its bootstrap)."""
+    import shutil
+    import tempfile
+
+    live, _schema = _replay_log(table_dir, version)
+    if not live:
+        raise ValueError(
+            f"import_delta_table: snapshot of {table_dir} has no files"
+        )
+    with tempfile.TemporaryDirectory() as staging:
+        for i, rel in enumerate(live):
+            src = os.path.join(table_dir, rel)
+            # flatten nested add-paths into unique staged names
+            dst = os.path.join(
+                staging, f"part-{i:05d}-{os.path.basename(rel)}"
+            )
+            shutil.copy2(src, dst)
+        with wh.transaction() as txn:
+            if txn.exists(table):
+                txn.tables[table] = []  # snapshot semantics: replace
+            txn.append_parquet_dir(staging, table)
+    return len(live)

@@ -175,3 +175,50 @@ def test_schema_change_emits_new_metadata(wh, spark):
     got = read_delta_table(spark, tdir)
     assert got.columns == ["v", "extra"]
     assert _vals(got) == [2]
+
+
+def test_import_delta_table_round_trip(wh, spark, tmp_path):
+    """Export from warehouse A, import into warehouse B through the
+    transactional commit: rows equal at the latest AND a historical
+    version; staged files are copies (no shared inodes with the
+    source); re-import replaces the snapshot."""
+    import os as _os
+
+    from monzo_data_pipeline_spark.pipeline.delta_export import (
+        import_delta_table,
+    )
+
+    wh.append(_df(spark, [1, 2]), "t")
+    wh.overwrite(_df(spark, [7, 8, 9]), "t")
+    tdir = export_delta_log(wh, "t")
+
+    dst = AtomicWarehouse(spark, str(tmp_path / "wh_b"))
+    n = import_delta_table(dst, tdir, "mirror")
+    assert n >= 1
+    assert _vals(dst.read("mirror")) == [7, 8, 9]
+
+    # historical snapshot import
+    dst2 = AtomicWarehouse(spark, str(tmp_path / "wh_c"))
+    import_delta_table(dst2, tdir, "mirror", version=0)
+    assert _vals(dst2.read("mirror")) == [1, 2]
+
+    # no inode sharing with the source table
+    src_inodes = {
+        _os.stat(_os.path.join(dp, f)).st_ino
+        for dp, _, fs in _os.walk(tdir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    dst_root = str(tmp_path / "wh_b")
+    dst_inodes = {
+        _os.stat(_os.path.join(dp, f)).st_ino
+        for dp, _, fs in _os.walk(dst_root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert not (src_inodes & dst_inodes)
+
+    # source advances; re-import replaces, not merges
+    wh.overwrite(_df(spark, [42]), "t")
+    import_delta_table(dst, export_delta_log(wh, "t"), "mirror")
+    assert _vals(dst.read("mirror")) == [42]
