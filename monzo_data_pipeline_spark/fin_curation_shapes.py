@@ -720,6 +720,28 @@ def register(_register) -> None:
         )
 
     @_register(
+        "mixture_temperature_plan",
+        "north-star sampling (r10: the α-temperature source-mixture "
+        "rule — XLM-R/mBERT p_i ∝ n_i^0.3 — computed entirely in "
+        "fixed point: n^α = exp2(α·log₂ n) through the Q16 log chain "
+        "and a Q30 exp2 chain with hardcoded per-bit constants; "
+        "output per source = token counts, target mixture weight "
+        "(ppm) and the per-source sampling rate normalized so the "
+        "most-upsampled source reads at 10⁶; one fact-scale agg, "
+        "everything after on the bounded source table — "
+        "functions/text.py::mixture_temperature_plan)",
+        TX.mixture_temperature_oracle_sql("lang", alpha_ppm=300_000),
+    )
+    def q_mixture_temperature_plan(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        return TX.mixture_temperature_plan(
+            load_table(spark, sf_dir, "documents"),
+            "lang",
+            alpha_ppm=300_000,
+        )
+
+    @_register(
         "oov_rates",
         "C4/north-star (tokenizer-coverage filter: ppm of tokens outside "
         "the deterministic top-K corpus vocabulary)",

@@ -1060,3 +1060,205 @@ def lm_kl_oracle_sql(group_sql: str, add_k: int = 1) -> str:
         FROM piv
         """
     )
+
+
+# --- fixed-point exp2 + mixture temperature plan (r10) -----------------------
+
+# C_j = floor(2^(2^(j-16)) · 2^30): the Q30 multiplier contributed by
+# bit j of a Q16 fractional exponent. HARDCODED literals shared with
+# the oracle twin (the _HLL_ALPHA_PPM discipline: no libm evaluation
+# anywhere near a hash-checked output).
+_EXP2_Q30_BITS = (
+    1073753180, 1073764537, 1073787251, 1073832680,
+    1073923543, 1074105294, 1074468887, 1075196443,
+    1076653033, 1079572135, 1085434105, 1097253708,
+    1121280435, 1170923761, 1276901416, 1518500249,
+)
+
+
+def _exp2_q30_sql(f_expr: str) -> str:
+    """Spark SQL for floor-ish(2^(f/2¹⁶) · 2³⁰), f ≥ 0 in Q16 —
+    the inverse of _log2_q16_sql, same no-libm discipline: integer
+    part is a left shift, fractional part is a product of the
+    hardcoded per-bit constants (x·C_j >> 30 per set bit — 16
+    truncating multiply-shifts; x < 2³¹ and C_j < 2³¹ keep every
+    product inside int64). Deterministic identically cross-engine."""
+    e = f"(({f_expr}) DIV 65536)"
+    frac = f"pmod({f_expr}, 65536)"
+    steps = f"""aggregate(sequence(0, 15),
+        struct(CAST(1073741824 AS BIGINT) AS x, {frac} AS fr),
+        (s, j) -> struct(
+            CASE WHEN pmod(shiftright(s.fr, j), 2) = 1
+                 THEN shiftright(
+                     s.x * element_at(array({', '.join(f'{c}L' for c in _EXP2_Q30_BITS)}), j + 1),
+                     30)
+                 ELSE s.x END AS x,
+            s.fr AS fr)
+    ).x"""
+    return f"shiftleft({steps}, CAST({e} AS INT))"
+
+
+def mixture_temperature_plan(
+    documents: DataFrame,
+    source_col: str = "lang",
+    alpha_ppm: int = 300_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """α-temperature source reweighting — the multilingual /
+    multi-source mixture rule (XLM-R / mBERT: p_i ∝ n_i^α with
+    α ≈ 0.3) that upsamples small sources and damps dominant ones,
+    computed entirely in fixed point so the PLAN hash-checks:
+
+        w_i       = 2^(α·log₂ n_tokens_i)      (Q30, no libm)
+        weight_ppm = w_i·10⁶ DIV Σw            (the target mixture)
+        rate_ppm   = 10⁶·(w_i·n_m) DIV (w_m·n_i)  (per-source
+                     sampling rate, normalized so the most
+                     upsampled source m reads at 10⁶ — sources are
+                     downsampled relative to it, never repeated)
+
+    m = argmax w_j/n_j via a quantized-DIV ordering key with a
+    source tie-break (the engine's deterministic-argmax idiom).
+    One fact-scale aggregate; everything after runs on the bounded
+    source table. Sources with zero tokens are excluded."""
+    toks = tokens(F.lower(F.col(text_col)))
+    per_src = (
+        documents.filter(F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            F.size(F.filter(toks, lambda t: t != "")).alias("__nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 1)
+    )
+    f = (
+        f"(({_log2_q16_sql('n_tokens', '1')})"
+        f" * {alpha_ppm} DIV 1000000)"
+    )
+    weighted = per_src.withColumn("__w", F.expr(_exp2_q30_sql(f)))
+    # argmax of w/n via quantized key (w·2^20 DIV n), ties to the
+    # lexicographically smallest source — deterministic cross-engine
+    m = weighted.select(
+        F.expr(
+            "min_by(struct(__w AS wm, n_tokens AS nm), "
+            "struct(-(CAST(__w AS DECIMAL(38,0)) * 1048576"
+            " DIV n_tokens) AS k, source AS s))"
+        ).alias("__m"),
+        F.sum(F.col("__w").cast("decimal(38,0)")).alias("__sw"),
+    )
+    dec = "decimal(38,0)"
+    return (
+        weighted.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"CAST(CAST(__w AS {dec}) * 1000000 DIV __sw"
+                " AS BIGINT)"
+            ).alias("weight_ppm"),
+            F.expr(
+                f"CAST(CAST(__w AS {dec}) * __m.nm * 1000000"
+                f" DIV (CAST(__m.wm AS {dec}) * n_tokens)"
+                " AS BIGINT)"
+            ).alias("sample_rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_temperature_oracle_sql(
+    source_expr: str = "lang", alpha_ppm: int = 300_000
+) -> str:
+    """DuckDB twin of mixture_temperature_plan over `documents`: the
+    Q16 log chain (d = 1: the bit-length integer part needs no
+    adjust) then the Q30 exp2 chain with the SAME hardcoded per-bit
+    constants, both unrolled as chained CTEs over the bounded
+    source table; argmax(w/n) via the identical quantized-DIV key
+    with the source tie-break."""
+    lsteps = []
+    for i in range(1, LM_FRAC_BITS + 1):
+        lsteps.append(
+            f""", l{i} AS (
+            SELECT source, n_docs, n_tokens, e,
+                   CASE WHEN ((x * x) >> 29) >= 1073741824
+                        THEN ((x * x) >> 29) >> 1
+                        ELSE ((x * x) >> 29) END AS x,
+                   acc * 2 + CASE WHEN ((x * x) >> 29) >= 1073741824
+                                  THEN 1 ELSE 0 END AS acc
+            FROM l{i - 1}
+        )"""
+        )
+    xsteps = []
+    for j, c in enumerate(_EXP2_Q30_BITS):
+        xsteps.append(
+            f""", x{j + 1} AS (
+            SELECT source, n_docs, n_tokens, e2, fr,
+                   CASE WHEN ((fr >> {j}) & 1) = 1
+                        THEN (x * {c}) >> 30 ELSE x END AS x
+            FROM x{j}
+        )"""
+        )
+    return (
+        rf"""
+        WITH per AS (
+            SELECT ({source_expr}) AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       t -> t <> ''))) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE ({source_expr}) IS NOT NULL
+            GROUP BY 1
+            HAVING SUM(len(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\s+'),
+                t -> t <> ''))) >= 1
+        ), l0 AS (
+            SELECT source, n_docs, n_tokens,
+                   length(bin(n_tokens)) - 1 AS e,
+                   CAST(CAST(n_tokens AS HUGEINT) * 536870912
+                        // (CAST(1 AS BIGINT)
+                            << (length(bin(n_tokens)) - 1))
+                        AS BIGINT) AS x,
+                   CAST(0 AS BIGINT) AS acc
+            FROM per
+        )"""
+        + "".join(lsteps)
+        + f""", lf AS (
+            SELECT source, n_docs, n_tokens,
+                   (CAST(e AS BIGINT) * 65536 + acc)
+                   * {alpha_ppm} // 1000000 AS f
+            FROM l{LM_FRAC_BITS}
+        ), x0 AS (
+            SELECT source, n_docs, n_tokens,
+                   f // 65536 AS e2, f % 65536 AS fr,
+                   CAST(1073741824 AS BIGINT) AS x
+            FROM lf
+        )"""
+        + "".join(xsteps)
+        + f""", w AS (
+            SELECT source, n_docs, n_tokens,
+                   x << e2 AS wv
+            FROM x{len(_EXP2_Q30_BITS)}
+        ), m AS (
+            SELECT wv AS wm, n_tokens AS nm FROM w
+            ORDER BY (CAST(wv AS HUGEINT) * 1048576 // n_tokens)
+                     DESC, source ASC
+            LIMIT 1
+        ), sw AS (
+            SELECT CAST(SUM(CAST(wv AS HUGEINT)) AS HUGEINT) AS s
+            FROM w
+        )
+        SELECT w.source, w.n_docs, w.n_tokens,
+               CAST(CAST(wv AS HUGEINT) * 1000000 // sw.s AS BIGINT)
+                   AS weight_ppm,
+               CAST(CAST(wv AS HUGEINT) * m.nm * 1000000
+                    // (CAST(m.wm AS HUGEINT) * w.n_tokens)
+                    AS BIGINT) AS sample_rate_ppm
+        FROM w CROSS JOIN m CROSS JOIN sw
+        ORDER BY w.source
+        """
+    )

@@ -525,3 +525,68 @@ class TestLmKlDrift:
         grp = F.when(F.col("text").isNotNull(), F.col("doc_id") == 0)
         r = TX.lm_bigram_kl(df, grp).collect()[0]
         assert r.kl_ab_q16 == 0 and r.kl_ba_q16 == 0
+
+
+class TestMixtureTemperature:
+    def test_exp2_q30_tracks_float_pow(self, spark):
+        """The Q30 exp2 tracks 2^(f/65536) within the 16-step
+        truncation bound and is exact on integer exponents."""
+        from pyspark.sql import functions as F
+
+        from monzo_data_pipeline_spark.functions.text import (
+            _exp2_q30_sql,
+        )
+
+        cases = [0, 1, 32768, 65535, 65536, 98304, 3 * 65536,
+                 5 * 65536 + 12345, 10 * 65536]
+        df = spark.createDataFrame(
+            [(f,) for f in cases], "f long"
+        ).select("f", F.expr(_exp2_q30_sql("f")).alias("x"))
+        for r in df.collect():
+            true = 2.0 ** (r.f / 65536.0) * (1 << 30)
+            # truncating floors only: never above, within 17 ulp-ish
+            assert r.x <= true + 1e-6
+            assert r.x > true * (1 - 2e-8)
+        got = {r.f: r.x for r in df.collect()}
+        assert got[0] == 1 << 30
+        assert got[65536] == 1 << 31
+        assert got[3 * 65536] == 1 << 33
+
+    def test_mixture_plan_hand_math_and_invariants(self, spark):
+        """90/10 token split at α=0.3: the small source's target
+        share rises far above its natural share; rates normalize to
+        max 10⁶; weights sum to ~10⁶."""
+        from monzo_data_pipeline_spark.functions.text import (
+            mixture_temperature_plan,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (i, "en" if i % 10 else "fr",
+                 "tok " * (200 if i % 10 else 20))
+                for i in range(100)
+            ],
+            "doc_id long, lang string, text string",
+        )
+        got = {
+            r.source: r
+            for r in mixture_temperature_plan(
+                df, "lang", alpha_ppm=300_000
+            ).collect()
+        }
+        en, fr = got["en"], got["fr"]
+        assert en.n_tokens == 18000 and fr.n_tokens == 200
+        # natural fr share ~1.1%; α=0.3 target ≈ 20.6%
+        assert 190_000 < fr.weight_ppm < 220_000
+        assert abs(en.weight_ppm + fr.weight_ppm - 1_000_000) <= 1
+        assert fr.sample_rate_ppm == 1_000_000  # most upsampled
+        assert 30_000 < en.sample_rate_ppm < 60_000
+        # α=1 degenerates to natural proportions (rate uniform)
+        nat = {
+            r.source: r
+            for r in mixture_temperature_plan(
+                df, "lang", alpha_ppm=1_000_000
+            ).collect()
+        }
+        assert nat["en"].sample_rate_ppm > 990_000
+        assert nat["fr"].sample_rate_ppm == 1_000_000
