@@ -720,6 +720,26 @@ def register(_register) -> None:
         )
 
     @_register(
+        "lm_heldout_scores",
+        "C4/north-star (r10: HELD-OUT LM scoring, the exact CCNet "
+        "shape — the add-1 bigram model trains only on the en slice "
+        "and every non-en document is scored under it; unseen "
+        "bigrams pay the full smoothed penalty, making the score a "
+        "real out-of-distribution signal; Q16 recurrence once per "
+        "distinct held-out bigram, broadcast back — "
+        "functions/text.py::lm_crossentropy_heldout)",
+        TX.lm_heldout_oracle_sql("lang = 'en'", add_k=1),
+    )
+    def q_lm_heldout_scores(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        return TX.lm_crossentropy_heldout(
+            load_table(spark, sf_dir, "documents"),
+            F.col("lang") == "en",
+            add_k=1,
+        )
+
+    @_register(
         "mixture_temperature_plan",
         "north-star sampling (r10: the α-temperature source-mixture "
         "rule — XLM-R/mBERT p_i ∝ n_i^0.3 — computed entirely in "

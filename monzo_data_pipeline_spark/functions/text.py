@@ -1262,3 +1262,168 @@ def mixture_temperature_oracle_sql(
         ORDER BY w.source
         """
     )
+
+
+def lm_crossentropy_heldout(
+    documents: DataFrame,
+    train_expr,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: int = 1,
+) -> DataFrame:
+    """Held-out LM scoring — the exact CCNet shape: the bigram model
+    trains ONLY on the TRAIN slice (``train_expr`` true), and every
+    HELD-OUT document (``train_expr`` false) is scored under it.
+    Unlike ``lm_perplexity_scores`` (self-scoring, where every scored
+    bigram was seen in training), held-out bigrams may be UNSEEN —
+    they cost the full smoothed penalty −log₂(k/(c_a + k·V)) (or
+    −log₂(k/(k·V)) for an unseen first token), which is what makes
+    the score a real out-of-distribution signal.
+
+    Vocabulary V = distinct tokens of the TRAIN slice only (the
+    model's vocabulary; held-out tokens outside it are exactly the
+    OOV events the smoothing prices). Output per held-out doc:
+    (id, n_bigrams, nll_q16, xent_q16), Q16 bits — same schema as
+    the self-scoring variant, filterable by the same thresholds.
+
+    Plan: train-side counts as in lm_perplexity_scores; the held-out
+    DISTINCT bigram set left-joins the model (zero-filled), the Q16
+    recurrence runs once per distinct held-out bigram, then
+    broadcasts back onto the held-out fact rows."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = documents.select(
+        F.col(id_col),
+        train_expr.cast("boolean").alias("__train"),
+        toks.alias("toks"),
+    ).filter(F.col("__train").isNotNull() & (F.size("toks") >= 2))
+    pairs = (
+        base.select(
+            id_col,
+            "__train",
+            F.explode(adjacent_pairs("toks")).alias("p"),
+        )
+        .select(id_col, "__train", "p.a", "p.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    train = pairs.filter(F.col("__train"))
+    held = pairs.filter(~F.col("__train"))
+    c_ab = train.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = (
+        train.select("a")
+        .unionByName(train.select(F.col("b").alias("a")))
+        .agg(F.count_distinct("a").cast("long").alias("__V"))
+    )
+    held_bigrams = held.select("a", "b").distinct()
+    model = (
+        held_bigrams.join(c_ab, ["a", "b"], "left")
+        .join(c_a, "a", "left")
+        .fillna({"c_ab": 0, "c_a": 0})
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            (F.col("c_a") + F.lit(add_k) * F.col("__V")).alias("__n"),
+            (F.col("c_ab") + F.lit(add_k)).alias("__d"),
+        )
+        .select(
+            "a",
+            "b",
+            F.expr(_log2_q16_sql("__n", "__d")).alias("cost_q16"),
+        )
+    )
+    return (
+        held.join(F.broadcast(model), ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("cost_q16").cast("long").alias("nll_q16"),
+            F.expr("SUM(cost_q16) DIV COUNT(1)")
+            .cast("long")
+            .alias("xent_q16"),
+        )
+    )
+
+
+def lm_heldout_oracle_sql(train_sql: str, add_k: int = 1) -> str:
+    """DuckDB twin of lm_crossentropy_heldout: train-slice model,
+    held-out distinct-bigram costs (zero-filled left joins), one
+    16-round recurrence chain."""
+    steps = []
+    for i in range(1, LM_FRAC_BITS + 1):
+        steps.append(
+            f""", s{i} AS (
+            SELECT a, b, e,
+                   CASE WHEN ((x * x) >> 29) >= 1073741824
+                        THEN ((x * x) >> 29) >> 1
+                        ELSE ((x * x) >> 29) END AS x,
+                   acc * 2 + CASE WHEN ((x * x) >> 29) >= 1073741824
+                                  THEN 1 ELSE 0 END AS acc
+            FROM s{i - 1}
+        )"""
+        )
+    return (
+        rf"""
+        WITH t AS (
+            SELECT doc_id, CAST(({train_sql}) AS BOOLEAN) AS tr,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents
+            WHERE ({train_sql}) IS NOT NULL
+              AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+        ), p AS (
+            SELECT doc_id, tr, toks[i] AS a, toks[i+1] AS b
+            FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i
+            WHERE toks[i] <> '' AND toks[i+1] <> ''
+        ), c AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM p WHERE tr GROUP BY a, b
+        ), ca AS (
+            SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c GROUP BY a
+        ), v AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz
+            FROM (SELECT a AS w FROM p WHERE tr
+                  UNION ALL SELECT b AS w FROM p WHERE tr)
+        ), hb AS (
+            SELECT DISTINCT a, b FROM p WHERE NOT tr
+        ), mdl AS (
+            SELECT hb.a, hb.b,
+                   COALESCE(ca.c_a, 0) + {add_k} * v.vsz AS n,
+                   COALESCE(c.c_ab, 0) + {add_k} AS d
+            FROM hb
+            LEFT JOIN c ON c.a = hb.a AND c.b = hb.b
+            LEFT JOIN ca ON ca.a = hb.a
+            CROSS JOIN v
+        ), me AS (
+            SELECT a, b, n, d,
+                   (length(bin(n)) - length(bin(d)))
+                   - CASE WHEN (d << (length(bin(n)) - length(bin(d))))
+                               > n
+                          THEN 1 ELSE 0 END AS e
+            FROM mdl
+        ), s0 AS (
+            SELECT a, b, e,
+                   CAST(CAST(n AS HUGEINT) * 536870912
+                        // (CAST(d AS HUGEINT)
+                            * (CAST(1 AS BIGINT) << e))
+                        AS BIGINT) AS x,
+                   CAST(0 AS BIGINT) AS acc
+            FROM me
+        )"""
+        + "".join(steps)
+        + f""", cost AS (
+            SELECT a, b,
+                   CAST(e AS BIGINT) * 65536 + acc AS cost_q16
+            FROM s{LM_FRAC_BITS}
+        )
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(cost_q16) AS BIGINT) AS nll_q16,
+               CAST(CAST(SUM(cost_q16) AS BIGINT) // COUNT(*)
+                    AS BIGINT) AS xent_q16
+        FROM p JOIN cost USING (a, b)
+        WHERE NOT p.tr
+        GROUP BY p.doc_id ORDER BY p.doc_id
+        """
+    )

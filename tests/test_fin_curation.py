@@ -590,3 +590,51 @@ class TestMixtureTemperature:
         }
         assert nat["en"].sample_rate_ppm > 990_000
         assert nat["fr"].sample_rate_ppm == 1_000_000
+
+
+class TestLmHeldout:
+    def test_unseen_bigrams_cost_more_than_seen(self, spark):
+        """Held-out docs repeating the train construction score low;
+        a held-out doc of never-seen tokens pays the full smoothed
+        OOV penalty — strictly more bits per bigram."""
+        from pyspark.sql import functions as F
+
+        from monzo_data_pipeline_spark.functions.text import (
+            lm_crossentropy_heldout,
+        )
+
+        train = ["the cat sat on the mat"] * 5
+        held = ["the cat sat on the mat", "zz qq ww rr"]
+        df = spark.createDataFrame(
+            [(i, t, True) for i, t in enumerate(train)]
+            + [(100 + i, t, False) for i, t in enumerate(held)],
+            "doc_id long, text string, tr boolean",
+        )
+        out = {
+            r.doc_id: r
+            for r in lm_crossentropy_heldout(
+                df, F.col("tr")
+            ).collect()
+        }
+        assert set(out) == {100, 101}  # only held-out docs scored
+        assert out[100].xent_q16 < out[101].xent_q16
+        # the all-OOV doc: every bigram costs log2(V/1) exactly
+        # (unseen a: n = V, d = 1), V = 5 train tokens -> log2(5)
+        assert out[101].xent_q16 == int(2.321928 * 65536)
+
+    def test_hand_computed_unseen_pair_cost(self, spark):
+        """train 'a b' x2: V = 2, c(a,.) = 2. Held-out 'a c':
+        c(a,c) = 0 -> cost = log2((2 + 2)/1) = 2 bits exactly."""
+        from pyspark.sql import functions as F
+
+        from monzo_data_pipeline_spark.functions.text import (
+            lm_crossentropy_heldout,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b", True), (1, "a b", True), (2, "a c", False)],
+            "doc_id long, text string, tr boolean",
+        )
+        r = lm_crossentropy_heldout(df, F.col("tr")).collect()[0]
+        assert (r.doc_id, r.n_bigrams) == (2, 1)
+        assert r.xent_q16 == 2 * 65536  # exact power of two
