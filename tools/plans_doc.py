@@ -128,6 +128,8 @@ SHOW = {
     "lm_kl_drift": "corpus KL drift — union-bigram model table computed once, BOTH models' Q16 costs side by side; fact touched once, one final DECIMAL agg",
     "weighted_sample_ares": "A-ES weighted reservoir — one distinct exchange, per-key bounded Q16 priority arithmetic, TakeOrderedAndProject(n); never a global sort",
     "ann_recall_at_k": "ANN recall eval — broadcast query set; exact side = one corpus scan + per-query window, approx side = probed-cell members only; recall = one bounded agg",
+    "mixture_temperature_plan": "α-temperature mixture — one fact-scale source agg; Q16 log + Q30 exp2 chains run on the bounded source table; argmax via min_by struct key",
+    "lm_heldout_scores": "held-out LM scoring — train-slice counts + held-out DISTINCT bigram costs (zero-filled left joins), recurrence on the bigram vocab, broadcast back onto held-out rows",
 }
 
 MARKERS = (
