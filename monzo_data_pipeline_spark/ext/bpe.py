@@ -51,9 +51,14 @@ MERGES_SCHEMA = T.StructType(
 def word_frequencies_for_bpe(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) training table: lowercased whitespace tokens, empty
     and delimiter-containing words excluded."""
+    from ..operators.partitioning import fan_out
+
     w = F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    # r10 (guide §2.5): fan the docs out before the tokenize/explode
+    # pass — single-row-group scans otherwise run it on one core
     return (
-        documents.select(w)
+        fan_out(documents.select(F.col(text_col)))
+        .select(w)
         .filter((F.col("w") != "") & (~F.col("w").contains("|")))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -99,8 +99,14 @@ def segment_dedup(
     choose when the boilerplate set is itself huge). Reassembly is
     one groupBy(doc) over (idx, hash) pairs.
     """
+    # r10 (guide §2.5): fan the docs out — the per-char polynomial fold
+    # below is the heavy stage and single-row-group scans run it on one
+    # core otherwise
+    from ..operators.partitioning import fan_out
+
     d = (
-        documents.filter(F.trim(F.col(text_col)) != "")
+        fan_out(documents, id_col)
+        .filter(F.trim(F.col(text_col)) != "")
         .select(F.col(id_col), _tokens(text_col).alias("toks"))
         .select(
             id_col,
@@ -117,6 +123,12 @@ def segment_dedup(
     d = d.select(id_col, segs.alias("segs"))
     d = d.select(id_col, F.transform("segs", _char_fold).alias("seg_h"))
     e = d.select(id_col, F.posexplode("seg_h").alias("seg_idx", "h"))
+    # materialize the folded segment hashes once (lazy localCheckpoint):
+    # e feeds BOTH the corpus count and the join back — without the cut
+    # the per-char fold runs twice over the corpus
+    from .lineage import truncate_lineage
+
+    e = truncate_lineage(e, eager=False)
 
     dup = (
         e.groupBy("h")

@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.partitioning import fan_out
+
 # Captured as a closure cell by every mapInPandas stage below: a RAW
 # driver session (the harness's own, no executor PYTHONPATH, foreign
 # cwd) still lets workers import this package — they insert the repo
@@ -258,7 +260,11 @@ def image_stats(media: DataFrame) -> DataFrame:
                 [row(m, p) for m, p in zip(pdf["media_id"], pdf["payload"])]
             )
 
-    return media.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+    # r10 (guide §2.5): parallelize the per-row codec work when the
+    # media frame arrives narrow (single-row-group scans = one task)
+    return fan_out(media, "media_id").mapInPandas(
+        batches, schema=IMAGE_STATS_SCHEMA
+    )
 
 
 RESIZED_IMAGE_SCHEMA = T.StructType(
@@ -322,7 +328,9 @@ def resize_images(
                 columns=["media_id", "payload", "width", "height"],
             )
 
-    return media.mapInPandas(batches, schema=RESIZED_IMAGE_SCHEMA)
+    return fan_out(media, "media_id").mapInPandas(
+        batches, schema=RESIZED_IMAGE_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -593,4 +601,6 @@ def video_frame_stats(media: DataFrame, every_nth: int = 1) -> DataFrame:
                 columns=["media_id", "frame_idx", "width", "height", "pix_sum"],
             )
 
-    return media.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+    return fan_out(media, "media_id").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
+    )

@@ -961,7 +961,15 @@ def documents_as_jpegs(
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(batches, schema=schema)
+    # r10 (guide §2.5): single-row-group inputs scan as ONE task, which
+    # serializes the whole encode (and the decode stage that inherits
+    # this partitioning). Fan the rows out across the cluster before
+    # the Python boundary; no-op when the scan already arrives wide.
+    from ..operators.partitioning import fan_out
+
+    return fan_out(docs.select("doc_id", "text"), "doc_id").mapInPandas(
+        batches, schema=schema
+    )
 
 
 # ---------------------------------------------------------------------------

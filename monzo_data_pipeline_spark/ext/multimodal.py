@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from monzo_data_pipeline_spark.ext.images import _PKG_ROOT
+from monzo_data_pipeline_spark.operators.partitioning import fan_out
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -160,7 +161,11 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                 [row(m, p) for m, p in zip(pdf["media_id"], pdf["payload"])]
             )
 
-    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    # r10 (guide §2.5): parallelize the per-row decode when the media
+    # frame arrives narrow (single-row-group scans = one task)
+    return fan_out(media, "media_id").mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
@@ -284,7 +289,9 @@ def resize_media(
                 rows, columns=["media_id", "valid", "payload", "meta"]
             )
 
-    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+    return fan_out(media, "media_id").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
 
 
 AUDIO_WINDOW_SCHEMA_NOTE = """audio windowing keeps the same opaque-binary
@@ -457,4 +464,6 @@ def wav_features(media: DataFrame) -> DataFrame:
                 ]
             )
 
-    return media.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
+    return fan_out(media, "media_id").mapInPandas(
+        batches, schema=WAV_FEATURE_SCHEMA
+    )

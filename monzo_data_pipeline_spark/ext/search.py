@@ -331,8 +331,13 @@ def adjacency_edges(
     agg — this corpus-sized pass is the heavy stage of TextRank; the
     graph it emits is vocabulary-sized.
     """
+    from ..operators.partitioning import fan_out
+
     toks = tokens(F.lower(F.col(text_col)))
-    pairs = documents.select(
+    # r10 (guide §2.5): fan the corpus out before the tokenize/explode
+    # pass — single-row-group scans otherwise run this heavy stage on
+    # one core
+    pairs = fan_out(documents.select(F.col(text_col))).select(
         F.explode(
             F.arrays_zip(
                 F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -407,6 +412,12 @@ def textrank_keywords(
             )
             .select("word", "r")
         )
+        # r10: cut the lineage each round (the pagerank idiom) — the
+        # broadcast of round i otherwise re-plans/re-executes rounds
+        # 1..i-1 as nested subplans (~80 Exchanges in the final plan)
+        from .lineage import truncate_lineage
+
+        ranks = truncate_lineage(ranks, eager=False)
     return (
         ranks.select("word", F.col("r").alias("rank_q"))
         .orderBy(F.desc("rank_q"), F.asc("word"))

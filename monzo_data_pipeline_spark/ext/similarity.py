@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame, Window
 import numpy as np
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import fan_out
+
 QUANT = 1000000.0
 
 
@@ -65,6 +67,10 @@ def knn_join(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
+    # r10 (guide §2.5): fan the corpus out — the scoring stage is a
+    # per-row interpreted dot product and single-row-group scans
+    # otherwise run it on one core
+    corpus = fan_out(corpus, id_col)
     scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
         query_id_col,
         id_col,
@@ -112,7 +118,8 @@ def ivf_assign(
     c = centroids.select(
         F.col(id_col).alias(cell_col), F.col(vec_col).alias("__cvec")
     )
-    scored = emb.crossJoin(F.broadcast(c)).select(
+    # r10 (guide §2.5): fan out before the K-way scoring (see knn_join)
+    scored = fan_out(emb, id_col).crossJoin(F.broadcast(c)).select(
         id_col,
         vec_col,
         cell_col,
@@ -371,7 +378,14 @@ def kmeans_fit(
     # re-reads this frame, so without the cache the parquet scan +
     # quantize transform re-runs iters+1 times (pq_fit already does
     # this for its sub-vector frame)
-    emb_q = emb.withColumn("__qv", F.transform(F.col(vec_col), _q)).persist()
+    # r10 (guide §2.5): fan the corpus out before quantize+persist —
+    # single-row-group scans otherwise run every Lloyd iteration's
+    # interpreted per-element distance lambdas on one core
+    emb_q = (
+        fan_out(emb, id_col)
+        .withColumn("__qv", F.transform(F.col(vec_col), _q))
+        .persist()
+    )
     # per-coordinate DECIMAL means via posexplode → (cell, pos) agg:
     # ONE generic sum/count aggregate instead of d wide-agg columns —
     # the partial-agg shuffle state is the same K·d buffers either
@@ -625,7 +639,9 @@ def pq_fit(
     # cb[sub][cell] = centroid floats
     cb = [[list(v[s * dsub : (s + 1) * dsub]) for v in seeds] for s in range(m)]
 
-    subs = emb.select(
+    # r10 (guide §2.5): fan out before the explode+quantize+persist —
+    # see kmeans_fit
+    subs = fan_out(emb, id_col).select(
         id_col,
         F.posexplode(
             F.array(
@@ -726,7 +742,8 @@ def pq_encode(
     cb = [[None] * ksub for _ in range(m)]
     for s, c, v in codebooks:
         cb[s][c] = list(v)
-    subs = emb.select(
+    # r10 (guide §2.5): fan out before the explode+assign lambdas
+    subs = fan_out(emb, id_col).select(
         id_col,
         F.posexplode(
             F.array(

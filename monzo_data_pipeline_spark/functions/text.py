@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import fan_out
+
 # A small English stopword set for ratio features (public knowledge).
 STOPWORDS = (
     "the a an and or of to in is are was were be been it this that "
@@ -163,8 +165,12 @@ def word_frequencies(documents: DataFrame, text_col: str = "text") -> DataFrame:
     partial-aggregated); at 100 TB the hot keys (stopwords) are
     exactly the keys partial aggregation collapses best.
     """
+    # r10 (guide §2.5): single-row-group scans arrive as ONE task; fan
+    # the docs out so the tokenize/explode/partial-agg stage uses every
+    # core (no-op when the input is already wide)
     return (
-        documents.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        fan_out(documents.select(F.col(text_col)))
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -187,7 +193,7 @@ def tf_rarity_top_terms(
     top-k window. At 100 TB the only big shuffle is the (doc,word)
     count; df and N are tiny after partial aggregation.
     """
-    toks = documents.select(
+    toks = fan_out(documents, "doc_id").select(
         F.col("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
     ).filter(F.col("word") != "")
@@ -271,7 +277,7 @@ def bigram_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     (no self-join): token array → adjacent-pair strings → explode →
     count. All JVM-side higher-order functions."""
     toks = (
-        documents.filter(F.trim(F.col(text_col)) != "")
+        fan_out(documents.filter(F.trim(F.col(text_col)) != ""))
         .select(tokens(F.lower(F.col(text_col))).alias("toks"))
         # single-token docs: sequence(1, 0) counts DOWN in Spark — gate it
         .filter(F.size("toks") >= 2)
@@ -297,7 +303,8 @@ def token_repetition_stats(
     higher-order map-building lambdas are interpreted per element and
     O(distinct²) per doc (cf. the simhash rewrite note)."""
     toks = (
-        documents.select(
+        fan_out(documents, id_col)
+        .select(
             F.col(id_col),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
         )
@@ -330,7 +337,8 @@ def dup_ngram_stats(
         f" i -> concat_ws(' ', slice(__toks, i, {n})))"
     )
     per = (
-        documents.select(F.col(id_col), toks.alias("__toks"))
+        fan_out(documents, id_col)
+        .select(F.col(id_col), toks.alias("__toks"))
         .filter(F.size("__toks") >= n)
         .select(id_col, F.explode(grams).alias("g"))
         .groupBy(id_col)
@@ -475,9 +483,9 @@ def winnowing_fingerprints(
     Docs with < k tokens have no k-gram and are excluded (same filter
     in the oracle)."""
     toks = tokens(F.lower(F.col(text_col)))
-    d = documents.select(F.col(id_col), toks.alias("toks")).filter(
-        F.size("toks") >= 3
-    )
+    d = fan_out(documents, id_col).select(
+        F.col(id_col), toks.alias("toks")
+    ).filter(F.size("toks") >= 3)
     th = F.transform(
         F.col("toks"),
         lambda t: F.aggregate(
@@ -537,9 +545,15 @@ def pmi_collocations(
     Plan: one (a,b) count shuffle + one vocab count shuffle; the
     vocab joins broadcast back. Top-k is a single TakeOrdered."""
     toks = tokens(F.lower(F.col(text_col)))
-    d = documents.filter(F.trim(F.col(text_col)) != "").select(toks.alias("toks")).filter(
-        F.size("toks") >= 2
-    )
+    # fan out (guide §2.5) and materialize the token arrays once (lazy
+    # localCheckpoint): d feeds BOTH the bigram count and the unigram
+    # count — without the cut the corpus is scanned+tokenized twice
+    from ..ext.lineage import truncate_lineage
+
+    d = fan_out(documents.filter(F.trim(F.col(text_col)) != "")).select(
+        toks.alias("toks")
+    ).filter(F.size("toks") >= 2)
+    d = truncate_lineage(d, eager=False)
     pairs = d.select(F.explode(adjacent_pairs("toks")).alias("p")).select(
         "p.a", "p.b"
     ).filter((F.col("a") != "") & (F.col("b") != ""))
@@ -580,7 +594,8 @@ def token_diversity(
     two-level shape as tf_rarity_top_terms."""
     toks = tokens(F.lower(F.col(text_col)))
     counts = (
-        documents.select(F.col(id_col), F.explode(toks).alias("w"))
+        fan_out(documents, id_col)
+        .select(F.col(id_col), F.explode(toks).alias("w"))
         .filter(F.col("w") != "")
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("n_i"))
@@ -617,12 +632,18 @@ def bigram_rarity_scores(
     broadcast back onto the doc bigrams), one per-doc mean. Docs with
     < 2 tokens have no bigram and are excluded (same in the oracle)."""
     toks = tokens(F.lower(F.col(text_col)))
-    d = documents.select(F.col(id_col), toks.alias("toks")).filter(
-        F.size("toks") >= 2
-    )
+    # fan out (guide §2.5) and materialize the exploded bigrams once
+    # (lazy localCheckpoint): pairs feeds the corpus count AND the
+    # scored join — one tokenize pass instead of two
+    from ..ext.lineage import truncate_lineage
+
+    d = fan_out(documents, id_col).select(
+        F.col(id_col), toks.alias("toks")
+    ).filter(F.size("toks") >= 2)
     pairs = d.select(
         id_col, F.explode(adjacent_pairs("toks")).alias("p")
     ).select(id_col, "p.a", "p.b").filter((F.col("a") != "") & (F.col("b") != ""))
+    pairs = truncate_lineage(pairs, eager=False)
     corpus = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     scored = pairs.join(F.broadcast(corpus), ["a", "b"]).select(
         id_col, F.expr("1000000 DIV c_ab").alias("inv_q")
@@ -651,9 +672,14 @@ def oov_rate(
     order, so the cut is deterministic. One corpus count (broadcast
     back), one per-doc mean; the fact table never reshuffles."""
     toks = tokens(F.lower(F.col(text_col)))
-    words = documents.select(F.col(id_col), F.explode(toks).alias("w")).filter(
-        F.col("w") != ""
-    )
+    # fan out (guide §2.5) + one materialized tokenize pass (words
+    # feeds the vocab count AND the flagged join)
+    from ..ext.lineage import truncate_lineage
+
+    words = fan_out(documents, id_col).select(
+        F.col(id_col), F.explode(toks).alias("w")
+    ).filter(F.col("w") != "")
+    words = truncate_lineage(words, eager=False)
     vocab = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -748,14 +774,20 @@ def lm_perplexity_scores(
     onto the doc bigrams), never on the fact table. Docs with < 2
     tokens have no bigram and are excluded (same in the oracle)."""
     toks = tokens(F.lower(F.col(text_col)))
-    d = documents.select(F.col(id_col), toks.alias("toks")).filter(
-        F.size("toks") >= 2
-    )
+    # fan out (guide §2.5) and materialize the exploded bigrams once
+    # (lazy localCheckpoint): pairs feeds the model counts, the vocab
+    # count AND the scoring join — one tokenize pass instead of three
+    from ..ext.lineage import truncate_lineage
+
+    d = fan_out(documents, id_col).select(
+        F.col(id_col), toks.alias("toks")
+    ).filter(F.size("toks") >= 2)
     pairs = (
         d.select(id_col, F.explode(adjacent_pairs("toks")).alias("p"))
         .select(id_col, "p.a", "p.b")
         .filter((F.col("a") != "") & (F.col("b") != ""))
     )
+    pairs = truncate_lineage(pairs, eager=False)
     c_ab = pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c_ab")
     )
@@ -902,7 +934,11 @@ def lm_bigram_kl(
     costs are computed side by side — the 16-round recurrence never
     touches the fact table."""
     toks = tokens(F.lower(F.col(text_col)))
-    d = documents.select(
+    # fan out (guide §2.5) + one materialized tokenize pass (pairs
+    # feeds both the per-slice counts and the union vocab count)
+    from ..ext.lineage import truncate_lineage
+
+    d = fan_out(documents).select(
         group_expr.cast("boolean").alias("__g"), toks.alias("toks")
     ).filter(F.col("__g").isNotNull() & (F.size("toks") >= 2))
     pairs = (
@@ -910,6 +946,7 @@ def lm_bigram_kl(
         .select("__g", "p.a", "p.b")
         .filter((F.col("a") != "") & (F.col("b") != ""))
     )
+    pairs = truncate_lineage(pairs, eager=False)
     cab = pairs.groupBy("__g", "a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c_ab")
     )
@@ -1291,7 +1328,11 @@ def lm_crossentropy_heldout(
     recurrence runs once per distinct held-out bigram, then
     broadcasts back onto the held-out fact rows."""
     toks = tokens(F.lower(F.col(text_col)))
-    base = documents.select(
+    # fan out (guide §2.5) + one materialized tokenize pass (pairs
+    # feeds the train counts, the vocab count AND the held-out side)
+    from ..ext.lineage import truncate_lineage
+
+    base = fan_out(documents, id_col).select(
         F.col(id_col),
         train_expr.cast("boolean").alias("__train"),
         toks.alias("toks"),
@@ -1305,6 +1346,7 @@ def lm_crossentropy_heldout(
         .select(id_col, "__train", "p.a", "p.b")
         .filter((F.col("a") != "") & (F.col("b") != ""))
     )
+    pairs = truncate_lineage(pairs, eager=False)
     train = pairs.filter(F.col("__train"))
     held = pairs.filter(~F.col("__train"))
     c_ab = train.groupBy("a", "b").agg(

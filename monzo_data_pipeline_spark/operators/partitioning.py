@@ -35,6 +35,11 @@ def fan_out(df: DataFrame, *keys: str, target: int | None = None) -> DataFrame:
     already has at least ``target`` partitions. Hash-partitions on
     ``keys`` when given, else round-robin.
     """
+    if df.isStreaming:
+        # a streaming frame has no static partition count to inspect
+        # (df.rdd raises), and micro-batch parallelism is the source's
+        # business — pass through untouched
+        return df
     sc = df.sparkSession.sparkContext
     n = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
