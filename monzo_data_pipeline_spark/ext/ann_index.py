@@ -48,9 +48,15 @@ def build_ivf_index(
     quantized-dot argmax, ties to the lower cell)."""
     centroids = emb.filter(F.col(id_col) < n_centroids)
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        wh.path(table)
-    )
+    # r10 (guide §6, output file sizing): cluster by the partition
+    # column before the partitioned write — ivf_assign fans the
+    # assignment out, and writing K cells from P partitions would
+    # fragment each cell directory into ~P files, multiplying every
+    # later DPP-pruned search's open/footer cost. One exchange of
+    # (id, vec, cell) buys one file per cell.
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(wh.path(table))
     # persist the builder's parameters next to the index: the
     # centroid set is DEFINED by n_centroids (vec_id < K is only the
     # centroid rule under the builder's K), so a search must read K
@@ -213,9 +219,10 @@ def build_ivfpq_index(
     codes = pq_encode(emb, cbs, id_col=id_col, vec_col=vec_col)
     centroids = emb.filter(F.col(id_col) < n_centroids)
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    assigned.join(codes, id_col).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(wh.path(table))
+    # one file per cell (guide §6) — see build_ivf_index
+    assigned.join(codes, id_col).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(wh.path(table))
     spark = emb.sparkSession
     spark.createDataFrame(
         [(int(s), int(c), [float(x) for x in v]) for s, c, v in cbs],
@@ -391,6 +398,7 @@ def append_ivfpq_index(
         new_emb, centroids, id_col=id_col, vec_col=vec_col
     )
     codes = pq_encode(new_emb, cbs, id_col=id_col, vec_col=vec_col)
-    assigned.join(codes, id_col).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(wh.path(table))
+    # one file per cell per append batch (guide §6) — see build_ivf_index
+    assigned.join(codes, id_col).repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(wh.path(table))

@@ -190,7 +190,14 @@ def documents_as_images(docs: DataFrame, width: int = 16, height: int = 16) -> D
     header = b"P6\n%d %d\n255\n" % (width, height)
     clean = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[^\x20-\x7e]", "")
     clean = F.when(F.length(clean) == 0, F.lit(" ")).otherwise(clean)
-    docs = docs.select(F.col("doc_id").alias("media_id"), clean.alias("clean"))
+    # r10 (guide §2.5): fan out HERE, at the cheap text stage, so the
+    # whole downstream media pipeline (synth → resize → decode, all
+    # per-row-expensive) inherits the wide layout and the consumers'
+    # own fan_out calls no-op — fanning later would shuffle the
+    # synthesized image payloads instead of the source text
+    docs = fan_out(docs, "doc_id").select(
+        F.col("doc_id").alias("media_id"), clean.alias("clean")
+    )
     raster = F.expr(
         f"substring(repeat(clean, CAST(ceil({n} / length(clean)) AS INT)), 1, {n})"
     )
