@@ -404,90 +404,55 @@ def gini_concentration(
     lesson, operators/windows.py:154): ties at a value v occupy a
     consecutive rank run whose Σ is closed-form (Rᵥ·cᵥ + cᵥ(cᵥ+1)/2),
     so the statistic needs only the DISTINCT-value table with each
-    value's global count-below Rᵥ. Values are range-bucketed by their
-    BINARY EXPONENT (sign-aware ⌊log₂⌋ — order-preserving with no
-    prior min/max pass), per-bucket counts (≤130 rows, O(k) scalars)
-    cross the driver once for the prefix offsets, and the in-bucket
-    cumulative window is PARTITIONED by bucket. At 100 TB: one
-    groupBy(value) on the entity table, one ≤130-row collect, one
-    bucketed window — nothing fact-proportional past the caller's
-    first agg. (Exponent buckets are log-spaced, so a heavily
-    quantized domain concentrates DISTINCT values — not rows — in a
-    few buckets; the window's input is the distinct table, which is
-    the small side by construction.)
+    value's global count-below Rᵥ — attached by the shared
+    ``attach_count_below`` primitive (r10: mantissa-refined exponent
+    buckets, offsets in-plan — ONE lazy plan, no persist/collect/
+    checkpoint; n rides a 1-row broadcast cross join whose Σ branch
+    reuses the value-grain exchange). At 100 TB: one groupBy(value)
+    on the entity table, one bucketed window over the distinct table
+    — nothing fact-proportional past the caller's first agg.
     """
+    from .rankstats import attach_count_below
+
     v = F.col(value_col).cast("long")
     pc = (
         keyed_cents.filter(v.isNotNull())
         .groupBy(v.alias("__x"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
-    # sign-aware exponent bucket: monotone non-decreasing in __x
-    # (long→double conversion and log2 are both monotone; boundary
-    # rounding can only shift a value into the NEIGHBORING bucket,
-    # which is harmless — offsets come from actual counts)
-    bucket = (
-        F.when(F.col("__x") == 0, F.lit(0))
-        .when(F.col("__x") > 0, F.floor(F.log2(F.col("__x"))) + 1)
-        .otherwise(-(F.floor(F.log2(-F.col("__x"))) + 1))
-        .cast("int")
+    ranked = attach_count_below(pc)
+    n1 = pc.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n")
     )
-    pb = pc.withColumn("__b", bucket).persist()
-    try:
-        btot = {
-            r["__b"]: r["bc"]
-            for r in pb.groupBy("__b").agg(F.sum("__c").alias("bc")).collect()
-        }
-        spark = keyed_cents.sparkSession
-        out_schema = "n_keys bigint, total_cents bigint, gini_ppm bigint"
-        if not btot:
-            # SQL aggregates over empty input: one row, COUNT 0, SUMs NULL
-            return spark.createDataFrame([(0, None, None)], out_schema)
-        n, acc, below = sum(btot.values()), 0, {}
-        for b in sorted(btot):
-            below[b] = acc
-            acc += btot[b]
-        offs = F.broadcast(
-            spark.createDataFrame(
-                [(b, c) for b, c in below.items()], "__b int, __off bigint"
-            )
-        )
-        w = (
-            Window.partitionBy("__b")
-            .orderBy("__x")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        ranked = pb.join(offs, on="__b").withColumn(
-            "__r", F.col("__off") + F.coalesce(F.sum("__c").over(w), F.lit(0))
-        )
-        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-        # Σ ranks of value v's tie run = Rᵥ·cᵥ + cᵥ(cᵥ+1)/2 — integer
-        # (cᵥ·(cᵥ+1) is even), kept in DECIMAL(38,0) so the global sums
-        # never overflow int64 at scale
-        tie_run = d(F.col("__r")) * d(F.col("__c")) + d(
-            F.expr("__c * (__c + 1) DIV 2")
-        )
-        agg = ranked.agg(
-            F.sum(d(F.col("__x")) * d(F.col("__c"))).alias("__s0"),
-            F.sum(d(F.col("__x")) * tie_run).alias("__s1"),
-        )
-        return agg.select(
-            F.lit(n).cast("long").alias("n_keys"),
-            F.col("__s0").cast("long").alias("total_cents"),
-            # numerator is provably ≥ 0; a NEGATIVE total would make
-            # Spark's truncating DIV and DuckDB's flooring // diverge,
-            # and Gini is ill-defined there — emit NULL instead
-            F.when(
-                F.col("__s0") > 0,
-                F.expr(
-                    f"((2 * `__s1` - CAST({n + 1} AS DECIMAL(38,0))"
-                    f" * `__s0`) * 1000000)"
-                    f" DIV (CAST({n} AS DECIMAL(38,0)) * `__s0`)"
-                ),
-            ).alias("gini_ppm"),
-        )
-    finally:
-        pb.unpersist()
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Σ ranks of value v's tie run = Rᵥ·cᵥ + cᵥ(cᵥ+1)/2 — integer
+    # (cᵥ·(cᵥ+1) is even), kept in DECIMAL(38,0) so the global sums
+    # never overflow int64 at scale
+    tie_run = d(F.col("__r")) * d(F.col("__c")) + d(
+        F.expr("__c * (__c + 1) DIV 2")
+    )
+    agg = ranked.crossJoin(F.broadcast(n1)).agg(
+        # the cross join leaves zero rows on empty input: coalesce n
+        # back to the documented 0 (one row out either way)
+        F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("__nk"),
+        F.sum(d(F.col("__x")) * d(F.col("__c"))).alias("__s0"),
+        F.sum(d(F.col("__x")) * tie_run).alias("__s1"),
+    )
+    return agg.select(
+        F.col("__nk").alias("n_keys"),
+        F.col("__s0").cast("long").alias("total_cents"),
+        # numerator is provably ≥ 0; a NEGATIVE total would make
+        # Spark's truncating DIV and DuckDB's flooring // diverge,
+        # and Gini is ill-defined there — emit NULL instead
+        F.when(
+            F.col("__s0") > 0,
+            F.expr(
+                "((2 * `__s1` - (CAST(`__nk` AS DECIMAL(38,0)) + 1)"
+                " * `__s0`) * 1000000)"
+                " DIV (CAST(`__nk` AS DECIMAL(38,0)) * `__s0`)"
+            ),
+        ).alias("gini_ppm"),
+    )
 
 
 # Benford expected first-digit shares, floor'd to ppm: log10(1+1/d).

@@ -15,9 +15,10 @@ sell at" (weighted percentiles).
 Scale posture (the exact_ntile / gini lesson): ranks NEVER come from a
 global-order window. Average ranks depend only on each distinct
 value's global count-below Rᵥ and tie count cᵥ — so the plan is one
-groupBy(value), one ≤130-row exponent-bucket offset collect, one
-PARTITIONED in-bucket cumulative window over the DISTINCT table, and
-one exact-integer aggregate. Doubled average ranks (2Rᵥ + cᵥ + 1) keep
+groupBy(value), an in-plan mantissa-refined exponent-bucket offset
+window (tiny bucket table, broadcast back — r10: no driver collect),
+one PARTITIONED in-bucket cumulative window over the DISTINCT table,
+and one exact-integer aggregate. Doubled average ranks (2Rᵥ + cᵥ + 1) keep
 everything integer through ties; moment sums ride DECIMAL(38,0).
 The sums alone are exact to n ≲ 10¹², but Spearman's final products
 n·sxx and sx·sx (sx ~ 2n²) exceed 38 digits near n ≈ 3·10⁹ — beyond
@@ -37,78 +38,105 @@ from pyspark.sql import functions as F
 from monzo_data_pipeline_spark.ext.lineage import truncate_lineage
 
 
-def attach_count_below(
-    pc: DataFrame, x_col: str = "__x", c_col: str = "__c"
-) -> tuple[DataFrame, int]:
-    """Given a DISTINCT-value-grain frame (``x_col`` unique, ``c_col``
-    = multiplicity), return ``(frame + __r, total_count)`` where
-    ``__r`` = number of elements with value strictly below ``x_col``
-    — the shared primitive behind gini / Spearman / Mann-Whitney.
+#: sub-bucket bits per binary exponent (r10): 2^6 order-preserving
+#: slices inside every exponent bucket. Quantized domains (prices in
+#: cents) concentrate ~all distinct values in a handful of exponents,
+#: which made the per-bucket cumulative window a near-global
+#: single-task sort (guide §2.5 skew); the mantissa slices restore
+#: ~64× window parallelism per populated exponent while the offset
+#: table stays tiny (≤ ~2·64·64 rows).
+_SUBBUCKET_BITS = 6
 
-    NO global-order window: values are range-bucketed by their binary
-    exponent (sign-aware ⌊log₂⌋ — order-preserving, no prior min/max
-    pass), per-bucket totals (≤130 rows, O(k) scalars) cross the
-    driver once for prefix offsets, and the cumulative window is
-    PARTITIONED by bucket. Exponent buckets are log-spaced, so a
-    quantized domain concentrates DISTINCT values — not rows — per
-    bucket; the window input is the distinct table, small by
-    construction.
-    """
-    bucket = (
-        F.when(F.col(x_col) == 0, F.lit(0))
-        .when(F.col(x_col) > 0, F.floor(F.log2(F.col(x_col))) + 1)
-        .otherwise(-(F.floor(F.log2(-F.col(x_col))) + 1))
-        .cast("int")
+
+def _order_bucket(x_col: str) -> F.Column:
+    """Monotone (order-preserving, sign-aware) range bucket of a LONG
+    column with NO prior min/max pass: binary exponent of |x| refined
+    by the top ``_SUBBUCKET_BITS`` mantissa bits.
+
+    mag = (⌊log₂|x|⌋ + 1) · 2^(j+1) + (|x| >> max(⌊log₂|x|⌋ − j, 0))
+    is strictly increasing in |x| across and within exponents (the
+    shifted value lives in [2^min(e,j), 2^(min(e,j)+1)) < 2^(j+1);
+    long→double and log2 are monotone, and a boundary rounding of the
+    exponent only merges a value into the NEIGHBORING slice, which
+    keeps monotonicity — offsets come from actual counts, not from
+    the bucket ids)."""
+    j = _SUBBUCKET_BITS
+    e = f"CAST(FLOOR(LOG2(ABS(CAST({x_col} AS DOUBLE)))) AS INT)"
+    mag = (
+        f"(CAST({e} AS BIGINT) + 1) * {1 << (j + 1)}"
+        f" + SHIFTRIGHT(ABS({x_col}), GREATEST({e} - {j}, 0))"
     )
-    pb = pc.withColumn("__rs_b", bucket).persist()
-    try:
-        btot = {
-            r["__rs_b"]: r["bc"]
-            for r in pb.groupBy("__rs_b")
-            .agg(F.sum(c_col).alias("bc"))
-            .collect()
-        }
-        if not btot:
-            return (
-                pb.withColumn("__r", F.lit(0).cast("long")).drop("__rs_b"),
-                0,
-            )
-        acc, below = 0, {}
-        for b in sorted(btot):
-            below[b] = acc
-            acc += btot[b]
-        offs = F.broadcast(
-            pc.sparkSession.createDataFrame(
-                [(b, c) for b, c in below.items()],
-                "__rs_b int, __rs_off bigint",
-            )
-        )
-        w = (
-            Window.partitionBy("__rs_b")
-            .orderBy(x_col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        ranked = (
-            pb.join(offs, on="__rs_b")
-            .withColumn(
-                "__r",
-                F.col("__rs_off")
-                + F.coalesce(F.sum(c_col).over(w), F.lit(0)),
-            )
-            .drop("__rs_b", "__rs_off")
-        )
-        # materialize ranked BEFORE pb unpersists (cheap: pb is
-        # cached, ranked is distinct-value grain). Without this the
-        # caller's final job re-executed the whole pc subtree — often
-        # a fact scan — because the only job that ran under the cache
-        # was the per-bucket totals collect above: every
-        # attach_count_below caller paid its input scan twice.
-        from monzo_data_pipeline_spark.ext.lineage import truncate_lineage
+    return (
+        F.when(F.col(x_col) == 0, F.lit(0))
+        .when(F.col(x_col) > 0, F.expr(mag))
+        .otherwise(-F.expr(mag))
+        .cast("long")
+    )
 
-        ranked = truncate_lineage(ranked)
-        return ranked, acc
-    finally:
-        pb.unpersist()
+
+def attach_count_below(
+    pc: DataFrame,
+    x_col: str = "__x",
+    c_col: str = "__c",
+    wide: bool = True,
+) -> DataFrame:
+    """Given a DISTINCT-value-grain frame (``x_col`` unique, ``c_col``
+    = multiplicity), return the frame plus ``__r`` = number of
+    elements with value strictly below ``x_col`` — the shared
+    primitive behind gini / Spearman / Mann-Whitney.
+
+    NO global-order window and (r10) NO driver round-trip: values are
+    range-bucketed by ``_order_bucket`` (sign-aware ⌊log₂⌋ refined by
+    mantissa slices — order-preserving, no prior min/max pass), the
+    per-bucket totals → prefix offsets run as an in-plan global-order
+    window over the tiny bucket table (≤ ~8 k rows, one task) that is
+    then BROADCAST back, and the cumulative window is PARTITIONED by
+    bucket. The whole attach is ONE lazy plan — no persist, no
+    collect, no checkpoint; the caller's single action executes it
+    (the bucket-total branch reuses the groupBy exchange that
+    produced ``pc`` where one exists)."""
+    # wide=True: hash-cluster the distinct table by bucket at the
+    # cluster's parallelism. The per-bucket cumulative window needs an
+    # exchange on __rs_b REGARDLESS (its input arrives partitioned by
+    # value at best), so this explicit repartition replaces the
+    # planner's ENSURE_REQUIREMENTS exchange 1:1 — and, unlike it, is
+    # exempt from AQE coalescing, which otherwise collapses the ~10 MB
+    # post-shuffle stage to ONE task and runs the window serially
+    # (guide §2.5). The bucket-totals branch inherits the clustering.
+    # wide=False (callers whose distinct table is entity-bounded and
+    # who attach several rank maps in one plan — spearman): leave the
+    # exchange to the planner so AQE right-sizes the tiny stages;
+    # forcing cluster-width tasks there multiplies scheduler overhead
+    # across the duplicated pruned subtrees (r10: measured 2× worse).
+    pb = pc.withColumn("__rs_b", _order_bucket(x_col))
+    if wide:
+        pb = pb.repartition(
+            pc.sparkSession.sparkContext.defaultParallelism, "__rs_b"
+        )
+    btot = pb.groupBy("__rs_b").agg(F.sum(c_col).alias("__rs_t"))
+    woff = Window.orderBy("__rs_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.select(
+        "__rs_b",
+        F.coalesce(F.sum("__rs_t").over(woff), F.lit(0))
+        .cast("long")
+        .alias("__rs_off"),
+    )
+    w = (
+        Window.partitionBy("__rs_b")
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pb.join(F.broadcast(offs), on="__rs_b")
+        .withColumn(
+            "__r",
+            F.col("__rs_off")
+            + F.coalesce(F.sum(c_col).over(w), F.lit(0)),
+        )
+        .drop("__rs_b", "__rs_off")
+    )
 
 
 def _dec(c: "F.Column") -> "F.Column":
@@ -137,8 +165,11 @@ def spearman_corr(
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     dx = base.groupBy("__x").agg(F.count(F.lit(1)).cast("long").alias("__c"))
     dy = base.groupBy("__y").agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    rx, _ = attach_count_below(dx, x_col="__x")
-    ry, _ = attach_count_below(dy, x_col="__y")
+    # wide=False: the two rank maps are entity-bounded and this ONE
+    # lazy plan carries several pruned copies of the base subtree —
+    # AQE-sized tiny stages beat cluster-width fan-out here (r10)
+    rx = attach_count_below(dx, x_col="__x", wide=False)
+    ry = attach_count_below(dy, x_col="__y", wide=False)
     rx = rx.select(
         "__x",
         (F.lit(2) * F.col("__r") + F.col("__c") + 1).alias("__drx"),
@@ -210,7 +241,7 @@ def mann_whitney_u(
         .cast("long")
         .alias("__ca"),
     )
-    r, _ = attach_count_below(pc)
+    r = attach_count_below(pc)
     dr = F.lit(2) * F.col("__r") + F.col("__c") + 1
     m = r.agg(
         F.sum("__ca").cast("long").alias("n_a"),
@@ -519,11 +550,14 @@ def weighted_percentiles(
     One row out: (total_weight, n_values, p{q}_weighted...). ALL
     integer: the defining inequality cum·100 ≥ q·W is exact, and the
     answer per quantile is a MIN over qualifying distinct values —
-    no order-dependent arithmetic at all. Plan: one value-grain agg,
-    the shared bucket-offset attach (partitioned window), one filter +
-    min aggregate per quantile over the distinct table. Nonpositive
-    weights are excluded (a zero/negative weight is an upstream bug,
-    not a sample). Empty input → 0s and NULLs."""
+    no order-dependent arithmetic at all. Plan (r10: ONE lazy plan,
+    no driver round-trip): one value-grain agg, the shared
+    bucket-offset attach (partitioned window), the total weight W as
+    a 1-row broadcast cross join (its Σ branch reuses the value-grain
+    exchange), one filter + min aggregate per quantile over the
+    distinct table. Nonpositive weights are excluded (a zero/negative
+    weight is an upstream bug, not a sample). Empty input → 0s and
+    NULLs."""
     base = df.select(
         F.col(value_col).cast("long").alias("__x"),
         F.col(weight_col).cast("long").alias("__w"),
@@ -531,9 +565,17 @@ def weighted_percentiles(
         F.col("__x").isNotNull() & (F.col("__w") > 0)
     )
     pc = base.groupBy("__x").agg(F.sum("__w").cast("long").alias("__c"))
-    r, total = attach_count_below(pc)
+    r = attach_count_below(pc)
+    tot = pc.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__tw")
+    )
     cum = F.col("__r") + F.col("__c")  # cumulative weight through __x
     aggs = [
+        # the cross join leaves zero rows on empty input: coalesce the
+        # total back to the documented 0
+        F.coalesce(F.max("__tw"), F.lit(0))
+        .cast("long")
+        .alias("total_weight"),
         F.count(F.lit(1)).cast("long").alias("n_values"),
     ]
     for q in quantiles_pct:
@@ -543,17 +585,12 @@ def weighted_percentiles(
             F.min(
                 F.when(
                     cum * F.lit(100).cast("long")
-                    >= F.lit(q).cast("long") * F.lit(total).cast("long"),
+                    >= F.lit(q).cast("long") * F.col("__tw"),
                     F.col("__x"),
                 )
             ).alias(f"p{q}_weighted")
         )
-    out = r.agg(*aggs)
-    return out.select(
-        F.lit(total).cast("long").alias("total_weight"),
-        "n_values",
-        *[f"p{q}_weighted" for q in quantiles_pct],
-    )
+    return r.crossJoin(F.broadcast(tot)).agg(*aggs)
 
 
 def theilsen_slope_binned(

@@ -812,43 +812,60 @@ def sketch_quantiles_from_cells(
     the read side of incremental/streaming grid maintenance, and the
     fast path when several extractions share one cell build. n is
     derived FROM the state (Σcnt == the rows the state absorbed)."""
+    from ..ext.lineage import truncate_lineage
     from .rankstats import attach_count_below
 
     pc = cells.select(
         F.col("cell").alias("__x"), F.col("cnt").alias("__c")
     )
-    ranked, n = attach_count_below(pc)
-    ranked = ranked.select(
+    if not pc.isStreaming:
+        # the finalization fans pc into THREE branches (ranked window,
+        # bucket offsets, in-plan n); materialize the ≤ ~3 810-row cell
+        # state once so a fact-scale cells subtree (quantile_grid_cells
+        # over a raw column) is not recomputed per branch — exchange
+        # reuse does not dedupe across the broadcast boundaries here
+        pc = truncate_lineage(pc)
+    ranked = attach_count_below(pc).select(
         F.col("__x").alias("cell"),
         F.col("__c").alias("cnt"),
         F.col("__r").alias("below"),
     )
-    if n == 0:
-        probs = ", ".join(str(p) for p in sorted(probs_ppm))
-        return ranked.sparkSession.sql(
-            f"SELECT CAST(p_ppm AS BIGINT) AS p_ppm, "
-            f"CAST(NULL AS BIGINT) AS est "
-            f"FROM (SELECT explode(array({probs})) AS p_ppm)"
-        )
-    targets = [(p, (p * (n - 1)) // 1_000_000) for p in sorted(probs_ppm)]
-    t = F.array(
-        *[
-            F.struct(
-                F.lit(p).cast("long").alias("p_ppm"),
-                F.lit(r).cast("long").alias("r"),
+    # r10: n and the per-probability target ranks are computed IN-PLAN
+    # (1-row Σcnt agg exploded to one row per probability), so the
+    # whole finalization is one lazy plan — no collect, no per-call n
+    # job. The LEFT join keeps the one-row-per-probability contract on
+    # empty state (est NULL), matching the old n == 0 branch; for
+    # n ≥ 1 exactly one cell satisfies below ≤ r < below + cnt, so the
+    # rows equal the old inner explode+filter. r = (p·(n−1)) DIV 10⁶
+    # is nonnegative there, so SQL DIV matches the old Python floor.
+    n1 = pc.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n")
+    )
+    targets = n1.select(
+        F.explode(
+            F.array(
+                *[F.lit(p).cast("long") for p in sorted(probs_ppm)]
             )
-            for p, r in targets
-        ]
+        ).alias("p_ppm"),
+        "__n",
+    ).select(
+        "p_ppm",
+        F.expr("CAST((p_ppm * (__n - 1)) DIV 1000000 AS BIGINT)").alias(
+            "__r"
+        ),
     )
     return (
-        ranked.select("cell", "cnt", "below", F.explode(t).alias("t"))
-        .filter(
-            (F.col("t.r") >= F.col("below"))
-            & (F.col("t.r") < F.col("below") + F.col("cnt"))
+        targets.join(
+            # broadcast the ≤ ~3 810-row ranked cell table (the BUILD
+            # side of a LEFT join must be the right side)
+            F.broadcast(ranked),
+            (F.col("__r") >= F.col("below"))
+            & (F.col("__r") < F.col("below") + F.col("cnt")),
+            "left",
         )
         .select(
-            F.col("t.p_ppm").alias("p_ppm"),
-            F.expr(_est_expr("t.r", "below")).alias("est"),
+            F.col("p_ppm"),
+            F.expr(_est_expr("__r", "below")).alias("est"),
         )
     )
 

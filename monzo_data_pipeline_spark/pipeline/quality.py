@@ -393,34 +393,44 @@ def calibration_bins(
     All integer arithmetic: band = (score − lo)·B DIV (hi − lo + 1)
     (equal-width, clamp-free by construction since score ≤ hi), mean
     and rate as floor'd fixed-point DIVs — hash-checkable
-    cross-engine. One fact-scale aggregate after a 1-row min/max
-    broadcast; output bounded by n_bins."""
+    cross-engine. r10 plan shape (guide §2.3 "aggregate before you
+    shuffle" + §2.4 one-exchange sharing): rows collapse to the
+    DISTINCT-score grain first — count and Σlabel partial-aggregate
+    map-side behind ONE exchange, the min/max range branch REUSES
+    that exchange instead of re-evaluating the (often expensive,
+    e.g. tokenize-and-hash) score expression a second time, and the
+    final n_bins-row rollup runs over the value-grain table. Σscore
+    per bin = Σ(s·count_s) exactly; output bounded by n_bins."""
     # range and bins read the SAME null-filtered frame: a null-label
     # row must not widen [lo, hi] while being excluded from every
     # band (r10 fix; the oracle twin mirrors the filter)
     scored = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     )
-    rng = scored.agg(
-        F.min(F.col(score_col).cast("long")).alias("__lo"),
-        F.max(F.col(score_col).cast("long")).alias("__hi"),
+    pc = scored.groupBy(
+        F.col(score_col).cast("long").alias("__s")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(label_col).cast("boolean").cast("long")).alias(
+            "__y"
+        ),
     )
-    binned = (
-        scored.crossJoin(F.broadcast(rng))
-        .select(
-            F.expr(
-                f"(CAST({score_col} AS BIGINT) - __lo) * {n_bins}"
-                " DIV (__hi - __lo + 1)"
-            ).alias("bin"),
-            F.col(score_col).cast("long").alias("__s"),
-            F.col(label_col).cast("boolean").cast("long").alias("__y"),
-        )
+    rng = pc.agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    binned = pc.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"(__s - __lo) * {n_bins} DIV (__hi - __lo + 1)"
+        ).alias("bin"),
+        "__n",
+        (F.col("__s") * F.col("__n")).alias("__sn"),
+        "__y",
     )
     return (
         binned.groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("__s").alias("__ss"),
+            F.sum("__n").alias("n"),
+            F.sum("__sn").alias("__ss"),
             F.sum("__y").alias("__pos"),
         )
         .select(
