@@ -1022,6 +1022,16 @@ def strongly_connected_components(
     parts = max(2, min(default_parts, n_edges // 2_000_000 + 2))
     child = parent.newSession()
     child.conf.set("spark.sql.shuffle.partitions", str(parts))
+    if parts < default_parts:
+        # r10: the measured edge count did not earn cluster-wide
+        # shuffles, so every per-round exchange is a tiny fixed-cost
+        # stage — and under AQE each query-stage materialization is a
+        # SEPARATE job (one driver round-trip each: ~240 jobs per SCC
+        # call measured at entity scale, ~45 ms apiece of pure
+        # scheduling). Classic execution pipelines the whole
+        # stability-check plan as ONE job. A 100 TB edge set keeps
+        # parts == default_parts and AQE (skew handling) stays on.
+        child.conf.set("spark.sql.adaptive.enabled", "false")
     e = _in_session(e_all, child)
     nodes = (
         e.select(F.col("__s").alias("__n"))
@@ -1078,6 +1088,10 @@ def strongly_connected_components(
         while done < rounds:
             block = min(4, rounds - done)
             for i in range(block):
+                # cut lineage EVERY round: lab feeds the round plan in
+                # several places, so an uncut round re-executes its
+                # joins per consumer in the next round's plan (r10:
+                # measured 2x worse with every-2nd-round cuts)
                 lab = lazy(_one_round(lab, prop, done + i < jump_cap))
             done += block
             violations = (
