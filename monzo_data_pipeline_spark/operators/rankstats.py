@@ -16,7 +16,8 @@ Scale posture (the exact_ntile / gini lesson): ranks NEVER come from a
 global-order window. Average ranks depend only on each distinct
 value's global count-below Rᵥ and tie count cᵥ — so the plan is one
 groupBy(value), an in-plan mantissa-refined exponent-bucket offset
-window (tiny bucket table, broadcast back — r10: no driver collect),
+fold (tiny bucket table, broadcast back — r10: no driver collect,
+no global window),
 one PARTITIONED in-bucket cumulative window over the DISTINCT table,
 and one exact-integer aggregate. Doubled average ranks (2Rᵥ + cᵥ + 1) keep
 everything integer through ties; moment sums ride DECIMAL(38,0).
@@ -88,10 +89,10 @@ def attach_count_below(
     NO global-order window and (r10) NO driver round-trip: values are
     range-bucketed by ``_order_bucket`` (sign-aware ⌊log₂⌋ refined by
     mantissa slices — order-preserving, no prior min/max pass), the
-    per-bucket totals → prefix offsets run as an in-plan global-order
-    window over the tiny bucket table (≤ ~8 k rows, one task) that is
-    then BROADCAST back, and the cumulative window is PARTITIONED by
-    bucket. The whole attach is ONE lazy plan — no persist, no
+    per-bucket totals → prefix offsets run as an in-plan fold over
+    the tiny bucket table (collect_list + aggregate HOF, ≤ ~8 k rows
+    by construction) that is then BROADCAST back, and the cumulative
+    window is PARTITIONED by bucket. The whole attach is ONE lazy plan — no persist, no
     collect, no checkpoint; the caller's single action executes it
     (the bucket-total branch reuses the groupBy exchange that
     produced ``pc`` where one exists)."""
@@ -114,14 +115,39 @@ def attach_count_below(
             pc.sparkSession.sparkContext.defaultParallelism, "__rs_b"
         )
     btot = pb.groupBy("__rs_b").agg(F.sum(c_col).alias("__rs_t"))
-    woff = Window.orderBy("__rs_b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = btot.select(
-        "__rs_b",
-        F.coalesce(F.sum("__rs_t").over(woff), F.lit(0))
-        .cast("long")
-        .alias("__rs_off"),
+    # prefix offsets WITHOUT a window node (the engine's no-global-
+    # window contract, tests/test_quality_and_plans.py): collect the
+    # bounded bucket table (≤ ~2·64·64 rows by construction — O(1) in
+    # data size) into ONE sorted array and left-fold exact prefix
+    # sums in-plan, then explode back to (bucket, offset) rows. Same
+    # single-branch shape as a window (btot has exactly one
+    # consumer, so nothing is recomputed across broadcast
+    # boundaries), still zero driver round-trips.
+    offs = (
+        btot.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__rs_b", "__rs_t"))
+            ).alias("__rs_a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "aggregate(__rs_a,"
+                    " struct(CAST(0 AS BIGINT) AS acc,"
+                    "        CAST(array() AS"
+                    "          array<struct<b:BIGINT,off:BIGINT>>)"
+                    "          AS out),"
+                    " (s, x) -> struct(s.acc + x.__rs_t AS acc,"
+                    "   array_append(s.out,"
+                    "     struct(x.__rs_b AS b, s.acc AS off)) AS out),"
+                    " s -> s.out)"
+                )
+            ).alias("__rs_e")
+        )
+        .select(
+            F.col("__rs_e.b").alias("__rs_b"),
+            F.col("__rs_e.off").cast("long").alias("__rs_off"),
+        )
     )
     w = (
         Window.partitionBy("__rs_b")
