@@ -1422,13 +1422,23 @@ def weighted_sample_ares(
     (NULL/non-positive rows are excluded — zero weight means never
     sample). Output: (key, weight, priority_q), priority ASC = most
     preferred first; ties broken on key for a total order."""
+    # r10: the dedup exchange is EXPLICIT (repartition on the grouping
+    # keys, cluster width) instead of distinct()'s ENSURE_REQUIREMENTS
+    # exchange, which AQE's size-based coalescing collapses to ONE
+    # task at entity scale (the state is a few MB) — serializing the
+    # 16-round log recurrence below onto a single core. Same exchange
+    # count (dropDuplicates reuses the partitioning); a cluster-scale
+    # input keeps cluster-width tasks either way.
     base = (
         df.select(
             F.col(key_col).cast("long").alias("__k"),
             F.col(weight_col).cast("long").alias("__w"),
         )
         .filter(F.col("__k").isNotNull() & (F.col("__w") >= 1))
-        .distinct()
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "__k", "__w"
+        )
+        .dropDuplicates()
     )
     h1, cost = _ares_priority("__k", "__w")
     scored = base.withColumn("__h1", h1).select(

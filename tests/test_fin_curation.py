@@ -450,6 +450,67 @@ class TestLmPerplexity:
         for k, v in exact.items():
             assert got[k] == v
 
+    def test_log2_q16_packed_fold_matches_struct_fold(self, spark):
+        """r10: the packed-BIGINT fold state (acc·2³¹ + x) must emit
+        bit-identical Q16 logs to the original struct(x, acc) fold —
+        the DuckDB twins still unroll the struct recurrence, so any
+        drift here is an oracle break."""
+        from pyspark.sql import functions as F
+
+        from monzo_data_pipeline_spark.functions.text import (
+            LM_FRAC_BITS,
+            _log2_q16_sql,
+        )
+
+        def struct_fold(n_expr: str, d_expr: str) -> str:
+            # the pre-r10 spelling, kept verbatim as the reference
+            e0 = f"(length(bin({n_expr})) - length(bin({d_expr})))"
+            e = (
+                f"({e0} - (CASE WHEN shiftleft({d_expr}, CAST({e0} AS INT))"
+                f" > {n_expr} THEN 1 ELSE 0 END))"
+            )
+            x0 = (
+                f"CAST(CAST({n_expr} AS DECIMAL(38,0)) * 536870912"
+                f" DIV (CAST({d_expr} AS DECIMAL(38,0))"
+                f" * CAST(shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+                f" AS DECIMAL(38,0))) AS BIGINT)"
+            )
+            frac = (
+                f"aggregate(sequence(1, {LM_FRAC_BITS}), "
+                f"struct({x0} AS x, CAST(0 AS BIGINT) AS acc), "
+                "(s, j) -> struct("
+                "CASE WHEN shiftright(s.x * s.x, 29) >= 1073741824 "
+                "THEN shiftright(shiftright(s.x * s.x, 29), 1) "
+                "ELSE shiftright(s.x * s.x, 29) END AS x, "
+                "s.acc * 2 + CASE WHEN shiftright(s.x * s.x, 29) >= 1073741824 "
+                "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS acc)"
+                ").acc"
+            )
+            return f"(CAST({e} AS BIGINT) * 65536 + {frac})"
+
+        dom = 2_147_483_647 * 2_147_483_648  # the KMV 62-bit domain
+        df = spark.range(1, 20_001).select(
+            (
+                (F.col("id") * F.lit(2_654_435_761)) % F.lit(dom - 1) + 1
+            ).alias("d"),
+            F.lit(dom).alias("n"),
+        )
+        bad = df.select(
+            F.expr(struct_fold("n", "d")).alias("ref"),
+            F.expr(_log2_q16_sql("n", "d")).alias("got"),
+        ).filter("ref <> got")
+        assert bad.count() == 0
+        # plus the tiny-operand edges the LM twins exercise
+        edges = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 2), (1000, 7), (999999937, 12345)],
+            "n long, d long",
+        )
+        bad2 = edges.select(
+            F.expr(struct_fold("n", "d")).alias("ref"),
+            F.expr(_log2_q16_sql("n", "d")).alias("got"),
+        ).filter("ref <> got")
+        assert bad2.count() == 0
+
     def test_fluent_scores_below_noise(self, spark):
         """A doc made of the corpus's dominant construction must get
         lower cross-entropy than a doc of one-off bigrams."""
