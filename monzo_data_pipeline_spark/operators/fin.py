@@ -294,26 +294,28 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     """
     from .windows import exact_ntile_multi
 
-    anchor_s = orders.agg(
-        F.max(F.unix_seconds(F.col("o_orderdate"))).alias("a")
-    ).collect()[0]["a"]
-    if anchor_s is None:  # empty input: anchor is moot, output is empty
-        anchor_s = 0
-    cust = (
+    # r10 (guide §1.2 fewer passes): the anchor is the max over the
+    # per-customer maxima, so it reads off the persisted aggregate —
+    # the job that fetches it doubles as the cache materializer, and
+    # the fact is scanned ONCE instead of twice (anchor pass + agg).
+    cust0 = (
         orders.groupBy("o_custkey")
         .agg(
             F.max(F.unix_seconds(F.col("o_orderdate"))).alias("last_s"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum(_cents("o_totalprice")).alias("monetary_cents"),
         )
-        .select(
-            "o_custkey",
-            # non-negative by construction → DIV == floor cross-engine
-            F.expr(f"({anchor_s} - last_s) DIV 86400").alias("recency_days"),
-            "n_orders",
-            "monetary_cents",
-        )
         .persist()
+    )
+    anchor_s = cust0.agg(F.max("last_s").alias("a")).collect()[0]["a"]
+    if anchor_s is None:  # empty input: anchor is moot, output is empty
+        anchor_s = 0
+    cust = cust0.select(
+        "o_custkey",
+        # non-negative by construction → DIV == floor cross-engine
+        F.expr(f"({anchor_s} - last_s) DIV 86400").alias("recency_days"),
+        "n_orders",
+        "monetary_cents",
     )
     # NOTE: cust stays persisted for the returned lazy plan (an
     # explicit unpersist here would evict before the caller's action);

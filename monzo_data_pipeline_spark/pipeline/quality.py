@@ -144,6 +144,15 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     approx_count_distinct at scale where ±2 % is fine.
     """
     cols = columns or df.columns
+    # r10 (guide §2.3 + §2.5): project to the profiled columns, then
+    # raise the parallelism floor before the wide agg — the multi-
+    # countDistinct plans an Expand (len(cols)+1 copies of every row)
+    # INSIDE the scan stage, and a single-row-group file runs that
+    # whole blow-up on one core. The projection keeps the fan-out
+    # exchange to the profiled bytes only.
+    from ..operators.partitioning import fan_out
+
+    df = fan_out(df.select(*cols))
     aggs = []
     for c in cols:
         aggs += [

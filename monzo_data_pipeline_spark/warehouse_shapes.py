@@ -31,7 +31,7 @@ Scale notes (100 TB posture), per query:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -690,9 +690,33 @@ def register(_register) -> None:
         # and "no OTHER late supplier" ⟺ n_late = 1 (this line's own
         # supplier is late, so it is the only one). One extra agg on
         # the orderkey replaces two correlated rescans of the fact.
+        #
+        # r10 (guide §2.4): ONE pass over the fact instead of two. The
+        # previous shape re-joined the filtered late lines (a second
+        # lineitem scan + an orderkey shuffle + a sort-merge join)
+        # against the per-order rollup; but every number the output
+        # needs is already available at the (order, supplier) grain —
+        # numwait counts each supplier's late status-F LINES in
+        # qualifying orders, so carrying that line count through the
+        # pair-grain aggregate replaces the whole second branch with a
+        # window over the pair table (partitioned by order: ≤ a few
+        # suppliers per order, no skew). Plan: 2 lineitem scans → 1,
+        # SortMergeJoin + 2 of 4 exchanges gone.
+        from .operators.partitioning import fan_out
+
         sup = load_table(spark, sf_dir, "supplier")
         orders = load_table(spark, sf_dir, "orders")
-        li = load_table(spark, sf_dir, "lineitem")
+        # fan the single-row-group fact out BY THE ORDER KEY (guide
+        # §2.5): hash clustering on l_orderkey satisfies the pair
+        # aggregate AND the per-order window below, so the broadcast
+        # join, both aggregations and the window all run in ONE wide
+        # stage behind this single explicit exchange.
+        li = fan_out(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_suppkey", "l_shipdate"
+            ),
+            "l_orderkey",
+        )
         lo = li.join(
             orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
             li.l_orderkey == F.col("o_orderkey"),
@@ -700,24 +724,34 @@ def register(_register) -> None:
             "__late",
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
         )
-        # two-level agg instead of two countDistincts: a double distinct
-        # aggregate plans an Expand (3× the fact rows into the shuffle);
-        # reducing to (order, supplier) grain first shuffles each row
-        # once and the second level is a near-free rollup.
         per_os = lo.groupBy(
             F.col("l_orderkey").alias("__okey"), F.col("l_suppkey").alias("__skey")
-        ).agg(F.max(F.col("__late").cast("int")).alias("__any_late"))
-        per_order = per_os.groupBy("__okey").agg(
-            F.count(F.lit(1)).alias("__n_supp"),
-            F.sum("__any_late").alias("__n_late"),
+        ).agg(
+            F.max(F.col("__late").cast("int")).alias("__any_late"),
+            F.sum(
+                F.when(
+                    F.col("__late") & (F.col("o_orderstatus") == "F"), 1
+                ).otherwise(0)
+            ).alias("__n_late_f"),
         )
-        late_f = lo.filter(F.col("__late") & (F.col("o_orderstatus") == "F"))
+        w = Window.partitionBy("__okey")
+        per = per_os.select(
+            "__skey",
+            "__any_late",
+            "__n_late_f",
+            F.count(F.lit(1)).over(w).alias("__n_supp"),
+            F.sum("__any_late").over(w).alias("__n_late"),
+        )
         return (
-            late_f.join(per_order, late_f.l_orderkey == F.col("__okey"))
-            .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
-            .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+            per.filter(
+                (F.col("__n_supp") >= 2)
+                & (F.col("__n_late") == 1)
+                & (F.col("__any_late") == 1)
+                & (F.col("__n_late_f") > 0)
+            )
+            .join(F.broadcast(sup), F.col("__skey") == sup.s_suppkey)
             .groupBy("s_suppkey", "s_name")
-            .agg(F.count(F.lit(1)).alias("numwait"))
+            .agg(F.sum("__n_late_f").alias("numwait"))
             .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
             .limit(100)
         )
@@ -764,13 +798,31 @@ def register(_register) -> None:
         region = load_table(spark, sf_dir, "region").filter(
             F.col("r_name") == "EUROPE"
         )
-        ps = li.groupBy("l_partkey", "l_suppkey").agg(
-            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-        )
         eu = (
             sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
             .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
             .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        )
+        # r10 (guide §2.3 aggregate-less-before-the-exchange / §3.2):
+        # the part and supplier predicates only constrain the GROUP
+        # KEYS of the (partkey, suppkey) aggregate, so pushing them
+        # below it as broadcast semi-joins drops ~96% of fact rows
+        # BEFORE the shuffle (p_size/p_type keep ~1/25 of parts,
+        # EUROPE ~1/5 of suppliers) — the per-group MIN over the
+        # surviving groups is unchanged because a key filter never
+        # removes rows WITHIN a kept group. The broadcasts are reused
+        # by the post-agg joins (same build plans).
+        li_pruned = li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        ).join(
+            F.broadcast(eu.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        ps = li_pruned.groupBy("l_partkey", "l_suppkey").agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
         )
         joined = ps.join(
             F.broadcast(part), ps.l_partkey == part.p_partkey
