@@ -133,14 +133,15 @@ def minhash_signatures(
     sh = word_shingles(docs, n=shingle_n, id_col=id_col).withColumn(
         "__h", F.xxhash64("shingle")
     )
+    # SQL-string expressions: one py4j round-trip per accumulator
+    # instead of four Column-API calls (the simhash r10 build-time fix)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
+        F.expr(f"MIN(xxhash64({i}, __h))").alias(f"h{i}")
         for i in range(n_hashes)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
-    )
+    sig = "array(" + ", ".join(f"h{i}" for i in range(n_hashes)) + ")"
+    return agg.select(id_col, F.expr(sig).alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -267,16 +268,23 @@ def minhash_near_dup_pairs(
         exploded = exploded.withColumn("__rk", F.row_number().over(wk))
         # collect_set drops nulls → rows past the cap never enter the buffer
         sh_for_set = F.when(F.col("__rk") <= max_shingles_per_doc, F.col("__h"))
+    # SQL-string accumulators (one py4j round-trip each instead of
+    # 4-6 Column-API calls — the simhash r10 build-time fix); the
+    # poly family's pmod lands in a real column so the 64 slot
+    # expressions share it instead of re-deriving it per slot.
     if hash_family == "xxhash":
         slot = [
-            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
+            F.expr(f"MIN(xxhash64({i}, __h))").alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
     else:
-        hm = F.pmod(F.col("__h"), F.lit(2147483647))
+        exploded = exploded.withColumn(
+            "__hm", F.pmod(F.col("__h"), F.lit(2147483647))
+        )
         slot = [
-            F.min(
-                (F.lit(_AFFINE_A[i]) * hm + F.lit(_AFFINE_B[i])) % 2147483647
+            F.expr(
+                f"MIN(({_AFFINE_A[i]} * __hm + {_AFFINE_B[i]})"
+                " % 2147483647)"
             ).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
@@ -284,10 +292,9 @@ def minhash_near_dup_pairs(
         *slot,
         F.collect_set(sh_for_set).alias("sh_set"),
     )
+    sig = "array(" + ", ".join(f"h{i}" for i in range(N_MINHASH)) + ")"
     per_doc = per_doc.select(
-        id_col,
-        F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("signature"),
-        "sh_set",
+        id_col, F.expr(sig).alias("signature"), "sh_set"
     )
     # per_doc is consumed three times (banding + both verification join
     # sides); persist so the shingle scan + 64-min agg run once, not 3×
@@ -684,11 +691,18 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     )
+    # Expression-construction note (r10): the 64 accumulators and the
+    # 64-term pack are built as SQL STRINGS (one py4j round-trip per
+    # expr, one JVM-side parse) instead of ~8 Column-API calls each —
+    # the Column chains cost ~1.4 s of DRIVER time per plan build,
+    # re-paid on every run of the query. Identical expressions after
+    # parsing (pinned by tests/test_neardup_oracle_parity.py + gate).
     if hash_family == "xxhash":
         toks = toks.withColumn("h", F.xxhash64("tok"))
         bit_sums = [
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"SUM(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
             ).alias(f"b{j}")
             for j in range(64)
         ]
@@ -697,27 +711,27 @@ def simhash(
             "h", F.pmod(_poly_hash62(F.col("tok")), F.lit(2147483647))
         )
         bit_sums = [
-            F.sum(
-                F.when(
-                    (F.lit(_AFFINE_A[j]) * F.col("h") + F.lit(_AFFINE_B[j]))
-                    % 2147483647
-                    > 1073741823,
-                    1,
-                ).otherwise(-1)
+            F.expr(
+                f"SUM(CASE WHEN ({_AFFINE_A[j]} * h + {_AFFINE_B[j]})"
+                " % 2147483647 > 1073741823 THEN 1 ELSE -1 END)"
             ).alias(f"b{j}")
             for j in range(64)
         ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     # pack sign bits into one signed 64-bit value (bit 63 is the sign bit:
     # 1<<63 as signed long is LONG_MIN, added explicitly)
-    packed = None
-    for j in range(64):
-        term = F.when(
-            F.col(f"b{j}") > 0,
-            F.lit(int(-(2**63)) if j == 63 else (1 << j)),
-        ).otherwise(F.lit(0))
-        packed = term if packed is None else packed + term
-    return agg.select(id_col, packed.cast("long").alias("simhash"))
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN "
+        + (
+            # -2^63 has no positive literal twin; spell it wrap-free
+            "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+            if j == 63
+            else f"CAST({1 << j} AS BIGINT)"
+        )
+        + " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
+    )
+    return agg.select(id_col, F.expr(packed).cast("long").alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -142,6 +142,30 @@ def algebraic_moments(lineitem: DataFrame) -> DataFrame:
     # Widths sized to the value domain (qty ≤ 50, price ≤ ~1e5) so that
     # the product width w1+w2 stays ≤ 38 in both engines — DuckDB's
     # decimal multiply errors when the declared result can't hold it.
+    # r10 (guide §2.5): the decimal power sums are the expensive part
+    # (the Σy² accumulator exceeds Decimal's compact-long range, so
+    # every row pays a BigDecimal add) and a single-row-group scan
+    # runs them on one core. Fan out on a DETERMINISTIC content-hash
+    # key (guide §2.5: pmod(xxhash64(...), k·n) — keyed exchanges
+    # skip the round-robin path's serial pre-shuffle sort, and the
+    # hash key is retry-stable unlike rand()); the partial
+    # aggregation stays map-side combinable and the decimal sums
+    # re-associate exactly. A cluster-scale scan arrives wide and
+    # skips the exchange.
+    lineitem = lineitem.select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    sc = lineitem.sparkSession.sparkContext
+    if not lineitem.isStreaming and (
+        lineitem.rdd.getNumPartitions() < sc.defaultParallelism
+    ):
+        lineitem = lineitem.repartition(
+            sc.defaultParallelism,
+            F.pmod(
+                F.xxhash64("l_returnflag", "l_quantity", "l_extendedprice"),
+                F.lit(64 * sc.defaultParallelism),
+            ),
+        )
     x = F.col("l_quantity").cast("decimal(9,4)")
     y = F.col("l_extendedprice").cast("decimal(14,4)")
     agg = lineitem.groupBy("l_returnflag").agg(

@@ -497,8 +497,17 @@ def benford_screen(df: DataFrame, amount_col: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    counts = digits.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
+    # r10: `counts` (≤ 9 rows) feeds BOTH the spine join and the total
+    # — without a lineage cut each consumer re-executes the fact scan
+    # + digit aggregate in its own job (measured 8 jobs per call);
+    # the lazy localCheckpoint materializes it once.
+    from ..ext.lineage import truncate_lineage
+
+    counts = truncate_lineage(
+        digits.groupBy("digit").agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        ),
+        eager=False,
     )
     spine = F.broadcast(
         df.sparkSession.createDataFrame(

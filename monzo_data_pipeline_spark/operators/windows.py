@@ -22,10 +22,44 @@ def top_n_per_group(
     order_cols: list[str],
     n: int,
     descending: bool = True,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """C9 — deterministic top-n per group via row_number (callers put a
-    unique tiebreak last in order_cols)."""
+    unique tiebreak last in order_cols).
+
+    ``salt_buckets`` (r10, guide §2.5 few-fat-groups skew): when the
+    group count is far below the cluster width (e.g. 3 return flags),
+    the single window sorts each group's whole span on one task. With
+    a bucket count set, a FIRST window over (group, salt) — salt a
+    deterministic hash of the order columns — keeps each bucket's
+    top-n (a superset of the true top-n: dropping a row needs n
+    better rows in its OWN bucket, which are n better rows in the
+    group), then the exact window runs over ≤ n·salt_buckets rows
+    per group. Same ordering both phases → bit-identical rows and
+    ranks; rows tied on the FULL ordering are interchangeable
+    (callers make the selected row set deterministic), so which
+    duplicate survives phase 1 cannot change the output."""
     ordering = [F.col(c).desc() if descending else F.col(c).asc() for c in order_cols]
+    if salt_buckets and salt_buckets > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets)
+        )
+        w1 = Window.partitionBy(*partition_cols, "__salt").orderBy(*ordering)
+        # explicit exchange on (group, salt): the window's
+        # ENSURE_REQUIREMENTS exchange would be AQE-coalesced back to
+        # one task at entity scale (bytes-based sizing), defeating
+        # the salting
+        df = (
+            df.withColumn("__salt", salt)
+            .repartition(
+                df.sparkSession.sparkContext.defaultParallelism,
+                *partition_cols,
+                "__salt",
+            )
+            .withColumn("__pr", F.row_number().over(w1))
+            .filter(F.col("__pr") <= n)
+            .drop("__pr", "__salt")
+        )
     w = Window.partitionBy(*partition_cols).orderBy(*ordering)
     return (
         df.withColumn("rank_in_group", F.row_number().over(w))

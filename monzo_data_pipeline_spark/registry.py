@@ -1093,7 +1093,17 @@ def q_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = FL.date_range_filter(
         load_table(spark, sf_dir, "orders"), "o_orderdate", since="1996-01-01"
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    from .operators.partitioning import fan_out
+
+    # fan the single-row-group fact out BY THE ORDER KEY (guide §2.5):
+    # the decimal revenue aggregate and the orders join then run wide
+    # behind one explicit exchange (cluster-scale scans pass through)
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey",
+    )
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -2837,6 +2847,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
         n=50,
         descending=False,
+        # 3 return flags << cluster width: two-phase salted top-n
+        # (guide §2.5) — exact, see top_n_per_group
+        salt_buckets=spark.sparkContext.defaultParallelism,
     ).select(
         "l_returnflag",
         "l_orderkey",
