@@ -77,6 +77,12 @@ def pagerank(
     # round — cache it so iteration i doesn't rebuild it; after the
     # final localCheckpoint the returned ranks no longer reference it,
     # so it unpersists safely before return
+    # (r10 note: the child-session iteration idiom was tried here and
+    # reverted — for the nation-scale graphs this operator serves, the
+    # paired A/B was neutral-to-negative: the sizing count() pays the
+    # fact-scale edge build up front without reducing the per-round
+    # broadcast jobs. hits/sssp/textrank DO keep it; see
+    # _iteration_session.)
     e = e.persist()
     ranks = nodes.select(
         F.col(node_col).alias("__node"),
@@ -246,7 +252,13 @@ def hits_bipartite(
     # re-execute the edge-build join ~2·rounds·2 times (raw appears
     # under both the normalizer's max and the next join) — the
     # pagerank() lineage-flattening idiom
-    edges = edges.persist()
+    edges_cached = edges.persist()
+    # r10: half-rounds in a right-sized child session (AQE off below
+    # cluster width — see _iteration_session; 34 AQE stage-jobs per
+    # call measured before); the count materializes the edge cache
+    parent = edges_cached.sparkSession
+    child = _iteration_session(parent, edges_cached.count())
+    edges = _in_session(edges_cached, child)
     hubs = edges.select("__l").distinct().select(
         "__l", F.lit(HITS_SCALE).cast("long").alias("score_q")
     )
@@ -290,12 +302,17 @@ def hits_bipartite(
     # (edges and the per-half-round raws) before handing them back
     hubs = hubs.localCheckpoint(eager=True)
     auth = auth.localCheckpoint(eager=True)
-    edges.unpersist()
+    edges_cached.unpersist()
     for c in cached:
         c.unpersist()
+    # hand the node-sized results back to the caller's session
     return (
-        hubs.select(F.col("__l").alias(left_col), "score_q"),
-        auth.select(F.col("__r").alias(right_col), "score_q"),
+        _in_session(
+            hubs.select(F.col("__l").alias(left_col), "score_q"), parent
+        ),
+        _in_session(
+            auth.select(F.col("__r").alias(right_col), "score_q"), parent
+        ),
     )
 
 
@@ -503,13 +520,28 @@ def sssp(
         & F.col("__ew").isNotNull()
     )
     # negative weights: one cheap full-scan agg up front (the edge
-    # list is about to be scanned max_rounds more times anyway)
-    neg = e.agg(F.min("__ew").alias("m")).collect()[0]["m"]
-    if neg is not None and neg < 0:
-        raise ValueError(f"negative edge weight {neg}: sssp requires w >= 0")
-    e = e.persist()
+    # list is about to be scanned max_rounds more times anyway) —
+    # r10: the same job ALSO materializes the cache and measures the
+    # edge count for the child-session sizing below
+    e_cached = e.persist()
+    row = e_cached.agg(
+        F.min("__ew").alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if row["m"] is not None and row["m"] < 0:
+        e_cached.unpersist()
+        raise ValueError(
+            f"negative edge weight {row['m']}: sssp requires w >= 0"
+        )
+    # r10: relaxation rounds in a right-sized child session (AQE off
+    # below cluster width — see _iteration_session; 40 AQE stage-jobs
+    # per call measured before)
+    parent = e_cached.sparkSession
+    child = _iteration_session(parent, row["n"])
+    e = _in_session(e_cached, child)
     dist = (
-        sources.select(F.col(node_col).alias("__n"))
+        _in_session(
+            sources.select(F.col(node_col).alias("__n")), child
+        )
         .filter(F.col("__n").isNotNull())
         .distinct()
         .withColumn("__d", F.lit(0).cast("long"))
@@ -552,10 +584,12 @@ def sssp(
         if n_improved == 0:
             break  # exact fixpoint: no distance changed, no node added
         frontier = merged.filter(F.col("__impr")).select("__n", "__d")
-    e.unpersist()
-    return dist.select(
+    e_cached.unpersist()
+    out = dist.select(
         F.col("__n").alias(node_col), F.col("__d").alias("dist")
     )
+    # hand the node-sized result back to the caller's session
+    return truncate_lineage(_in_session(out, parent), eager=False)
 
 
 def label_propagation(
@@ -906,6 +940,30 @@ def _in_session(df: DataFrame, sess) -> DataFrame:
         df.sparkSession.catalog.dropGlobalTempView(name)
 
 
+def _iteration_session(parent, n_rows: int):
+    """Child SparkSession for entity-scale fixed-round iterations —
+    the SCC idiom (see strongly_connected_components) shared by the
+    whole iterative family (r10): shuffle parallelism sized to the
+    measured edge/row count, and AQE disabled when that lands below
+    the cluster default. Rationale: when the graph is small, every
+    per-round exchange is a tiny fixed-cost stage, and under AQE each
+    query-stage materialization is a SEPARATE job (~45 ms of driver
+    scheduling apiece — 26-40 jobs per pagerank/HITS/SSSP call
+    measured at entity scale); classic execution pipelines each
+    round's whole plan as ONE job. A cluster-scale input keeps
+    parts == default and AQE (skew handling) stays on. Frames cross
+    sessions via `_in_session` (same SparkContext — zero copy)."""
+    default_parts = int(
+        parent.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parts = max(2, min(default_parts, n_rows // 2_000_000 + 2))
+    child = parent.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(parts))
+    if parts < default_parts:
+        child.conf.set("spark.sql.adaptive.enabled", "false")
+    return child
+
+
 def strongly_connected_components(
     edges: DataFrame,
     outer_rounds: int,
@@ -1014,24 +1072,10 @@ def strongly_connected_components(
     n_edges = e_all.count()  # the one job that materializes e_all
     if n_edges == 0:
         return parent.createDataFrame([], "node long, scc long")
-    # child session: shuffle parallelism ∝ |E| (≥2, ≤ the session
-    # default so a huge edge set still uses the full cluster)
-    default_parts = int(
-        parent.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    parts = max(2, min(default_parts, n_edges // 2_000_000 + 2))
-    child = parent.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", str(parts))
-    if parts < default_parts:
-        # r10: the measured edge count did not earn cluster-wide
-        # shuffles, so every per-round exchange is a tiny fixed-cost
-        # stage — and under AQE each query-stage materialization is a
-        # SEPARATE job (one driver round-trip each: ~240 jobs per SCC
-        # call measured at entity scale, ~45 ms apiece of pure
-        # scheduling). Classic execution pipelines the whole
-        # stability-check plan as ONE job. A 100 TB edge set keeps
-        # parts == default_parts and AQE (skew handling) stays on.
-        child.conf.set("spark.sql.adaptive.enabled", "false")
+    # child session: shuffle parallelism ∝ |E|, AQE off below cluster
+    # width (see _iteration_session — ~240 AQE stage-jobs per SCC call
+    # measured at entity scale vs ONE classic job per stability check)
+    child = _iteration_session(parent, n_edges)
     e = _in_session(e_all, child)
     nodes = (
         e.select(F.col("__s").alias("__n"))

@@ -374,19 +374,28 @@ def textrank_keywords(
     round is a broadcast join + one tiny agg, and the driver loop adds
     no corpus rescans (edges are cached).
     """
-    edges = adjacency_edges(documents, text_col).cache()
-    nodes = (
-        edges.select(F.col("src").alias("word"))
-        .unionByName(edges.select(F.col("dst").alias("word")))
+    from .graph import _in_session, _iteration_session
+
+    edges_cached = adjacency_edges(documents, text_col).cache()
+    nodes_cached = (
+        edges_cached.select(F.col("src").alias("word"))
+        .unionByName(edges_cached.select(F.col("dst").alias("word")))
         .distinct()
         .cache()
     )
-    n = nodes.count()
+    n = nodes_cached.count()
+    parent = documents.sparkSession
     if n == 0:
         # empty or single-token corpus: no adjacency edges, no graph —
         # return an empty (word, rank_q) frame instead of dividing by 0
-        spark = documents.sparkSession
-        return spark.createDataFrame([], "word string, rank_q bigint")
+        return parent.createDataFrame([], "word string, rank_q bigint")
+    # r10: iterations in a right-sized child session (AQE off below
+    # cluster width — the graph-family _iteration_session idiom; 24
+    # AQE stage-jobs per call measured before). The vocabulary graph
+    # is node-scale, so the node count sizes it.
+    child = _iteration_session(parent, n)
+    edges = _in_session(edges_cached, child)
+    nodes = _in_session(nodes_cached, child)
     tele = (3 * 1_000_000) // (20 * n)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ranks = nodes.withColumn("r", F.lit(1_000_000 // n).cast("bigint"))
@@ -418,8 +427,10 @@ def textrank_keywords(
         from .lineage import truncate_lineage
 
         ranks = truncate_lineage(ranks, eager=False)
-    return (
+    out = (
         ranks.select("word", F.col("r").alias("rank_q"))
         .orderBy(F.desc("rank_q"), F.asc("word"))
         .limit(top_k)
     )
+    # hand the top-k back to the caller's session (the SCC idiom)
+    return _in_session(out, parent)
