@@ -190,6 +190,16 @@ def main() -> None:
                 "n_queries": len(per_query),
                 "queries": slowest,
                 "detail": "bench_detail.json",
+                # r11 (additions-only): surface the host-contention
+                # canary in the one-line JSON so per-round PERF
+                # comparisons can be load-normalized without digging
+                # into bench_detail.json — identical code has measured
+                # 39-102 s concurrent wall purely from neighbor load
+                "spin_before": canary_before["spin_kiters_per_sec"],
+                "spin_after": detail["contention_canary"]["after"][
+                    "spin_kiters_per_sec"
+                ],
+                "loadavg_before": canary_before["loadavg_1m"],
             }
         )
     )

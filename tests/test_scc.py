@@ -66,12 +66,12 @@ def _tarjan_min_labels(nodes, edges):
     return out
 
 
-def _run(spark, edges, outer_rounds=4, prop_rounds=12):
+def _run(spark, edges, outer_rounds=4, prop_rounds=12, **kw):
     df = spark.createDataFrame(edges, "src: long, dst: long")
     got = {
         r.node: r.scc
         for r in strongly_connected_components(
-            df, outer_rounds, prop_rounds
+            df, outer_rounds, prop_rounds, **kw
         ).collect()
     }
     nodes = sorted({n for e in edges for n in e})
@@ -119,3 +119,43 @@ def test_scc_random_digraphs_match_tarjan(spark):
         )
         edges = [(s, d) for s, d in edges if s != d]
         _run(spark, edges, outer_rounds=8, prop_rounds=40)
+
+
+def test_scc_distributed_path_matches_driver_finish(spark):
+    """r11: the bounded driver finisher (Tarjan on residues under the
+    collect caps) must agree with the distributed FW-BW peels — run
+    the same seeded graph with the finisher disabled (caps=0) and at
+    its default; exact SCC assignments are unique, so both must match
+    the in-test Tarjan reference."""
+    rng = random.Random(11)
+    edges = sorted(
+        {(rng.randrange(30), rng.randrange(30)) for _ in range(90)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    got_driver = _run(spark, edges, outer_rounds=8, prop_rounds=40)
+    got_dist = _run(
+        spark,
+        edges,
+        outer_rounds=8,
+        prop_rounds=40,
+        driver_finish_nodes=0,
+    )
+    assert got_driver == got_dist
+
+
+def test_scc_edge_cap_overflow_falls_through(spark):
+    """A residue under the node cap but over the EDGE cap must fall
+    through to the distributed peels (the limit-guard path) and still
+    produce the exact assignment."""
+    rng = random.Random(13)
+    edges = sorted(
+        {(rng.randrange(25), rng.randrange(25)) for _ in range(80)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    _run(
+        spark,
+        edges,
+        outer_rounds=8,
+        prop_rounds=40,
+        driver_finish_edges=1,
+    )
