@@ -33,6 +33,23 @@ from pyspark.sql import functions as F
 # with total scaled mass ≤ ~9·10^12 per node and edge weights ≤ 10^6
 RANK_SCALE = 1_000_000_000
 
+# Bounded-state caps for the iterative family's driver finishers
+# (r11, the SCC `_tarjan_min_scc` idiom generalized): an ENTITY graph
+# under these caps is collected once and the fixed-round ALL-INTEGER
+# iteration runs in plain Python — Python `//` on the non-negative
+# operands these operators produce is exactly Spark's `DIV`, so the
+# result is bit-identical to the distributed rounds (pinned by
+# tests), while the per-round plan/scheduling cost (lazy-checkpoint
+# planning forcing toRdd + eager broadcast builds, 1 collect job per
+# round) disappears. The collects are limit-guarded: a graph over the
+# caps falls through to the unchanged distributed machinery, so the
+# caps bound DRIVER memory (a few MB), never coverage — at 100 TB the
+# fact-scale edge BUILD stays a distributed join either way, and a
+# node-scale iteration on ≤131k edges is exactly the state a driver
+# already holds for kmeans centroids or BPE argmaxes.
+ITER_DRIVER_FINISH_EDGES = 131_072
+ITER_DRIVER_FINISH_NODES = 65_536
+
 
 def pagerank(
     nodes: DataFrame,
@@ -84,6 +101,50 @@ def pagerank(
     # broadcast jobs. hits/sssp/textrank DO keep it; see
     # _iteration_session.)
     e = e.persist()
+    # r11 bounded driver finish: limit-guarded collects — an entity
+    # graph under the caps iterates in exact Python integers (see
+    # ITER_DRIVER_FINISH_* above); larger graphs fall through with
+    # the cache already warm
+    nrows = nodes.select(F.col(node_col).alias("__node")).limit(
+        ITER_DRIVER_FINISH_NODES + 1
+    ).collect()
+    if len(nrows) <= ITER_DRIVER_FINISH_NODES:
+        # count first: one full-parallelism pass that materializes the
+        # cache the rounds need either way (a limit-collect over the
+        # unmaterialized fact-scale join would execute through
+        # CollectLimit's single-partition first attempt — measured
+        # SLOWER than the 3 distributed rounds it replaced)
+        if e.count() <= ITER_DRIVER_FINISH_EDGES:
+            erows = e.collect()
+            node_ids = [r["__node"] for r in nrows]
+            rank = {n: RANK_SCALE for n in node_ids}
+            for _ in range(iters):
+                acc: dict = {}
+                for r in erows:
+                    ru = rank.get(r["__src"])
+                    if ru is None:
+                        continue  # src outside the node table
+                    c = ru * r["__w"] // r["__out"]
+                    d = r["__dst"]
+                    acc[d] = acc.get(d, 0) + c
+                rank = {
+                    n: base + acc.get(n, 0) * damping_pct // 100
+                    for n in node_ids
+                }
+            e.unpersist()
+            spark = nodes.sparkSession
+            ntype = nodes.select(F.col(node_col)).schema.fields[0].dataType
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField(node_col, ntype),
+                    T.StructField("rank_q", T.LongType()),
+                ]
+            )
+            return spark.createDataFrame(
+                [(n, rank[n]) for n in node_ids], schema
+            )
     ranks = nodes.select(
         F.col(node_col).alias("__node"),
         F.lit(RANK_SCALE).cast("long").alias("rank_q"),
@@ -159,6 +220,51 @@ def personalized_pagerank(
     sd = seeds.select(
         F.col(seeds.columns[0]).alias("__node")
     ).distinct()
+    # r11 bounded driver finish (see pagerank / ITER_DRIVER_FINISH_*)
+    nrows = nodes.select(F.col(node_col).alias("__node")).limit(
+        ITER_DRIVER_FINISH_NODES + 1
+    ).collect()
+    if len(nrows) <= ITER_DRIVER_FINISH_NODES:
+        srows = sd.limit(ITER_DRIVER_FINISH_NODES + 1).collect()
+        # count-guard, not limit-guard: see pagerank above
+        if (
+            len(srows) <= ITER_DRIVER_FINISH_NODES
+            and e.count() <= ITER_DRIVER_FINISH_EDGES
+        ):
+            erows = e.collect()
+            seed_set = {r["__node"] for r in srows}
+            node_ids = [r["__node"] for r in nrows]
+            rank = {
+                n: (RANK_SCALE if n in seed_set else 0) for n in node_ids
+            }
+            for _ in range(iters):
+                acc: dict = {}
+                for r in erows:
+                    ru = rank.get(r["__src"])
+                    if ru is None:
+                        continue
+                    c = ru * r["__w"] // r["__out"]
+                    d = r["__dst"]
+                    acc[d] = acc.get(d, 0) + c
+                rank = {
+                    n: (base_seed if n in seed_set else 0)
+                    + acc.get(n, 0) * damping_pct // 100
+                    for n in node_ids
+                }
+            e.unpersist()
+            spark = nodes.sparkSession
+            ntype = nodes.select(F.col(node_col)).schema.fields[0].dataType
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField(node_col, ntype),
+                    T.StructField("rank_q", T.LongType()),
+                ]
+            )
+            return spark.createDataFrame(
+                [(n, rank[n]) for n in node_ids], schema
+            )
     marked = (
         nodes.select(F.col(node_col).alias("__node"))
         .join(
@@ -251,7 +357,7 @@ def hits_bipartite(
     # cache + per-half-round localCheckpoint the ONE lazy plan would
     # re-execute the edge-build join ~2·rounds·2 times (raw appears
     # under both the normalizer's max and the next join) — the
-    # pagerank() lineage-flattening idiom
+    # pagerank() lineage-flattening idiom.
     edges_cached = edges.persist()
     # r10: half-rounds in a right-sized child session (AQE off below
     # cluster width — see _iteration_session; 34 AQE stage-jobs per
@@ -282,13 +388,22 @@ def hits_bipartite(
             )
         ).persist()
         cached.append(raw)
-        mx = raw.agg(F.max("__raw").alias("__mx"))
-        return raw.crossJoin(F.broadcast(mx)).select(
+        # r11: the max-normalizer as a GLOBAL window instead of a
+        # broadcast cross join — the hint chained one extra broadcast
+        # build per half-round onto the critical path (each eager at
+        # plan-build time, a separate sequential driver job: 18 → 13
+        # jobs, measured ~10% wall). The window moves only the
+        # node-scale raw rows to one partition inside the SAME job;
+        # the max and the floor math are unchanged bit-for-bit.
+        from pyspark.sql import Window as _W
+
+        mxc = F.max("__raw").over(_W.partitionBy())
+        return raw.select(
             out_key,
             F.floor(
                 F.col("__raw").cast("double")
                 * F.lit(float(HITS_SCALE))
-                / F.col("__mx").cast("double")
+                / mxc.cast("double")
             )
             .cast("long")
             .alias("score_q"),
@@ -532,10 +647,57 @@ def sssp(
         raise ValueError(
             f"negative edge weight {row['m']}: sssp requires w >= 0"
         )
+    parent = e_cached.sparkSession
+    # r11 bounded driver finish (see ITER_DRIVER_FINISH_*): the edge
+    # count is already measured by the guard agg; a graph under the
+    # caps runs its Bellman-Ford rounds in exact Python integers —
+    # full per-round relaxation with the same ≤ max_rounds /
+    # empty-frontier early stop, which the delta-frontier distributed
+    # form is bit-identical to by construction
+    if row["n"] <= ITER_DRIVER_FINISH_EDGES:
+        srows = (
+            sources.select(F.col(node_col).alias("__n"))
+            .filter(F.col("__n").isNotNull())
+            .distinct()
+            .limit(ITER_DRIVER_FINISH_NODES + 1)
+            .collect()
+        )
+        if len(srows) <= ITER_DRIVER_FINISH_NODES:
+            erows = e_cached.collect()
+            e_cached.unpersist()
+            dist = {r["__n"]: 0 for r in srows}
+            for _ in range(max_rounds):
+                improved = {}
+                for r in erows:
+                    du = dist.get(r["__es"])
+                    if du is None:
+                        continue
+                    nd = du + r["__ew"]
+                    dv = improved.get(r["__ed"])
+                    if dv is None or nd < dv:
+                        old = dist.get(r["__ed"])
+                        if old is None or nd < old:
+                            improved[r["__ed"]] = nd
+                if not improved:
+                    break
+                dist.update(improved)
+            ntype = (
+                sources.select(F.col(node_col)).schema.fields[0].dataType
+            )
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField(node_col, ntype),
+                    T.StructField("dist", T.LongType()),
+                ]
+            )
+            return parent.createDataFrame(
+                sorted(dist.items()), schema
+            )
     # r10: relaxation rounds in a right-sized child session (AQE off
     # below cluster width — see _iteration_session; 40 AQE stage-jobs
     # per call measured before)
-    parent = e_cached.sparkSession
     child = _iteration_session(parent, row["n"])
     e = _in_session(e_cached, child)
     dist = (

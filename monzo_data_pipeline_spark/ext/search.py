@@ -389,6 +389,40 @@ def textrank_keywords(
         # empty or single-token corpus: no adjacency edges, no graph —
         # return an empty (word, rank_q) frame instead of dividing by 0
         return parent.createDataFrame([], "word string, rank_q bigint")
+    tele = (3 * 1_000_000) // (20 * n)
+    # r11 bounded driver finish (the graph family's
+    # ITER_DRIVER_FINISH_* idiom): a vocabulary graph under the caps
+    # iterates in exact Python integers — `//` on these non-negative
+    # ranks IS Spark's DIV — killing the per-round lazy-checkpoint
+    # planning and broadcast-build jobs; over the caps, the r10 child
+    # session runs unchanged. The corpus-scale bigram count above is
+    # distributed either way.
+    from .graph import ITER_DRIVER_FINISH_EDGES, ITER_DRIVER_FINISH_NODES
+
+    if n <= ITER_DRIVER_FINISH_NODES:
+        erows = edges_cached.limit(ITER_DRIVER_FINISH_EDGES + 1).collect()
+        if len(erows) <= ITER_DRIVER_FINISH_EDGES:
+            ow: dict = {}
+            for r in erows:
+                ow[r["src"]] = ow.get(r["src"], 0) + r["w"]
+            words = [r["word"] for r in nodes_cached.collect()]
+            edges_cached.unpersist()
+            nodes_cached.unpersist()
+            rank = {w: 1_000_000 // n for w in words}
+            for _ in range(iters):
+                acc: dict = {}
+                for r in erows:
+                    c = rank[r["src"]] * r["w"] // ow[r["src"]]
+                    acc[r["dst"]] = acc.get(r["dst"], 0) + c
+                rank = {
+                    w: tele + 17 * acc.get(w, 0) // 20 for w in words
+                }
+            top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :top_k
+            ]
+            return parent.createDataFrame(
+                top, "word string, rank_q bigint"
+            )
     # r10: iterations in a right-sized child session (AQE off below
     # cluster width — the graph-family _iteration_session idiom; 24
     # AQE stage-jobs per call measured before). The vocabulary graph
@@ -396,7 +430,6 @@ def textrank_keywords(
     child = _iteration_session(parent, n)
     edges = _in_session(edges_cached, child)
     nodes = _in_session(nodes_cached, child)
-    tele = (3 * 1_000_000) // (20 * n)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ranks = nodes.withColumn("r", F.lit(1_000_000 // n).cast("bigint"))
     for _ in range(iters):

@@ -1943,3 +1943,49 @@ def test_shard_rebalance_shrink_direction(spark):
     assert shrink.moved_modulo == grow.moved_modulo
     # HRW still strictly minimal vs modulo in the shrink direction
     assert shrink.moved_hrw < shrink.moved_modulo
+
+
+def test_iterative_driver_finish_matches_distributed(spark, monkeypatch):
+    """r11: pagerank / personalized_pagerank / sssp gained a bounded
+    driver finisher (exact Python integer rounds under the
+    ITER_DRIVER_FINISH_* collect caps). Force the distributed path by
+    zeroing the caps and assert bit-identical output on a seeded
+    random graph — `//` on the non-negative fixed-point ranks must be
+    exactly Spark's DIV."""
+    rng = random.Random(17)
+    nodes = list(range(12))
+    edges = sorted(
+        {
+            (rng.randrange(12), rng.randrange(12), rng.randint(1, 9))
+            for _ in range(40)
+        }
+    )
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(0,), (3,)], "node long")
+
+    pr_drv = {r.node: r.rank_q for r in G.pagerank(ndf, edf).collect()}
+    ppr_drv = {
+        r.node: r.rank_q
+        for r in G.personalized_pagerank(ndf, edf, sdf).collect()
+    }
+    sssp_drv = {
+        r.node: r.dist
+        for r in G.sssp(sdf, edf, max_rounds=8).collect()
+    }
+
+    monkeypatch.setattr(G, "ITER_DRIVER_FINISH_NODES", 0)
+    monkeypatch.setattr(G, "ITER_DRIVER_FINISH_EDGES", 0)
+    pr_dist = {r.node: r.rank_q for r in G.pagerank(ndf, edf).collect()}
+    ppr_dist = {
+        r.node: r.rank_q
+        for r in G.personalized_pagerank(ndf, edf, sdf).collect()
+    }
+    sssp_dist = {
+        r.node: r.dist
+        for r in G.sssp(sdf, edf, max_rounds=8).collect()
+    }
+    assert pr_drv == pr_dist
+    assert ppr_drv == ppr_dist
+    assert sssp_drv == sssp_dist

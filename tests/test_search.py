@@ -233,3 +233,20 @@ def test_ann_recall_eval_matches_multiprobe_singleton(spark, sf_dir):
         ).collect()
     }
     assert got.n_hit == len(exact_ids & approx_ids)
+
+
+def test_textrank_driver_finish_matches_distributed(spark, monkeypatch):
+    """r11: textrank's bounded driver finisher (exact Python integer
+    rounds under the graph family's collect caps) must match the
+    distributed child-session iteration row-for-row."""
+    from monzo_data_pipeline_spark.ext import graph as G
+
+    df = _docs(
+        spark,
+        [(1, "p q r p q s t p"), (2, "q r p t s"), (3, "s t q p")],
+    )
+    drv = [tuple(r) for r in SRCH.textrank_keywords(df, iters=3).collect()]
+    monkeypatch.setattr(G, "ITER_DRIVER_FINISH_NODES", 0)
+    monkeypatch.setattr(G, "ITER_DRIVER_FINISH_EDGES", 0)
+    dist = [tuple(r) for r in SRCH.textrank_keywords(df, iters=3).collect()]
+    assert drv == dist and len(drv) > 0
