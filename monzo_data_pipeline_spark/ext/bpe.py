@@ -82,24 +82,80 @@ def _pair_counts(corpus: DataFrame) -> DataFrame:
     return pairs.groupBy("a", "b").agg(F.sum("n").alias("cnt"))
 
 
+# Bounded-state cap for the driver-side merge loop (r11, the graph
+# family's ITER_DRIVER_FINISH idiom): a vocabulary under this many
+# distinct words is collected once (limit-guarded — a few MB of
+# delimited strings) and the n_merges steps run in plain Python,
+# replacing one pair-count aggregation + argmax collect + lazy
+# checkpoint PER STEP (22-27 jobs across the BPE queries) with a
+# single collect. Larger vocabularies fall through to the unchanged
+# distributed loop, so the cap bounds driver memory, not coverage.
+BPE_DRIVER_FINISH_WORDS = 65_536
+
+
+def _py_pair_argmax(corpus: list) -> tuple | None:
+    """(a, b, cnt) of the most frequent adjacent pair, tiebreak
+    cnt DESC, a ASC, b ASC — the exact argmax the distributed
+    `_pair_counts` + orderBy spelling computes (Python str comparison
+    is code-point order, which equals Spark's UTF-8 binary order)."""
+    cnt: dict = {}
+    for s, n in corpus:
+        syms = s.strip("|").split("||")
+        if len(syms) < 2:
+            continue
+        for i in range(len(syms) - 1):
+            k = (syms[i], syms[i + 1])
+            cnt[k] = cnt.get(k, 0) + n
+    if not cnt:
+        return None
+    (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    return a, b, c
+
+
 def _train(
     documents: DataFrame, text_col: str, n_merges: int
 ) -> tuple[list[tuple], DataFrame]:
     """Shared training loop: returns (merge rows, the FINAL segmented
-    corpus — already localCheckpoint'ed after the last merge), so the
-    apply-side consumers reuse the materialized result instead of
-    re-deriving the corpus (the corpus-touched-exactly-once claim)."""
-    corpus = (
-        word_frequencies_for_bpe(documents, text_col)
-        .select(
-            F.concat(
-                F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
-            ).alias("s"),
-            "n",
-        )
-        .transform(truncate_lineage)
+    corpus), so the apply-side consumers reuse the result instead of
+    re-deriving the corpus (the corpus-touched-exactly-once claim).
+
+    The corpus-scale work (word frequencies) is one distributed pass
+    either way; the merge loop itself runs driver-side when the
+    vocabulary fits BPE_DRIVER_FINISH_WORDS (Python str.replace is
+    the same left-to-right non-overlapping scan as Spark's
+    ``replace``, and integer counts are exact in both), falling back
+    to the per-step distributed loop above the cap."""
+    corpus = word_frequencies_for_bpe(documents, text_col).select(
+        F.concat(
+            F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
+        ).alias("s"),
+        "n",
     )
-    rows: list[tuple] = []
+    spark = documents.sparkSession
+    # no lineage cut before the guard: truncate_lineage forces toRdd
+    # (under AQE that executes the whole plan's query stages at
+    # PLAN-BUILD time — measured 0.6-0.9 s driver-side per call) and
+    # only the distributed per-step loop needs the cut; the guard
+    # collect executes the word-frequency pass exactly once
+    crows = corpus.limit(BPE_DRIVER_FINISH_WORDS + 1).collect()
+    if len(crows) <= BPE_DRIVER_FINISH_WORDS:
+        voc = [(r["s"], r["n"]) for r in crows]
+        rows: list[tuple] = []
+        for step in range(1, n_merges + 1):
+            top = _py_pair_argmax(voc)
+            if top is None:
+                break
+            a, b, cnt = top
+            rows.append((step, a, b, a + b, int(cnt)))
+            pat, rep = f"|{a}||{b}|", f"|{a}{b}|"
+            voc = [(s.replace(pat, rep), n) for s, n in voc]
+        final = spark.createDataFrame(voc, "s string, n bigint")
+        return rows, final
+    # distributed fallback: cut the lineage once up front (the first
+    # pair count materializes it) and then per rewrite step, exactly
+    # the pre-r11 spelling
+    corpus = truncate_lineage(corpus, eager=False)
+    rows = []
     for step in range(1, n_merges + 1):
         top = (
             _pair_counts(corpus)
@@ -210,7 +266,12 @@ def bpe_segmentation_stats(
     distinct words, total word occurrences, total emitted symbols
     (the pre/post-merge token budget an LLM pipeline plans around),
     and distinct symbols (vocabulary size)."""
-    seg = bpe_segment_corpus(documents, text_col, n_merges).transform(truncate_lineage)
+    # r11: no lineage cut here — the corpus `_train` hands back is
+    # either a driver-built literal (re-evaluating it per consumer is
+    # free) or the distributed loop's already-checkpointed final
+    # rewrite; an extra EAGER checkpoint in the AQE parent session
+    # costs a toRdd + materialization job for nothing
+    seg = bpe_segment_corpus(documents, text_col, n_merges)
     stats = seg.agg(
         F.count(F.lit(1)).cast("long").alias("distinct_words"),
         F.sum("n").alias("total_words"),

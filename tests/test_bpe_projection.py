@@ -140,3 +140,30 @@ class TestRandomProjection:
             for r in random_projection(emb, impl="sql").collect()
         }
         assert arrow == sql
+
+
+def test_bpe_driver_loop_matches_distributed(spark, monkeypatch):
+    """r11: the driver-side merge loop (vocabulary under
+    BPE_DRIVER_FINISH_WORDS) must reproduce the distributed per-step
+    loop exactly — merge table AND segmented corpus."""
+    from monzo_data_pipeline_spark.ext import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest news newer new"),
+         (2, "wide wider widest low new"),
+         (3, "a ab abc abcd abcd ab")],
+        "doc_id long, text string",
+    )
+    m_drv = [tuple(r) for r in B.bpe_merges(docs, n_merges=5).collect()]
+    s_drv = sorted(
+        (tuple(r.syms), r.n)
+        for r in B.bpe_segment_corpus(docs, n_merges=5).collect()
+    )
+    monkeypatch.setattr(B, "BPE_DRIVER_FINISH_WORDS", 0)
+    m_dist = [tuple(r) for r in B.bpe_merges(docs, n_merges=5).collect()]
+    s_dist = sorted(
+        (tuple(r.syms), r.n)
+        for r in B.bpe_segment_corpus(docs, n_merges=5).collect()
+    )
+    assert m_drv == m_dist and len(m_drv) == 5
+    assert s_drv == s_dist and len(s_drv) > 0
