@@ -185,6 +185,119 @@ def _poly_hash62(col) -> "F.Column":
     return fold(131) * F.lit(2147483648) + fold(137)
 
 
+_P31 = 2147483647  # the fold modulus (2³¹−1, prime)
+_PACK = 2147483648  # 2³¹ — the (fold, Bᴸᵉⁿ) pack multiplier
+
+
+def _packed_fold_sql(base: int) -> str:
+    """One-pass packed (fold, baseᴸᵉⁿ) state over a token's chars:
+    state = fold·2³¹ + pow, init (0, 1) → 1L. Both halves stay
+    < 2³¹−1 and every intermediate < 2⁶², so the expression is
+    ANSI-safe; SQL-string spelling keeps plan-build to one py4j
+    round-trip (the r10 simhash lesson)."""
+    return (
+        f"aggregate(split(tok, ''), 1L, (a, c) -> "
+        f"((a DIV {_PACK}L) * {base} + ascii(c)) % {_P31} * {_PACK}L"
+        f" + (a % {_PACK}L) * {base} % {_P31})"
+    )
+
+
+def word_shingles_poly62(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    id_col: str = "doc_id",
+    with_shingle: bool = True,
+) -> DataFrame:
+    """word_shingles fused with `_poly_hash62` of each shingle —
+    (id_col, shingle, __h), distinct per (id, shingle), __h
+    bit-identical to ``_poly_hash62(F.col("shingle"))`` (pinned by
+    tests/test_neardup_oracle_parity.py).
+
+    r11 (guide §1.2 per-task work): the char-level polynomial fold
+    over every n-word shingle string re-hashed each word ~n times
+    (~27 M interpreted lambda steps at sf0.1). Instead each TOKEN is
+    folded once into packed (fold, Bᴸᵉⁿ) state, and the shingle hash
+    composes the lead tokens' states with 4 multiply-mods per base:
+    fold(a∘b) = fold(a)·Bˡᵉⁿ⁽ᵇ⁾ + fold(b) (mod 2³¹−1), with the
+    ``" "`` separator folded in as ``(f·B + 32) % p``. Window, keep
+    filter and concat_ws spelling are exactly word_shingles', so the
+    distinct-(id, shingle) semantics are unchanged.
+
+    Edge cases, matching the char-level spelling exactly: a truncated
+    short-doc shingle composes only the non-NULL leads (concat_ws
+    skips NULLs); an empty token ([''] from split) folds to 0 and can
+    only be a single-token doc's whole shingle, where its (never
+    used) pow half is irrelevant."""
+    # selectExpr batches throughout: the whole builder is 4 py4j
+    # round-trips (plan-build is a real per-call cost in the bench —
+    # the r10 simhash lesson; Column-API spelling measured ~0.5 s of
+    # socket round-trips per build)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    toks = r"split(trim(lower(`" + text_col + r"`)), '\\s+')"
+    tok_rows = docs.selectExpr(
+        f"`{id_col}`",
+        f"size({toks}) AS __n_tok",
+        f"posexplode({toks}) AS (pos, tok)",
+    ).selectExpr(
+        f"`{id_col}`",
+        "pos",
+        "__n_tok",
+        "tok",
+        f"{_packed_fold_sql(131)} AS __s1",
+        f"{_packed_fold_sql(137)} AS __s2",
+    )
+    w = f"OVER (PARTITION BY `{id_col}` ORDER BY pos)"
+    lead_exprs = []
+    for k in range(1, n):
+        lead_exprs += [
+            f"lead(tok, {k}) {w} AS __t{k}",
+            f"lead(__s1, {k}) {w} AS __a{k}",
+            f"lead(__s2, {k}) {w} AS __b{k}",
+        ]
+    rows = tok_rows.selectExpr(
+        f"`{id_col}`", "pos", "__n_tok", "tok", "__s1", "__s2", *lead_exprs
+    ).filter(f"__t{n - 1} IS NOT NULL OR (pos = 0 AND __n_tok < {n})")
+
+    # compose per base as ONE nested-CASE expression: the prefix
+    # subtree doubles per level but stays tiny (n−1 = 4 levels)
+    def comp(base: int, st0: str, lead: str) -> str:
+        f = f"({st0} DIV {_PACK}L)"
+        for k in range(1, n):
+            f = (
+                f"CASE WHEN __t{k} IS NULL THEN {f} ELSE "
+                f"(({f} * {base} + 32) % {_P31} * ({lead}{k} % {_PACK}L)"
+                f" + ({lead}{k} DIV {_PACK}L)) % {_P31} END"
+            )
+        return f
+
+    h_sql = (
+        f"({comp(131, '__s1', '__a')}) * {_PACK}L"
+        f" + ({comp(137, '__s2', '__b')}) AS __h"
+    )
+    if not with_shingle:
+        # distinct on (id, hash) — exactly the oracle's
+        # `SELECT DISTINCT doc_id, h62` grain; the n-word string is
+        # never assembled or shuffled (≈4× fewer distinct-exchange
+        # bytes). Identical to distinct-on-string absent a 2⁻⁶²-scale
+        # in-doc hash collision — the tolerance the signature/set
+        # stages already accept, and the cross-engine hash gate
+        # would catch.
+        return rows.selectExpr(f"`{id_col}`", h_sql).distinct()
+    shingle = (
+        "concat_ws(' ', tok, "
+        + ", ".join(f"__t{k}" for k in range(1, n))
+        + ")"
+    )
+    return rows.selectExpr(
+        f"`{id_col}`",
+        f"{shingle} AS shingle",
+        h_sql,
+    ).distinct()
+
+
 def _lcg_constants(n: int = 64) -> tuple[list[int], list[int]]:
     """Fixed pseudorandom multipliers/offsets for the engine-agnostic
     affine hash family g_j(h) = (A_j·h + B_j) mod 2³¹−1: a
@@ -248,14 +361,22 @@ def minhash_near_dup_pairs(
     """
     if hash_family not in ("xxhash", "poly"):
         raise ValueError(f"hash_family must be 'xxhash' or 'poly', got {hash_family!r}")
-    base_hash = (
-        F.xxhash64("shingle")
-        if hash_family == "xxhash"
-        else _poly_hash62(F.col("shingle"))
-    )
-    exploded = word_shingles(docs, n=shingle_n, id_col=id_col).withColumn(
-        "__h", base_hash
-    )
+    if hash_family == "xxhash":
+        exploded = word_shingles(docs, n=shingle_n, id_col=id_col).withColumn(
+            "__h", F.xxhash64("shingle")
+        )
+    else:
+        # r11: fused builder — per-token packed folds composed per
+        # shingle instead of re-folding every shingle string char by
+        # char; __h bit-identical to _poly_hash62("shingle"). The
+        # shingle string itself is only materialized when the
+        # bottom-k cap needs it as an ordering tiebreak.
+        exploded = word_shingles_poly62(
+            docs,
+            n=shingle_n,
+            id_col=id_col,
+            with_shingle=max_shingles_per_doc is not None,
+        )
     # the verification sets hold the 64-bit shingle hashes, not the
     # n-word strings: same intersect counts absent a 2⁻⁶⁵-scale
     # collision, ~5× smaller aggregation buffers and long-vs-long
@@ -268,33 +389,26 @@ def minhash_near_dup_pairs(
         exploded = exploded.withColumn("__rk", F.row_number().over(wk))
         # collect_set drops nulls → rows past the cap never enter the buffer
         sh_for_set = F.when(F.col("__rk") <= max_shingles_per_doc, F.col("__h"))
-    # SQL-string accumulators (one py4j round-trip each instead of
-    # 4-6 Column-API calls — the simhash r10 build-time fix); the
+    # ONE SQL-string aggregate expression for all 64 slots (r11: a
+    # single py4j round-trip + parse; even one F.expr per slot
+    # measured ~0.4 s of socket round-trips per plan build); the
     # poly family's pmod lands in a real column so the 64 slot
     # expressions share it instead of re-deriving it per slot.
     if hash_family == "xxhash":
-        slot = [
-            F.expr(f"MIN(xxhash64({i}, __h))").alias(f"h{i}")
-            for i in range(N_MINHASH)
-        ]
+        sig_sql = "array(" + ", ".join(
+            f"MIN(xxhash64({i}, __h))" for i in range(N_MINHASH)
+        ) + ")"
     else:
         exploded = exploded.withColumn(
             "__hm", F.pmod(F.col("__h"), F.lit(2147483647))
         )
-        slot = [
-            F.expr(
-                f"MIN(({_AFFINE_A[i]} * __hm + {_AFFINE_B[i]})"
-                " % 2147483647)"
-            ).alias(f"h{i}")
+        sig_sql = "array(" + ", ".join(
+            f"MIN(({_AFFINE_A[i]} * __hm + {_AFFINE_B[i]}) % 2147483647)"
             for i in range(N_MINHASH)
-        ]
+        ) + ")"
     per_doc = exploded.groupBy(id_col).agg(
-        *slot,
+        F.expr(sig_sql).alias("signature"),
         F.collect_set(sh_for_set).alias("sh_set"),
-    )
-    sig = "array(" + ", ".join(f"h{i}" for i in range(N_MINHASH)) + ")"
-    per_doc = per_doc.select(
-        id_col, F.expr(sig).alias("signature"), "sh_set"
     )
     # per_doc is consumed three times (banding + both verification join
     # sides); persist so the shingle scan + 64-min agg run once, not 3×
@@ -332,25 +446,17 @@ def band_index(
     """
     n = N_MINHASH
     rows = n // bands
+    # one SQL-string expression (one py4j round-trip + one parse)
+    # instead of the nested Column-API lambda tree — identical
+    # operators after parsing (r11; the r10 simhash plan-build fix)
+    bb = (
+        f"explode(transform(sequence(0, {bands - 1}), b -> struct("
+        f"b AS band, xxhash64(concat_ws(',', transform("
+        f"slice(signature, b * {rows} + 1, {rows}), "
+        f"v -> cast(v AS string)))) AS bucket)))"
+    )
     return signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        F.col(id_col), F.expr(bb).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 

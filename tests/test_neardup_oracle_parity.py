@@ -655,3 +655,37 @@ def test_analytics_family_matches_oracle_on_random_tables(
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     _assert_family(spark, con, sf_dir, ANALYTICS_QUERIES, seed)
     con.close()
+
+
+def test_word_shingles_poly62_matches_char_fold(spark):
+    """r11: the fused per-token packed-fold shingle hasher must equal
+    the char-level `_poly_hash62` of the shingle string exactly —
+    including truncated short-doc shingles, empty/whitespace docs,
+    and repeated tokens."""
+    from monzo_data_pipeline_spark.ext import dedup_fuzzy as DF
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, ""),
+            (3, "   "),
+            (4, "a  b\tc"),
+            (5, "w1 w2 w3 w4 w5 w6 w7"),
+            (6, "x x x x x x"),
+            (7, "the quick brown fox jumps over the lazy dog"),
+            (8, "Zz aA 09 ~! %% || nope"),  # '|' words are fine here
+        ],
+        "doc_id long, text string",
+    )
+    ref = sorted(
+        (r["doc_id"], r["shingle"], r["__h"])
+        for r in DF.word_shingles(docs)
+        .withColumn("__h", DF._poly_hash62(F.col("shingle")))
+        .collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["shingle"], r["__h"])
+        for r in DF.word_shingles_poly62(docs).collect()
+    )
+    assert got == ref and len(got) > 0
