@@ -499,6 +499,50 @@ def incremental_candidate_pairs(
     return pairs, new_idx
 
 
+# Bounded-state cap for the CC driver finisher (r11 — the graph
+# family's ITER_DRIVER_FINISH idiom): a pair set under this many rows
+# is collected once (limit-guarded) and labeled with exact
+# union-find; exact connected components are unique (label = the
+# component's minimum id, and Python's code-point string order equals
+# Spark's UTF-8 binary order), so the result is identical to the
+# converged distributed propagation and to the oracle. Larger pair
+# sets keep the unchanged distributed loops.
+CC_DRIVER_FINISH_PAIRS = 131_072
+
+
+def _cc_driver_labels(pairs_rows: list) -> dict:
+    """{node: min id of its component} by union-find over collected
+    (u, v) rows — the driver finisher shared by `near_dup_clusters`
+    and `connected_components_star`."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp: dict = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -520,6 +564,27 @@ def near_dup_clusters(
 
     Returns (doc_id, cluster_id) for every doc appearing in `pairs`.
     """
+    # r11 bounded driver finish: a pair set under the cap is labeled
+    # with exact union-find on the driver (see CC_DRIVER_FINISH_PAIRS)
+    prows = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .limit(CC_DRIVER_FINISH_PAIRS + 1)
+        .collect()
+    )
+    if len(prows) <= CC_DRIVER_FINISH_PAIRS:
+        lab = _cc_driver_labels([(r["u"], r["v"]) for r in prows])
+        ntype = pairs.select(F.col(a_col)).schema.fields[0].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", ntype),
+                T.StructField("cluster_id", ntype),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            sorted(lab.items()), schema
+        )
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -630,6 +695,26 @@ def connected_components_star(
     Returns (doc_id, cluster_id) — identical output contract (and
     registry oracle) as `near_dup_clusters`: every node labeled with
     its component's minimum id."""
+    # r11 bounded driver finish — see near_dup_clusters / union-find
+    prows = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .limit(CC_DRIVER_FINISH_PAIRS + 1)
+        .collect()
+    )
+    if len(prows) <= CC_DRIVER_FINISH_PAIRS:
+        lab = _cc_driver_labels([(r["u"], r["v"]) for r in prows])
+        ntype = pairs.select(F.col(a_col)).schema.fields[0].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", ntype),
+                T.StructField("cluster_id", ntype),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            sorted(lab.items()), schema
+        )
     # the input pair plan is typically the expensive part (an LSH /
     # n-gram candidate build); it feeds BOTH the edge and the node
     # derivation, so cache it for the two setup scans — without this

@@ -38,7 +38,15 @@ def top_n_per_group(
     per group. Same ordering both phases → bit-identical rows and
     ranks; rows tied on the FULL ordering are interchangeable
     (callers make the selected row set deterministic), so which
-    duplicate survives phase 1 cannot change the output."""
+    duplicate survives phase 1 cannot change the output.
+
+    REQUIREMENT when ``salt_buckets`` is set: ``order_cols`` must be
+    a total order over the OUTPUT columns the caller consumes — rows
+    that tie on the full ordering while differing in other selected
+    columns would make phase-1 pruning pick a representative the
+    unsalted window might not (advisory r10). The engine's sole
+    salted call site orders by a unique key; new callers must do the
+    same or leave salting off."""
     ordering = [F.col(c).desc() if descending else F.col(c).asc() for c in order_cols]
     if salt_buckets and salt_buckets > 1:
         salt = F.pmod(
@@ -380,8 +388,11 @@ def exact_ntile_multi(
 
     Contract (all engine callers comply): value columns are
     integer-typed (cast to long losslessly — the stack needs one
-    common type); tiebreak columns share one type across specs and
-    are unique + non-null per the ntile contract.
+    common type) and NON-NULL — a NULL value has no position in the
+    ntile order (the stacked pass drops such rows defensively rather
+    than let a NULL bucket key crash the driver sort — r11, advisory
+    fix); tiebreak columns share one type across specs and are
+    unique + non-null per the ntile contract.
     """
     if not specs:
         return df
@@ -419,7 +430,8 @@ def exact_ntile_multi(
     from .rankstats import _order_bucket
 
     pc0 = (
-        stk.groupBy("__si", "__v")
+        stk.filter(F.col("__v").isNotNull())
+        .groupBy("__si", "__v")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .withColumn("__b", _order_bucket("__v"))
         .persist()

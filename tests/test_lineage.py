@@ -44,7 +44,15 @@ def test_local_fallback_without_checkpoint_dir(spark):
     assert out == EXPECTED
 
 
-def test_reliable_checkpoint_used_when_dir_set(spark, checkpoint_dir):
+def test_reliable_checkpoint_used_when_dir_set(
+    spark, checkpoint_dir, monkeypatch
+):
+    # force the DISTRIBUTED loop (r11 added a bounded driver finisher
+    # that needs no checkpoints) — this test pins the reliable-
+    # checkpoint plumbing the distributed rounds use
+    from monzo_data_pipeline_spark.ext import dedup_fuzzy as DF
+
+    monkeypatch.setattr(DF, "CC_DRIVER_FINISH_PAIRS", 0)
     out = {
         (r.doc_id, r.cluster_id)
         for r in near_dup_clusters(_pairs(spark)).collect()
@@ -100,13 +108,19 @@ def test_star_cc_matches_pointer_jumping_on_random_graphs(spark):
         assert star == plain
 
 
-def test_star_cc_uses_reliable_checkpoint_when_dir_set(spark, checkpoint_dir):
+def test_star_cc_uses_reliable_checkpoint_when_dir_set(
+    spark, checkpoint_dir, monkeypatch
+):
     import os
 
+    from monzo_data_pipeline_spark.ext import dedup_fuzzy as DF
     from monzo_data_pipeline_spark.ext.dedup_fuzzy import (
         connected_components_star,
     )
 
+    # force the DISTRIBUTED loop (see
+    # test_reliable_checkpoint_used_when_dir_set)
+    monkeypatch.setattr(DF, "CC_DRIVER_FINISH_PAIRS", 0)
     out = {
         (r.doc_id, r.cluster_id)
         for r in connected_components_star(_pairs(spark)).collect()
@@ -134,3 +148,37 @@ def test_star_cc_keeps_self_loop_only_nodes(spark):
         (r.doc_id, r.cluster_id) for r in near_dup_clusters(df).collect()
     }
     assert star == plain == {(1, 1), (2, 1), (9, 9)}
+
+
+def test_cc_driver_finish_matches_distributed(spark, monkeypatch):
+    """r11: both CC variants gained a bounded union-find driver
+    finisher (CC_DRIVER_FINISH_PAIRS collect cap). Force the
+    distributed loops by zeroing the cap and assert identical labels
+    on a seeded random pair set (exact CC labels are unique)."""
+    import random
+
+    from monzo_data_pipeline_spark.ext import dedup_fuzzy as DF
+    from monzo_data_pipeline_spark.ext.dedup_fuzzy import (
+        connected_components_star,
+        near_dup_clusters,
+    )
+
+    rng = random.Random(23)
+    pairs = sorted(
+        {(rng.randrange(40), rng.randrange(40)) for _ in range(50)}
+    )
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    drv_p = {(r.doc_id, r.cluster_id) for r in near_dup_clusters(df).collect()}
+    drv_s = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(df).collect()
+    }
+    monkeypatch.setattr(DF, "CC_DRIVER_FINISH_PAIRS", 0)
+    dist_p = {
+        (r.doc_id, r.cluster_id) for r in near_dup_clusters(df).collect()
+    }
+    dist_s = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(df).collect()
+    }
+    assert drv_p == dist_p == drv_s == dist_s and len(drv_p) > 0
